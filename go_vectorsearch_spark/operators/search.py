@@ -1,0 +1,106 @@
+"""Vector search operators (SURVEY.md §2.3 J4/J5, §2.5 T1/T2).
+
+The reference's search path (server/search.go:115-334) is: embed the
+query, cosine-score every embedding in the probed partitions in
+1000-row batches, keep a deduped top-k by document. In Spark the same
+semantics are one declarative plan:
+
+    score every row with a codegen'd dot-product expression against a
+    *literal* query vector (no join, no shuffle - the query vector is
+    folded into the expression), then groupBy(document).max(score),
+    then a global top-k (orderBy + limit, which Spark executes as
+    per-partition partial top-k + single merge, i.e. TakeOrdered - no
+    full sort at 100 TB).
+
+The reference's batch-incremental truncation (server/search.go:234-273)
+is order-dependent in edge cases; we implement the clean set semantics
+(max similarity per document) as SURVEY.md §5 prescribes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.functions.vector import cosine_similarity
+
+
+def query_vec_lit(query_vec: Sequence[float]) -> Column:
+    """Embed a driver-side query vector into the plan as an array literal.
+
+    This is the Spark analogue of broadcasting the query: the vector
+    becomes a constant in the codegen'd expression, shipped once with
+    the task binary - strictly cheaper than a broadcast join.
+    """
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def score_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """J4: theta-'join' of one query vector against every row.
+
+    Pure narrow transformation - each partition scores independently,
+    zero shuffle (reference: server/search.go:241-273 scores in
+    hand-rolled 1000-row batches on one core).
+    """
+    return df.withColumn(
+        score_col, cosine_similarity(F.col(vec_col), query_vec_lit(query_vec))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_col: str | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """T2: deduped top-k documents by max cosine similarity.
+
+    With ``doc_col`` set, many chunk-vectors per document collapse to the
+    document's best score first (partial aggregation map-side, tiny
+    shuffle of |docs| rows), then the global top-k merges per-partition
+    heaps. Ties break on the id column ascending so results are
+    deterministic across cluster layouts.
+    """
+    scored = score_cosine(df, query_vec, vec_col)
+    key = doc_col or id_col
+    best = scored.groupBy(key, *extra_cols).agg(F.max("score").alias("score"))
+    return best.orderBy(F.desc("score"), F.asc(key)).limit(k)
+
+
+def topk_paginated(topk_df: DataFrame, count: int, offset: int) -> DataFrame:
+    """T3: offset/limit pagination over an already-ranked top-k result.
+
+    The reference slices the in-memory top-(count+offset) list
+    (server/search.go:312-331); here ``topk_df`` must already be limited
+    to count+offset rows, and we re-rank + slice. Top-k results are tiny
+    (count <= 20 in the reference, server/search.go:116) so the single
+    partition sort is free.
+    """
+    w = F.row_number().over(Window.orderBy(F.desc("score")))
+    ranked = topk_df.withColumn("_rank", w)
+    return ranked.filter(F.col("_rank") > offset).drop("_rank").limit(count)
+
+
+def normalize_search_args(count: int, offset: int, nprobe: int) -> tuple[int, int, int]:
+    """F4: argument clamping (reference: server/search.go:116-122).
+
+    count -> [1, 20]; offset >= 0; nprobe: 0 -> 1, negative -> all
+    (represented as a very large int).
+    """
+    count = max(1, min(20, count))
+    offset = max(0, offset)
+    if nprobe == 0:
+        nprobe = 1
+    elif nprobe < 0:
+        nprobe = 2**31 - 1
+    return count, offset, nprobe

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Tuned for the test harness (single JVM, local[32], 128 GiB) but every
+setting is chosen to also be the right default on a real multi-executor
+cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow on (pandas-UDF fast path), shuffle partitions sized
+to the parallelism rather than the Spark default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark-vectorsearch") -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for the local core count so bench runs
+    and tests share one code path.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle partitions ~ cores in local mode. On a 1000-executor
+        # cluster this would scale with total cores; AQE coalescing makes
+        # over-provisioning cheap, so err high there, low here.
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet blobs (documents) compress with zstd like the reference
+        # stores payloads (database/compression.go:36-47) - free via codec.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,73 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query on Spark and its oracle SQL on DuckDB over the
+same sf dir, then compares row count, column names, and an
+order-insensitive value multiset (floats rounded to 5 decimals before
+comparison, one decimal looser than the 6-decimal rounding the queries
+themselves apply, so last-bit differences can't flip the check).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from go_vectorsearch_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 5)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(spark, sf_dir: str, name: str) -> None:
+    """Assert Spark result == DuckDB oracle result for query `name`."""
+    from go_vectorsearch_spark.queries import REGISTRY
+
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} has no oracle"
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
