@@ -1,0 +1,102 @@
+"""Relational operators (SURVEY.md §2.1-2.6) as reusable DataFrame shapes.
+
+The reference hand-writes these as GORM calls; here each is the
+declarative Spark form Catalyst can optimize (predicate pushdown,
+column pruning, broadcast selection are free - SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def point_lookup(df: DataFrame, col: str, value) -> DataFrame:
+    """S3: single-row lookup by key (reference: server/search.go:149-168).
+
+    Catalyst pushes the equality predicate into the parquet scan and the
+    LIMIT short-circuits - at scale this reads only the row groups whose
+    min/max stats admit the key.
+    """
+    return df.filter(F.col(col) == F.lit(value)).limit(1)
+
+
+def lookup_by_keys(df: DataFrame, col: str, keys: Sequence) -> DataFrame:
+    """S4/F2: fetch rows for a key list (reference: server/search.go:291).
+
+    An IN-list filter compiles to parquet row-group pruning; for huge key
+    sets prefer a broadcast semi-join (``semi_join_keys``).
+    """
+    return df.filter(F.col(col).isin(list(keys)))
+
+
+def semi_join_keys(df: DataFrame, keys_df: DataFrame, on: str) -> DataFrame:
+    """S4 at scale: left-semi join against a (broadcastable) key set."""
+    return df.join(F.broadcast(keys_df), on, "left_semi")
+
+
+def dedup_best_by_key(
+    df: DataFrame, key: str, order_col: str, extra_cols: Sequence[str] = ()
+) -> DataFrame:
+    """D1: keep the best row per key (reference: server/search.go:259-268
+    keeps the first = highest-scored occurrence of each document).
+
+    groupBy + max is the shuffle-light form (map-side partial agg);
+    use it when only (key, best-value) is needed.
+    """
+    return df.groupBy(key, *extra_cols).agg(F.max(order_col).alias(order_col))
+
+
+def paginate(df: DataFrame, order_cols: Sequence, count: int, offset: int) -> DataFrame:
+    """T3: offset/limit pagination with a total order.
+
+    Spark has no OFFSET pushdown pre-collect; row_number over the global
+    order + range filter keeps semantics identical to the reference's
+    in-memory slice (server/search.go:312-331). Only sane for small
+    result windows (the reference caps count at 20) - the limit
+    (count+offset) should be applied upstream first so the window sort
+    sees few rows.
+    """
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + count))
+        .drop("_rn")
+    )
+
+
+def cascade_delete_survivors(
+    root_victims: DataFrame,
+    child: DataFrame,
+    fk: str,
+    parent_key: str,
+) -> DataFrame:
+    """S8: cascade delete re-expressed as an anti-join (SURVEY.md §1.4).
+
+    The reference relies on SQL ``ON DELETE CASCADE``
+    (database/model.go:32,45,57-58,66; server/delete.go:214-288); in a
+    columnar store deletion is a rewrite, so "delete parents P" becomes
+    "child survivors = child ANTI JOIN P on fk". Chain per level for
+    grandchildren. The victim set is typically tiny -> broadcast anti-join,
+    no shuffle of the big child table.
+    """
+    victims = root_victims.select(F.col(parent_key).alias(fk)).distinct()
+    return child.join(F.broadcast(victims), fk, "left_anti")
+
+
+def hash_sample(df: DataFrame, key_col: str, hex_prefix: str = "0") -> DataFrame:
+    """C1/D2 analog: deterministic, engine-portable pseudo-sample.
+
+    The reference samples with a wall-clock-seeded Fisher-Yates
+    (dnc/sampling.go:81-96) - irreproducible by design. For a
+    cross-engine-checkable sample we hash the key (md5) and keep rows
+    whose hex prefix matches: a stable ~1/16-per-hex-char Bernoulli
+    sample that any SQL engine reproduces bit-for-bit, and that
+    needs no shuffle or coordination at any scale.
+    """
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, len(hex_prefix))
+        == hex_prefix
+    )

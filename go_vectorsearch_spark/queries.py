@@ -21,6 +21,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_vectorsearch_spark.operators.relational import (
+    cascade_delete_survivors,
+    dedup_best_by_key,
+    hash_sample,
+    lookup_by_keys,
+    paginate,
+    point_lookup,
+)
 from go_vectorsearch_spark.operators.search import brute_force_topk
 from go_vectorsearch_spark.sources.tables import load_table
 
@@ -79,6 +87,443 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     topk = brute_force_topk(emb, qvec, TOPK_K, id_col="vec_id", vec_col="embedding")
     return topk.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Phase B: relational operator coverage (SURVEY.md §2.1-2.6) over the
+# TPC-H-ish tables. Each is the Spark-first form of a reference dataflow
+# stage; oracles are plain ANSI SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+""",
+    doc="S1/S2/F1 projected+filtered scan; Catalyst pushes both into parquet "
+    "(reference: dnc/dnc.go:97 hand-written SELECT)",
+)
+def q_scan_projection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_name = 'Customer#000000042' LIMIT 1
+""",
+    doc="S3 single-row lookup by unique name (reference: server/search.go:149-168)",
+)
+def q_point_lookup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return point_lookup(cust, "c_name", "Customer#000000042").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "lookup_in_list",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+""",
+    doc="S4/F2 multi-row lookup by PK list (reference: server/search.go:291)",
+)
+def q_lookup_in_list(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return lookup_by_keys(part, "p_partkey", [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@register(
+    "join_fk_filter",
+    oracle="""
+SELECT e.vec_id, e.label, d.source
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+WHERE d.lang = 'en'
+""",
+    doc="J1/F3 embeddings-documents FK join with pushed filter "
+    "(reference: dnc/dnc.go:40-42,95-97)",
+)
+def q_join_fk_filter(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang") == "en")
+        .select("vec_id", "label", "source")
+    )
+
+
+@register(
+    "join_semi_segment",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+    doc="J3/S4 semi-join: orders of customers in one segment "
+    "(reference: server/search.go:285-308 document hydration by ID set)",
+)
+def q_join_semi_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(F.broadcast(keys), "o_custkey", "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "agg_count_join",
+    oracle="""
+SELECT count(*) AS n
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+    doc="A1 count with join filter (reference: dnc/dnc.go:37-49)",
+)
+def q_agg_count_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "groupby_count",
+    oracle="SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+    doc="A2 group-count: embeddings per centroid-like label "
+    "(reference: dnc/dnc.go:464-471)",
+)
+def q_groupby_count(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(avg(l_quantity), 6)                                   AS avg_qty,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A-extension TPC-H-Q1-style pricing summary: multi-agg with "
+    "map-side partial aggregation",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    doc="T1 global top-k: Spark executes orderBy+limit as per-partition "
+    "partial top-k + single merge (TakeOrdered), no full sort "
+    "(reference: server/search.go:202-227)",
+)
+def q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "topk_dedup_customer",
+    oracle="""
+SELECT o_custkey, round(max(o_totalprice), 2) AS best_price
+FROM orders GROUP BY o_custkey
+ORDER BY best_price DESC, o_custkey ASC LIMIT 10
+""",
+    doc="T2/D1 deduped top-k: best order per customer, then global top-10 "
+    "(reference: server/search.go:234-273 dedup-by-document top-k)",
+)
+def q_topk_dedup_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    best = dedup_best_by_key(orders, "o_custkey", "o_totalprice")
+    return (
+        best.select("o_custkey", F.round("o_totalprice", 2).alias("best_price"))
+        .orderBy(F.desc("best_price"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "pagination_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS _rn
+  FROM orders
+) WHERE _rn > 10 AND _rn <= 20
+""",
+    doc="T3 offset/limit pagination with total order "
+    "(reference: server/search.go:312-331)",
+)
+def q_pagination_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    # limit upstream first so the single-partition window sort is tiny
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+    return paginate(
+        top, [F.desc("o_totalprice"), F.asc("o_orderkey")], count=10, offset=10
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "cascade_delete_survivors",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA')
+GROUP BY o_orderstatus
+""",
+    doc="S8 cascade delete as top-down anti-join: delete region ASIA => "
+    "surviving orders (reference: server/delete.go:214-288 + FK cascades)",
+)
+def q_cascade_delete_survivors(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    victim_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    victim_custs = cust.join(
+        F.broadcast(victim_nations), cust.c_nationkey == victim_nations.n_nationkey, "left_semi"
+    )
+    survivors = cascade_delete_survivors(victim_custs, orders, "o_custkey", "c_custkey")
+    return survivors.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    doc="D-class distinct (partial-agg shuffle of unique values only)",
+)
+def q_distinct_segments(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "hash_sample_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'a'
+""",
+    doc="C1/D2 deterministic engine-portable hash-sample replacing the "
+    "reference's wall-clock Fisher-Yates (dnc/sampling.go:81-96)",
+)
+def q_hash_sample_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return hash_sample(cust, "c_custkey", "a").select("c_custkey", "c_name")
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS UNBOUNDED PRECEDING), 2) AS running_rev
+FROM lineitem WHERE l_suppkey < 3
+""",
+    doc="Window extension: per-supplier running revenue (deterministic "
+    "sequential accumulation, identical order both engines)",
+)
+def q_window_running_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
+    )
+
+
+@register(
+    "events_tumbling_hour",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="Event-time extension: tumbling 1h window aggregate (batch twin of "
+    "the Structured Streaming operator in streaming/events.py)",
+)
+def q_events_tumbling_hour(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+    doc="Sessionization extension: 30-min-gap sessions via lag + running "
+    "sum (batch twin of session_window in streaming)",
+)
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > 1800.0,
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        (1 + F.sum("new_session")).cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "multi_star_revenue",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+""",
+    doc="TPC-H-Q5-style star join: broadcast dims, single shuffle on the "
+    "fact table",
+)
+def q_multi_star_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot extension: orders count by priority x status",
+)
+def q_pivot_status_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    )
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Rollup extension: hierarchical subtotal aggregation",
+)
+def q_rollup_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

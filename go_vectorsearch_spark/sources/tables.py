@@ -11,6 +11,8 @@ operator" here is just ``spark.read.parquet`` plus schema knowledge.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -27,8 +29,20 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table. Columnar parquet scan = batched scan S1."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one testdata table. Columnar parquet scan = batched scan S1.
+
+    The driver's ``events`` parquet stores TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as int64 nanos and truncate to
+    microseconds (exactly what DuckDB's micros TIMESTAMP does), so both
+    engines see identical values. The conf is set at read time because
+    the driver supplies its own SparkSession.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
