@@ -84,42 +84,50 @@ def vector_range(vec: Column) -> tuple[Column, Column]:
     return lo, hi
 
 
-def quantize(vec: Column, lo: Column, hi: Column) -> Column:
+def quantize(vec: Column, lo: Column, hi: Column, precision: str = "float32") -> Column:
     """V4: scalar-quantize array<float> -> array<int> of 0..255 codes.
 
     Exact reference semantics (compute/quantization.go:8-19):
     clamp to [lo, hi], affine-map to [0, 255], then *truncate* toward
-    zero (Go's uint8() conversion), never round. The math runs in
-    float32 like the reference's f32 path. A degenerate range
+    zero (Go's uint8() conversion), never round. A degenerate range
     (hi == lo, only possible for the all-zero vector given the
     0-anchored range) quantizes to 0.
 
+    precision="float32" (default) runs the arithmetic in single
+    precision exactly like the reference's f32 path; "float64" runs it
+    in double so results are reproducible by engines without f32
+    arithmetic (the DuckDB oracle). The two differ on ~0.4% of codes
+    (values that straddle an integer boundary between precisions).
+
     Codes are kept as IntegerType 0..255 (Spark's TINYINT is signed);
-    the storage win comes from parquet dictionary/byte packing.
+    the storage win comes from parquet dictionary/byte packing + zstd.
     """
-    span = (hi - lo).cast("float")
-    scale = F.lit(255).cast("float")
+    ft = "float" if precision == "float32" else "double"
+    span = (hi.cast(ft) - lo.cast(ft)).cast(ft)
+    scale = F.lit(255).cast(ft)
 
     def q(x: Column) -> Column:
-        clamped = F.least(F.greatest(x, lo), hi).cast("float")
-        scaled = ((clamped - lo).cast("float") / span).cast("float") * scale
+        clamped = F.least(F.greatest(x.cast(ft), lo.cast(ft)), hi.cast(ft)).cast(ft)
+        scaled = ((clamped - lo.cast(ft)).cast(ft) / span).cast(ft) * scale
         return F.floor(scaled.cast("double")).cast("int")
 
-    return F.when(span == 0.0, F.transform(vec, lambda x: F.lit(0))).otherwise(
+    return F.when(span == F.lit(0).cast(ft), F.transform(vec, lambda x: F.lit(0))).otherwise(
         F.transform(vec, q)
     )
 
 
-def dequantize(qvec: Column, lo: Column, hi: Column) -> Column:
-    """V5: inverse map, array<int> codes -> array<float>.
+def dequantize(qvec: Column, lo: Column, hi: Column, precision: str = "float32") -> Column:
+    """V5: inverse map, array<int> codes -> array of floats.
 
-    lo + (q / 255) * (hi - lo) in float32 (compute/quantization.go:47-53).
+    lo + (q / 255) * (hi - lo) (compute/quantization.go:47-53), in the
+    chosen precision (see ``quantize``).
     """
-    span = (hi - lo).cast("float")
-    scale = F.lit(255).cast("float")
+    ft = "float" if precision == "float32" else "double"
+    span = (hi.cast(ft) - lo.cast(ft)).cast(ft)
+    scale = F.lit(255).cast(ft)
     return F.transform(
         qvec,
-        lambda q: (lo + (q.cast("float") / scale).cast("float") * span).cast("float"),
+        lambda q: (lo.cast(ft) + (q.cast(ft) / scale).cast(ft) * span).cast(ft),
     )
 
 

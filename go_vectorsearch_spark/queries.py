@@ -526,6 +526,145 @@ def q_rollup_pricing(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase C: vector column toolkit (SURVEY.md §2.7 V1-V5, §2.4 A3-A5).
+# The f32 reference-parity path is pytest-checked against a numpy golden
+# (tests/test_vector_kernels.py); these oracle queries run the same
+# formulas in float64 so DuckDB can reproduce them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "normalize_norms",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS norm,
+       round(CASE WHEN sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) = 0 THEN 0.0
+             ELSE embedding[1]::DOUBLE / sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END,
+             6) AS first_normed
+FROM embeddings
+""",
+    doc="V1 L2 norm + normalize, zero-safe (reference: compute/cosine.go:138-149)",
+)
+def q_normalize_norms(spark, sf_dir):
+    from go_vectorsearch_spark.functions.vector import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+        F.round(F.element_at(l2_normalize(F.col("embedding")), 1), 6).alias("first_normed"),
+    )
+
+
+@register(
+    "quantize_roundtrip",
+    oracle="""
+WITH rng AS (
+  SELECT vec_id, embedding,
+         CAST(CAST(least(list_min(embedding), 0) AS REAL) AS DOUBLE) AS lo,
+         CAST(CAST(greatest(list_max(embedding), 0) AS REAL) AS DOUBLE) AS hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, lo, hi,
+         CASE WHEN hi - lo = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor((least(greatest(x::DOUBLE, lo), hi) - lo) / (hi - lo) * 255) AS INTEGER))
+         END AS codes
+  FROM rng
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       round(list_max(list_transform(generate_series(1, len(embedding)),
+             i -> abs(embedding[i]::DOUBLE - (lo + codes[i] / 255.0 * (hi - lo))))), 6) AS max_err
+FROM q
+""",
+    doc="V4/V5/A4 scalar quantize + dequantize round-trip with the "
+    "reference's clamp/0-anchored-range/truncate semantics "
+    "(compute/quantization.go:8-19,47-53,182-192), float64 oracle mode",
+)
+def q_quantize_roundtrip(spark, sf_dir):
+    from go_vectorsearch_spark.functions.vector import dequantize, quantize, vector_range
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = vector_range(F.col("embedding"))
+    withq = emb.withColumn("lo", lo).withColumn("hi", hi).withColumn(
+        "codes", quantize(F.col("embedding"), F.col("lo"), F.col("hi"), "float64")
+    )
+    dq = dequantize(F.col("codes"), F.col("lo"), F.col("hi"), "float64")
+    return withq.select(
+        "vec_id",
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.round(
+            F.array_max(
+                F.zip_with(F.col("embedding"), dq, lambda x, d: F.abs(x.cast("double") - d))
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+@register(
+    "vector_mean_by_label",
+    oracle="""
+SELECT label, i - 1 AS pos, round(avg(e), 6) AS m
+FROM (SELECT label, unnest(embedding)::DOUBLE AS e, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
+""",
+    doc="A3 grouped elementwise vector mean via posexplode partial agg "
+    "(reference: dnc/dnc.go:416-455, k_means.go:80-96)",
+)
+def q_vector_mean_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "m")
+    )
+
+
+@register(
+    "centroid_assign",
+    oracle="""
+WITH means AS (
+  SELECT label, i, avg(e) AS m
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS e, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY label, i
+), cent AS (
+  SELECT label AS c_label, list(m ORDER BY i) AS cvec FROM means GROUP BY label
+), sims AS (
+  SELECT e.vec_id, c.c_label,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                 j -> e.embedding[j]::DOUBLE * c.cvec[j]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) AS sim
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(c_label AS BIGINT) AS assigned_id
+FROM (SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+      FROM sims)
+WHERE rn = 1
+""",
+    doc="J5/A5/V3 nearest-centroid argmax assignment against broadcast "
+    "centroids, first-max tie-break (reference: compute/cosine.go:70-125, "
+    "dnc/dnc.go:199-221)",
+)
+def q_centroid_assign(spark, sf_dir):
+    from go_vectorsearch_spark.functions.vector import vector_mean
+    from go_vectorsearch_spark.operators.assign import assign_nearest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = vector_mean(emb, ["label"], "embedding", out_col="centroid_vec").select(
+        F.col("label").alias("centroid_id"), "centroid_vec"
+    )
+    assigned = assign_nearest(emb, centroids, vec_col="embedding", out_col="assigned_id")
+    return assigned.select("vec_id", "assigned_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
