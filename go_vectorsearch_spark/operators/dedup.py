@@ -1,0 +1,382 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+The reference engine deduplicates only inside top-k merging
+(server/search.go:259-268); a training-data pipeline needs corpus-level
+dedup as a first-class operator family. Five variants, each the standard
+published technique re-expressed as a Spark shuffle plan:
+
+  * exact            — md5(text) group-by (one shuffle of 16-byte keys)
+  * n-gram Jaccard   — distinct word-shingle explode + equi-join + group
+                       (the classic sparse similarity join; a frequency cap
+                       on hot shingles bounds join fan-out at scale)
+  * MinHash + LSH    — 16-perm signature, 4 bands × 4 rows, band-bucket
+                       join generates candidates, exact Jaccard verifies
+  * SimHash          — 32-bit sign-of-weighted-bits sketch; pigeonhole
+                       band join finds all pairs with Hamming ≤ 3
+  * embedding cosine — normalized-vector block GEMM via mapInPandas
+
+All hash arithmetic uses md5-prefix integers (functions/text.md5_int32) and
+explicit floor-division so the DuckDB oracles in queries.py reproduce every
+value exactly.
+
+Scale notes (100 TB): every variant is one or two shuffles over *reduced*
+data (signatures, band keys, distinct shingles), never over raw text pairs;
+candidate verification touches only the candidate set. The O(n²) paths
+(exact cosine) exist as correctness oracles for the bucketed variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.functions.text import md5_int32, ws_tokens
+
+# ---------------------------------------------------------------------------
+# Shared shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct lowercase word ``n``-grams of ``text``.
+
+    Guarded so texts with fewer than ``n`` tokens yield an empty array
+    (Spark's ``sequence(1, 0)`` would count *down*; DuckDB's is empty).
+    """
+    toks = ws_tokens(text)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate statistics (single row).
+
+    Shuffles only md5 digests; count-distinct is a partial-agg shuffle.
+    """
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dups"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text. One shuffle on the
+    digest; the winning ids come back via a semi-join instead of carrying
+    full rows through the aggregate."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ ``threshold``.
+
+    Plan: explode distinct shingles → (optional) drop shingles appearing in
+    more than ``max_shingle_freq`` docs (hot-key cap — the standard prefix
+    trick that keeps the self-join linear-ish at corpus scale) → self
+    equi-join on shingle → count common per pair → Jaccard from per-doc set
+    sizes. Three shuffles total, all on reduced data.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_s")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("_s").agg(F.count("*").alias("_f")).filter(
+            F.col("_f") > max_shingle_freq
+        )
+        sh = sh.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_c"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_c").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_c")
+    ).cast("double")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# (a, b) for the 16 universal-hash permutations h_i(x) = (a·x + b) mod P.
+# Fixed literals (not runtime-random) so the DuckDB oracle and any two runs
+# agree. a odd, a,b < 2^31; products stay under 2^63.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1610612741, 402653189), (805306457, 201326611), (402653189, 100663319),
+    (201326611, 50331653), (100663319, 25165843), (50331653, 12582917),
+    (25165843, 6291469), (12582917, 3145739), (6291469, 1572869),
+    (3145739, 786433), (1572869, 393241), (786433, 196613),
+    (393241, 98317), (196613, 49157), (98317, 24593), (49157, 12289),
+]
+MINHASH_P = 4294967291  # largest 32-bit prime
+LSH_BANDS = 4
+LSH_ROWS = 4  # 16 = LSH_BANDS * LSH_ROWS
+
+
+def minhash_signature(text: Column, n: int = 3) -> Column:
+    """16-element MinHash signature of the shingle set (array<long>).
+
+    min over shingles s of (a_i · md5_int32(s) + b_i) mod P, per
+    permutation i — one pass over the shingle array, pure codegen.
+    Empty shingle set → signature of P (greater than any real hash).
+    """
+    hashes = F.transform(shingles(text, n), md5_int32)
+
+    def perm(a: int, b: int):
+        # closure (not default-arg lambda): pyspark reads the lambda's arity
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = [F.array_min(F.transform(hashes, perm(a, b))) for a, b in MINHASH_PERMS]
+    return F.array(*[F.coalesce(s, F.lit(MINHASH_P)) for s in sig])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Candidate pairs from 4×4 LSH banding, verified with exact Jaccard.
+
+    Plan: per-row signature (no shuffle) → explode to (band, band_key)
+    where band_key = md5 of the band's 4 values → self-join on band bucket
+    (the only shuffle over candidates) → distinct pairs → verify Jaccard on
+    the candidate set only via array_intersect of the distinct-shingle
+    arrays. At 100 TB the band join touches ~|docs|·4 short rows, never
+    raw text.
+    """
+    sigd = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), n).alias("_sig"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    bands = sigd.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", i * LSH_ROWS + j + 1)
+                                    for j in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sha = sigd.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = sigd.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    jac = F.size(F.array_intersect("_sha", "_shb")).cast("double") / (
+        F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))
+    ).cast("double")
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits each; Hamming ≤ 3 ⟹ some band equal (pigeonhole)
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document → (id_col, simhash bigint).
+
+    For each distinct token, hash to 32 bits; per bit, +1 if set else −1;
+    sketch bit j = 1 iff the summed weight is positive. Implemented as ONE
+    groupBy with 32 conditional-sum columns (single shuffle, map-side
+    partial agg) rather than exploding 32 bit rows per token.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_h", md5_int32(F.col("_tok")))
+    aggs = [
+        F.sum(
+            F.when((F.floor(F.col("_h") / F.lit(1 << j)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    weights = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return weights.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance ≤ ``max_hamming`` (≤ 3).
+
+    Banded candidate generation: split the 32-bit sketch into 4 bytes; any
+    pair within Hamming 3 must agree on ≥ 1 byte (pigeonhole), so the
+    band equi-join finds *all* such pairs — exact, not approximate — while
+    shuffling only (band, byte) keys. Verification uses bit_count(xor).
+    """
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs hamming < bands"
+    sims = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sim")
+    )
+    bands = sims.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.floor(F.col("_sim") / F.lit(1 << (8 * i))).cast("long") % 256).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sim", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity ≥ ``threshold``.
+
+    Block GEMM via mapInPandas: the full normalized matrix is broadcast
+    (fine up to a few million rows at 64–1024 dims); each partition
+    multiplies its block against the broadcast matrix with one numpy GEMM
+    and emits only above-threshold pairs — the same blocked all-pairs shape
+    the reference uses for centroid assignment (compute/cosine_gonum.go:
+    60-116), vectorized per partition instead of per call.
+
+    For corpora too big to broadcast, bucket first (e.g. by IVF centroid or
+    SimHash band) and run this within buckets.
+    """
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    mat /= norms
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_pairs(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1, keepdims=True)
+            bn[bn == 0.0] = 1.0
+            block = block / bn
+            sims = block @ all_mat.T  # (block, corpus) GEMM
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bi, cj = np.nonzero(sims >= threshold)
+            ia, ib, s = bids[bi], all_ids[cj], sims[bi, cj]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block_pairs, schema="id_a long, id_b long, cosine double"
+    )

@@ -756,6 +756,318 @@ def q_ivf_build_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase E-1: text analysis over `documents` (training-data pipeline ops).
+# The SQL oracles are GENERATED from the same constants the Spark
+# expressions use (functions/text.py), so the two sides cannot drift.
+# ---------------------------------------------------------------------------
+
+from go_vectorsearch_spark.functions import text as T  # noqa: E402
+
+_SQL_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_SQL_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_SQL_TOKENS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS n_bpe_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace + BPE-ish regex tokenizer (pure "
+    "projection, no shuffle; training-data token accounting)",
+)
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE AS ar
+  FROM documents
+), c AS (
+  SELECT doc_id, ar,
+         len(list_filter(toks, tok -> list_contains([{_SQL_STOPLIST}], tok)))::DOUBLE
+           / len(toks)::DOUBLE AS sr,
+         list_sum(list_transform(toks, tok -> length(tok)))::DOUBLE
+           / len(toks)::DOUBLE AS ml
+  FROM t
+)
+SELECT doc_id, round(ar, 6) AS alpha_ratio, round(sr, 6) AS stop_ratio,
+       round(ml, 6) AS mean_tok_len,
+       round(0.4 * ar + 0.3 * (1.0 - abs(sr - 0.4)) + 0.3 * least(ml / 8.0, 1.0), 6)
+         AS quality
+FROM c
+""",
+    doc="Quality scoring: alpha ratio, stopword ratio, mean token length, "
+    "composite score (functions/text.quality_score)",
+)
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(T.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(toks), 6).alias("stop_ratio"),
+        F.round(T.mean_token_len(toks), 6).alias("mean_tok_len"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        "len(list_filter(toks, tok -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+        + f"], tok))) AS hits_{lang}"
+        for lang in sorted(T.LANG_MARKERS)
+    )
+    langs = sorted(T.LANG_MARKERS)
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {top} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_zh, {case} AS pred_lang
+FROM h
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="Language ID by marker-function-word vote with alphabetical "
+    "tie-break (stopword-profile heuristic; functions/text.lang_id)",
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[
+            T.lang_marker_hits(toks, lang).alias(f"hits_{lang}")
+            for lang in sorted(T.LANG_MARKERS)
+        ],
+        T.lang_id(toks).alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=rf"""
+SELECT doc_id,
+       list_reduce(list_transform({_SQL_TOKENS},
+                                  tok -> {_SQL_H32.format(x='tok')}),
+                   (acc, h) -> (acc * {T.FP_BASE} + h) % {T.FP_MOD}) AS fp
+FROM documents
+""",
+    doc="Rabin-Karp rolling-hash document fingerprint over tokens "
+    "(functions/text.fingerprint; md5-prefix token hashes)",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Phase E-2: deduplication suite over `documents` / `embeddings`
+# (operators/dedup.py). Oracles generated from the same constants.
+# ---------------------------------------------------------------------------
+
+from go_vectorsearch_spark.operators import dedup as DD  # noqa: E402
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+FROM documents
+""",
+    doc="Exact dedup: corpus duplicate stats via md5 group "
+    "(operators/dedup.exact_dedup_stats)",
+)
+def q_dedup_exact_stats(spark, sf_dir):
+    return DD.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / (x.n + y.n - c)::DOUBLE, 6) AS jaccard
+FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.2
+""",
+    doc="n-gram Jaccard similarity join: word-3-gram shingle explode + "
+    "equi-join (operators/dedup.jaccard_pairs, threshold 0.2)",
+)
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    pairs = DD.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_P})), "
+        f"{DD.MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(DD.MINHASH_PERMS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {i} AS band, md5(concat_ws(',', {cols})) AS key FROM sig".format(
+            i=i,
+            cols=", ".join(f"m{i * DD.LSH_ROWS + j}" for j in range(DD.LSH_ROWS)),
+        )
+        for i in range(DD.LSH_BANDS)
+    )
+    h32 = _SQL_H32.format(x="s")
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+shl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+hsh AS (SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM shl),
+sig AS (
+  SELECT doc_id, sh,
+         {sig_cols}
+  FROM hsh
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+             6) AS jaccard
+FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.2
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup: 16-perm signature, 4x4 banding, bucket-join "
+    "candidates, exact-Jaccard verify (operators/dedup.minhash_lsh_pairs)",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    pairs = DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_docs_oracle() -> str:
+    weight_cols = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(DD.SIMHASH_BITS)
+    )
+    h32 = _SQL_H32.format(x="tok")
+    return rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+hh AS (SELECT doc_id, {h32} AS h FROM e),
+w AS (
+  SELECT doc_id,
+         {weight_cols}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM w
+"""
+
+
+@register(
+    "dedup_simhash_docs",
+    oracle=_simhash_docs_oracle(),
+    doc="SimHash 32-bit sketch per document: single-shuffle 32-column "
+    "conditional-sum aggregation (operators/dedup.simhash)",
+)
+def q_dedup_simhash_docs(spark, sf_dir):
+    return DD.simhash(_t(spark, sf_dir, "documents"))
+
+
+# The simhash-pairs oracle wraps the per-doc sketch CTE with a pairwise
+# Hamming filter; the Spark side's banded join is exactly equivalent for
+# max_hamming < n_bands (pigeonhole), so strict equality is checkable.
+@register(
+    "dedup_simhash_pairs",
+    oracle=rf"""
+WITH s AS ({_simhash_docs_oracle().strip()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
+""",
+    doc="SimHash near-dup pairs, Hamming<=3: pigeonhole band join in Spark "
+    "vs exhaustive pairwise xor/bit_count oracle - exact equivalence "
+    "(operators/dedup.simhash_pairs)",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+""",
+    doc="Embedding-cosine near-dup: blocked numpy GEMM all-pairs via "
+    "mapInPandas vs exhaustive SQL oracle "
+    "(operators/dedup.embedding_neardup_pairs, threshold 0.4)",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    pairs = DD.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,137 @@
+"""Unit tests for the dedup suite and text-analysis functions on planted
+fixtures (the parity suite checks oracle equality on the driver tables;
+these check the *semantics* on controlled inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.functions import text as T
+from go_vectorsearch_spark.operators import dedup as DD
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden "
+    "meanwhile the river runs past the old stone bridge under grey skies "
+    "and children play beside the market square until the evening bells "
+    "ring out across the quiet town calling everyone home for supper"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token edit => jaccard ~0.9
+OTHER = "completely different content about spark shuffle partitions and joins etc"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1
+            (3, NEAR),  # near dup of 1
+            (4, OTHER),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    stats = DD.exact_dedup_stats(docs).head()
+    assert (stats["n_docs"], stats["n_unique"], stats["n_dups"]) == (4, 3, 1)
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4]  # min doc_id survives per text
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical texts
+    assert pairs[(1, 3)] > 0.5  # one-token edit
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_hot_shingle_cap(docs):
+    # capping shingle frequency at 1 removes every shingle shared by the
+    # exact-dup pair => no pairs survive
+    out = DD.jaccard_pairs(docs, threshold=0.01, max_shingle_freq=1).collect()
+    assert out == []
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    # identical docs share every band; the one-token edit shares >=1 of 4
+    # bands with overwhelming probability at jaccard ~0.9
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_minhash_signature_determinism(spark, docs):
+    sig = docs.select(DD.minhash_signature(F.col("text")).alias("s")).collect()
+    sig2 = docs.select(DD.minhash_signature(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in sig] == [r["s"] for r in sig2]
+    assert all(len(r["s"]) == len(DD.MINHASH_PERMS) for r in sig)
+    assert all(0 <= v < DD.MINHASH_P for r in sig for v in r["s"])
+
+
+def test_simhash_pairs(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sims[1] == sims[2]  # identical token sets
+    assert all(0 <= v < (1 << DD.SIMHASH_BITS) for v in sims.values())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_neardup(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # ~same direction as 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+            (4, [0.0, 0.0, 0.0]),  # zero vector: must not divide by zero
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in the house"), (2, "der hund und die katze ist")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.lang_id(T.ws_tokens(F.col("text"))).alias("lang"),
+            T.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "de"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a"), (4, "hello")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # deterministic
+    assert fps[1] != fps[3]  # order-sensitive (rolling, not bag-of-words)
+    # single-token doc: fold seeds with the token hash itself
+    assert fps[4] == int("5d41402a", 16)  # md5('hello') prefix
