@@ -1068,6 +1068,110 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# ---------------------------------------------------------------------------
+# Phase E-3: document ingest pipeline (SURVEY.md §2.9 X1-X3) — Flatten /
+# Split / task prefixes / deterministic embedder, driver-checked on the
+# documents table. The oracles re-derive the same strings/codes in SQL.
+# ---------------------------------------------------------------------------
+
+from go_vectorsearch_spark.operators import documents as DOC  # noqa: E402
+
+# formatString of a clean single-line value: trim + ensure trailing '.'
+_SQL_FMT = "CASE WHEN trim({x}) LIKE '%.' THEN trim({x}) ELSE trim({x}) || '.' END"
+
+
+@register(
+    "doc_flatten_struct",
+    oracle=f"""
+SELECT doc_id,
+       'lang: ' || {_SQL_FMT.format(x='lang')}
+       || 'source: ' || {_SQL_FMT.format(x='source')}
+       || 'text: ' || {_SQL_FMT.format(x='text')} AS flat
+FROM documents
+""",
+    doc="X1 Flatten of a map payload: sorted keys, 'key: value' lines, the "
+    "reference's no-separator-after-value quirk (server/format.go:70-89); "
+    "Spark side runs the real JSON-parse + recursive Flatten UDF",
+)
+def q_doc_flatten_struct(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("lang", "source", "text"))
+    return docs.select(
+        "doc_id", DOC.flatten_json_udf(payload).alias("flat")
+    )
+
+
+@register(
+    "doc_split_chunks",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, 'doc' || doc_id || '. ' AS prefix,
+         'text: ' || {_SQL_FMT.format(x='text')} AS ftext
+  FROM documents
+), n AS (
+  SELECT doc_id, prefix, ftext,
+         len(regexp_split_to_array(ftext, '\s+')) AS nw
+  FROM t
+)
+SELECT doc_id, 0 AS chunk_idx, 'search_document: ' || prefix AS chunk
+FROM n WHERE nw > 14
+UNION ALL
+SELECT doc_id, CASE WHEN nw > 14 THEN 1 ELSE 0 END AS chunk_idx,
+       'search_document: ' || prefix || ' ' || ftext AS chunk
+FROM n
+""",
+    doc="X2/X3 Split chunker at ctx_num=64 (word budget 14) with doc-name "
+    "prefix and search_document task prefix; over-budget lines emit the "
+    "reference's prefix-only chunk (server/format.go:91-108)",
+)
+def q_doc_split_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("name"),
+        F.to_json(F.struct("text")).alias("payload_json"),
+    )
+    return DOC.prepare_chunks(docs, ctx_num=64)
+
+
+def _noop_embed_oracle(dim: int = 64, seed: int = 0) -> str:
+    n_blocks = (dim + 15) // 16
+    hex_stream = " || ".join(
+        f"md5('{seed}:' || text || ':{b}')" for b in range(n_blocks)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hex_stream} AS hx FROM documents),
+c AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {dim - 1}),
+                        i -> CAST(concat('0x', substr(hx, i*2 + 1, 2)) AS BIGINT)) AS codes
+  FROM h
+)
+SELECT doc_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(codes[1] AS INTEGER) AS first_code,
+       CAST(codes[{dim}] AS INTEGER) AS last_code
+FROM c
+"""
+
+
+@register(
+    "doc_noop_embed",
+    oracle=_noop_embed_oracle(),
+    doc="S12 deterministic content-keyed embedder (noop/ai.go:47-64 "
+    "re-keyed): md5-block quantized codes as pure column expressions; "
+    "checked via per-document code checksums at dim=64",
+)
+def q_doc_noop_embed(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    codes = DOC.noop_embed_codes(F.col("text"), dim=64, seed=0)
+    return docs.select(
+        "doc_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        F.element_at(codes, 1).alias("first_code"),
+        F.element_at(codes, 64).alias("last_code"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -10,6 +10,10 @@ operator" here is just ``spark.read.parquet`` plus schema knowledge.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,6 +32,35 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers (idempotent).
+
+    The external driver loads ``__spark_entry__`` by file path and fixes
+    only the *driver's* sys.path; Python workers deserializing a pandas
+    UDF that references this package by module name would fail to import
+    it. ``addPyFile`` distributes a zip of the package and prepends it to
+    every worker's sys.path — the same mechanism a real cluster submit
+    would use (``spark-submit --py-files``).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_gvs_pkg_shipped", False):
+        return
+    import go_vectorsearch_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(go_vectorsearch_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "go_vectorsearch_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._gvs_pkg_shipped = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Columnar parquet scan = batched scan S1.
 
@@ -37,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     engines see identical values. The conf is set at read time because
     the driver supplies its own SparkSession.
     """
+    ensure_package_on_workers(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
