@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference is text-only; a 100 TB training-data pipeline carries media
+as ``binary`` payload columns with a typed metadata struct, decoding and
+feature-extracting inside Arrow-batched ``mapInPandas`` so bytes never
+round-trip through the driver. The media codec libraries (PIL, torchaudio,
+ffmpeg) are NOT in this container, so the decode step is STUBBED: when the
+real library is missing we either raise ``NotImplementedError`` (strict
+mode) or compute a clearly-named deterministic fake from the payload bytes
+(default) — the Spark-side plumbing (schema, partitioning, UDF signature,
+Arrow batch shape) is real and tested either way.
+
+Scale notes: payloads stay columnar in parquet (binary, zstd); decode
+parallelism = scan partitions; per-batch numpy work is vectorized; the
+only shuffle anywhere here is a user-requested groupBy downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+# payload is opaque bytes; meta is the typed, queryable part
+MEDIA_SCHEMA = (
+    "media_id long, doc_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, fmt:string>"
+)
+
+_PAYLOAD_BLOCKS = 2  # md5 blocks -> 32 payload bytes for the synthetic corpus
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table derived from ``documents``
+    (payload bytes = md5 stream of the text; metadata = arithmetic on
+    doc_id), used because the container has no real media files. Shape
+    and types match what a real ingest would produce."""
+    hex_stream = F.concat(
+        *[
+            F.md5(F.concat_ws(":", F.lit("media"), F.col("text"), F.lit(str(b))))
+            for b in range(_PAYLOAD_BLOCKS)
+        ]
+    )
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        "doc_id",
+        kind.alias("kind"),
+        F.unhex(hex_stream).alias("payload"),
+        F.struct(
+            (16 + F.col("doc_id") % 64).cast("int").alias("width"),
+            (16 + F.col("doc_id") % 48).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (1000 + (F.col("doc_id") % 10) * 500).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-media decode + feature extraction via mapInPandas.
+
+    THE STUBBED DECODE BOUNDARY: a real deployment would PIL/ffmpeg-decode
+    ``payload`` here; those libraries are not in this container, so
+    ``strict=True`` raises ``NotImplementedError`` at the exact seam, and
+    the default computes DETERMINISTIC FAKE features from the raw payload
+    bytes (byte sum / first / last) so the distributed plumbing — schema,
+    Arrow batch shape, partition parallelism — stays testable and
+    oracle-checkable end to end.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires PIL/torchaudio/ffmpeg (not in container)"
+                )
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(a) for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "first_byte": [int(a[0]) for a in arrs],
+                    "last_byte": [int(a[-1]) for a in arrs],
+                }
+            )
+
+    return media.mapInPandas(
+        extract,
+        schema="media_id long, kind string, n_bytes int, byte_sum long, "
+        "first_byte int, last_byte int",
+    )
+
+
+def frame_sample(media: DataFrame, fps: float = 2.0) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    frame timestamp at ``fps``, computed as a pure column expression
+    (sequence + explode — no Python). The downstream decode-at-timestamp
+    is the stubbed boundary."""
+    step_ms = int(1000 / fps)
+    frames = F.sequence(
+        F.lit(0).cast("long"),
+        F.col("meta.duration_ms").cast("long"),
+        F.lit(step_ms).cast("long"),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ms"))
+    )
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
+    """Audio chunking plan: (media_id, chunk_idx, start_sample,
+    n_samples) per fixed-length chunk — pure expressions from metadata."""
+    sr = F.col("meta.sample_rate").cast("long")
+    dur = F.col("meta.duration_ms").cast("long")
+    n_chunks = F.ceil(dur / F.lit(chunk_ms)).cast("long")
+    chunk = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    samples_per_chunk = (sr * chunk_ms / F.lit(1000)).cast("long")
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", sr.alias("sr"), chunk.alias("chunk_idx"), samples_per_chunk.alias("spc"))
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * F.col("spc")).alias("start_sample"),
+            F.col("spc").alias("n_samples"),
+        )
+    )

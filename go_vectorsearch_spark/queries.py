@@ -1172,6 +1172,89 @@ def q_doc_noop_embed(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase E-4: multimodal binary columns (operators/multimodal.py). The
+# decode is stubbed (no media libs in container); the plumbing — binary
+# payloads, typed metadata, mapInPandas feature extraction, expression-
+# based frame/chunk planning — is real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+from go_vectorsearch_spark.operators import multimodal as MM  # noqa: E402
+
+_SQL_MEDIA_HEX = " || ".join(
+    f"md5('media:' || text || ':{b}')" for b in range(MM._PAYLOAD_BLOCKS)
+)
+_SQL_KIND = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+_PB = MM._PAYLOAD_BLOCKS * 16  # payload bytes
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_SQL_KIND} AS kind, {_SQL_MEDIA_HEX} AS hx
+  FROM documents
+), c AS (
+  SELECT media_id, kind,
+         list_transform(generate_series(0, {_PB} - 1),
+                        i -> CAST(concat('0x', substr(hx, i*2 + 1, 2)) AS BIGINT)) AS codes
+  FROM m
+)
+SELECT media_id, kind,
+       CAST({_PB} AS INTEGER) AS n_bytes,
+       CAST(list_sum(codes) AS BIGINT) AS byte_sum,
+       CAST(codes[1] AS INTEGER) AS first_byte,
+       CAST(codes[{_PB}] AS INTEGER) AS last_byte
+FROM c
+""",
+    doc="Multimodal decode/feature-extract plumbing: binary payload + "
+    "typed meta, Arrow-batched mapInPandas, stubbed decode emitting "
+    "deterministic byte features (operators/multimodal.decode_features)",
+)
+def q_multimodal_features(spark, sf_dir):
+    media = MM.synth_media(_t(spark, sf_dir, "documents"))
+    return MM.decode_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id AS media_id, unnest(generate_series(0, 1000 + (doc_id % 10) * 500, 500)) AS frame_ms
+FROM documents WHERE {_SQL_KIND} = 'video'
+""",
+    doc="Video frame-sampling plan at 2 fps: pure sequence+explode "
+    "expressions over duration metadata (operators/multimodal.frame_sample)",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    media = MM.synth_media(_t(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, fps=2.0)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id AS media_id, 1000 + (doc_id % 10) * 500 AS dur
+  FROM documents WHERE {_SQL_KIND} = 'audio'
+), x AS (
+  SELECT media_id,
+         unnest(generate_series(0, CAST(ceil(dur / 250.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM a
+)
+SELECT media_id, chunk_idx, chunk_idx * 4000 AS start_sample,
+       CAST(4000 AS BIGINT) AS n_samples
+FROM x
+""",
+    doc="Audio chunking plan: 250ms windows at 16kHz from metadata "
+    "(operators/multimodal.audio_chunks)",
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    media = MM.synth_media(_t(spark, sf_dir, "documents"))
+    return MM.audio_chunks(media, chunk_ms=250)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference has no true streaming (its only stream is an LLM token
+passthrough, server/chat.go:85-105); this module is the engine extension a
+continuously-ingesting deployment needs: event-time analytics with
+watermarked late-data handling. Each operator has a batch twin registered
+in queries.py (events_tumbling_hour / events_sessionize) whose DuckDB
+oracle pins the semantics; the streaming tests assert that a
+Trigger.AvailableNow run over the same parquet produces exactly the batch
+answer — Spark's unified batch/streaming semantics make that equality the
+correctness contract.
+
+Scale notes: watermark + windowed aggregation is incremental state in the
+state store (RocksDB on a real cluster) keyed by (window, group keys) —
+state size is bounded by watermark horizon × key cardinality, independent
+of total stream length. ``foreachBatch`` sinks would write parquet/Delta
+partitions per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver testdata stores TIMESTAMP(NANOS); a streaming source needs an
+# explicit schema, so read ts as long nanos and truncate to micros
+# (identical to the batch loader in sources/tables.py).
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources want a directory; an explicit basePath plus a
+    # file glob restricts the stream to the events table only
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling event-time window: count + sum(value) per
+    (window, event_type). Late events beyond the watermark are dropped;
+    within it, the window's state is updated incrementally."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of
+    inactivity (the streaming-native form of the batch lag+cumsum
+    sessionization in queries.py events_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into an in-memory table
+    and return it as a DataFrame (test/bench harness; a deployment would
+    use foreachBatch → parquet/Delta)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,89 @@
+"""Streaming/batch equivalence tests: a Trigger.AvailableNow drain of the
+events parquet must produce exactly the batch answer for tumbling,
+sliding, and session windows (Spark's unified semantics contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.sources.tables import load_table
+from go_vectorsearch_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_smoke):
+    return read_events_stream(spark, sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events")
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_tumbling_stream_equals_batch(events_stream, events_batch):
+    got = run_available_now(tumbling_counts(events_stream), "t_tumbling")
+    want = (
+        events_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_sliding_stream_equals_batch(events_stream, events_batch):
+    got = run_available_now(sliding_counts(events_stream), "t_sliding")
+    want = (
+        events_batch.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(want)
+    # every event lands in 4 panes: sliding total = 4x tumbling total
+    assert got.agg(F.sum("n")).head()[0] == 4 * events_batch.count()
+
+
+def test_session_stream_equals_batch(spark, sf_smoke, events_stream, events_batch):
+    got = run_available_now(session_counts(events_stream), "t_session")
+    want = (
+        events_batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert _rows(got) == _rows(want)
+    # per-user session counts must also agree with the batch lag+cumsum
+    # twin (events_sessionize), which the DuckDB oracle already pins
+    from go_vectorsearch_spark.queries import REGISTRY
+
+    twin = REGISTRY["events_sessionize"].fn(spark, sf_smoke)
+    twin_rows = {
+        (r["user_id"], r["n_sessions"], r["n_events"]) for r in twin.collect()
+    }
+    got_per_user = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in got.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got_per_user == twin_rows
