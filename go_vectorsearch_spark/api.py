@@ -1,0 +1,366 @@
+"""Service-parity library API: upload / search / categories / delete /
+refresh over managed tables.
+
+The reference's HTTP surface (§2.11 of SURVEY.md) as library functions:
+
+  * upload   — server/upload.go:111-323: flatten → chunk → embed →
+               assign-to-centroid → persist documents + embeddings
+  * search   — server/search.go:115-334: embed query → prune centroids →
+               scan probed partitions → deduped top-k → hydrate documents
+  * fetch_category_names — server/fetch.go:19-124
+  * delete_{owner,category,document} — server/delete.go:214-288 with the
+               schema's ON DELETE CASCADE, re-expressed as top-down
+               anti-joins that rewrite each child table
+  * refresh_index — server/centroids.go:17-83 → plans/ivf.build_index
+
+Storage is a poor-man's versioned table format: every mutation writes a
+new parquet version directory and flips a pointer file (copy-on-write,
+snapshot-isolated reads — the moral equivalent of what Delta/Iceberg do,
+with none of the machinery; at real scale you'd swap `_VersionedTable`
+for Delta and the MERGE/overwrite calls stay the same shape). Embeddings
+are written partitioned by centroid_id so search's probed-partition scan
+is partition pruning, exactly the IVF inverted-list layout
+(database/model.go:16's indexed FK column, §1.4 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.assign import assign_nearest
+from go_vectorsearch_spark.operators.documents import (
+    SEARCH_QUERY_PREFIX,
+    noop_embed,
+    prepare_chunks,
+)
+from go_vectorsearch_spark.operators.search import (
+    brute_force_topk,
+    normalize_search_args,
+    topk_paginated,
+)
+
+EMBED_DIM = 64  # matches the driver testdata's embedding width
+
+_SCHEMAS = {
+    "owners": "owner_id long, name string",
+    "categories": "category_id long, name string, owner_id long",
+    "documents": (
+        "document_id long, name string, external_id string, "
+        "payload_json string, category_id long"
+    ),
+    "embeddings": (
+        "embedding_id long, document_id long, centroid_id long, "
+        "vector array<float>"
+    ),
+    "centroids": "centroid_id long, category_id long, vector array<float>",
+}
+
+
+class _VersionedTable:
+    """Copy-on-write parquet table: readers see the version the pointer
+    file named when they loaded; writers write a fresh directory then
+    flip the pointer (no read-modify-write races on one path)."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: str):
+        self.spark, self.name, self.schema = spark, name, schema
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ptr = os.path.join(self.dir, "VERSION")
+
+    def _version(self) -> int:
+        if not os.path.exists(self._ptr):
+            return -1
+        with open(self._ptr) as f:
+            return int(f.read().strip())
+
+    def read(self) -> DataFrame:
+        v = self._version()
+        if v < 0:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(os.path.join(self.dir, f"v{v}"))
+
+    def write(self, df: DataFrame, partition_by: str | None = None) -> None:
+        v = self._version() + 1
+        path = os.path.join(self.dir, f"v{v}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+        with open(self._ptr, "w") as f:
+            f.write(str(v))
+
+
+class Engine:
+    """The vector-search engine over managed tables (one instance ~ one
+    reference server process; a 'deployment' would point many readers at
+    the same root)."""
+
+    def __init__(self, spark: SparkSession, root: str, embed_dim: int = EMBED_DIM):
+        self.spark = spark
+        self.embed_dim = embed_dim
+        self.t = {
+            name: _VersionedTable(spark, root, name, ddl)
+            for name, ddl in _SCHEMAS.items()
+        }
+
+    # -- id allocation ----------------------------------------------------
+    def _next_id(self, table: str, id_col: str) -> int:
+        row = self.t[table].read().agg(F.max(id_col)).head()
+        return (row[0] if row[0] is not None else 0) + 1
+
+    def _get_or_create(self, table: str, id_col: str, filters: dict) -> int:
+        df = self.t[table].read()
+        cond = None
+        for k, v in filters.items():
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else cond & c
+        hit = df.filter(cond).select(id_col).head()
+        if hit is not None:
+            return hit[0]
+        new_id = self._next_id(table, id_col)
+        new_row = self.spark.createDataFrame(
+            [{id_col: new_id, **filters}], _SCHEMAS[table]
+        )
+        self.t[table].write(df.unionByName(new_row))
+        return new_id
+
+    # -- upload (server/upload.go:111-323) ---------------------------------
+    def upload(self, owner: str, category: str, documents: list[dict]) -> list[int]:
+        """documents: [{name, external_id, document(JSON str)}] → new ids."""
+        owner_id = self._get_or_create("owners", "owner_id", {"name": owner})
+        category_id = self._get_or_create(
+            "categories", "category_id", {"name": category, "owner_id": owner_id}
+        )
+        base_doc = self._next_id("documents", "document_id")
+
+        docs = self.spark.createDataFrame(
+            [
+                {
+                    "doc_id": base_doc + i,
+                    "name": d.get("name", ""),
+                    "external_id": d.get("external_id", ""),
+                    "payload_json": d["document"],
+                }
+                for i, d in enumerate(documents)
+            ],
+            "doc_id long, name string, external_id string, payload_json string",
+        )
+        chunks = prepare_chunks(docs, ctx_num=2048).withColumn(
+            "vector", noop_embed(F.col("chunk"), dim=self.embed_dim)
+        )
+
+        # first upload of a category seeds centroid #1 with the first
+        # chunk's embedding (server/upload.go:210-227)
+        cents = self.t["centroids"].read().filter(F.col("category_id") == category_id)
+        if cents.isEmpty():
+            first = chunks.orderBy("doc_id", "chunk_idx").select("vector").head()
+            seed_id = self._next_id("centroids", "centroid_id")
+            seed = self.spark.createDataFrame(
+                [{"centroid_id": seed_id, "category_id": category_id, "vector": first[0]}],
+                _SCHEMAS["centroids"],
+            )
+            self.t["centroids"].write(self.t["centroids"].read().unionByName(seed))
+            cents = seed
+
+        # nearest-centroid assignment (server/upload.go:239-245, J5/V3)
+        assigned = assign_nearest(
+            chunks,
+            cents.select(F.col("centroid_id"), F.col("vector").alias("centroid_vec")),
+            vec_col="vector",
+            out_col="centroid_id",
+        )
+
+        base_emb = self._next_id("embeddings", "embedding_id")
+        w = F.row_number().over(Window.orderBy("doc_id", "chunk_idx"))
+        new_emb = assigned.withColumn("embedding_id", F.lit(base_emb - 1) + w).select(
+            "embedding_id",
+            F.col("doc_id").alias("document_id"),
+            "centroid_id",
+            "vector",
+        )
+        self.t["embeddings"].write(
+            self.t["embeddings"].read().unionByName(new_emb),
+            partition_by="centroid_id",
+        )
+        new_docs = docs.select(
+            F.col("doc_id").alias("document_id"),
+            "name",
+            "external_id",
+            "payload_json",
+            F.lit(category_id).cast("long").alias("category_id"),
+        )
+        self.t["documents"].write(self.t["documents"].read().unionByName(new_docs))
+        return [base_doc + i for i in range(len(documents))]
+
+    # -- search (server/search.go:115-334) ---------------------------------
+    def search(
+        self,
+        owner: str,
+        category: str,
+        text: str,
+        count: int = 10,
+        offset: int = 0,
+        nprobe: int = 0,
+    ) -> DataFrame:
+        count, offset, nprobe = normalize_search_args(count, offset, nprobe)
+        scope = self._category_id(owner, category)
+        empty = self.spark.createDataFrame(
+            [],
+            "document_id long, name string, external_id string, "
+            "payload_json string, score double",
+        )
+        if scope is None:  # missing owner/category -> empty result
+            return empty  # (server/search.go:156-177)
+        qtext = f"{SEARCH_QUERY_PREFIX}{text}"
+        qvec_row = (
+            self.spark.range(1)
+            .select(noop_embed(F.lit(qtext), dim=self.embed_dim).alias("v"))
+            .head()
+        )
+        qvec = qvec_row[0]
+
+        cents = (
+            self.t["centroids"].read().filter(F.col("category_id") == scope)
+        )
+        probed = brute_force_topk(
+            cents, qvec, nprobe, id_col="centroid_id", vec_col="vector"
+        ).select("centroid_id")
+        probe_ids = [r[0] for r in probed.collect()]  # tiny (nprobe)
+        if not probe_ids:
+            return empty
+
+        emb = (
+            self.t["embeddings"]
+            .read()
+            .filter(F.col("centroid_id").isin(probe_ids))  # partition pruning
+        )
+        topk = brute_force_topk(
+            emb, qvec, count + offset, id_col="embedding_id",
+            vec_col="vector", doc_col="document_id",
+        )
+        page = topk_paginated(topk, count, offset)
+        docs = self.t["documents"].read().filter(F.col("category_id") == scope)
+        return page.join(F.broadcast(docs), "document_id", "inner").select(
+            "document_id", "name", "external_id", "payload_json", "score"
+        )
+
+    # -- fetch (server/fetch.go:19-124) -------------------------------------
+    def fetch_category_names(self, owner: str) -> list[str]:
+        owners = self.t["owners"].read().filter(F.col("name") == owner)
+        cats = self.t["categories"].read()
+        rows = (
+            cats.join(
+                owners.select(F.col("owner_id").alias("_oid")),
+                cats.owner_id == F.col("_oid"),
+                "left_semi",
+            )
+            .select("name")
+            .orderBy("name")
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    # -- deletes (server/delete.go:214-288, cascades as anti-joins) ----------
+    def _category_id(self, owner: str, category: str) -> int | None:
+        owners = self.t["owners"].read().filter(F.col("name") == owner)
+        o = owners.head()
+        if o is None:
+            return None
+        c = (
+            self.t["categories"]
+            .read()
+            .filter(
+                (F.col("owner_id") == o["owner_id"]) & (F.col("name") == category)
+            )
+            .head()
+        )
+        return None if c is None else c["category_id"]
+
+    def _cascade_categories(self, victim_cats: DataFrame) -> None:
+        """Given victim categories (category_id col), delete their
+        documents, embeddings, and centroids bottom-up via anti-joins."""
+        vc = F.broadcast(victim_cats.select("category_id"))
+        docs = self.t["documents"].read()
+        victim_docs = docs.join(vc, "category_id", "left_semi").select("document_id")
+        emb = self.t["embeddings"].read()
+        self.t["embeddings"].write(
+            emb.join(F.broadcast(victim_docs), "document_id", "left_anti"),
+            partition_by="centroid_id",
+        )
+        self.t["documents"].write(docs.join(vc, "category_id", "left_anti"))
+        cents = self.t["centroids"].read()
+        self.t["centroids"].write(cents.join(vc, "category_id", "left_anti"))
+
+    def delete_owner(self, owner: str) -> None:
+        owners = self.t["owners"].read()
+        victim = owners.filter(F.col("name") == owner)
+        cats = self.t["categories"].read()
+        victim_cats = cats.join(
+            F.broadcast(victim.select("owner_id")), "owner_id", "left_semi"
+        )
+        self._cascade_categories(victim_cats)
+        self.t["categories"].write(
+            cats.join(F.broadcast(victim.select("owner_id")), "owner_id", "left_anti")
+        )
+        self.t["owners"].write(owners.filter(F.col("name") != owner))
+
+    def delete_category(self, owner: str, category: str) -> None:
+        cid = self._category_id(owner, category)
+        if cid is None:
+            return
+        cats = self.t["categories"].read()
+        self._cascade_categories(cats.filter(F.col("category_id") == cid))
+        self.t["categories"].write(cats.filter(F.col("category_id") != cid))
+
+    def delete_document(self, document_id: int) -> None:
+        docs = self.t["documents"].read()
+        emb = self.t["embeddings"].read()
+        self.t["embeddings"].write(
+            emb.filter(F.col("document_id") != document_id),
+            partition_by="centroid_id",
+        )
+        self.t["documents"].write(docs.filter(F.col("document_id") != document_id))
+
+    # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------
+    def refresh_index(self, owner: str, category: str, max_leaf: int = 10_000) -> int:
+        """Rebuild the category's IVF index; returns the centroid count."""
+        from go_vectorsearch_spark.plans.ivf import build_index
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            return 0
+        emb = self.t["embeddings"].read()
+        docs = self.t["documents"].read().filter(F.col("category_id") == cid)
+        scoped = emb.join(
+            F.broadcast(docs.select("document_id")), "document_id", "left_semi"
+        )
+        if scoped.isEmpty():
+            return 0
+        index = build_index(
+            scoped.select(F.col("embedding_id").alias("vec_id"), F.col("vector").alias("embedding")),
+            max_leaf=max_leaf,
+        )
+        base = self._next_id("centroids", "centroid_id")
+        cents = index.centroids.select(
+            (F.lit(base) + F.col("centroid_id")).alias("centroid_id"),
+            F.lit(cid).cast("long").alias("category_id"),
+            F.col("centroid_vec").cast("array<float>").alias("vector"),
+        )
+        keep = self.t["centroids"].read().filter(F.col("category_id") != cid)
+        self.t["centroids"].write(keep.unionByName(cents))
+        assigned = index.assigned.select(
+            F.col("vec_id").alias("embedding_id"),
+            (F.lit(base) + F.col("centroid_id")).alias("_new_centroid"),
+        )
+        out = (
+            emb.join(assigned, "embedding_id", "left")
+            .withColumn(
+                "centroid_id", F.coalesce(F.col("_new_centroid"), F.col("centroid_id"))
+            )
+            .drop("_new_centroid")
+        )
+        self.t["embeddings"].write(out, partition_by="centroid_id")
+        return cents.count()

@@ -1,0 +1,104 @@
+"""Random-hyperplane LSH for approximate nearest-neighbor search.
+
+The scale path beside the IVF-Flat pipeline (plans/ivf.py): where IVF needs
+a k-means build job, LSH bucketing is a single stateless projection — at
+100 TB you bucket on write (one narrow int column, partition/cluster by
+it) and a query touches only its own bucket's partitions via partition
+pruning. Classic sign-random-projection (Charikar SimHash for angles),
+with Rademacher ±1 hyperplanes derived from md5 bits so that:
+
+  * every engine reproduces the planes exactly (no RNG state) — the
+    DuckDB oracles in queries.py recompute identical buckets;
+  * the projection is a pure column expression (zip_with + aggregate over
+    a literal ±1 array), whole-stage-codegen'd, no Python in the path.
+
+Multi-probe: Hamming-adjacent buckets (flip one bit) widen recall without
+rebucketing — the standard trade against nprobe in IVF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.search import brute_force_topk
+
+N_BITS = 16
+LSH_SEED = 0
+
+
+def rademacher_planes(dim: int, n_bits: int = N_BITS, seed: int = LSH_SEED) -> list[list[int]]:
+    """±1 hyperplanes: sign[b][i] = 2·(md5_int32(f"{seed}:{b}:{i}") % 2) − 1.
+
+    Content-addressed (no RNG), so driver code, executors, and the SQL
+    oracle all derive the same planes independently.
+    """
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(2 * (h % 2) - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id (long) of a vector: bit b = 1 iff vec · plane_b > 0."""
+    bucket = None
+    for b, signs in enumerate(planes):
+        lits = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def bucket_of(vec: list[float], planes: list[list[int]]) -> int:
+    """Driver-side bucket of a query vector (same arithmetic as lsh_bucket)."""
+    out = 0
+    for b, signs in enumerate(planes):
+        dot = 0.0
+        for x, s in zip(vec, signs):
+            dot += float(x) * s
+        if dot > 0:
+            out |= 1 << b
+    return out
+
+
+def _hamming_neighbors(bucket: int, n_bits: int, radius: int) -> list[int]:
+    """Buckets within Hamming distance ``radius`` (radius ≤ 1 supported;
+    larger radii would enumerate combinations)."""
+    assert radius <= 1, "multi-probe beyond radius 1 not needed yet"
+    out = [bucket]
+    if radius >= 1:
+        out += [bucket ^ (1 << b) for b in range(n_bits)]
+    return out
+
+
+def lsh_search(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    probe_radius: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """ANN search: score only rows whose bucket is (Hamming-)near the
+    query's bucket. With data written ``partitionBy("bucket")`` the filter
+    becomes partition pruning and the scan never touches other buckets.
+    """
+    if planes is None:
+        planes = rademacher_planes(len(query_vec))
+    qb = bucket_of(list(query_vec), planes)
+    probes = _hamming_neighbors(qb, len(planes), probe_radius)
+    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1255,6 +1255,124 @@ def q_multimodal_audio_chunks(spark, sf_dir):
     return MM.audio_chunks(media, chunk_ms=250)
 
 
+# ---------------------------------------------------------------------------
+# Phase E-5: LSH-bucketed ANN (plans/lsh.py) — the stateless scale path
+# beside IVF. The ±1 hyperplanes are md5-derived, so the oracle rebuilds
+# identical planes and buckets in SQL.
+# ---------------------------------------------------------------------------
+
+from go_vectorsearch_spark.plans import lsh as LSH  # noqa: E402
+
+_LSH_DIM = 64  # driver embeddings are 64-dim at every sf
+# 16 bits = the at-scale bucket width (billions of rows -> ~10k rows per
+# bucket); 6 bits = a width that yields populated buckets at this corpus
+# size, used for the search/recall demos.
+_LSH_PLANES = LSH.rademacher_planes(_LSH_DIM, n_bits=16)
+_LSH_PLANES_SMALL = LSH.rademacher_planes(_LSH_DIM, n_bits=6)
+
+
+def _lsh_bucket_cte(planes=None) -> str:
+    rows = ",\n    ".join(
+        "({b}, {pw}, [{sgn}])".format(
+            b=b,
+            pw=1 << b,
+            sgn=", ".join(f"{s:.1f}" for s in signs),
+        )
+        for b, signs in enumerate(planes if planes is not None else _LSH_PLANES)
+    )
+    return f"""
+planes(b, pw, sgn) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(b, pw, sgn)
+),
+bx AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> e.embedding[i]::DOUBLE * p.sgn[i])) > 0
+              THEN p.pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+)"""
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+WITH {_lsh_bucket_cte()}
+SELECT bucket, count(*) AS n FROM bx GROUP BY bucket
+""",
+    doc="LSH bucketing: 16-bit sign-random-projection bucket per vector "
+    "as a pure codegen expression; bucket histogram "
+    "(plans/lsh.lsh_bucket, Rademacher planes from md5 bits)",
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ann_lsh_search",
+    oracle=f"""
+WITH {_lsh_bucket_cte(_LSH_PLANES_SMALL)},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket FROM bx WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN bx ON bx.vec_id = e.vec_id
+  WHERE bx.bucket = (SELECT bucket FROM qb)
+)
+SELECT c.vec_id,
+       round(
+         list_sum(list_transform(generate_series(1, len(c.embedding)),
+                                 i -> c.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id ASC
+LIMIT {TOPK_K}
+""",
+    doc="LSH ANN search: score only the query's bucket (partition pruning "
+    "at scale when data is written partitionBy(bucket)) "
+    "(plans/lsh.lsh_search, probe_radius=0)",
+)
+def q_ann_lsh_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = LSH.lsh_search(
+        emb, qvec, k=TOPK_K, probe_radius=0, planes=_LSH_PLANES_SMALL
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=None,  # recall against brute force: rows-only check
+    doc="LSH multi-probe recall@10 vs brute force at radius 0 and 1 "
+    "(plans/lsh.lsh_search probe_radius) - quality metric for the ANN path",
+)
+def q_ann_lsh_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    bf = {r["vec_id"] for r in brute_force_topk(emb, qvec, TOPK_K).collect()}
+    out = []
+    for radius in (0, 1):
+        got = {
+            r["vec_id"]
+            for r in LSH.lsh_search(
+                emb, qvec, k=TOPK_K, probe_radius=radius, planes=_LSH_PLANES_SMALL
+            ).collect()
+        }
+        out.append((radius, float(round(len(bf & got) / len(bf), 4))))
+    return spark.createDataFrame(out, "probe_radius int, recall_at_10 double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
