@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from go_vectorsearch_spark.functions.text import md5_int32, ws_tokens
+from go_vectorsearch_spark.sources.tables import spread
 
 # ---------------------------------------------------------------------------
 # Shared shingling
@@ -107,9 +108,9 @@ def jaccard_pairs(
     equi-join on shingle → count common per pair → Jaccard from per-doc set
     sizes. Three shuffles total, all on reduced data.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_s")
-    )
+    ).persist()  # reused by sizes + both join sides: shingle once
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("_s").agg(F.count("*").alias("_f")).filter(
@@ -162,8 +163,10 @@ def minhash_signature(text: Column, n: int = 3) -> Column:
     permutation i — one pass over the shingle array, pure codegen.
     Empty shingle set → signature of P (greater than any real hash).
     """
-    hashes = F.transform(shingles(text, n), md5_int32)
+    return _signature_from_hashes(F.transform(shingles(text, n), md5_int32))
 
+
+def _signature_from_hashes(hashes: Column) -> Column:
     def perm(a: int, b: int):
         # closure (not default-arg lambda): pyspark reads the lambda's arity
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
@@ -188,10 +191,19 @@ def minhash_lsh_pairs(
     arrays. At 100 TB the band join touches ~|docs|·4 short rows, never
     raw text.
     """
-    sigd = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), n).alias("_sig"),
-        shingles(F.col(text_col), n).alias("_sh"),
+    # Materialize shingles once, md5-hash once, THEN derive the 16
+    # signature mins from the cached hash array — without this the
+    # (shingle + md5) subtree would be re-evaluated 16x per signature
+    # element and again on every reuse of sigd (two join sides + verify),
+    # which measured ~14x slower at sf0.1.
+    sigd = (
+        spread(df).select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+        )
+        .withColumn("_hs", F.transform(F.col("_sh"), md5_int32))
+        .withColumn("_sig", _signature_from_hashes(F.col("_hs")))
+        .select("_id", "_sh", "_sig")
+        .persist()
     )
     bands = sigd.select(
         "_id",
@@ -244,26 +256,35 @@ def minhash_lsh_pairs(
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8 bits each; Hamming ≤ 3 ⟹ some band equal (pigeonhole)
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits exact BIGINT arithmetic
+SIMHASH_BANDS = 4  # 15 bits each; Hamming ≤ 3 ⟹ some band equal (pigeonhole)
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 3
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per document → (id_col, simhash bigint).
+def md5_int60(col: Column) -> Column:
+    """First 15 hex digits of md5 as bigint in [0, 2^60) — wide enough
+    that a 60-bit sketch discriminates (a 32-bit sketch collides heavily
+    on vocabulary-sharing corpora). All bit extraction must use
+    shiftright, never double division (2^60 exceeds float64 exactness)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    For each distinct token, hash to 32 bits; per bit, +1 if set else −1;
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document → (id_col, simhash bigint).
+
+    For each distinct token, hash to 60 bits; per bit, +1 if set else −1;
     sketch bit j = 1 iff the summed weight is positive. Implemented as ONE
-    groupBy with 32 conditional-sum columns (single shuffle, map-side
-    partial agg) rather than exploding 32 bit rows per token.
+    groupBy with 60 conditional-sum columns (single shuffle, map-side
+    partial agg) rather than exploding 60 bit rows per token.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", md5_int32(F.col("_tok")))
+    ).withColumn("_h", md5_int60(F.col("_tok")))
     aggs = [
         F.sum(
-            F.when((F.floor(F.col("_h") / F.lit(1 << j)).cast("long") % 2) == 1, 1).otherwise(-1)
+            F.when((F.shiftright(F.col("_h"), j) % 2) == 1, 1).otherwise(-1)
         ).alias(f"_b{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -283,15 +304,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` (≤ 3).
 
-    Banded candidate generation: split the 32-bit sketch into 4 bytes; any
-    pair within Hamming 3 must agree on ≥ 1 byte (pigeonhole), so the
-    band equi-join finds *all* such pairs — exact, not approximate — while
-    shuffling only (band, byte) keys. Verification uses bit_count(xor).
+    Banded candidate generation: split the 60-bit sketch into 4 15-bit
+    bands; any pair within Hamming 3 must agree on ≥ 1 band (pigeonhole),
+    so the band equi-join finds *all* such pairs — exact, not
+    approximate — while shuffling only (band, key) ints. Verification
+    uses bit_count(xor).
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs hamming < bands"
-    sims = simhash(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash").alias("_sim")
+    sims = (
+        simhash(df, id_col, text_col)
+        .select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sim"))
+        .persist()  # reused by both sides of the band self-join
     )
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sims.select(
         "_id",
         "_sim",
@@ -300,9 +325,10 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        (F.floor(F.col("_sim") / F.lit(1 << (8 * i))).cast("long") % 256).alias(
-                            "key"
-                        ),
+                        (
+                            F.shiftright(F.col("_sim"), SIMHASH_BAND_BITS * i)
+                            % F.lit(band_mask + 1)
+                        ).alias("key"),
                     )
                     for i in range(SIMHASH_BANDS)
                 ]
@@ -352,6 +378,7 @@ def embedding_neardup_pairs(
     SimHash band) and run this within buckets.
     """
     spark = emb.sparkSession
+    emb = spread(emb)
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -91,58 +91,70 @@ def deterministic_sample(df: DataFrame, n: int, id_col: str) -> DataFrame:
     return df.orderBy(F.md5(F.col(id_col).cast("string"))).limit(n)
 
 
-def _partial_stats(df: DataFrame, mat: np.ndarray, ids: list[int], vec_col: str):
-    """One fused pass: per Arrow batch, GEMM-assign rows to centroids and
-    emit per-cluster (count, sum) partials. One Spark job, no shuffle -
-    the map-side-combine shape of distributed Lloyd. Returns
-    (counts[k], sums[k x d]) combined on the driver (k x d doubles,
-    always driver-sized)."""
-    import pandas as pd
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
 
-    order = np.argsort(ids)
-    sorted_ids = np.asarray(ids)[order]
-    C = mat[order].astype(np.float64)
-    Cn = np.linalg.norm(C, axis=1, keepdims=True)
-    Cn[Cn == 0] = 1.0
-    Cnorm = C / Cn
-    k, d = C.shape
 
-    def stats(batches):
-        acc_cnt = np.zeros(k, dtype=np.int64)
-        acc_sum = np.zeros((k, d), dtype=np.float64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = np.linalg.norm(X, axis=1, keepdims=True)
-            zero = Xn[:, 0] == 0
-            Xn[zero] = 1.0
-            sims = (X / Xn) @ Cnorm.T
-            sims[zero] = 0.0
-            arg = sims.argmax(axis=1)
-            np.add.at(acc_cnt, arg, 1)
-            np.add.at(acc_sum, arg, X)
-        nz = np.nonzero(acc_cnt)[0]
-        yield pd.DataFrame(
-            {
-                "pos": nz.astype("int64"),
-                "cnt": acc_cnt[nz],
-                "sums": [acc_sum[i].tolist() for i in nz],
-            }
-        )
+def _cluster_stats(X: np.ndarray, mat: np.ndarray):
+    """Cosine-argmax assign X to mat's rows; per-cluster (count, sum).
+    numpy argmax keeps the first (lowest-index) max = reference
+    first-max tie-break (compute/cosine.go:113-117)."""
+    sims = _norm_rows(X.astype(np.float64)) @ _norm_rows(mat.astype(np.float64)).T
+    zero = np.linalg.norm(X, axis=1) == 0
+    sims[zero] = 0.0
+    arg = sims.argmax(axis=1)
+    counts = np.zeros(len(mat), dtype=np.int64)
+    sums = np.zeros_like(mat, dtype=np.float64)
+    np.add.at(counts, arg, 1)
+    np.add.at(sums, arg, X)
+    return counts, sums
 
-    partials = df.select(vec_col).mapInPandas(
-        stats, schema="pos long, cnt long, sums array<double>"
-    ).collect()
-    counts = np.zeros(k, dtype=np.int64)
-    sums = np.zeros((k, d), dtype=np.float64)
-    for r in partials:
-        counts[r["pos"]] += r["cnt"]
-        sums[r["pos"]] += np.asarray(r["sums"])
-    # map back to the caller's id order
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order))
-    return counts[inv], sums[inv], sorted_ids
+
+def _numpy_lloyd(
+    X: np.ndarray,
+    k: int,
+    max_iters: int,
+    init_oversample: int,
+    quantize_iterations: bool,
+) -> np.ndarray:
+    """Driver-side Lloyd loop over a (deterministically sampled, hence
+    driver-sized) matrix — the exact shape of the reference, which also
+    fits k-means in-process on a <=50k sample (dnc/k_means.go:19-212):
+    superset init (k*5 seeds, keep the k largest clusters, T4), then
+    assign/mean iterations with per-iteration f32 quantization and
+    byte-equality convergence (k_means.go:80-116).
+
+    Running the loop on the driver instead of as per-iteration Spark
+    jobs matters: an iteration is a ~(50k x k x d) GEMM — milliseconds
+    in numpy, but 20+ job round-trips if distributed. Distribution
+    belongs to the *assignment of all N rows* (operators/assign.py),
+    not the sample fit.
+    """
+    n = len(X)
+    k = max(1, min(k, n))
+    k0 = min(n, k * init_oversample)
+    mat = X[:k0].astype(np.float64)
+
+    if k0 > k:
+        counts, _ = _cluster_stats(X, mat)
+        by_size = sorted(zip(range(k0), counts), key=lambda t: (-t[1], t[0]))[:k]
+        mat = mat[[c for c, _ in by_size]]
+
+    prev = None
+    for _ in range(max_iters):
+        counts, sums = _cluster_stats(X, mat)
+        new_mat = mat.copy()  # empty clusters keep their centroid
+        nz = counts > 0
+        new_mat[nz] = sums[nz] / counts[nz, None]
+        if quantize_iterations:
+            new_mat = _quantize_f32_roundtrip(new_mat)
+        if prev is not None and np.array_equal(new_mat, prev):
+            return new_mat
+        prev = new_mat
+        mat = new_mat
+    return mat
 
 
 def kmeans(
@@ -155,61 +167,21 @@ def kmeans(
     init_oversample: int = 5,
     quantize_iterations: bool = True,
 ) -> DataFrame:
-    """C2: mini-batch-style k-means, Spark-distributed Lloyd iterations.
+    """C2: sample-fit k-means (dnc/k_means.go:19-212).
 
-    Mirrors the reference's structure (dnc/k_means.go:19-212):
-      * fit on a deterministic sample (SAMPLE_SIZE=50k,
-        config/constants.go:10)
-      * superset init: start from k*init_oversample distinct sampled
-        points (SUPERSET_MUL=5, k_means.go:19-40), after one
-        assignment keep the k largest clusters (T4, k_means.go:120-140)
-      * Lloyd: cosine-argmax assign (J5) + per-cluster mean (A3)
-      * per-iteration f32 quantize of centroids + byte-equality
-        convergence (k_means.go:80-116), iteration cap
-        (KMEANS_ITTERATION_LIMIT=1000 in the reference; default 20
-        here - quantized convergence normally lands well under that)
-
-    Returns a DataFrame (centroid_id long, centroid_vec array<double>)
-    with centroid_id in [0, k).
+    One Spark job collects the deterministic sample (<= sample_size
+    rows, driver-sized by construction — SAMPLE_SIZE=50k in the
+    reference, config/constants.go:10); the Lloyd loop itself runs in
+    numpy on the driver (see _numpy_lloyd). Returns
+    (centroid_id long, centroid_vec array<double>), ids in [0, k).
     """
     spark = df.sparkSession
-    sample = deterministic_sample(df, sample_size, id_col).select(id_col, vec_col)
-    sample = sample.persist()
-    try:
-        n_sample = sample.count()
-        k = max(1, min(k, n_sample))
-        k0 = min(n_sample, k * init_oversample)
-
-        init = deterministic_sample(sample, k0, id_col)
-        mat = np.array(
-            [r[0] for r in init.select(vec_col).collect()], dtype=np.float64
-        )
-        ids = list(range(len(mat)))
-
-        if k0 > k:
-            # superset -> set: one fused pass, keep k largest clusters (T4)
-            counts, _, sorted_ids = _partial_stats(sample, mat, ids, vec_col)
-            by_size = sorted(zip(ids, counts), key=lambda t: (-t[1], t[0]))[:k]
-            keep = [c for c, _ in by_size]
-            mat = mat[keep]
-            ids = list(range(len(mat)))
-
-        prev = None
-        for _ in range(max_iters):
-            counts, sums, _ = _partial_stats(sample, mat, ids, vec_col)
-            new_mat = mat.copy()  # empty clusters keep their centroid
-            nz = counts > 0
-            new_mat[nz] = sums[nz] / counts[nz, None]
-            if quantize_iterations:
-                new_mat = _quantize_f32_roundtrip(new_mat)
-            if prev is not None and np.array_equal(new_mat, prev):
-                mat = new_mat
-                break
-            prev = new_mat
-            mat = new_mat
-        return _centroids_df(spark, mat, ids)
-    finally:
-        sample.unpersist()
+    rows = (
+        deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = _numpy_lloyd(X, k, max_iters, init_oversample, quantize_iterations)
+    return _centroids_df(spark, mat, list(range(len(mat))))
 
 
 @dataclass
@@ -240,42 +212,65 @@ def build_index(
     to surviving centroids, which are then re-centered to the member
     mean (C6, dnc/dnc.go:458-574, 402-456).
     """
-    df = df.persist()
+    from pyspark.sql import Window
+
+    from go_vectorsearch_spark.sources.tables import spread
+
+    df = spread(df).persist()
     n = df.count()
     k = max(1, math.ceil(n / max_leaf))
 
     centroids = kmeans(
         df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size
     )
-    assigned = assign_nearest(df, centroids, vec_col=vec_col, out_col="centroid_id")
+    assigned = assign_nearest(
+        df, centroids, vec_col=vec_col, out_col="centroid_id"
+    ).localCheckpoint()
+    next_id = k
 
-    # split oversized leaves (driver loop over a shrinking subset)
+    # split oversized leaves: per round, ONE job samples every oversized
+    # leaf (window row_number cap), the driver k-means each leaf's
+    # sample, and ONE grouped-GEMM pass reassigns all oversized rows to
+    # their leaf's children. The reference recurses one goroutine per
+    # subtree with spill files (dnc/dnc.go:300-400); here each round is
+    # two jobs regardless of how many leaves split.
     for _ in range(max_split_rounds):
         sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
-        oversized = [
-            (r["centroid_id"], r["cnt"]) for r in sizes.filter(F.col("cnt") > max_leaf).collect()
-        ]
+        oversized = {
+            r["centroid_id"]: r["cnt"]
+            for r in sizes.filter(F.col("cnt") > max_leaf).collect()
+        }
         if not oversized:
             break
-        next_id = centroids.agg(F.max("centroid_id")).head()[0] + 1
-        new_parts = []
-        keep = assigned.filter(
-            ~F.col("centroid_id").isin([c for c, _ in oversized])
+        ov_ids = list(oversized)
+        w = Window.partitionBy("centroid_id").orderBy(
+            F.md5(F.col(id_col).cast("string"))
         )
-        for cid, cnt in oversized:
-            subset = assigned.filter(F.col("centroid_id") == cid).drop("centroid_id")
-            kk = max(2, math.ceil(cnt / max_leaf))
-            sub_cents = kmeans(
-                subset, kk, id_col=id_col, vec_col=vec_col, sample_size=sample_size
-            ).withColumn("centroid_id", F.col("centroid_id") + F.lit(next_id))
-            next_id += kk
-            new_parts.append(
-                assign_nearest(subset, sub_cents, vec_col=vec_col, out_col="centroid_id")
+        samp_rows = (
+            assigned.filter(F.col("centroid_id").isin(ov_ids))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= sample_size)
+            .select("centroid_id", vec_col)
+            .collect()
+        )
+        by_leaf: dict[int, list] = {}
+        for r in samp_rows:
+            by_leaf.setdefault(r["centroid_id"], []).append(r[vec_col])
+        children: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for cid in ov_ids:
+            X = np.array(by_leaf[cid], dtype=np.float64)
+            kk = max(2, math.ceil(oversized[cid] / max_leaf))
+            mat = _numpy_lloyd(
+                X, kk, max_iters=20, init_oversample=5, quantize_iterations=True
             )
-        assigned = keep
-        for p in new_parts:
-            assigned = assigned.unionByName(p)
-        centroids = recenter(assigned, vec_col)  # refresh centroid set from data
+            ids = np.arange(next_id, next_id + len(mat), dtype=np.int64)
+            next_id += len(mat)
+            children[int(cid)] = (ids, _norm_rows(mat))
+        keep = assigned.filter(~F.col("centroid_id").isin(ov_ids))
+        split = _assign_children_gemm(
+            assigned.filter(F.col("centroid_id").isin(ov_ids)), children, vec_col
+        )
+        assigned = keep.unionByName(split).localCheckpoint()
 
     # prune small centroids, reassign their members, re-center
     if min_leaf is None:
@@ -284,6 +279,36 @@ def build_index(
     index = prune_small(index, vec_col=vec_col, min_size=min_leaf)
     df.unpersist()
     return index
+
+
+def _assign_children_gemm(
+    df: DataFrame,
+    children: dict[int, tuple[np.ndarray, np.ndarray]],
+    vec_col: str,
+) -> DataFrame:
+    """Reassign rows of split leaves to their own leaf's children: per
+    Arrow batch, group rows by parent centroid_id and GEMM each group
+    against that parent's (normalized) child matrix. Narrow, no shuffle;
+    the children dict is closure-broadcast (k x d driver-sized)."""
+    import pandas as pd
+
+    out_schema = df.schema
+    in_cols = [f.name for f in df.schema.fields]
+
+    def reassign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = pdf[in_cols].copy()
+            for parent, grp in pdf.groupby("centroid_id"):
+                ids, C = children[int(parent)]
+                X = np.vstack(grp[vec_col].to_numpy()).astype(np.float64)
+                sims = _norm_rows(X) @ C.T
+                sims[np.linalg.norm(X, axis=1) == 0] = 0.0
+                res.loc[grp.index, "centroid_id"] = ids[sims.argmax(axis=1)]
+            yield res
+
+    return df.mapInPandas(reassign, schema=out_schema)
 
 
 def recenter(assigned: DataFrame, vec_col: str) -> DataFrame:

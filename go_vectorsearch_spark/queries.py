@@ -656,8 +656,9 @@ WHERE rn = 1
 def q_centroid_assign(spark, sf_dir):
     from go_vectorsearch_spark.functions.vector import vector_mean
     from go_vectorsearch_spark.operators.assign import assign_nearest
+    from go_vectorsearch_spark.sources.tables import spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     centroids = vector_mean(emb, ["label"], "embedding", out_col="centroid_vec").select(
         F.col("label").alias("centroid_id"), "centroid_vec"
     )
@@ -685,7 +686,7 @@ def _ivf_index(spark, sf_dir):
         from go_vectorsearch_spark.plans.ivf import build_index
 
         emb = _t(spark, sf_dir, "embeddings")
-        _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=500)
+        _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=5000)
         _IVF_CACHE[sf_dir].assigned.persist().count()
     return _IVF_CACHE[sf_dir]
 
@@ -995,6 +996,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _simhash_docs_oracle() -> str:
+    # integer // on BIGINT is exact in DuckDB (never use double division:
+    # the 60-bit hashes exceed float64's 2^53 exact range)
     weight_cols = ",\n         ".join(
         f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(DD.SIMHASH_BITS)
@@ -1002,11 +1005,11 @@ def _simhash_docs_oracle() -> str:
     value = " + ".join(
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(DD.SIMHASH_BITS)
     )
-    h32 = _SQL_H32.format(x="tok")
+    h60 = "CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
     return rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
-hh AS (SELECT doc_id, {h32} AS h FROM e),
+hh AS (SELECT doc_id, {h60} AS h FROM e),
 w AS (
   SELECT doc_id,
          {weight_cols}
@@ -1162,7 +1165,9 @@ FROM c
     "checked via per-document code checksums at dim=64",
 )
 def q_doc_noop_embed(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from go_vectorsearch_spark.sources.tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     codes = DOC.noop_embed_codes(F.col("text"), dim=64, seed=0)
     return docs.select(
         "doc_id",

@@ -61,6 +61,22 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     sc._gvs_pkg_shipped = True
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-parallelized.
+
+    Small parquet files arrive as one split (the sf0.1 tables are single
+    row groups), which would serialize expression-heavy operators
+    (per-token md5, GEMM batches) on one core. At real scale inputs have
+    thousands of splits and this is a no-op — the check costs one plan
+    inspection, no job.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Columnar parquet scan = batched scan S1.
 
