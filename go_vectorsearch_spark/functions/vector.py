@@ -21,6 +21,8 @@ Quantization semantics reproduced exactly (SURVEY.md §1.3):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -129,6 +131,73 @@ def dequantize(qvec: Column, lo: Column, hi: Column, precision: str = "float32")
         qvec,
         lambda q: (lo.cast(ft) + (q.cast(ft) / scale).cast(ft) * span).cast(ft),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary wire/storage codec - bit-exact parity with the reference's
+# []byte vector layout: [min float32 LE (4B)][max float32 LE (4B)][D x uint8]
+# (compute/quantization.go:71-80; dims = len(bytes) - 8, ai/aicomms/embed.go:52-54).
+# float32 bit-twiddling has no Catalyst expression, so the codec is an
+# Arrow-batched pandas UDF - an ingest/egress boundary, not a query path:
+# inside the engine vectors live as array<float> / code arrays.
+# ---------------------------------------------------------------------------
+
+
+def pack_vector_udf():
+    """array<float> -> binary in the reference layout (quantizing in f32
+    with truncation, 0-anchored range - §1.3 semantics, so the produced
+    bytes are what the reference would store for the same floats)."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def pack(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float32)
+            lo = np.float32(min(x.min(), np.float32(0.0))) if len(x) else np.float32(0)
+            hi = np.float32(max(x.max(), np.float32(0.0))) if len(x) else np.float32(0)
+            if hi - lo == 0:
+                codes = np.zeros(len(x), dtype=np.uint8)
+            else:
+                clamped = np.clip(x, lo, hi).astype(np.float32)
+                scaled = (
+                    (clamped - lo).astype(np.float32)
+                    / np.float32(hi - lo)
+                    * np.float32(255)
+                ).astype(np.float32)
+                codes = np.trunc(scaled).astype(np.uint8)
+            out.append(
+                np.float32(lo).tobytes() + np.float32(hi).tobytes() + codes.tobytes()
+            )
+        return pd.Series(out)
+
+    return pack
+
+
+def unpack_vector_udf():
+    """binary (reference layout) -> struct<lo float, hi float,
+    codes array<int>, vec array<float>> with vec dequantized in f32."""
+    schema = "lo float, hi float, codes array<int>, vec array<float>"
+
+    @F.pandas_udf(schema)
+    def unpack(bins: pd.Series) -> pd.DataFrame:
+        los, his, codes_l, vecs = [], [], [], []
+        for b in bins:
+            lo = np.frombuffer(b[0:4], dtype="<f4")[0]
+            hi = np.frombuffer(b[4:8], dtype="<f4")[0]
+            codes = np.frombuffer(b[8:], dtype=np.uint8)
+            vec = (
+                np.float32(lo)
+                + (codes.astype(np.float32) / np.float32(255)).astype(np.float32)
+                * np.float32(hi - lo)
+            ).astype(np.float32)
+            los.append(float(lo))
+            his.append(float(hi))
+            codes_l.append([int(c) for c in codes])
+            vecs.append([float(x) for x in vec])
+        return pd.DataFrame({"lo": los, "hi": his, "codes": codes_l, "vec": vecs})
+
+    return unpack
 
 
 def vector_mean(df, key_cols: list[str], vec_col: str, out_col: str = "mean_vec"):

@@ -1378,6 +1378,34 @@ def q_ann_lsh_recall(spark, sf_dir):
     return spark.createDataFrame(out, "probe_radius int, recall_at_10 double")
 
 
+@register(
+    "vector_pack_roundtrip",
+    oracle=None,  # f32 quantization codes are not reproducible in the
+    # f64-only oracle engine; pytest cross-validates the codec against
+    # the Catalyst f32 expression path instead (tests/test_vector_kernels)
+    doc="Binary vector codec: bit-exact reference []byte layout "
+    "[min f32 LE][max f32 LE][D x uint8] (compute/quantization.go:71-80); "
+    "pack -> unpack roundtrip checksums per vector",
+)
+def q_vector_pack_roundtrip(spark, sf_dir):
+    from go_vectorsearch_spark.functions.vector import pack_vector_udf, unpack_vector_udf
+    from go_vectorsearch_spark.sources.tables import spread
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    packed = emb.select(
+        "vec_id", pack_vector_udf()(F.col("embedding")).alias("b")
+    ).select("vec_id", F.length("b").alias("n_bytes"), unpack_vector_udf()(F.col("b")).alias("u"))
+    return packed.select(
+        "vec_id",
+        "n_bytes",
+        F.aggregate(F.col("u.codes"), F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.round(F.col("u.lo").cast("double"), 6).alias("lo"),
+        F.round(F.col("u.hi").cast("double"), 6).alias("hi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -139,3 +139,70 @@ def test_vector_mean_matches_numpy(spark):
         arr.setdefault(lbl, []).append(np.array(v, dtype=np.float32))
     for lbl, vs in arr.items():
         np.testing.assert_allclose(got[lbl], np.mean(vs, axis=0, dtype=np.float64), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Binary codec: bit-exact reference layout
+# [min f32 LE][max f32 LE][D x uint8] (compute/quantization.go:71-80)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_vector_reference_layout(spark):
+    import struct
+
+    from go_vectorsearch_spark.functions.vector import pack_vector_udf
+
+    df = spark.createDataFrame([([0.5, -0.25, 1.0],)], "v array<float>")
+    raw = df.select(pack_vector_udf()(F.col("v")).alias("b")).head()["b"]
+    lo, hi = struct.unpack("<ff", raw[:8])
+    assert (lo, hi) == (-0.25, 1.0)  # 0-anchored range includes 0 already
+    assert len(raw) == 8 + 3  # dims = len(bytes) - 8 (ai/aicomms/embed.go:52-54)
+    # codes: trunc(((clamp(v)-lo)/(hi-lo))*255) in f32
+    # 0.5 -> (0.75/1.25)*255 = 153.0 -> 153; -0.25 -> 0; 1.0 -> 255
+    assert list(raw[8:]) == [153, 0, 255]
+
+
+def test_pack_unpack_roundtrip_matches_expression_path(spark):
+    """The numpy f32 codec and the Catalyst f32 expression path must
+    produce identical codes - cross-validates both implementations."""
+    from go_vectorsearch_spark.functions.vector import (
+        pack_vector_udf,
+        quantize,
+        unpack_vector_udf,
+        vector_range,
+    )
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    lo, hi = vector_range(F.col("embedding"))
+    expr_codes = emb.select(
+        "vec_id", quantize(F.col("embedding"), lo, hi, "float32").alias("codes")
+    )
+    packed = emb.select(
+        "vec_id", pack_vector_udf()(F.col("embedding")).alias("b")
+    ).select("vec_id", unpack_vector_udf()(F.col("b")).alias("u"))
+    udf_codes = packed.select("vec_id", F.col("u.codes").alias("codes"))
+    a = {r["vec_id"]: r["codes"] for r in expr_codes.collect()}
+    b = {r["vec_id"]: r["codes"] for r in udf_codes.collect()}
+    assert a == b
+    # dequantized floats stay within one quantization step of the input
+    check = packed.select("vec_id", "u.lo", "u.hi", "u.vec").collect()
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in check:
+        step = (r["hi"] - r["lo"]) / 255.0
+        assert all(
+            abs(x - y) <= step for x, y in zip(r["vec"], orig[r["vec_id"]])
+        )
+
+
+def test_zero_vector_packs_degenerate_range(spark):
+    from go_vectorsearch_spark.functions.vector import pack_vector_udf, unpack_vector_udf
+
+    df = spark.createDataFrame([([0.0, 0.0],)], "v array<float>")
+    u = (
+        df.select(pack_vector_udf()(F.col("v")).alias("b"))
+        .select(unpack_vector_udf()(F.col("b")).alias("u"))
+        .head()["u"]
+    )
+    assert u["lo"] == 0.0 and u["hi"] == 0.0
+    assert u["codes"] == [0, 0] and u["vec"] == [0.0, 0.0]
