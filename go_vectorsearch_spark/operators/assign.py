@@ -35,7 +35,10 @@ from pyspark.sql import types as T
 
 from go_vectorsearch_spark.functions.vector import dot, l2_normalize
 
-GEMM_THRESHOLD = 32  # centroids; above this the GEMM path wins
+# Centroid count at which the GEMM path takes over. Low on purpose: the
+# expression path embeds k x dim float literals into codegen (compile
+# time grows with the tree), so it only wins for single-digit k.
+GEMM_THRESHOLD = 8
 
 
 def assign_nearest(

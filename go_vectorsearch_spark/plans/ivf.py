@@ -218,7 +218,10 @@ def build_index(
 
     df = spread(df).persist()
     n = df.count()
-    k = max(1, math.ceil(n / max_leaf))
+    # overshoot k so the average leaf lands at ~70% of max_leaf; with
+    # k = n/max_leaf exactly, half the leaves start oversized and every
+    # build pays split rounds for geometry, not skew
+    k = max(1, math.ceil(n / (max_leaf * 0.7)))
 
     centroids = kmeans(
         df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size
