@@ -97,14 +97,55 @@ def session_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum, max) over the whole stream — state the built-in
+    windowed aggregates can't express (no window bound; state lives for
+    the key's lifetime). Each micro-batch updates the key's state struct
+    and emits the refreshed totals. At scale, state is partitioned by
+    user_id in the state store; per-batch work is one Arrow pass.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, sum_value double, max_value double"
+    state_schema = "n long, s double, m double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into an in-memory table
     and return it as a DataFrame (test/bench harness; a deployment would
     use foreachBatch → parquet/Delta)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -87,3 +87,33 @@ def test_session_stream_equals_batch(spark, sf_smoke, events_stream, events_batc
         .collect()
     }
     assert got_per_user == twin_rows
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_smoke, events_stream, events_batch):
+    from go_vectorsearch_spark.streaming.events import user_running_stats
+
+    got = run_available_now(
+        user_running_stats(events_stream), "t_stateful", output_mode="update"
+    )
+    # update-mode memory sink keeps every emitted row; the LAST emit per
+    # user is the final running state
+    from pyspark.sql import Window
+
+    final = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    gs = {(r["user_id"], r["n_events"], round(r["sum_value"], 4), r["max_value"]) for r in final.collect()}
+    ws = {(r["user_id"], r["n_events"], round(r["sum_value"], 4), r["max_value"]) for r in want.collect()}
+    assert gs == ws
