@@ -1378,6 +1378,133 @@ def q_ann_lsh_recall(spark, sf_dir):
     return spark.createDataFrame(out, "probe_radius int, recall_at_10 double")
 
 
+from math import floor as math_floor  # noqa: E402
+
+
+def _dequant_f64(vec: list[float]) -> list[float]:
+    """Driver-side f64 quantize->dequantize with §1.3 semantics (f32
+    range narrowing, clamp, truncation) - formula order matches the SQL
+    oracle text exactly so the doubles are bit-identical."""
+    import numpy as np
+
+    lo = float(np.float32(min(min(vec), 0.0)))
+    hi = float(np.float32(max(max(vec), 0.0)))
+    if hi - lo == 0:
+        return [0.0] * len(vec)
+    out = []
+    for x in vec:
+        c = math_floor((min(max(float(x), lo), hi) - lo) / (hi - lo) * 255)
+        out.append(lo + c / 255.0 * (hi - lo))
+    return out
+
+
+@register(
+    "cosine_topk_quantized",
+    oracle=f"""
+WITH rng AS (
+  SELECT vec_id, embedding,
+         CAST(CAST(least(list_min(embedding), 0) AS REAL) AS DOUBLE) AS lo,
+         CAST(CAST(greatest(list_max(embedding), 0) AS REAL) AS DOUBLE) AS hi
+  FROM embeddings
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN hi - lo = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> lo + floor((least(greatest(x::DOUBLE, lo), hi) - lo) / (hi - lo) * 255) / 255.0 * (hi - lo))
+         END AS v
+  FROM rng
+), q AS (SELECT v AS qv FROM dq WHERE vec_id = 0)
+SELECT d.vec_id,
+       round(
+         CASE WHEN sqrt(list_sum(list_transform(d.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(q.qv, x -> x * x))) = 0 THEN 0.0
+         ELSE list_sum(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * q.qv[i]))
+              / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) END,
+         6) AS score
+FROM dq d, q
+ORDER BY score DESC, d.vec_id ASC
+LIMIT {TOPK_K}
+""",
+    doc="Search over the QUANTIZED store: codes dequantized on the fly in "
+    "the scoring expression - the 4x-memory path the reference always "
+    "runs (it never stores full precision, ai/aicomms/embed.go:42-50); "
+    "f64 mode so the oracle reproduces codes exactly",
+)
+def q_cosine_topk_quantized(spark, sf_dir):
+    from go_vectorsearch_spark.functions.vector import (
+        dequantize,
+        quantize,
+        vector_range,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qraw = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _dequant_f64(list(qraw))
+    lo, hi = vector_range(F.col("embedding"))
+    store = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_raw"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+    ).select(
+        "vec_id",
+        quantize(F.col("_raw"), F.col("_lo"), F.col("_hi"), "float64").alias("_codes"),
+        "_lo",
+        "_hi",
+    )
+    dq = store.select(
+        "vec_id",
+        dequantize(F.col("_codes"), F.col("_lo"), F.col("_hi"), "float64").alias(
+            "embedding"
+        ),
+    )
+    topk = brute_force_topk(dq, qvec, TOPK_K, id_col="vec_id", vec_col="embedding")
+    return topk.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "batch_search_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(sim, 6) AS score
+FROM (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM s)
+WHERE rn <= 3
+""",
+    doc="Batched multi-query search: Q query vectors scored in one pass "
+    "(broadcast queries x corpus, per-query window top-k) - the "
+    "Spark-native batch shape the per-request reference cannot express",
+)
+def q_batch_search_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from go_vectorsearch_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(qdf)).withColumn(
+        "sim", cosine_similarity(F.col("embedding"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("score"))
+    )
+
+
 @register(
     "vector_pack_roundtrip",
     oracle=None,  # f32 quantization codes are not reproducible in the
