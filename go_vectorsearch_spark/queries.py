@@ -448,6 +448,31 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       count(*) AS n
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) > 50
+GROUP BY event_type
+""",
+    doc="X4 JSON payload decode at query time: get_json_object path "
+    "extraction + filter + aggregate over the props JSON column "
+    "(reference: database/type.go:14-17 DocumentField.JSON)",
+)
+def q_events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .filter(F.col("_k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("_k").alias("k_sum"), F.count("*").alias("n"))
+    )
+
+
+@register(
     "multi_star_revenue",
     oracle="""
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
