@@ -1531,6 +1531,31 @@ def q_batch_search_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_recall_sweep",
+    oracle=None,  # recall against brute force: rows-only check
+    doc="IVF quality/cost trade: recall@10 vs brute force at nprobe "
+    "1/2/4/all on the cached index - the engine's accuracy dial "
+    "(reference default nprobe=1, server/search.go:118-122)",
+)
+def q_ivf_recall_sweep(spark, sf_dir):
+    from go_vectorsearch_spark.plans.ivf import ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    index = _ivf_index(spark, sf_dir)
+    n_cents = index.centroids.count()
+    bf = {r["vec_id"] for r in brute_force_topk(emb, qvec, TOPK_K).collect()}
+    out = []
+    for nprobe in sorted({1, 2, 4, n_cents}):
+        got = {
+            r["vec_id"]
+            for r in ivf_search(index, qvec, k=TOPK_K, nprobe=nprobe).collect()
+        }
+        out.append((int(nprobe), float(round(len(bf & got) / len(bf), 4))))
+    return spark.createDataFrame(out, "nprobe int, recall_at_10 double")
+
+
+@register(
     "vector_pack_roundtrip",
     oracle=None,  # f32 quantization codes are not reproducible in the
     # f64-only oracle engine; pytest cross-validates the codec against

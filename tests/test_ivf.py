@@ -101,3 +101,28 @@ def test_partitioned_roundtrip_and_pruning(spark, index, query_vec, tmp_path):
         )
     )
     assert probed.count() < 500
+
+
+def test_partitioned_index_prunes_partitions(spark, emb, tmp_path_factory):
+    """The written index layout must turn nprobe filters into partition
+    pruning: the scan of a partitionBy(centroid_id) table with an isin
+    filter shows PartitionFilters, the Spark analog of the reference's
+    indexed centroid_id column (database/model.go:16)."""
+    from go_vectorsearch_spark.plans.ivf import (
+        build_index,
+        read_index,
+        write_partitioned,
+    )
+
+    index = build_index(emb, max_leaf=100, sample_size=500)
+    path = str(tmp_path_factory.mktemp("ivf_store"))
+    write_partitioned(index, path)
+    stored = read_index(spark, path)
+    some_id = stored.centroids.select("centroid_id").head()[0]
+    pruned = stored.assigned.filter(F.col("centroid_id").isin([int(some_id)]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned read returns exactly that partition's rows
+    expect = index.assigned.filter(F.col("centroid_id") == int(some_id)).count()
+    assert pruned.count() == expect
