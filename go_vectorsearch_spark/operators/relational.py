@@ -115,6 +115,67 @@ def salted_join(
     return out.drop("_salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts, per ``on`` key. Spark has no native ASOF; the
+    naive range-join explodes, so this is the canonical distributed
+    shape: UNION both sides tagged, then one running ``last_value``
+    window per key — exactly ONE shuffle on (key), zero row
+    amplification, at any scale.
+
+    Ties (equal timestamps) resolve right-row-first, i.e. "at or
+    before" is inclusive. ``right_cols`` are carried from the matched
+    right row (null when no match yet). ``tie_col`` (unique) makes the
+    window order total for determinism.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(0).alias("_is_r"),
+    )
+    tagged_r = right.select(
+        *[
+            (F.col(c) if c in (on, ts_col) else F.lit(None).cast(t)).alias(c)
+            for c, t in left.dtypes
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.lit(1).alias("_is_r"),
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    order = [F.col(ts_col).asc(), F.col("_is_r").desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry the whole right row as ONE struct so a null right column
+    # can't make last(ignorenulls) skip to an older right row
+    rstruct = F.when(
+        F.col("_is_r") == 1,
+        F.struct(F.col(ts_col).alias("_ts"), *[F.col(f"_r_{c}").alias(c) for c in right_cols]),
+    )
+    last_r = F.last(rstruct, ignorenulls=True).over(w)
+    return (
+        unioned.select(*lcols, "_is_r", last_r.alias("_last_r"))
+        .filter(F.col("_is_r") == 0)
+        .select(
+            *lcols,
+            F.col("_last_r._ts").alias(f"asof_{ts_col}"),
+            *[F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in right_cols],
+        )
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, hex_prefix: str = "0") -> DataFrame:
     """C1/D2 analog: deterministic, engine-portable pseudo-sample.
 

@@ -473,6 +473,97 @@ def q_events_json_extract(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_r
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), w AS (
+  SELECT user_id, ts, event_id, is_r,
+         max(CASE WHEN is_r = 1 THEN ts END) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, is_r DESC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) AS asof_ts,
+         last_value(CASE WHEN is_r = 1 THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, is_r DESC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) AS asof_value
+  FROM u
+)
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(epoch_us(asof_ts) AS BIGINT) AS asof_ts_us,
+       round(asof_value, 4) AS asof_value
+FROM w WHERE is_r = 0
+""",
+    doc="As-of join (custom operator Spark lacks): each purchase matched "
+    "to the user's most recent at-or-before signup via the union + "
+    "running-last-value shape - one shuffle, no range-join explosion "
+    "(operators/relational.asof_join)",
+)
+def q_events_asof_join(spark, sf_dir):
+    from go_vectorsearch_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases, signups, on="user_id", ts_col="ts",
+        right_cols=["value"], tie_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    doc="Set-op extension: customers with no orders (broadcast anti-join; "
+    "the reference has no anti joins, SURVEY.md §2.3 note)",
+)
+def q_anti_join_idle_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Multi-distinct aggregation (expand-based partial aggregation; "
+    "absent from the reference, SURVEY.md §2.4 note)",
+)
+def q_agg_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "multi_star_revenue",
     oracle="""
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -45,3 +45,30 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts > 1  # the hot key's rows hash across salt buckets
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from go_vectorsearch_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(20)), (3, 10, t(2)), (4, 99, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(3), 1.0, 100), (10, t(20), 2.0, 101), (10, t(25), 3.0, 102)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["value"], tie_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (t(3), 1.0)  # most recent at-or-before
+    assert out[2] == (t(20), 2.0)  # equal timestamp is inclusive
+    assert out[3] == (None, None)  # no right row yet -> nulls
+    assert out[4] == (None, None)  # key with no right rows at all
