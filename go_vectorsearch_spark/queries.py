@@ -1647,6 +1647,83 @@ def q_ivf_recall_sweep(spark, sf_dir):
 
 
 @register(
+    "pipeline_clean_corpus",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE AS ar
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, text,
+         0.4 * ar
+         + 0.3 * (1.0 - abs(len(list_filter(toks, tok -> list_contains([{_SQL_STOPLIST}], tok)))::DOUBLE
+                            / len(toks)::DOUBLE - 0.4))
+         + 0.3 * least(list_sum(list_transform(toks, tok -> length(tok)))::DOUBLE
+                       / len(toks)::DOUBLE / 8.0, 1.0) AS quality,
+         len(toks) AS n_tokens
+  FROM t
+), kept AS (
+  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+         any_value(quality) AS quality, any_value(n_tokens) AS n_tokens
+  FROM q WHERE quality >= 0.5 GROUP BY md5(text)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM kept GROUP BY lang
+""",
+    doc="Composed training-data prep pipeline: quality-filter -> exact "
+    "dedup (keep min id) -> per-language corpus stats - the operators "
+    "chained the way a real cleaning job runs them",
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    from go_vectorsearch_spark.operators.dedup import exact_dedup
+    from go_vectorsearch_spark.sources.tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = T.ws_tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.quality_score(F.col("text")).alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    kept = exact_dedup(scored, id_col="doc_id", text_col="text")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@register(
+    "validate_documents",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE length(text) <> n_chars) AS bad_n_chars,
+       count(*) FILTER (WHERE text IS NULL OR trim(text) = '') AS empty_text,
+       count(*) FILTER (WHERE lang NOT IN ('de', 'en', 'es', 'zh')) AS bad_lang,
+       count(DISTINCT doc_id) AS distinct_ids
+FROM documents
+""",
+    doc="Data-validation operator: constraint counts (stored-length "
+    "consistency, empties, domain checks, key uniqueness) in one scan",
+)
+def q_validate_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.length("text") != F.col("n_chars")).alias("bad_n_chars"),
+        F.count_if(F.col("text").isNull() | (F.trim("text") == "")).alias("empty_text"),
+        F.count_if(~F.col("lang").isin(["de", "en", "es", "zh"])).alias("bad_lang"),
+        F.countDistinct("doc_id").alias("distinct_ids"),
+    )
+
+
+@register(
     "vector_pack_roundtrip",
     oracle=None,  # f32 quantization codes are not reproducible in the
     # f64-only oracle engine; pytest cross-validates the codec against
