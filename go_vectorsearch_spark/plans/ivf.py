@@ -184,6 +184,40 @@ def kmeans(
     return _centroids_df(spark, mat, list(range(len(mat))))
 
 
+def kmeans_mllib(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iters: int = 20,
+) -> DataFrame:
+    """C2 alternate path: pyspark.ml.clustering.KMeans with cosine
+    distance — the fully-distributed fit for corpora where even the
+    SAMPLE wouldn't fit the driver (no sampling shortcut; every
+    iteration scans the data). Same output schema as ``kmeans`` so
+    ``build_index`` callers can swap fits. The hand-rolled path stays
+    the default because its sample-fit matches the reference's
+    semantics (superset init + quantized convergence) exactly.
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = df.sparkSession
+    feat = df.select(array_to_vector(as_double_arr(F.col(vec_col))).alias("features"))
+    model = MLKMeans(
+        k=k, seed=seed, maxIter=max_iters, distanceMeasure="cosine"
+    ).fit(feat)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, CENTROID_SCHEMA)
+
+
+def as_double_arr(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
 @dataclass
 class IVFIndex:
     """centroids + per-row assignment, the queryable index."""

@@ -126,3 +126,58 @@ def test_partitioned_index_prunes_partitions(spark, emb, tmp_path_factory):
     # and the pruned read returns exactly that partition's rows
     expect = index.assigned.filter(F.col("centroid_id") == int(some_id)).count()
     assert pruned.count() == expect
+
+
+def test_kmeans_mllib_alternate_path(spark, emb):
+    """MLlib cosine KMeans is the fully-distributed fit alternative;
+    same output contract as the sample-fit path."""
+    from go_vectorsearch_spark.operators.assign import assign_nearest
+    from go_vectorsearch_spark.plans.ivf import kmeans_mllib
+
+    cents = kmeans_mllib(emb, 5, seed=42)
+    rows = cents.collect()
+    assert len(rows) == 5
+    assert {r["centroid_id"] for r in rows} == set(range(5))
+    assert all(len(r["centroid_vec"]) == 64 for r in rows)
+    # usable for assignment: every vector lands on a real centroid
+    assigned = assign_nearest(emb, cents, out_col="cid")
+    got = {r["cid"] for r in assigned.select("cid").distinct().collect()}
+    assert got <= set(range(5)) and len(got) >= 2
+    # deterministic under a fixed seed
+    again = kmeans_mllib(emb, 5, seed=42).collect()
+    assert sorted(map(repr, rows)) == sorted(map(repr, again))
+
+
+def test_mllib_minhash_agrees_with_custom(spark, sf_correct):
+    """Cross-check: MLlib's MinHashLSH approxSimilarityJoin finds the
+    same high-similarity document pairs as the hand-rolled
+    dedup.minhash_lsh_pairs (jaccard >= 0.5 band)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from go_vectorsearch_spark.operators.dedup import minhash_lsh_pairs, shingles
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    feats = cv.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    sim = lsh.approxSimilarityJoin(feats, feats, 0.5, distCol="dist")
+    theirs = {
+        (a, b)
+        for a, b in (
+            (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+            for r in sim.collect()
+        )
+        if a < b
+    }
+    # ours is verified-exact at the threshold; MLlib's approx join must
+    # surface every verified pair
+    assert ours <= theirs
