@@ -355,6 +355,77 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# 4b. Near-dup pair resolution: pairs -> clusters -> survivors
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    min-label propagation → (doc_id, component) where component = the
+    smallest doc_id reachable. Driver loop of broadcast-join rounds,
+    each halving the label distance (converges in O(log diameter)
+    rounds; near-dup clusters are shallow, typically 2-3 rounds).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(16):  # 2^16-diameter bound; real clusters are tiny
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates: keep one row (the min id) per connected
+    component of ``pairs``, plus every row not in any pair. The standard
+    last stage of a MinHash/SimHash pipeline: candidate pairs in, clean
+    corpus out."""
+    comp = neardup_components(pairs, id_a, id_b)
+    victims = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(victims), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # 5. Embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 

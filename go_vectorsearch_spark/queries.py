@@ -1166,6 +1166,46 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_neardup_survivors",
+    oracle=rf"""
+WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+  WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component < doc_id)
+""",
+    doc="Near-dup REMOVAL end to end: Jaccard pairs -> connected "
+    "components (distributed min-label propagation) -> keep min id per "
+    "cluster; oracle mirrors via a recursive reachability CTE "
+    "(operators/dedup.neardup_dedup)",
+)
+def q_dedup_neardup_survivors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=0.2)
+    return DD.neardup_dedup(docs, pairs).select("doc_id", "lang")
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -135,3 +135,32 @@ def test_fingerprint_properties(spark):
     assert fps[1] != fps[3]  # order-sensitive (rolling, not bag-of-words)
     # single-token doc: fold seeds with the token hash itself
     assert fps[4] == int("5d41402a", 16)  # md5('hello') prefix
+
+
+def test_neardup_components_and_dedup(spark):
+    from go_vectorsearch_spark.operators.dedup import neardup_components, neardup_dedup
+
+    # two clusters: {1,2,3} via chain 1-2, 2-3 and {7,9}; 5 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in neardup_dedup(docs, pairs).collect())
+    assert kept == [1, 5, 7]  # min id per cluster + untouched rows
+
+
+def test_neardup_dedup_end_to_end(spark, docs):
+    """Full pipeline: jaccard pairs over the planted fixture -> dedup
+    keeps doc 1 (min of the {1,2,3} near-dup cluster) and doc 4."""
+    from go_vectorsearch_spark.operators.dedup import jaccard_pairs, neardup_dedup
+
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in neardup_dedup(docs, pairs).collect())
+    assert kept == [1, 4]
