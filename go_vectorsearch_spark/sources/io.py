@@ -1,0 +1,72 @@
+"""Engine table IO across source formats.
+
+The reference stores rows in SQLite/PostgreSQL only; this engine's
+canonical store is parquet (columnar, zstd — database/compression.go's
+codec for free), but pipelines ingest from and export to whatever the
+upstream produces. One writer/reader pair per format with identical
+round-trip semantics, so every operator works on any source.
+
+Format notes (scale):
+  * parquet — canonical: columnar pruning + predicate pushdown + stats.
+  * json (lines) — ingest format; arrays/structs map natively. Schema
+    must be supplied on read (inference = extra full scan).
+  * csv — flat columns only: array columns (embeddings) are serialized
+    to a JSON string column on write and parsed back on read, the
+    standard escape hatch for vector data in flat files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "json", "csv")
+
+
+def _array_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite")
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        out = df
+        for c in _array_cols(df):
+            out = out.withColumn(c, F.to_json(F.col(c)))
+        out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Read a table previously written by ``write_table``. ``schema`` is
+    required for json/csv (supply the original ``df.schema``): inference
+    would cost a scan and widen types."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if schema is None:
+        raise ValueError(f"schema required to read {fmt} (avoid inference scans)")
+    target = (
+        T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if fmt == "json":
+        return spark.read.schema(target).json(path)
+    # csv: read array columns as strings, then parse back
+    flat_fields = [
+        T.StructField(f.name, T.StringType() if isinstance(f.dataType, T.ArrayType) else f.dataType)
+        for f in target.fields
+    ]
+    df = spark.read.schema(T.StructType(flat_fields)).option("header", True).csv(path)
+    for f in target.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+    return df.select(*[f.name for f in target.fields])
