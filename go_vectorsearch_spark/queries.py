@@ -628,6 +628,48 @@ def q_pivot_status_priority(spark, sf_dir):
 
 
 @register(
+    "cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="Cube extension: all grouping-set combinations in one pass "
+    "(expand + partial agg; completes rollup/pivot coverage)",
+)
+def q_cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "events_sliding_quarter",
+    oracle="""
+SELECT CAST(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900 AS BIGINT) AS win_start_epoch,
+       event_type, count(*) AS n
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+GROUP BY 1, 2
+""",
+    doc="Sliding-window batch twin (1h window, 15min slide: every event "
+    "lands in exactly 4 panes) - batch form of streaming/events."
+    "sliding_counts, same grid arithmetic in both engines",
+)
+def q_events_sliding_quarter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
     "rollup_pricing",
     oracle="""
 SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

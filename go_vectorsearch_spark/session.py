@@ -33,7 +33,10 @@ def get_spark(app_name: str = "spark-vectorsearch") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM holds executors AND caches; a small heap
+        # GC-thrashes once the bench has persisted indexes/shingle frames
+        # (the harness box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Parquet blobs (documents) compress with zstd like the reference
         # stores payloads (database/compression.go:36-47) - free via codec.
