@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from go_vectorsearch_spark.operators.documents import flatten, split_text
@@ -98,17 +98,21 @@ def test_flatten_total_and_deterministic(value):
 
 @given(st.dictionaries(st.text(min_size=1, max_size=6), json_scalars, min_size=1, max_size=5))
 @settings(max_examples=100, deadline=None)
+@example(d={"0": None, "Ð": None, "/Ð": None})
 def test_flatten_map_sorted_keys(d):
     out = flatten(d)
-    # keys appear in sorted order as 'key: ' markers
-    positions = []
+    # 'key: ' markers appear in sorted-key order. The reference joins map
+    # entries with NO separator unless both jdx and idx are non-last
+    # (flattenMap, server/format.go:69-88), so markers can alias as
+    # substrings of each other ('Ð' inside '/Ð: null.Ð: '); a greedy
+    # sequential find proves an increasing assignment exists iff the
+    # sorted order is respected, without assuming one-line-per-key.
+    pos = 0
     for k in sorted(d):
         marker = f"{k}: "
-        assert marker in out
-        positions.append(out.index(marker))
-    # first occurrence order respects sorted key order for distinct keys
-    if len(set(positions)) == len(positions):
-        assert positions == sorted(positions)
+        i = out.find(marker, pos)
+        assert i != -1, f"marker {marker!r} not found after {pos} in {out!r}"
+        pos = i + len(marker)
 
 
 # ---------------------------------------------------------------------------
