@@ -57,6 +57,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingled_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(_id, _sh) doc → distinct-shingle-array frame — the shared input of
+    :func:`jaccard_pairs` and :func:`minhash_lsh_pairs`. Compute (and
+    persist) it once when running several dedup variants over the same
+    corpus: shingling is the dominant map-side cost and is identical
+    across them."""
+    return spread(df).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------------
@@ -92,25 +105,39 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ ``threshold``.
 
-    Plan: explode distinct shingles → (optional) drop shingles appearing in
-    more than ``max_shingle_freq`` docs (hot-key cap — the standard prefix
-    trick that keeps the self-join linear-ish at corpus scale) → self
-    equi-join on shingle → count common per pair → Jaccard from per-doc set
-    sizes. Three shuffles total, all on reduced data.
+    Plan: explode distinct shingles → drop shingles appearing in more than
+    ``max_shingle_freq`` docs (hot-key cap — the standard prefix trick that
+    keeps the self-join linear-ish at corpus scale: one shingle shared by f
+    docs contributes f² join rows, so an uncapped hot shingle like "the end
+    of" is a quadratic blowup) → self equi-join on shingle → count common
+    per pair → Jaccard from per-doc set sizes. Three shuffles total, all on
+    reduced data.
+
+    The cap is ON by default; pass ``max_shingle_freq=None`` only for
+    small-corpus oracle-parity runs. A capped run can only *miss* pairs
+    whose overlap is exclusively hot shingles; per-doc set sizes are
+    computed before capping, so reported Jaccard values are unchanged.
+
+    ``shingled`` (a persisted :func:`shingled_docs` frame) lets several
+    dedup variants share one shingling pass.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_s")
-    ).persist()  # reused by sizes + both join sides: shingle once
+    if shingled is None:
+        shingled = shingled_docs(df, id_col, text_col, n).persist()
+    sh = shingled.select("_id", F.explode("_sh").alias("_s"))
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("_s").agg(F.count("*").alias("_f")).filter(
@@ -181,6 +208,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from 4×4 LSH banding, verified with exact Jaccard.
 
@@ -189,17 +217,18 @@ def minhash_lsh_pairs(
     (the only shuffle over candidates) → distinct pairs → verify Jaccard on
     the candidate set only via array_intersect of the distinct-shingle
     arrays. At 100 TB the band join touches ~|docs|·4 short rows, never
-    raw text.
+    raw text. ``shingled`` (see :func:`shingled_docs`) shares the
+    shingling pass with the other dedup variants.
     """
+    if shingled is None:
+        shingled = shingled_docs(df, id_col, text_col, n)
     # Materialize shingles once, md5-hash once, THEN derive the 16
     # signature mins from the cached hash array — without this the
     # (shingle + md5) subtree would be re-evaluated 16x per signature
     # element and again on every reuse of sigd (two join sides + verify),
     # which measured ~14x slower at sf0.1.
     sigd = (
-        spread(df).select(
-            F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
-        )
+        shingled
         .withColumn("_hs", F.transform(F.col("_sh"), md5_int32))
         .withColumn("_sig", _signature_from_hashes(F.col("_hs")))
         .select("_id", "_sh", "_sig")
@@ -301,6 +330,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` (≤ 3).
 
@@ -308,14 +338,13 @@ def simhash_pairs(
     bands; any pair within Hamming 3 must agree on ≥ 1 band (pigeonhole),
     so the band equi-join finds *all* such pairs — exact, not
     approximate — while shuffling only (band, key) ints. Verification
-    uses bit_count(xor).
+    uses bit_count(xor). Pass a precomputed (persisted) :func:`simhash`
+    frame as ``sims`` to share the sketch pass with other consumers.
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs hamming < bands"
-    sims = (
-        simhash(df, id_col, text_col)
-        .select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sim"))
-        .persist()  # reused by both sides of the band self-join
-    )
+    if sims is None:
+        sims = simhash(df, id_col, text_col).persist()
+    sims = sims.select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sim"))
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sims.select(
         "_id",
@@ -359,13 +388,15 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def neardup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 32
+) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation → (doc_id, component) where component = the
-    smallest doc_id reachable. Driver loop of broadcast-join rounds,
-    each halving the label distance (converges in O(log diameter)
-    rounds; near-dup clusters are shallow, typically 2-3 rounds).
-    """
+    smallest doc_id reachable. Driver loop of join rounds, converging in
+    O(diameter) rounds; near-dup clusters are shallow (typically 2-3
+    rounds). Raises if the round budget is exhausted before convergence
+    (a silent early exit would split components and leave duplicates)."""
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -378,7 +409,8 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b")
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(16):  # 2^16-diameter bound; real clusters are tiny
+    changed = -1
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -404,6 +436,12 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b")
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing): graph diameter exceeds the "
+            "round budget; raise max_rounds"
+        )
     return labels
 
 
@@ -417,12 +455,18 @@ def neardup_dedup(
     """Drop near-duplicates: keep one row (the min id) per connected
     component of ``pairs``, plus every row not in any pair. The standard
     last stage of a MinHash/SimHash pipeline: candidate pairs in, clean
-    corpus out."""
+    corpus out.
+
+    The victim anti-join is a plain shuffle join, NOT a broadcast: the
+    victim set is O(duplicate count) — on a crawl-scale corpus that is
+    billions of ids, far past broadcast range. Catalyst still picks a
+    broadcast strategy on its own when victims are under the autoBroadcast
+    threshold, so small cases lose nothing."""
     comp = neardup_components(pairs, id_a, id_b)
     victims = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(victims), id_col, "left_anti")
+    return df.join(victims, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -435,46 +479,130 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity ≥ ``threshold``.
 
-    Block GEMM via mapInPandas: the full normalized matrix is broadcast
-    (fine up to a few million rows at 64–1024 dims); each partition
-    multiplies its block against the broadcast matrix with one numpy GEMM
-    and emits only above-threshold pairs — the same blocked all-pairs shape
-    the reference uses for centroid assignment (compute/cosine_gonum.go:
-    60-116), vectorized per partition instead of per call.
+    Fully distributed block-pair GEMM — the reference's blocked all-pairs
+    matrix shape (compute/cosine_gonum.go:60-116) as a Spark plan, with
+    NOTHING collected to the driver:
 
-    For corpora too big to broadcast, bucket first (e.g. by IVF centroid or
-    SimHash band) and run this within buckets.
+      1. deterministic block id  b = id mod B  (B sized so one block is
+         ~``rows_per_block`` rows → a few MB at 64–1024 dims);
+      2. pack each block into ONE row of (ids, matrix) via collect_list —
+         a single shuffle of the vector data;
+      3. self cross-join the B packed rows on b_a <= b_b → B(B+1)/2
+         block-pair tasks, each independent;
+      4. per task, one numpy GEMM of the two normalized blocks; emit only
+         above-threshold (id_a < id_b) pairs.
+
+    Work is O(n²·d) — inherent to *exact* all-pairs — but spread over
+    B²/2 tasks with O(n/B · d) memory each; no task and no driver ever
+    holds the corpus. For web-scale corpora where exact n² is off the
+    table, use :func:`embedding_neardup_pairs_lsh` (bucket first, GEMM
+    within buckets) and keep this as its small-corpus recall oracle.
     """
     spark = emb.sparkSession
-    emb = spread(emb)
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    mat /= norms
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    emb = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = emb.count()
+    n_blocks = max(1, -(-n // rows_per_block))
+    packed = (
+        emb.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+        .persist()
+    )
+    # The B(B+1)/2 block-pair task list is two ints per row — driver-tiny
+    # even at thousands of blocks. Equi-joining it against `packed` twice
+    # replicates each block to its pairs through ordinary shuffle joins;
+    # a <=-condition self-join would instead compile to a nested-loop join
+    # that BROADCASTS the packed vectors (the exact anti-pattern this
+    # rewrite removes).
+    pair_list = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "_blk_a int, _blk_b int",
+    )
+    task_pairs = (
+        pair_list.join(
+            packed.select(F.col("_blk").alias("_blk_a"), F.col("_rows").alias("_rows_a")),
+            "_blk_a",
+        )
+        .join(
+            packed.select(F.col("_blk").alias("_blk_b"), F.col("_rows").alias("_rows_b")),
+            "_blk_b",
+        )
+        # one task (= one GEMM) per row, spread across the cluster
+        .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
+    )
 
-    def block_pairs(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
+    def _unpack(cell) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.fromiter((e["_id"] for e in cell), dtype=np.int64, count=len(cell))
+        mat = np.array([e["_v"] for e in cell], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return ids, mat / norms
+
+    def gemm_blocks(batches):
         for pdf in batches:
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bn = np.linalg.norm(block, axis=1, keepdims=True)
-            bn[bn == 0.0] = 1.0
-            block = block / bn
-            sims = block @ all_mat.T  # (block, corpus) GEMM
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bi, cj = np.nonzero(sims >= threshold)
-            ia, ib, s = bids[bi], all_ids[cj], sims[bi, cj]
-            keep = ia < ib
-            yield pd.DataFrame(
-                {"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]}
-            )
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = _unpack(row["_rows_a"])
+                same = row["_blk_a"] == row["_blk_b"]
+                ids_b, mat_b = (ids_a, mat_a) if same else _unpack(row["_rows_b"])
+                sims = mat_a @ mat_b.T
+                ai, bj = np.nonzero(sims >= threshold)
+                ia, ib, s = ids_a[ai], ids_b[bj], sims[ai, bj]
+                keep = ia < ib
+                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        block_pairs, schema="id_a long, id_b long, cosine double"
+    out = task_pairs.mapInPandas(gemm_blocks, schema="id_a long, id_b long, cosine double")
+    return out
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: LSH-bucket first, exact GEMM
+    within buckets only — the linear-ish scale path when exact n² is
+    impossible. Two vectors land in the same sign-random-projection
+    bucket with probability (1 - θ/π)^n_bits for angle θ, so high-cosine
+    pairs collide with high probability; recall is tunable via n_bits
+    (fewer bits → bigger buckets → higher recall, more work).
+
+    One shuffle on (bucket), then per-bucket numpy GEMM via
+    applyInPandas. Bucket sizes are bounded in practice by the hashing;
+    compare against :func:`embedding_neardup_pairs` on a sample to
+    calibrate recall (tests/test_dedup.py does).
+    """
+    from go_vectorsearch_spark.plans.lsh import lsh_bucket, rademacher_planes
+
+    dim = len(emb.select(vec_col).head()[0])
+    planes = rademacher_planes(dim, n_bits=n_bits)
+    bucketed = spread(emb).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        ai, bj = np.nonzero(sims >= threshold)
+        ia, ib, s = ids[ai], ids[bj], sims[ai, bj]
+        keep = ia < ib
+        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
+
+    return bucketed.groupBy("_bkt").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, cosine double"
     )

@@ -103,7 +103,16 @@ def salted_join(
     xxhash64(whole left row) mod n, so it is deterministic (rerunnable)
     without requiring any unique column. Result is row-identical to the
     plain join (asserted in tests).
+
+    Only inner/left are supported: the right side is replicated
+    ``n_salts`` times, so right/full outer joins would emit each
+    unmatched right row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     salt = F.abs(F.xxhash64(*[F.col(c) for c in left.columns]) % n_salts).cast("int")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.crossJoin(
@@ -133,9 +142,15 @@ def asof_join(
     Ties (equal timestamps) resolve right-row-first, i.e. "at or
     before" is inclusive. ``right_cols`` are carried from the matched
     right row (null when no match yet). ``tie_col`` (unique) makes the
-    window order total for determinism.
+    window order total for determinism; when the right table has the
+    same column, its value is carried into the tie slot so right-right
+    ties at equal (key, ts) are also totally ordered (otherwise the
+    matched asof_* values would be nondeterministic among them).
     """
     lcols = left.columns
+    carried = {on, ts_col}
+    if tie_col is not None and tie_col in right.columns:
+        carried.add(tie_col)
     tagged_l = left.select(
         *lcols,
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
@@ -143,7 +158,7 @@ def asof_join(
     )
     tagged_r = right.select(
         *[
-            (F.col(c) if c in (on, ts_col) else F.lit(None).cast(t)).alias(c)
+            (F.col(c) if c in carried else F.lit(None).cast(t)).alias(c)
             for c, t in left.dtypes
         ],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],

@@ -77,16 +77,20 @@ def brute_force_topk(
     return best.orderBy(F.desc("score"), F.asc(key)).limit(k)
 
 
-def topk_paginated(topk_df: DataFrame, count: int, offset: int) -> DataFrame:
+def topk_paginated(
+    topk_df: DataFrame, count: int, offset: int, id_col: str = "document_id"
+) -> DataFrame:
     """T3: offset/limit pagination over an already-ranked top-k result.
 
     The reference slices the in-memory top-(count+offset) list
     (server/search.go:312-331); here ``topk_df`` must already be limited
     to count+offset rows, and we re-rank + slice. Top-k results are tiny
     (count <= 20 in the reference, server/search.go:116) so the single
-    partition sort is free.
+    partition sort is free. ``id_col`` breaks score ties so adjacent
+    pages never duplicate or drop equal-scored rows (the registry's
+    every-LIMIT-has-a-total-order convention).
     """
-    w = F.row_number().over(Window.orderBy(F.desc("score")))
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))
     ranked = topk_df.withColumn("_rank", w)
     return ranked.filter(F.col("_rank") > offset).drop("_rank").limit(count)
 

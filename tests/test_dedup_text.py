@@ -164,3 +164,89 @@ def test_neardup_dedup_end_to_end(spark, docs):
     pairs = jaccard_pairs(docs, threshold=0.5)
     kept = sorted(r["doc_id"] for r in neardup_dedup(docs, pairs).collect())
     assert kept == [1, 4]
+
+
+def test_jaccard_default_cap_not_binding_at_sf001(spark, sf_correct):
+    """The registry query runs with the default hot-shingle cap; at the
+    correctness sf the most frequent shingle is far below the cap, so the
+    capped plan is value-identical to the uncapped oracle (asserted here
+    rather than trusted)."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    sh = docs.select(F.explode(DD.shingles(F.col("text"))).alias("s"))
+    max_freq = sh.groupBy("s").count().agg(F.max("count")).head()[0]
+    assert max_freq < DD.DEFAULT_MAX_SHINGLE_FREQ
+
+
+def test_jaccard_cap_bounds_hot_key_fanout(spark):
+    """A synthetic hot shingle shared by every doc: uncapped, every pair
+    is a candidate (quadratic); capped, docs that share ONLY the hot
+    shingle produce no pair while genuinely-similar pairs survive."""
+    hot = "common boilerplate footer"
+    rows = [(i, f"unique{i} text number{i} " + hot) for i in range(1, 21)]
+    rows.append((100, "unique1 text number1 " + hot))  # near-dup of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = DD.jaccard_pairs(docs, threshold=0.2, max_shingle_freq=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1, 100) in got  # real near-dup survives the cap
+    # boilerplate-only overlaps are gone: candidate set is tiny, not ~20^2
+    assert len(got) < 5
+    uncapped = DD.jaccard_pairs(docs, threshold=0.01, max_shingle_freq=None).count()
+    assert uncapped == 21 * 20 // 2  # every pair shares the hot shingle
+
+
+def test_embedding_neardup_multiblock_equals_singleblock(spark):
+    """The distributed block-pair GEMM must emit the same pairs whatever
+    the blocking factor (1 block == the old all-in-one shape)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(8) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.9, rows_per_block=100).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.9, rows_per_block=3).collect()
+    }
+    assert single == multi
+    assert all((2 * i, 2 * i + 1) in single for i in range(6))  # planted dups found
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-bucketed approximate variant finds planted near-identical
+    pairs (same bucket with overwhelming probability at cosine ~1)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(16) * 1e-4]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.99).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_neardup_pairs_lsh(emb, threshold=0.99, n_bits=4).collect()
+    }
+    assert approx <= exact  # no false pairs: verification is exact cosine
+    assert len(approx & exact) / len(exact) == 1.0  # cosine~1 pairs always collide
+
+
+def test_neardup_components_raises_when_budget_exhausted(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.neardup_components(chain, max_rounds=1)
+    comp = {r["doc_id"]: r["component"] for r in DD.neardup_components(chain).collect()}
+    assert set(comp.values()) == {1}  # one chain, one component

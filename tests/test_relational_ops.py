@@ -72,3 +72,53 @@ def test_asof_join_semantics(spark):
     assert out[2] == (t(20), 2.0)  # equal timestamp is inclusive
     assert out[3] == (None, None)  # no right row yet -> nulls
     assert out[4] == (None, None)  # key with no right rows at all
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1)], "k long, payload long")
+    right = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(left, right, "k", how="full")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(left, right, "k", how="right")
+
+
+def test_asof_join_right_tie_deterministic(spark):
+    """Two right rows at the same (key, ts): the carried asof_* values
+    must come from the one with the greatest tie_col (the last in the
+    total window order), every run — matching the DuckDB oracle's
+    ORDER BY ts, is_r DESC, event_id ASC."""
+    from datetime import datetime
+
+    from go_vectorsearch_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(3), 1.0, 200), (10, t(3), 2.0, 100)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    for _ in range(3):
+        out = asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["value"], tie_col="event_id",
+        ).collect()
+        assert [(r["event_id"], r["asof_value"]) for r in out] == [(1, 1.0)]
+
+
+def test_topk_paginated_tie_break_no_overlap(spark):
+    """Equal scores across a page boundary: pages must partition the
+    result set (no duplicated/dropped rows), via the id tie-break."""
+    from go_vectorsearch_spark.operators.search import topk_paginated
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(1, 9)], "document_id long, score double"
+    )
+    p1 = {r["document_id"] for r in topk_paginated(df, 4, 0).collect()}
+    p2 = {r["document_id"] for r in topk_paginated(df, 4, 4).collect()}
+    assert p1 == {1, 2, 3, 4}
+    assert p2 == {5, 6, 7, 8}
