@@ -27,13 +27,17 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_vectorsearch_spark.functions.vector import dequantize, quantize, vector_range
 from go_vectorsearch_spark.operators.assign import assign_nearest
 from go_vectorsearch_spark.operators.documents import (
+    NOOP_HI,
+    NOOP_LO,
     SEARCH_QUERY_PREFIX,
     noop_embed,
+    noop_embed_codes,
     prepare_chunks,
 )
 from go_vectorsearch_spark.operators.search import (
@@ -44,6 +48,13 @@ from go_vectorsearch_spark.operators.search import (
 
 EMBED_DIM = 64  # matches the driver testdata's embedding width
 
+# The managed embeddings table stores QUANTIZED codes + the f32 range —
+# never full-precision floats. This mirrors the reference exactly: vectors
+# are quantized at JSON-decode time (ai/aicomms/embed.go:42-50) and the
+# database only ever sees the [lo f32][hi f32][codes u8] form
+# (compute/quantization.go:71-80); every consumer dequantizes in-flight.
+# At 100 TB this is the 4x memory/storage headline: 1 byte per dim + 8
+# bytes per vector instead of 4 bytes per dim.
 _SCHEMAS = {
     "owners": "owner_id long, name string",
     "categories": "category_id long, name string, owner_id long",
@@ -53,10 +64,43 @@ _SCHEMAS = {
     ),
     "embeddings": (
         "embedding_id long, document_id long, centroid_id long, "
-        "vector array<float>"
+        "codes array<int>, lo float, hi float"
     ),
     "centroids": "centroid_id long, category_id long, vector array<float>",
 }
+
+
+def quantized_store(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precision: str = "float32",
+) -> DataFrame:
+    """Convert a float-vector frame to the engine's canonical quantized
+    form: (id, codes array<int>, lo float, hi float), per-vector
+    0-anchored f32 range (§1.3 semantics). Pure Catalyst expressions.
+    precision="float64" runs the affine map in double for engines that
+    must reproduce the codes without f32 arithmetic (the oracle)."""
+    lo, hi = vector_range(F.col(vec_col))
+    with_range = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_raw"), lo.alias("lo"), hi.alias("hi")
+    )
+    return with_range.select(
+        id_col,
+        quantize(F.col("_raw"), F.col("lo"), F.col("hi"), precision).alias("codes"),
+        "lo",
+        "hi",
+    )
+
+
+def dequantized_vector(store: DataFrame, out_col: str = "vector") -> DataFrame:
+    """Attach the dequantize-in-expression working vector to a quantized
+    store frame — the scoring path never materializes a float table; the
+    dequantize folds into the downstream cosine expression inside
+    whole-stage codegen."""
+    return store.withColumn(
+        out_col, dequantize(F.col("codes"), F.col("lo"), F.col("hi"), "float32")
+    )
 
 
 class _VersionedTable:
@@ -91,6 +135,26 @@ class _VersionedTable:
         w.parquet(path)
         with open(self._ptr, "w") as f:
             f.write(str(v))
+
+
+def assign_embedding_ids(
+    chunks: DataFrame, base_emb: int, base_doc: int, stride: int | None = None
+) -> DataFrame:
+    """Unique, deterministic embedding_id per (doc_id, chunk_idx) with NO
+    global sort: id = base + (doc_id - base_doc) * stride + chunk_idx,
+    stride = max chunks per doc in the batch (one tiny agg job). A
+    row_number over an unpartitioned Window would funnel the whole batch
+    through one task — fine for request-sized uploads, the wrong shape
+    for bulk ingest. Ids are gappy (stride over-allocates); id allocation
+    is max+1 so gaps are harmless."""
+    if stride is None:
+        stride = (chunks.agg(F.max("chunk_idx")).head()[0] or 0) + 1
+    return chunks.withColumn(
+        "embedding_id",
+        F.lit(base_emb)
+        + (F.col("doc_id") - F.lit(base_doc)) * F.lit(stride)
+        + F.col("chunk_idx"),
+    )
 
 
 class Engine:
@@ -148,9 +212,18 @@ class Engine:
             ],
             "doc_id long, name string, external_id string, payload_json string",
         )
-        chunks = prepare_chunks(docs, ctx_num=2048).withColumn(
-            "vector", noop_embed(F.col("chunk"), dim=self.embed_dim)
+        # Embed → quantized codes immediately (the reference never holds
+        # full precision past the decode boundary, ai/aicomms/embed.go:
+        # 42-50); the noop embedder's range is the fixed [-1, 1] header.
+        # "vector" is the dequantize-in-expression working column used
+        # for centroid assignment, never stored.
+        chunks = (
+            prepare_chunks(docs, ctx_num=2048)
+            .withColumn("codes", noop_embed_codes(F.col("chunk"), dim=self.embed_dim))
+            .withColumn("lo", F.lit(NOOP_LO).cast("float"))
+            .withColumn("hi", F.lit(NOOP_HI).cast("float"))
         )
+        chunks = dequantized_vector(chunks)
 
         # first upload of a category seeds centroid #1 with the first
         # chunk's embedding (server/upload.go:210-227)
@@ -174,12 +247,13 @@ class Engine:
         )
 
         base_emb = self._next_id("embeddings", "embedding_id")
-        w = F.row_number().over(Window.orderBy("doc_id", "chunk_idx"))
-        new_emb = assigned.withColumn("embedding_id", F.lit(base_emb - 1) + w).select(
+        new_emb = assign_embedding_ids(assigned, base_emb, base_doc).select(
             "embedding_id",
             F.col("doc_id").alias("document_id"),
             "centroid_id",
-            "vector",
+            "codes",
+            "lo",
+            "hi",
         )
         self.t["embeddings"].write(
             self.t["embeddings"].read().unionByName(new_emb),
@@ -232,7 +306,9 @@ class Engine:
         if not probe_ids:
             return empty
 
-        emb = (
+        # probed partitions only; scoring dequantizes the stored codes
+        # inside the cosine expression (no float table ever materialized)
+        emb = dequantized_vector(
             self.t["embeddings"]
             .read()
             .filter(F.col("centroid_id").isin(probe_ids))  # partition pruning
@@ -340,7 +416,9 @@ class Engine:
         if scoped.isEmpty():
             return 0
         index = build_index(
-            scoped.select(F.col("embedding_id").alias("vec_id"), F.col("vector").alias("embedding")),
+            dequantized_vector(scoped).select(
+                F.col("embedding_id").alias("vec_id"), F.col("vector").alias("embedding")
+            ),
             max_leaf=max_leaf,
         )
         base = self._next_id("centroids", "centroid_id")

@@ -348,9 +348,30 @@ def _assign_children_gemm(
     return df.mapInPandas(reassign, schema=out_schema)
 
 
-def recenter(assigned: DataFrame, vec_col: str) -> DataFrame:
-    """C5 step 7: centroid := mean of member vectors (dnc/dnc.go:402-456)."""
-    return vector_mean(assigned, ["centroid_id"], vec_col, out_col="centroid_vec")
+def recenter(assigned: DataFrame, vec_col: str, quantize_output: bool = True) -> DataFrame:
+    """C5 step 7: centroid := mean of member vectors, then an f32
+    quantize→dequantize round-trip of the mean (dnc/dnc.go:402-456: the
+    reference re-quantizes recentered centroids on save, it never stores
+    a full-precision centroid). The round-trip runs as Catalyst
+    expressions per centroid row — same §1.3 semantics (0-anchored f32
+    range, truncation) as the driver-side ``_quantize_f32_roundtrip``
+    used inside the k-means loop."""
+    means = vector_mean(assigned, ["centroid_id"], vec_col, out_col="centroid_vec")
+    if not quantize_output:
+        return means
+    from go_vectorsearch_spark.functions.vector import (
+        as_double,
+        dequantize,
+        quantize,
+        vector_range,
+    )
+
+    lo, hi = vector_range(F.col("centroid_vec"))
+    codes = quantize(F.col("centroid_vec"), lo, hi, "float32")
+    return means.select(
+        "centroid_id",
+        as_double(dequantize(codes, lo, hi, "float32")).alias("centroid_vec"),
+    )
 
 
 def prune_small(index: IVFIndex, vec_col: str, min_size: int) -> IVFIndex:

@@ -100,3 +100,35 @@ def test_delete_category_and_owner_cascade(engine):
     # other tenant's data fully gone, acme's wiki intact
     assert eng.t["owners"].read().filter(F.col("name") == "other").count() == 0
     assert eng.search("acme", "wiki", "spark", nprobe=-1).count() >= 1
+
+
+def test_embeddings_store_is_quantized(engine):
+    """The managed embeddings table must hold codes+range, never float
+    vectors (the reference quantizes at decode and stores only bytes,
+    ai/aicomms/embed.go:42-50 + compute/quantization.go:71-80)."""
+    eng, _ = engine
+    emb = eng.t["embeddings"].read()
+    assert {"codes", "lo", "hi"} <= set(emb.columns)
+    assert "vector" not in emb.columns
+    row = emb.head()
+    assert all(0 <= c <= 255 for c in row["codes"])
+    assert row["lo"] <= 0.0 <= row["hi"]
+
+
+def test_assign_embedding_ids_no_global_sort(spark):
+    """Bulk-ingest id assignment must not funnel the batch through a
+    single-partition Window sort; ids are unique and deterministic."""
+    from go_vectorsearch_spark.api import assign_embedding_ids
+
+    chunks = spark.createDataFrame(
+        [(100 + d, c) for d in range(50) for c in range((d % 3) + 1)],
+        "doc_id long, chunk_idx int",
+    )
+    out = assign_embedding_ids(chunks, base_emb=7, base_doc=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    ids = [r["embedding_id"] for r in out.collect()]
+    assert len(ids) == len(set(ids))  # unique
+    again = [r["embedding_id"] for r in assign_embedding_ids(chunks, 7, 100).collect()]
+    assert sorted(ids) == sorted(again)  # deterministic
+    assert min(ids) == 7  # first doc, first chunk

@@ -181,3 +181,32 @@ def test_mllib_minhash_agrees_with_custom(spark, sf_correct):
     # ours is verified-exact at the threshold; MLlib's approx join must
     # surface every verified pair
     assert ours <= theirs
+
+
+def test_recenter_quantizes_means(spark):
+    """recenter must return the f32 quantize->dequantize round-trip of the
+    member mean (the reference re-quantizes saved centroids,
+    dnc/dnc.go:402-456), matching the driver-side golden byte-for-byte."""
+    from go_vectorsearch_spark.plans.ivf import _quantize_f32_roundtrip, recenter
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 3.25]),
+        (0, [0.5, 1.0, -0.25, 0.125]),
+        (1, [10.0, 0.0, -5.0, 2.5]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.3333333, 0.6666667, 0.1, 0.9]),
+    ]
+    assigned = spark.createDataFrame(rows, "centroid_id long, embedding array<double>")
+    got = {
+        r["centroid_id"]: np.array(r["centroid_vec"])
+        for r in recenter(assigned, "embedding").collect()
+    }
+    raw = {
+        r["centroid_id"]: np.array(r["centroid_vec"])
+        for r in recenter(assigned, "embedding", quantize_output=False).collect()
+    }
+    for cid, mean_vec in raw.items():
+        golden = _quantize_f32_roundtrip(mean_vec.reshape(1, -1))[0]
+        assert np.array_equal(got[cid], golden), cid
+        # and quantization actually moved at least one non-trivial value
+    assert any(not np.array_equal(got[c], raw[c]) for c in raw)
