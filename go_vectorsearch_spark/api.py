@@ -26,18 +26,18 @@ is partition pruning, exactly the IVF inverted-list layout
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_vectorsearch_spark.operators.relational import lookup_by_keys
+
 from go_vectorsearch_spark.functions.vector import dequantize, quantize, vector_range
 from go_vectorsearch_spark.operators.assign import assign_nearest
 from go_vectorsearch_spark.operators.documents import (
-    NOOP_HI,
-    NOOP_LO,
     SEARCH_QUERY_PREFIX,
     noop_embed,
-    noop_embed_codes,
     prepare_chunks,
 )
 from go_vectorsearch_spark.operators.search import (
@@ -162,13 +162,88 @@ class Engine:
     reference server process; a 'deployment' would point many readers at
     the same root)."""
 
-    def __init__(self, spark: SparkSession, root: str, embed_dim: int = EMBED_DIM):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embed_dim: int = EMBED_DIM,
+        api_bases: Sequence[str] | None = None,
+        embed_model: str = "embed",
+    ):
+        """``api_bases``: embedding endpoint URLs — when set, upload and
+        search embed via the batched HTTP source (sources/embed_http,
+        reference ai/ollama/embed.go); when None (default) the
+        deterministic in-process noop model runs (noop/ai.go:47-64)."""
         self.spark = spark
         self.embed_dim = embed_dim
+        self.api_bases = list(api_bases) if api_bases else None
+        self.embed_model = embed_model
         self.t = {
             name: _VersionedTable(spark, root, name, ddl)
             for name, ddl in _SCHEMAS.items()
         }
+
+    # -- embedding seam (S12) ----------------------------------------------
+    def _embed_chunks(self, chunks: DataFrame) -> DataFrame:
+        """chunk text -> canonical (codes, lo, hi) via the configured
+        provider (HTTP batched mapInPandas, or noop expressions)."""
+        from go_vectorsearch_spark.sources.embed_http import embed_chunks
+
+        return embed_chunks(
+            chunks,
+            text_col="chunk",
+            api_bases=self.api_bases,
+            dim=self.embed_dim,
+            model=self.embed_model,
+        )
+
+    def _embed_query(self, qtext: str) -> list[float]:
+        """One query vector, driver-side (the reference embeds the query
+        with the same provider call as uploads, server/search.go:124-147).
+        HTTP mode posts a single-text batch; noop mode evaluates the
+        expression on a 1-row frame."""
+        if self.api_bases:
+            import numpy as np
+
+            from go_vectorsearch_spark.sources.embed_http import (
+                _post_json,
+                quantize_f32_np,
+            )
+            import http.client
+            from urllib.parse import urlparse
+
+            u = urlparse(self.api_bases[0].rstrip("/"))
+            cls = (
+                http.client.HTTPSConnection
+                if u.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(u.hostname, u.port, timeout=30.0)
+            try:
+                out = _post_json(
+                    conn,
+                    "/api/embed",
+                    {"model": self.embed_model, "input": [qtext], "options": {}},
+                    "",
+                )
+            finally:
+                conn.close()
+            # quantize-at-decode round-trip: the reference scores the
+            # query against dequantized stored vectors with the query
+            # itself having passed through the same u8 codec
+            codes, lo, hi = quantize_f32_np(
+                np.asarray(out["embeddings"], dtype=np.float64)
+            )
+            span = np.float32(hi[0]) - np.float32(lo[0])
+            return (
+                np.float32(lo[0]) + codes[0].astype(np.float32) / np.float32(255.0) * span
+            ).astype(float).tolist()
+        row = (
+            self.spark.range(1)
+            .select(noop_embed(F.lit(qtext), dim=self.embed_dim).alias("v"))
+            .head()
+        )
+        return row[0]
 
     # -- id allocation ----------------------------------------------------
     def _next_id(self, table: str, id_col: str) -> int:
@@ -214,16 +289,11 @@ class Engine:
         )
         # Embed → quantized codes immediately (the reference never holds
         # full precision past the decode boundary, ai/aicomms/embed.go:
-        # 42-50); the noop embedder's range is the fixed [-1, 1] header.
-        # "vector" is the dequantize-in-expression working column used
-        # for centroid assignment, never stored.
-        chunks = (
-            prepare_chunks(docs, ctx_num=2048)
-            .withColumn("codes", noop_embed_codes(F.col("chunk"), dim=self.embed_dim))
-            .withColumn("lo", F.lit(NOOP_LO).cast("float"))
-            .withColumn("hi", F.lit(NOOP_HI).cast("float"))
+        # 42-50). "vector" is the dequantize-in-expression working column
+        # used for centroid assignment, never stored.
+        chunks = dequantized_vector(
+            self._embed_chunks(prepare_chunks(docs, ctx_num=2048))
         )
-        chunks = dequantized_vector(chunks)
 
         # first upload of a category seeds centroid #1 with the first
         # chunk's embedding (server/upload.go:210-227)
@@ -289,12 +359,7 @@ class Engine:
         if scope is None:  # missing owner/category -> empty result
             return empty  # (server/search.go:156-177)
         qtext = f"{SEARCH_QUERY_PREFIX}{text}"
-        qvec_row = (
-            self.spark.range(1)
-            .select(noop_embed(F.lit(qtext), dim=self.embed_dim).alias("v"))
-            .head()
-        )
-        qvec = qvec_row[0]
+        qvec = self._embed_query(qtext)
 
         cents = (
             self.t["centroids"].read().filter(F.col("category_id") == scope)
@@ -322,6 +387,42 @@ class Engine:
         return page.join(F.broadcast(docs), "document_id", "inner").select(
             "document_id", "name", "external_id", "payload_json", "score"
         )
+
+    # -- chat (server/chat.go:109-181, minus the LLM call) -------------------
+    def chat_messages(
+        self,
+        text: str,
+        document_ids: Sequence[int] = (),
+        history: Sequence[str] = (),
+        prefix: str = "",
+    ) -> list[dict[str, str]]:
+        """Assemble the chat request payload the reference would send to
+        its LLM provider: retrieve the referenced documents (S4 PK-list
+        lookup), flatten each payload (doc.Document.JSON() -> Flatten,
+        chat.go:122-124), and build the alternating-history + quoted-
+        context + "My question is: " message list. The LLM call itself
+        is out of engine scope (SURVEY.md §2.11)."""
+        import json
+
+        from go_vectorsearch_spark.operators.documents import flatten
+        from go_vectorsearch_spark.operators.rag import build_messages
+
+        doc_texts: list[str] = []
+        if document_ids:
+            rows = (
+                lookup_by_keys(
+                    self.t["documents"].read(), "document_id", list(document_ids)
+                )
+                .select("document_id", "payload_json")
+                .collect()
+            )
+            by_id = {r["document_id"]: r["payload_json"] for r in rows}
+            # preserve the caller's id order (GORM Find keeps request order
+            # only incidentally; deterministic order is strictly better)
+            doc_texts = [
+                flatten(json.loads(by_id[d])) for d in document_ids if d in by_id
+            ]
+        return build_messages(text, doc_texts, history, prefix)
 
     # -- fetch (server/fetch.go:19-124) -------------------------------------
     def fetch_category_names(self, owner: str) -> list[str]:

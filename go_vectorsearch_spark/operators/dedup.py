@@ -45,9 +45,16 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Guarded so texts with fewer than ``n`` tokens yield an empty array
     (Spark's ``sequence(1, 0)`` would count *down*; DuckDB's is empty).
-    """
-    toks = ws_tokens(text)
 
+    NOTE: when ``text`` is an expression (not a plain column reference),
+    codegen re-evaluates the tokenize subtree for every element_at — use
+    :func:`shingled_docs`, which materializes the token array in its own
+    projection first, for corpus-scale work.
+    """
+    return _shingles_of_tokens(ws_tokens(text), n)
+
+
+def _shingles_of_tokens(toks: Column, n: int) -> Column:
     def gram(i: Column) -> Column:
         return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
 
@@ -64,9 +71,20 @@ def shingled_docs(
     :func:`jaccard_pairs` and :func:`minhash_lsh_pairs`. Compute (and
     persist) it once when running several dedup variants over the same
     corpus: shingling is the dominant map-side cost and is identical
-    across them."""
-    return spread(df).select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    across them.
+
+    The token array is aliased in its own projection so the split() runs
+    ONCE per document; inlining it into the shingle transform would
+    re-tokenize per n-gram element (3 element_at x ~|tokens| evaluations
+    — measured ~5x slower on the sf0.1 corpus). CollapseProject keeps
+    non-cheap aliased subtrees in separate projects, so this holds
+    through optimization.
+    """
+    toked = spread(df).select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    return toked.select(
+        "_id", _shingles_of_tokens(F.col("_toks"), n).alias("_sh")
     )
 
 
@@ -119,18 +137,23 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ ``threshold``.
 
-    Plan: explode distinct shingles → drop shingles appearing in more than
-    ``max_shingle_freq`` docs (hot-key cap — the standard prefix trick that
-    keeps the self-join linear-ish at corpus scale: one shingle shared by f
-    docs contributes f² join rows, so an uncapped hot shingle like "the end
-    of" is a quadratic blowup) → self equi-join on shingle → count common
-    per pair → Jaccard from per-doc set sizes. Three shuffles total, all on
-    reduced data.
+    Plan: explode distinct shingles → group by shingle (ONE shuffle of
+    (shingle, id) pairs) → drop groups larger than ``max_shingle_freq``
+    (hot-key cap — the standard prefix trick: one shingle shared by f docs
+    contributes f²/2 candidate pairs, so an uncapped hot shingle like "the
+    end of" is a quadratic blowup) → emit each group's sorted id pairs as
+    a pure array expression → count per pair → Jaccard from per-doc
+    set sizes (array lengths — no extra shuffle). Two shuffles total,
+    both on reduced data; the grouped form replaces the classic shingle
+    self-join (which costs the same fan-out plus an extra shuffle and a
+    separate frequency-count pass for the cap).
 
     The cap is ON by default; pass ``max_shingle_freq=None`` only for
-    small-corpus oracle-parity runs. A capped run can only *miss* pairs
-    whose overlap is exclusively hot shingles; per-doc set sizes are
-    computed before capping, so reported Jaccard values are unchanged.
+    small-corpus oracle-parity runs — uncapped, a hot group's f²/2 pairs
+    are generated inside one task, which is exactly the skew the cap
+    exists to prevent. A capped run can only *miss* pairs whose overlap
+    is exclusively hot shingles; per-doc set sizes are computed from the
+    full shingle arrays, so reported Jaccard values are unchanged.
 
     ``shingled`` (a persisted :func:`shingled_docs` frame) lets several
     dedup variants share one shingling pass.
@@ -138,18 +161,23 @@ def jaccard_pairs(
     if shingled is None:
         shingled = shingled_docs(df, id_col, text_col, n).persist()
     sh = shingled.select("_id", F.explode("_sh").alias("_s"))
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    groups = sh.groupBy("_s").agg(F.collect_list("_id").alias("_ids"))
     if max_shingle_freq is not None:
-        hot = sh.groupBy("_s").agg(F.count("*").alias("_f")).filter(
-            F.col("_f") > max_shingle_freq
+        groups = groups.filter(F.size("_ids") <= max_shingle_freq)
+    ids = F.array_sort("_ids")
+
+    def pairs_after(x: Column, i: Column) -> Column:
+        return F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
         )
-        sh = sh.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
+
     common = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        groups.select(F.explode(F.flatten(F.transform(ids, pairs_after))).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("_c"))
     )
+    sizes = shingled.select("_id", F.size("_sh").cast("long").alias("_n"))
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.col("_c").cast("double") / (

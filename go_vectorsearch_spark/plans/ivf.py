@@ -401,10 +401,16 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     """Persist the index partitioned by centroid_id - the parquet analog
     of the reference's indexed FK column (database/model.go:16): nprobe
     search then prunes partitions at the source.
+
+    The repartition on centroid_id is load-bearing: without it every
+    write task owns rows of every centroid, producing tasks x centroids
+    small files (1000 executors x 10k centroids = 10M files - a
+    metadata catastrophe); with it each centroid's rows sit in one
+    shuffle partition, so the file count is O(centroids).
     """
-    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/assigned"
-    )
+    index.assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/assigned")
     index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 

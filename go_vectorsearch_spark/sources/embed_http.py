@@ -1,0 +1,196 @@
+"""S12: external embedding source — batched HTTP client behind the seam.
+
+The reference embeds chunks by POSTing batches to an Ollama/OpenAI
+``/api/embed`` endpoint (ai/ollama/embed.go:19-88), load-balancing
+requests across ``api_base`` URLs with a least-connections picker
+(ai/httpclient/provider.go:56-87), and — crucially — quantizing each
+returned vector AT JSON-DECODE TIME (ai/aicomms/embed.go:42-50 →
+compute.QuantizeVectorFloat32): full-precision floats never outlive the
+response parser.
+
+Spark re-expression: a ``mapInPandas`` stage so each *partition* runs
+one Python worker that
+
+  * batches its rows (``batch_size`` texts per POST — the reference's
+    upload path batches chunks the same way, server/upload.go:117-132);
+  * keeps one persistent ``http.client`` connection per endpoint
+    (keep-alive across batches — the per-host client reuse of
+    ai/httpclient/clientmanager.go);
+  * spreads endpoints by round-robin seeded with the partition id.
+    A cluster has no shared mutable counter, so the reference's
+    least-connections state is replaced by its stationary equivalent:
+    P partitions × round-robin over B bases ≈ uniform load, with no
+    coordination. (The driver-side picker would be a bottleneck at
+    1000 executors; partition-seeded round-robin is free.)
+  * quantizes each vector with numpy the moment the JSON is decoded,
+    emitting ONLY (codes, lo, hi) — the engine's canonical store form;
+
+so embedding throughput scales with partitions and endpoint count, and
+nothing full-precision is shuffled or stored.
+
+The deterministic noop embedder (operators/documents.noop_embed_codes,
+reference noop/ai.go:47-64) remains the default seam for tests and the
+oracle — ``embed_chunks`` selects it when no ``api_bases`` are given.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMBED_PATH = "/api/embed"
+_OUT_FIELDS = "codes array<int>, lo float, hi float"
+
+
+def quantize_f32_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference quantize-at-decode (compute/quantization.go:8-19,182-192)
+    for a (n, d) float matrix: per-vector 0-anchored f32 range, affine map
+    to [0, 255], truncation toward zero. Returns (codes uint8, lo f32,
+    hi f32) — the same math as functions.vector.quantize's f32 mode and
+    the k-means round-trip in plans/ivf."""
+    m = mat.astype(np.float32)
+    lo = np.minimum(m.min(axis=1), np.float32(0.0)).astype(np.float32)
+    hi = np.maximum(m.max(axis=1), np.float32(0.0)).astype(np.float32)
+    span = (hi - lo).astype(np.float32)
+    safe = np.where(span == 0.0, np.float32(1.0), span)
+    clamped = np.clip(m, lo[:, None], hi[:, None]).astype(np.float32)
+    scaled = ((clamped - lo[:, None]).astype(np.float32) / safe[:, None]).astype(
+        np.float32
+    ) * np.float32(255.0)
+    codes = np.trunc(scaled.astype(np.float64)).astype(np.uint8)
+    codes[span == 0.0, :] = 0
+    return codes, lo, hi
+
+
+def _post_json(conn, path: str, payload: dict, token: str) -> dict:
+    import json
+
+    body = json.dumps(payload).encode()
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    conn.request("POST", path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    if resp.status != 200:
+        raise RuntimeError(f"embed endpoint {path} -> {resp.status}: {data[:200]!r}")
+    return json.loads(data)
+
+
+def http_embed(
+    df: DataFrame,
+    text_col: str = "chunk",
+    api_bases: Sequence[str] = (),
+    model: str = "embed",
+    batch_size: int = 32,
+    num_ctx: int = 2048,
+    token: str = "",
+    timeout: float = 30.0,
+    path: str = EMBED_PATH,
+) -> DataFrame:
+    """Embed ``text_col`` via batched HTTP POSTs; appends (codes, lo, hi).
+
+    Request shape matches the reference (ai/ollama/embed.go:19-33 +
+    aicomms/embed.go:11-19): ``{"model": m, "input": [texts...],
+    "options": {"num_ctx": n}}``; bearer auth when ``token`` is set
+    (embed.go:50-52). Response: ``{"embeddings": [[floats...], ...]}``
+    — quantized row-by-row at decode, full precision discarded.
+    """
+    if not api_bases:
+        raise ValueError("http_embed needs at least one api_base URL")
+    bases = [str(b).rstrip("/") for b in api_bases]
+    in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{in_fields}, {_OUT_FIELDS}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import http.client
+        from urllib.parse import urlparse
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        start = (ctx.partitionId() if ctx is not None else 0) % len(bases)
+        conns: dict[str, object] = {}
+        calls = 0
+
+        def connection(base: str):
+            if base not in conns:
+                u = urlparse(base)
+                cls = (
+                    http.client.HTTPSConnection
+                    if u.scheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conns[base] = cls(u.hostname, u.port, timeout=timeout)
+            return conns[base]
+
+        def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            nonlocal calls
+            base = bases[(start + calls) % len(bases)]
+            calls += 1
+            payload = {
+                "model": model,
+                "input": texts,
+                "options": {"num_ctx": num_ctx},
+            }
+            out = _post_json(connection(base), path, payload, token)
+            mat = np.asarray(out["embeddings"], dtype=np.float64)
+            if mat.ndim != 2 or mat.shape[0] != len(texts):
+                raise RuntimeError(
+                    f"embed endpoint returned shape {mat.shape} for {len(texts)} texts"
+                )
+            return quantize_f32_np(mat)
+
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                texts = pdf[text_col].fillna("").astype(str).tolist()
+                codes_parts, lo_parts, hi_parts = [], [], []
+                for i in range(0, len(texts), batch_size):
+                    codes, lo, hi = embed_texts(texts[i : i + batch_size])
+                    codes_parts.append(codes)
+                    lo_parts.append(lo)
+                    hi_parts.append(hi)
+                codes = np.concatenate(codes_parts)
+                out = pdf.copy()
+                out["codes"] = [row.astype(np.int32).tolist() for row in codes]
+                out["lo"] = np.concatenate(lo_parts)
+                out["hi"] = np.concatenate(hi_parts)
+                yield out
+        finally:
+            for c in conns.values():
+                c.close()
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def embed_chunks(
+    df: DataFrame,
+    text_col: str = "chunk",
+    api_bases: Sequence[str] | None = None,
+    dim: int = 64,
+    **http_kwargs,
+) -> DataFrame:
+    """The S12 seam: HTTP embedding when ``api_bases`` is configured,
+    the deterministic noop embedder otherwise (reference ai/methods.go:
+    14-22 falls through ollama → openai → error; the engine's fallback
+    is the in-process noop model, noop/ai.go:47-64). Both paths emit the
+    same canonical (codes, lo, hi) columns."""
+    if api_bases:
+        return http_embed(df, text_col=text_col, api_bases=api_bases, **http_kwargs)
+    from go_vectorsearch_spark.operators.documents import (
+        NOOP_HI,
+        NOOP_LO,
+        noop_embed_codes,
+    )
+
+    return (
+        df.withColumn("codes", noop_embed_codes(F.col(text_col), dim=dim))
+        .withColumn("lo", F.lit(NOOP_LO).cast("float"))
+        .withColumn("hi", F.lit(NOOP_HI).cast("float"))
+    )

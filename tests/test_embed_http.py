@@ -1,0 +1,180 @@
+"""S12 batched-HTTP embedding source against a local stub server.
+
+The stub reproduces the reference endpoint's contract
+(ai/ollama/embed.go:19-88): POST /api/embed with {"model", "input",
+"options": {"num_ctx"}} -> {"embeddings": [[floats...]]}. Embeddings are
+deterministic functions of the text so assertions are exact.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.sources.embed_http import (
+    embed_chunks,
+    http_embed,
+    quantize_f32_np,
+)
+
+DIM = 8
+
+
+def fake_vec(text: str) -> list[float]:
+    # deterministic, includes negatives so the 0-anchored range matters
+    return [((len(text) * (i + 3) + ord(text[0]) if text else 7) % 17) - 8.0 for i in range(DIM)]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        req = json.loads(self.rfile.read(n))
+        if self.path != "/api/embed":
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.server.requests.append(
+            {
+                "path": self.path,
+                "auth": self.headers.get("Authorization"),
+                "model": req.get("model"),
+                "num_ctx": (req.get("options") or {}).get("num_ctx"),
+                "n_texts": len(req["input"]),
+            }
+        )
+        body = json.dumps(
+            {"embeddings": [fake_vec(t) for t in req["input"]], "done": True}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def stub_server():
+    servers = []
+
+    def start():
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        srv.requests = []
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        return srv, f"http://127.0.0.1:{srv.server_port}"
+
+    yield start
+    for srv in servers:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _texts_df(spark, n=10, partitions=2):
+    return spark.createDataFrame(
+        [(i, f"text number {i} body") for i in range(n)], "id long, chunk string"
+    ).repartition(partitions)
+
+
+def test_http_embed_quantizes_at_decode(spark, stub_server):
+    srv, base = stub_server()
+    df = _texts_df(spark, n=10)
+    out = http_embed(
+        df, api_bases=[base], model="m1", batch_size=4, num_ctx=512
+    ).collect()
+    assert len(out) == 10
+    for row in out:
+        codes, lo, hi = quantize_f32_np(
+            np.array([fake_vec(row["chunk"])], dtype=np.float64)
+        )
+        assert row["codes"] == codes[0].astype(int).tolist()
+        assert row["lo"] == pytest.approx(float(lo[0]))
+        assert row["hi"] == pytest.approx(float(hi[0]))
+        assert row["lo"] <= 0.0 <= row["hi"]  # 0-anchored range
+        assert all(0 <= c <= 255 for c in row["codes"])
+
+
+def test_http_embed_batches_and_request_shape(spark, stub_server):
+    srv, base = stub_server()
+    df = _texts_df(spark, n=10, partitions=1)
+    http_embed(
+        df, api_bases=[base], model="mx", batch_size=4, num_ctx=256, token="tok"
+    ).collect()
+    reqs = srv.requests
+    # 10 texts / batch_size 4 -> 3 POSTs of 4+4+2
+    assert sorted(r["n_texts"] for r in reqs) == [2, 4, 4]
+    for r in reqs:
+        assert r["path"] == "/api/embed"
+        assert r["model"] == "mx"
+        assert r["num_ctx"] == 256
+        assert r["auth"] == "Bearer tok"  # embed.go:50-52
+
+
+def test_http_embed_load_balances_bases(spark, stub_server):
+    srv_a, base_a = stub_server()
+    srv_b, base_b = stub_server()
+    df = _texts_df(spark, n=32, partitions=4)
+    http_embed(df, api_bases=[base_a, base_b], batch_size=4).collect()
+    # ~8 POSTs (exact count depends on the row split across partitions),
+    # round-robined across both bases from partition-seeded starts
+    total = len(srv_a.requests) + len(srv_b.requests)
+    assert 8 <= total <= 12
+    assert len(srv_a.requests) >= 2 and len(srv_b.requests) >= 2
+    assert sum(r["n_texts"] for r in srv_a.requests + srv_b.requests) == 32
+
+
+def test_http_embed_error_propagates(spark, stub_server):
+    srv, base = stub_server()
+    df = _texts_df(spark, n=2, partitions=1)
+    with pytest.raises(Exception, match="embed endpoint|404"):
+        http_embed(df, api_bases=[base], path="/nope").collect()
+
+
+def test_embed_chunks_seam_noop_default(spark):
+    """No api_bases -> deterministic noop codes with the fixed [-1,1]
+    range; same canonical (codes, lo, hi) shape as the HTTP path."""
+    df = _texts_df(spark, n=4, partitions=1)
+    out = embed_chunks(df, dim=16).collect()
+    for row in out:
+        assert len(row["codes"]) == 16
+        assert (row["lo"], row["hi"]) == (-1.0, 1.0)
+    again = {r["id"]: r["codes"] for r in embed_chunks(df, dim=16).collect()}
+    assert {r["id"]: r["codes"] for r in out} == again
+
+
+def test_embed_chunks_seam_http(spark, stub_server):
+    srv, base = stub_server()
+    df = _texts_df(spark, n=4, partitions=1)
+    out = embed_chunks(df, api_bases=[base], batch_size=2).collect()
+    assert len(out) == 4 and len(srv.requests) == 2
+
+
+def test_engine_with_http_provider(spark, stub_server, tmp_path):
+    """Engine configured with api_bases embeds uploads AND queries over
+    HTTP (the reference server's live-provider deployment shape), stores
+    only quantized codes, and search returns the uploaded doc."""
+    from go_vectorsearch_spark.api import Engine
+
+    srv, base = stub_server()
+    eng = Engine(spark, str(tmp_path / "store"), api_bases=[base])
+    ids = eng.upload(
+        "acme",
+        "wiki",
+        [{"name": "d1", "external_id": "x", "document": json.dumps({"t": "hello world"})}],
+    )
+    assert len(ids) == 1
+    assert any(r["n_texts"] >= 1 for r in srv.requests)  # upload went over HTTP
+    n_before = len(srv.requests)
+    res = eng.search("acme", "wiki", "hello", nprobe=-1).collect()
+    assert len(srv.requests) > n_before  # query embedded over HTTP too
+    assert [r["document_id"] for r in res] == ids
+    emb = eng.t["embeddings"].read()
+    assert {"codes", "lo", "hi"} <= set(emb.columns) and "vector" not in emb.columns
