@@ -131,7 +131,12 @@ class _VersionedTable:
         path = os.path.join(self.dir, f"v{v}")
         w = df.write.mode("overwrite")
         if partition_by:
-            w = w.partitionBy(partition_by)
+            # co-locate each partition value's rows in one task first:
+            # without this every write task emits a file per value
+            # (tasks x values small files at cluster scale)
+            w = df.repartition(partition_by).write.mode("overwrite").partitionBy(
+                partition_by
+            )
         w.parquet(path)
         with open(self._ptr, "w") as f:
             f.write(str(v))

@@ -166,6 +166,7 @@ def kmeans(
     sample_size: int = 50_000,
     init_oversample: int = 5,
     quantize_iterations: bool = True,
+    n_total: int | None = None,
 ) -> DataFrame:
     """C2: sample-fit k-means (dnc/k_means.go:19-212).
 
@@ -176,9 +177,14 @@ def kmeans(
     (centroid_id long, centroid_vec array<double>), ids in [0, k).
     """
     spark = df.sparkSession
-    rows = (
-        deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
-    )
+    if n_total is not None and n_total <= sample_size:
+        # corpus already fits the sample budget: skip the TakeOrdered
+        # permutation job, every row participates anyway
+        rows = df.select(vec_col).collect()
+    else:
+        rows = (
+            deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
+        )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     mat = _numpy_lloyd(X, k, max_iters, init_oversample, quantize_iterations)
     return _centroids_df(spark, mat, list(range(len(mat))))
@@ -258,7 +264,7 @@ def build_index(
     k = max(1, math.ceil(n / (max_leaf * 0.7)))
 
     centroids = kmeans(
-        df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+        df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size, n_total=n
     )
     assigned = assign_nearest(
         df, centroids, vec_col=vec_col, out_col="centroid_id"

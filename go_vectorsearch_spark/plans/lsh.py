@@ -90,15 +90,21 @@ def lsh_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[int]] | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN search: score only rows whose bucket is (Hamming-)near the
     query's bucket. With data written ``partitionBy("bucket")`` the filter
     becomes partition pruning and the scan never touches other buckets.
+
+    ``bucketed`` — a (persisted) frame already carrying the ``_bucket``
+    column for the SAME planes — skips rebucketing; pass it when probing
+    several radii/queries against one corpus (the bucket-on-write shape).
     """
     if planes is None:
         planes = rademacher_planes(len(query_vec))
     qb = bucket_of(list(query_vec), planes)
     probes = _hamming_neighbors(qb, len(planes), probe_radius)
-    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    if bucketed is None:
+        bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1472,8 +1472,20 @@ LIMIT {TOPK_K}
 def q_ann_lsh_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
+    bucketed = _dedup_cached(
+        "lsh_bucketed_small",
+        sf_dir,
+        lambda: emb.withColumn(
+            "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
+        ),
+    )
     res = LSH.lsh_search(
-        emb, qvec, k=TOPK_K, probe_radius=0, planes=_LSH_PLANES_SMALL
+        emb,
+        qvec,
+        k=TOPK_K,
+        probe_radius=0,
+        planes=_LSH_PLANES_SMALL,
+        bucketed=bucketed,
     )
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
@@ -1721,8 +1733,9 @@ def q_ivf_partitioned_probe(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
     index = read_index(spark, _ivf_store_path(spark, sf_dir))
-    nprobe = index.centroids.count()
-    res = ivf_search(index, qvec, k=TOPK_K, nprobe=nprobe)
+    # nprobe=all (2^31-1 clamps to the centroid count inside
+    # nearest_centroids — no separate count() job)
+    res = ivf_search(index, qvec, k=TOPK_K, nprobe=2**31 - 1)
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
@@ -1859,12 +1872,26 @@ def q_ann_lsh_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
     bf = _bf_ids(spark, sf_dir, TOPK_K)
+    # bucket the corpus once for both probe radii (the bucket-on-write
+    # shape: at scale _bucket is a stored column, never recomputed)
+    bucketed = _dedup_cached(
+        "lsh_bucketed_small",
+        sf_dir,
+        lambda: emb.withColumn(
+            "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
+        ),
+    )
     out = []
     for radius in (0, 1):
         got = {
             r["vec_id"]
             for r in LSH.lsh_search(
-                emb, qvec, k=TOPK_K, probe_radius=radius, planes=_LSH_PLANES_SMALL
+                emb,
+                qvec,
+                k=TOPK_K,
+                probe_radius=radius,
+                planes=_LSH_PLANES_SMALL,
+                bucketed=bucketed,
             ).collect()
         }
         out.append((radius, float(round(len(bf & got) / len(bf), 4))))
