@@ -277,14 +277,21 @@ def build_index(
     # their leaf's children. The reference recurses one goroutine per
     # subtree with spill files (dnc/dnc.go:300-400); here each round is
     # two jobs regardless of how many leaves split.
+    leaf_sizes: dict[int, int] | None = None
     for _ in range(max_split_rounds):
-        sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
-        oversized = {
+        # collect ALL leaf sizes (k rows — driver-sized by the same
+        # contract that lets centroids broadcast); the final round's
+        # map feeds prune_small below, saving its own count jobs
+        leaf_sizes = {
             r["centroid_id"]: r["cnt"]
-            for r in sizes.filter(F.col("cnt") > max_leaf).collect()
+            for r in assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
         }
+        oversized = {c: n for c, n in leaf_sizes.items() if n > max_leaf}
         if not oversized:
             break
+        leaf_sizes = None  # stale once this round splits
         ov_ids = list(oversized)
         w = Window.partitionBy("centroid_id").orderBy(
             F.md5(F.col(id_col).cast("string"))
@@ -319,7 +326,7 @@ def build_index(
     if min_leaf is None:
         min_leaf = max_leaf // 10
     index = IVFIndex(centroids=recenter(assigned, vec_col), assigned=assigned)
-    index = prune_small(index, vec_col=vec_col, min_size=min_leaf)
+    index = prune_small(index, vec_col=vec_col, min_size=min_leaf, sizes=leaf_sizes)
     df.unpersist()
     return index
 
@@ -380,22 +387,49 @@ def recenter(assigned: DataFrame, vec_col: str, quantize_output: bool = True) ->
     )
 
 
-def prune_small(index: IVFIndex, vec_col: str, min_size: int) -> IVFIndex:
+def prune_small(
+    index: IVFIndex,
+    vec_col: str,
+    min_size: int,
+    sizes: dict[int, int] | None = None,
+) -> IVFIndex:
     """C6: dissolve centroids with < min_size members; reassign members
     to the nearest surviving centroid; re-center survivors
     (dnc/dnc.go:458-574).
+
+    ``sizes`` — a pre-collected {centroid_id: member count} map (k
+    entries, driver-sized like the centroid table itself) skips the
+    counting job; ``build_index`` passes its split-loop's final sizes.
     """
-    sizes = index.assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
-    survivors = sizes.filter(F.col("cnt") >= min_size).select("centroid_id")
-    n_surv = survivors.count()
-    if n_surv == 0 or n_surv == sizes.count():
+    if sizes is None:
+        sizes = {
+            r["centroid_id"]: r["cnt"]
+            for r in index.assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    survivors = sorted(c for c, n in sizes.items() if n >= min_size)
+    if not survivors or len(survivors) == len(sizes):
         return IVFIndex(centroids=recenter(index.assigned, vec_col), assigned=index.assigned)
 
-    surviving_cents = index.centroids.join(F.broadcast(survivors), "centroid_id")
-    orphans = index.assigned.join(
-        F.broadcast(survivors), "centroid_id", "left_anti"
-    ).drop("centroid_id")
-    keep = index.assigned.join(F.broadcast(survivors), "centroid_id", "left_semi")
+    if len(survivors) <= 10_000:
+        # literal predicate: no extra frame, no broadcast exchange
+        surv = F.col("centroid_id").isin(survivors)
+        surviving_cents = index.centroids.filter(surv)
+        orphans = index.assigned.filter(~surv).drop("centroid_id")
+        keep = index.assigned.filter(surv)
+    else:
+        # at the 100 TB design point k can reach ~10^6 — too many for an
+        # isin literal; a broadcast semi/anti join keeps the plan small
+        spark = index.assigned.sparkSession
+        surv_df = spark.createDataFrame(
+            [(int(c),) for c in survivors], "centroid_id long"
+        )
+        surviving_cents = index.centroids.join(F.broadcast(surv_df), "centroid_id")
+        orphans = index.assigned.join(
+            F.broadcast(surv_df), "centroid_id", "left_anti"
+        ).drop("centroid_id")
+        keep = index.assigned.join(F.broadcast(surv_df), "centroid_id", "left_semi")
     reassigned = assign_nearest(
         orphans, surviving_cents, vec_col=vec_col, out_col="centroid_id"
     )

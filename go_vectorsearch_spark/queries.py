@@ -1881,19 +1881,42 @@ def q_ann_lsh_recall(spark, sf_dir):
             "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
         ),
     )
+    # both radii in ONE job: tier rows by bucket distance to the query's
+    # bucket (0 = same bucket, 1 = Hamming-1 neighbor, else excluded),
+    # take per-tier top-k with one window, merge driver-side — radius
+    # 0's top-k = tier-0's; radius 1's = top-k of tier-0 ∪ tier-1.
+    from pyspark.sql import Window
+
+    from go_vectorsearch_spark.operators.search import score_cosine
+
+    qb = LSH.bucket_of(list(qvec), _LSH_PLANES_SMALL)
+    ring1 = [
+        b
+        for b in LSH._hamming_neighbors(qb, len(_LSH_PLANES_SMALL), 1)
+        if b != qb
+    ]
+    tiered = (
+        score_cosine(bucketed, qvec, "embedding")
+        .withColumn(
+            "_tier",
+            F.when(F.col("_bucket") == qb, F.lit(0)).when(
+                F.col("_bucket").isin(ring1), F.lit(1)
+            ),
+        )
+        .filter(F.col("_tier").isNotNull())
+    )
+    w = Window.partitionBy("_tier").orderBy(F.desc("score"), F.asc("vec_id"))
+    rows = (
+        tiered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= TOPK_K)
+        .select("_tier", "vec_id", "score")
+        .collect()
+    )
     out = []
     for radius in (0, 1):
-        got = {
-            r["vec_id"]
-            for r in LSH.lsh_search(
-                emb,
-                qvec,
-                k=TOPK_K,
-                probe_radius=radius,
-                planes=_LSH_PLANES_SMALL,
-                bucketed=bucketed,
-            ).collect()
-        }
+        cand = [(r["score"], r["vec_id"]) for r in rows if r["_tier"] <= radius]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        got = {v for _, v in cand[:TOPK_K]}
         out.append((radius, float(round(len(bf & got) / len(bf), 4))))
     return spark.createDataFrame(out, "probe_radius int, recall_at_10 double")
 
@@ -1906,20 +1929,44 @@ def q_ann_lsh_recall(spark, sf_dir):
     "(reference default nprobe=1, server/search.go:118-122)",
 )
 def q_ivf_recall_sweep(spark, sf_dir):
-    from go_vectorsearch_spark.plans.ivf import ivf_search
+    from pyspark.sql import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
+    from go_vectorsearch_spark.operators.search import score_cosine
+    from go_vectorsearch_spark.plans.ivf import nearest_centroids
+
     qvec = _qvec(spark, sf_dir)
     index = _ivf_index(spark, sf_dir)
-    n_cents = index.centroids.count()
+    # one driver-side centroid ranking serves every probe width (each
+    # width's probe set is a prefix of it); the sweep itself is ONE job:
+    # tag every row with its centroid's tier (= smallest probe width
+    # containing it), take per-tier top-k with a single window, and merge
+    # prefix-unions driver-side — exact, because width n's top-k is
+    # contained in the union of the per-tier top-ks with tier <= n.
+    ranked = nearest_centroids(index.centroids, qvec, 2**31 - 1)
     bf = _bf_ids(spark, sf_dir, TOPK_K)
+    probes = sorted({1, 2, 4, len(ranked)})
+    tier_of: dict[int, int] = {}
+    for pos, cid in enumerate(ranked, start=1):
+        tier_of[cid] = next(p for p in probes if pos <= p)
+    tier_map = F.create_map(
+        *[F.lit(x) for kv in tier_of.items() for x in kv]
+    )
+    scored = score_cosine(index.assigned, qvec, "embedding").withColumn(
+        "_tier", tier_map[F.col("centroid_id")]
+    )
+    w = Window.partitionBy("_tier").orderBy(F.desc("score"), F.asc("vec_id"))
+    rows = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= TOPK_K)
+        .select("_tier", "vec_id", "score")
+        .collect()
+    )
     out = []
-    for nprobe in sorted({1, 2, 4, n_cents}):
-        got = {
-            r["vec_id"]
-            for r in ivf_search(index, qvec, k=TOPK_K, nprobe=nprobe).collect()
-        }
-        out.append((int(nprobe), float(round(len(bf & got) / len(bf), 4))))
+    for n in probes:
+        cand = [(r["score"], r["vec_id"]) for r in rows if r["_tier"] <= n]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        got = {v for _, v in cand[:TOPK_K]}
+        out.append((int(n), float(round(len(bf & got) / len(bf), 4))))
     return spark.createDataFrame(out, "nprobe int, recall_at_10 double")
 
 
