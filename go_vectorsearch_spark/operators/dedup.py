@@ -67,11 +67,20 @@ def _shingles_of_tokens(toks: Column, n: int) -> Column:
 def shingled_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(_id, _sh) doc → distinct-shingle-array frame — the shared input of
-    :func:`jaccard_pairs` and :func:`minhash_lsh_pairs`. Compute (and
-    persist) it once when running several dedup variants over the same
-    corpus: shingling is the dominant map-side cost and is identical
+    """(_id, _sh) doc → distinct-hashed-shingle-array frame — the shared
+    input of :func:`jaccard_pairs` and :func:`minhash_lsh_pairs`. Compute
+    (and persist) it once when running several dedup variants over the
+    same corpus: shingling is the dominant map-side cost and is identical
     across them.
+
+    ``_sh`` holds ``md5_int32`` hashes of the shingles, not the strings:
+    every downstream consumer treats shingles as opaque set elements
+    (explode/group, signature mins, array_intersect), so hashing at the
+    source shrinks the persisted frame and every shuffle ~4× and lets
+    MinHash consume the hashes directly. Set arithmetic (sizes,
+    intersections, Jaccard) is over hashed sets on BOTH engines — the
+    DuckDB oracles hash identically, so results are exact-equal by
+    construction, collisions included.
 
     The token array is aliased in its own projection so the split() runs
     ONCE per document; inlining it into the shingle transform would
@@ -84,7 +93,10 @@ def shingled_docs(
         F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
     )
     return toked.select(
-        "_id", _shingles_of_tokens(F.col("_toks"), n).alias("_sh")
+        "_id",
+        F.array_distinct(
+            F.transform(_shingles_of_tokens(F.col("_toks"), n), md5_int32)
+        ).alias("_sh"),
     )
 
 
@@ -250,15 +262,14 @@ def minhash_lsh_pairs(
     """
     if shingled is None:
         shingled = shingled_docs(df, id_col, text_col, n)
-    # Materialize shingles once, md5-hash once, THEN derive the 16
-    # signature mins from the cached hash array — without this the
-    # (shingle + md5) subtree would be re-evaluated 16x per signature
-    # element and again on every reuse of sigd (two join sides + verify),
-    # which measured ~14x slower at sf0.1.
+    # ``_sh`` already holds the md5_int32 shingle hashes (shingled_docs
+    # hashes at the source), so the 16 signature mins derive from it
+    # directly; materializing sigd keeps the signature from being
+    # re-evaluated on every reuse (two join sides + verify — measured
+    # ~14x slower unshared at sf0.1).
     sigd = (
         shingled
-        .withColumn("_hs", F.transform(F.col("_sh"), md5_int32))
-        .withColumn("_sig", _signature_from_hashes(F.col("_hs")))
+        .withColumn("_sig", _signature_from_hashes(F.col("_sh")))
         .select("_id", "_sh", "_sig")
         .persist()
     )
@@ -417,14 +428,55 @@ def simhash_pairs(
 
 
 def neardup_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 32
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 32,
+    collect_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation → (doc_id, component) where component = the
     smallest doc_id reachable. Driver loop of join rounds, converging in
     O(diameter) rounds; near-dup clusters are shallow (typically 2-3
     rounds). Raises if the round budget is exhausted before convergence
-    (a silent early exit would split components and leave duplicates)."""
+    (a silent early exit would split components and leave duplicates).
+
+    Pair graphs are tiny relative to the corpus (only near-dup edges
+    survive the similarity threshold), so like the broadcast-join and
+    GEMM-threshold patterns there is a guarded small-graph fast path:
+    ≤ ``collect_threshold`` edges are union-found on the driver in one
+    pass (a 5M-edge graph is ~80 MB — driver-sized even at 100 TB corpus
+    scale); bigger graphs take the distributed label-propagation loop.
+    """
+    n_edges = pairs.count()
+    if n_edges <= collect_threshold:
+        rows = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            u, v = r[0], r[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min id so component = smallest member, matching
+                # the label-propagation path exactly
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in parent]
+        id_type = dict(pairs.dtypes)[id_a]
+        return pairs.sparkSession.createDataFrame(
+            labels, f"doc_id {id_type}, component {id_type}"
+        )
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))

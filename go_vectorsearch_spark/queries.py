@@ -956,9 +956,15 @@ def q_text_fingerprint(spark, sf_dir):
 
 from go_vectorsearch_spark.operators import dedup as DD  # noqa: E402
 
+# distinct md5_int32-hashed word-3-grams — the oracle twin of
+# operators/dedup.shingled_docs: BOTH engines do set arithmetic
+# (sizes, intersections, Jaccard) over hashed shingle sets, so results
+# are exact-equal by construction, hash collisions included.
 _SQL_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    "list_distinct(list_transform("
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), "
+    f"s -> {_SQL_H32.format(x='s')}))"
 )
 
 
@@ -1043,8 +1049,11 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    # sh already holds the md5_int32 shingle hashes (_SQL_SHINGLES), so
+    # signature mins and the Jaccard verify both consume it directly —
+    # mirroring minhash_lsh_pairs over shingled_docs.
     sig_cols = ",\n         ".join(
-        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_P})), "
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * h + {b}) % {DD.MINHASH_P})), "
         f"{DD.MINHASH_P}) AS m{i}"
         for i, (a, b) in enumerate(DD.MINHASH_PERMS)
     )
@@ -1055,15 +1064,13 @@ def _minhash_oracle() -> str:
         )
         for i in range(DD.LSH_BANDS)
     )
-    h32 = _SQL_H32.format(x="s")
     return rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 shl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
-hsh AS (SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM shl),
 sig AS (
   SELECT doc_id, sh,
          {sig_cols}
-  FROM hsh
+  FROM shl
 ),
 bands AS (
 {band_rows}
@@ -1871,7 +1878,6 @@ def q_ivf_build_stats(spark, sf_dir):
 def q_ann_lsh_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
-    bf = _bf_ids(spark, sf_dir, TOPK_K)
     # bucket the corpus once for both probe radii (the bucket-on-write
     # shape: at scale _bucket is a stored column, never recomputed)
     bucketed = _dedup_cached(
@@ -1881,10 +1887,13 @@ def q_ann_lsh_recall(spark, sf_dir):
             "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
         ),
     )
-    # both radii in ONE job: tier rows by bucket distance to the query's
-    # bucket (0 = same bucket, 1 = Hamming-1 neighbor, else excluded),
-    # take per-tier top-k with one window, merge driver-side — radius
-    # 0's top-k = tier-0's; radius 1's = top-k of tier-0 ∪ tier-1.
+    # both radii AND the brute-force ground truth in ONE job: tier rows
+    # by bucket distance to the query's bucket (0 = same bucket, 1 =
+    # Hamming-1 neighbor, 2 = everything else), take per-tier top-k with
+    # one window, merge prefix-unions driver-side — radius 0's top-k =
+    # tier-0's; radius 1's = top-k of tiers {0,1}; brute force = top-k
+    # of all tiers (exact: a prefix-union's top-k is contained in the
+    # union of per-tier top-ks).
     from pyspark.sql import Window
 
     from go_vectorsearch_spark.operators.search import score_cosine
@@ -1895,15 +1904,11 @@ def q_ann_lsh_recall(spark, sf_dir):
         for b in LSH._hamming_neighbors(qb, len(_LSH_PLANES_SMALL), 1)
         if b != qb
     ]
-    tiered = (
-        score_cosine(bucketed, qvec, "embedding")
-        .withColumn(
-            "_tier",
-            F.when(F.col("_bucket") == qb, F.lit(0)).when(
-                F.col("_bucket").isin(ring1), F.lit(1)
-            ),
-        )
-        .filter(F.col("_tier").isNotNull())
+    tiered = score_cosine(bucketed, qvec, "embedding").withColumn(
+        "_tier",
+        F.when(F.col("_bucket") == qb, F.lit(0))
+        .when(F.col("_bucket").isin(ring1), F.lit(1))
+        .otherwise(F.lit(2)),
     )
     w = Window.partitionBy("_tier").orderBy(F.desc("score"), F.asc("vec_id"))
     rows = (
@@ -1912,11 +1917,19 @@ def q_ann_lsh_recall(spark, sf_dir):
         .select("_tier", "vec_id", "score")
         .collect()
     )
+
+    def topk_thru(max_tier: int) -> set:
+        cand = [(r["score"], r["vec_id"]) for r in rows if r["_tier"] <= max_tier]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return {v for _, v in cand[:TOPK_K]}
+
+    bf = frozenset(topk_thru(2))
+    # same ranking brute_force_topk would produce (unique vec_id, same
+    # tie-break) — seed the shared ground-truth cache for the IVF sweeps
+    _BF_IDS_CACHE.setdefault((sf_dir, TOPK_K), bf)
     out = []
     for radius in (0, 1):
-        cand = [(r["score"], r["vec_id"]) for r in rows if r["_tier"] <= radius]
-        cand.sort(key=lambda t: (-t[0], t[1]))
-        got = {v for _, v in cand[:TOPK_K]}
+        got = topk_thru(radius)
         out.append((radius, float(round(len(bf & got) / len(bf), 4))))
     return spark.createDataFrame(out, "probe_radius int, recall_at_10 double")
 

@@ -149,6 +149,14 @@ def test_neardup_components_and_dedup(spark):
     }
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
+    # the distributed label-propagation path (forced past the driver
+    # union-find guard) must produce identical labels
+    comp_dist = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, collect_threshold=0).collect()
+    }
+    assert comp_dist == comp
+
     docs = spark.createDataFrame(
         [(i, f"text{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
     )
@@ -247,6 +255,6 @@ def test_neardup_components_raises_when_budget_exhausted(spark):
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.neardup_components(chain, max_rounds=1)
+        DD.neardup_components(chain, max_rounds=1, collect_threshold=0)
     comp = {r["doc_id"]: r["component"] for r in DD.neardup_components(chain).collect()}
     assert set(comp.values()) == {1}  # one chain, one component

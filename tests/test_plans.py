@@ -1,0 +1,115 @@
+"""Physical-plan shape assertions — the scale contract, checked.
+
+Correctness tests prove the operators return the right rows at small
+sf; these prove the PLANS are the ones that survive a 100 TB / 1000-
+executor scale-up: projections and filters reach the parquet scan,
+small dimension tables broadcast instead of shuffling the fact side,
+top-k runs as TakeOrderedAndProject (per-partition heaps, no global
+sort), and aggregations are partial (map-side combine) before the
+shuffle. A regression in any of these is invisible to row-equality
+tests but catastrophic at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.sources.tables import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_and_filter_reach_parquet_scan(spark, sf_correct):
+    """S1/S2/F1: a 2-column projection with a filter must scan only those
+    columns (ReadSchema) and push the predicate (PushedFilters) — a scan
+    reading all columns for a narrow projection is wrong at any scale."""
+    docs = load_table(spark, sf_correct, "documents")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _executed_plan(q)
+    scan = plan[plan.index("FileScan") :]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema  # the wide column stays unread
+    assert "PushedFilters: [" in scan
+    assert "lang" in scan.split("PushedFilters:")[1][:200]
+
+
+def test_small_dimension_join_broadcasts(spark, sf_correct):
+    """J1: fact ⋈ small-dim must be a broadcast hash join — shuffling the
+    fact side on the join key to meet a KB-sized dimension table is the
+    classic scale failure."""
+    orders = load_table(spark, sf_correct, "orders")
+    cust = load_table(spark, sf_correct, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    q = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    plan = _executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_correct):
+    """T2: brute-force top-k must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a global Sort of
+    the full corpus followed by a limit."""
+    from go_vectorsearch_spark.operators.search import brute_force_topk
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    qvec = [float(x) for x in emb.select("embedding").head()[0]]
+    q = brute_force_topk(emb, qvec, 10)
+    plan = _executed_plan(q)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_aggregation_is_partial(spark, sf_correct):
+    """A2: groupBy-count must map-side combine (partial_count before the
+    exchange, merge_count after) so the shuffle carries one row per
+    (partition, key), not one per input row."""
+    docs = load_table(spark, sf_correct, "documents")
+    q = docs.groupBy("lang").count()
+    plan = _executed_plan(q)
+    # the tree prints top-down: everything after the Exchange line is the
+    # map side — the partial agg must sit there, between scan and shuffle
+    assert "partial_count" in plan.split("Exchange")[1]
+
+
+def test_semi_join_stays_semi(spark, sf_correct):
+    """J3: hydration by key list must plan as a (broadcast) semi join —
+    no full join + distinct, which would shuffle and dedup the fact
+    side."""
+    emb = load_table(spark, sf_correct, "embeddings")
+    keys = spark.range(5).withColumnRenamed("id", "vec_id")
+    q = emb.join(F.broadcast(keys), "vec_id", "left_semi")
+    plan = _executed_plan(q)
+    assert "LeftSemi" in plan
+    assert "Aggregate" not in _optimized_plan(q)
+
+
+def test_in_list_lookup_pushes_down(spark, sf_correct):
+    """S4/F2: an IN-list point lookup must reach the scan as a pushed
+    filter, the parquet analog of the reference's PK index scan."""
+    from go_vectorsearch_spark.operators.relational import lookup_by_keys
+
+    orders = load_table(spark, sf_correct, "orders")
+    q = lookup_by_keys(orders, "o_orderkey", [1, 2, 3])
+    plan = _executed_plan(q)
+    assert "PushedFilters: [In(o_orderkey" in plan
+
+
+def test_scored_search_has_no_shuffle_before_topk(spark, sf_correct):
+    """J4: cosine scoring is a narrow map — the only exchange in a
+    brute-force search plan is the single-partition merge feeding the
+    final top-k, never a repartition of scored rows."""
+    from go_vectorsearch_spark.operators.search import score_cosine
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    qvec = [float(x) for x in emb.select("embedding").head()[0]]
+    q = score_cosine(emb, qvec, "embedding")
+    plan = _executed_plan(q)
+    assert "Exchange" not in plan  # pure projection over the scan
