@@ -1,0 +1,130 @@
+"""Training-data curation operators: PII redaction, benchmark
+decontamination, stratified sampling.
+
+Extensions beyond the reference engine (which has no corpus-cleaning
+surface — its ingest is Flatten/Split/embed, server/upload.go): these are
+the standard curation steps a 100 TB training-data pipeline runs between
+raw scrape and tokenization, expressed as single-scan Spark plans.
+
+Scale notes:
+  * ``redact_pii`` is a pure projection (regexp over each row) — narrow,
+    no shuffle, whole-stage codegen'd. Patterns use the Java-regex /
+    RE2 common subset (char classes, bounded repeats, ``\\b``, no
+    lookaround) so the DuckDB oracles run them verbatim.
+  * ``contamination_flags`` broadcasts the BENCHMARK side: benchmark
+    suites are thousands of documents (driver-sized shingle sets) while
+    the train side is the 100 TB corpus, so the overlap join is map-side
+    against the broadcast — the train corpus never shuffles on shingle.
+  * ``stratified_sample`` is a pure filter on a content-addressed hash
+    bucket (md5 of a seeded id string) — deterministic across engines,
+    cluster layouts, and retries; no sampling state, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.functions.text import md5_int32
+
+# (name, pattern, replacement) applied in order. The pattern dialect is
+# the Java-regex ∩ RE2 subset — both engines must match identically.
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Redact PII spans and count them per row.
+
+    Adds ``n_<name>`` (matches of each pattern in the ORIGINAL text) and
+    ``out_col`` (text with every pattern replaced, applied in list
+    order). Counting before replacement keeps the counts independent of
+    pattern order; replacement order still matters for overlapping
+    patterns, so the list order is part of the operator contract.
+    """
+    if patterns is None:
+        patterns = DEFAULT_PII_PATTERNS
+    out = df
+    for name, pat, _ in patterns:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    clean: Column = F.col(text_col)
+    for _, pat, repl in patterns:
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn(out_col, clean)
+
+
+def contamination_flags(
+    shingled_train: DataFrame,
+    shingled_bench: DataFrame,
+    min_overlap: int = 5,
+    id_col: str = "_id",
+    shingle_col: str = "_sh",
+) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing ≥ ``min_overlap``
+    distinct shingles with any benchmark doc.
+
+    Inputs are :func:`~go_vectorsearch_spark.operators.dedup.shingled_docs`
+    frames (id, distinct-hashed-shingle array). Returns one row per
+    contaminated train doc: (id, n_bench_hits, max_overlap).
+
+    The benchmark side explodes first and BROADCASTS — eval suites are
+    driver-sized next to a training corpus, so the only pass over the
+    train side is a narrow explode + map-side hash join; the corpus never
+    shuffles on shingle. This is the decontamination analog of the
+    broadcast dimension join (test_plans.py::test_small_dimension_join).
+    """
+    bsh = shingled_bench.select(
+        F.col(id_col).alias("_bid"), F.explode(shingle_col).alias("_s")
+    )
+    tsh = shingled_train.select(
+        F.col(id_col).alias("_tid"), F.explode(shingle_col).alias("_s")
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "_s")
+        .groupBy("_tid", "_bid")
+        .agg(F.count("*").alias("_overlap"))
+        .filter(F.col("_overlap") >= min_overlap)
+        .groupBy("_tid")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("_overlap").alias("max_overlap"),
+        )
+        .withColumnRenamed("_tid", id_col)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    default_pct: int,
+    id_col: str,
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum percentage sample (dataset mixing).
+
+    Keeps a row iff ``md5_int32(seed + ':' + id) % 100`` falls below its
+    stratum's percentage — the content-addressed analog of
+    ``DataFrame.sampleBy`` with none of its RNG/partition-layout
+    dependence: the same row set survives on any cluster, any retry, and
+    in the DuckDB oracle. Quotas are integer percents; strata absent from
+    ``quotas`` use ``default_pct``.
+    """
+    bucket = (
+        md5_int32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % 100
+    )
+    pct: Column = F.lit(default_pct)
+    for stratum, q in sorted(quotas.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(q)).otherwise(pct)
+    return df.filter(bucket < pct)

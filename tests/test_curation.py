@@ -1,0 +1,87 @@
+"""Unit tests for operators/curation.py (the registry queries'
+DuckDB parity runs in test_parity.py; these pin operator behavior and
+the scale-critical plan shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators import curation as CUR
+from go_vectorsearch_spark.operators.dedup import shingled_docs
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org thanks"),
+        (2, "ssn 123-45-6789 and phone 555-123-4567"),
+        (3, "two mails: a@b.co c@d.io"),
+        (4, "clean text with no pii at all"),
+        (5, "almost a phone 55-123-4567 and almost ssn 123-456-789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CUR.redact_pii(df).collect()}
+
+    assert (out[1]["n_email"], out[1]["n_ssn"], out[1]["n_phone"]) == (1, 0, 0)
+    assert "[EMAIL]" in out[1]["clean_text"]
+    assert "bob.smith" not in out[1]["clean_text"]
+
+    assert (out[2]["n_email"], out[2]["n_ssn"], out[2]["n_phone"]) == (0, 1, 1)
+    assert out[2]["clean_text"] == "ssn [SSN] and phone [PHONE]"
+
+    assert out[3]["n_email"] == 2
+    assert out[3]["clean_text"] == "two mails: [EMAIL] [EMAIL]"
+
+    assert out[4]["clean_text"] == rows[3][1]  # untouched
+    # near-miss formats must NOT match (word boundaries + exact groups)
+    assert (out[5]["n_ssn"], out[5]["n_phone"]) == (0, 0)
+
+
+def test_contamination_flags_exact_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (100, base),  # benchmark doc
+            (1, base + " with a tiny tail"),  # heavy overlap -> flagged
+            (2, "totally different words everywhere nothing shared here"),
+            (3, "the quick brown fox only"),  # 2 shared shingles < 5
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingled_docs(docs)
+    bench = sh.filter(F.col("_id") == 100)
+    train = sh.filter(F.col("_id") != 100)
+    flags = CUR.contamination_flags(train, bench, min_overlap=5)
+    got = {r["_id"]: (r["n_bench_hits"], r["max_overlap"]) for r in flags.collect()}
+    assert set(got) == {1}
+    assert got[1][0] == 1 and got[1][1] >= 5
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words {i} more {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sh = shingled_docs(docs)
+    flags = CUR.contamination_flags(
+        sh.filter(F.col("_id") > 0), sh.filter(F.col("_id") == 0), min_overlap=1
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus never shuffles on shingle
+
+
+def test_stratified_sample_deterministic_and_quota_shaped(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    samp = CUR.stratified_sample(
+        docs, "lang", {"en": 60, "zh": 30}, default_pct=15, id_col="doc_id"
+    )
+    a = sorted(r["doc_id"] for r in samp.collect())
+    b = sorted(r["doc_id"] for r in samp.collect())
+    assert a == b and len(a) > 0  # content-addressed: identical re-run
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en keeps roughly 60%, others roughly 15% (loose bounds: small n)
+    en_rate = kept.get("en", 0) / totals["en"]
+    fr_rate = kept.get("fr", 0) / totals["fr"]
+    assert 0.4 < en_rate < 0.8
+    assert fr_rate < 0.4

@@ -1,0 +1,39 @@
+"""DuckDB parity for queries demoted OUT of the 50-entry driver window.
+
+The driver's CORRECTNESS gate checks only the first 50 registry entries,
+so these relational/window extensions ceded their slots to the curation
+family — their oracle SQL moved here and the parity bar stays identical
+(same compare as tests/parity.py: row count, column names, value
+multiset)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_vectorsearch_spark import queries as Q
+from tests.parity import _norm_rows, duckdb_conn
+
+DEMOTED = [
+    (Q.q_pivot_status_priority, Q.PIVOT_STATUS_ORACLE),
+    (Q.q_events_sliding_quarter, Q.SLIDING_QUARTER_ORACLE),
+    (Q.q_rollup_pricing, Q.ROLLUP_PRICING_ORACLE),
+]
+
+
+@pytest.mark.parametrize("fn,oracle", DEMOTED, ids=lambda p: getattr(p, "__name__", ""))
+def test_demoted_query_parity(spark, sf_correct, fn, oracle):
+    sdf = fn(spark, sf_correct)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_correct)
+    try:
+        res = con.execute(oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d_rows)
