@@ -501,8 +501,11 @@ def q_events_asof_join(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The
+        # session tz is pinned to UTC, so the cast reads the naive
+        # wall-clock as UTC - exactly DuckDB's epoch_us on naive ts.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
         F.round("asof_value", 4).alias("asof_value"),
     )
 

@@ -80,18 +80,26 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Columnar parquet scan = batched scan S1.
 
-    The driver's ``events`` parquet stores TIMESTAMP(NANOS), which Spark
-    rejects by default; read it as int64 nanos and truncate to
-    microseconds (exactly what DuckDB's micros TIMESTAMP does), so both
-    engines see identical values. The conf is set at read time because
-    the driver supplies its own SparkSession.
+    The driver's ``events`` parquet has shipped two timestamp layouts:
+    TIMESTAMP(NANOS) (read as int64 nanos, truncated to micros — exactly
+    DuckDB's micros TIMESTAMP) and TIMESTAMP(MICROS, isAdjustedToUTC=
+    false), which Spark 4 infers as TIMESTAMP_NTZ. Normalize both to a
+    plain TIMESTAMP column: the session timezone is pinned to UTC
+    (session.py), so the NTZ→LTZ cast is value-preserving and every
+    downstream epoch/window/lag expression sees the same instants DuckDB
+    does. The conf is set at read time because the driver supplies its
+    own SparkSession.
     """
     ensure_package_on_workers(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -22,26 +22,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Driver testdata stores TIMESTAMP(NANOS); a streaming source needs an
-# explicit schema, so read ts as long nanos and truncate to micros
-# (identical to the batch loader in sources/tables.py).
-EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+# Driver testdata has shipped ``ts`` as TIMESTAMP(NANOS) (readable only
+# as long nanos) and as TIMESTAMP(MICROS, NTZ). A streaming source needs
+# an explicit schema, so sniff the actual type from the parquet footer
+# with a zero-job batch read and build the matching stream DDL — then
+# normalize to a plain TIMESTAMP exactly like sources/tables.load_table.
+def _events_ddl(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql import types as T
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = batch.schema["ts"].dataType
+    ts_ddl = "long" if isinstance(ts_type, T.LongType) else ts_type.simpleString()
+    return (
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+        "value double, props string"
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ddl = _events_ddl(spark, sf_dir)
     # file-stream sources want a directory; an explicit basePath plus a
     # file glob restricts the stream to the events table only
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(ddl)
         .option("maxFilesPerTrigger", 1)
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if " ts long," in f" {ddl}":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
