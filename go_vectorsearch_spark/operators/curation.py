@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_vectorsearch_spark.functions.text import md5_int32
+from go_vectorsearch_spark.functions.text import md5_int32, ws_tokens
+from go_vectorsearch_spark.operators.dedup import _shingles_of_tokens
 
 # (name, pattern, replacement) applied in order. The pattern dialect is
 # the Java-regex ∩ RE2 subset — both engines must match identically.
@@ -101,6 +102,54 @@ def contamination_flags(
             F.max("_overlap").alias("max_overlap"),
         )
         .withColumnRenamed("_tid", id_col)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    max_tokens: int = 200,
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document.
+
+    Adds: ``n_lines``, ``dup_line_frac`` (fraction of lines that repeat an
+    earlier line), ``ellipsis_line_frac`` (lines ending in "..."),
+    ``top_ngram_frac`` (share of word ``ngram``-grams taken by the most
+    frequent one — the classic repeated-boilerplate detector). Documents
+    dominated by one n-gram or duplicated lines are template/spam pages a
+    pre-training corpus drops.
+
+    Everything is a pure column expression — no shuffle, no UDF; the
+    whole stat block pipelines inside the parquet scan stage. The in-doc
+    n-gram mode is computed with higher-order functions (distinct-gram ×
+    gram scan, O(d·g) per row), so ``max_tokens`` caps the token window
+    (standard in published quality-filter implementations) to bound the
+    per-row cost; 200 tokens is plenty to catch boilerplate repetition.
+    """
+    toks = F.slice(ws_tokens(F.col(text_col)), 1, max_tokens)
+    lines = F.split(F.col(text_col), "\n")
+    grams = _shingles_of_tokens(toks, ngram, distinct=False)
+    n_lines = F.size(lines)
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+        "double"
+    ) / n_lines
+    gram_counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    top_frac = F.when(
+        F.size(grams) > 0,
+        F.array_max(gram_counts).cast("double") / F.size(grams),
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(ellipsis, 6).alias("ellipsis_line_frac"),
+        F.round(top_frac, 6).alias("top_ngram_frac"),
     )
 
 

@@ -54,14 +54,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     return _shingles_of_tokens(ws_tokens(text), n)
 
 
-def _shingles_of_tokens(toks: Column, n: int) -> Column:
+def _shingles_of_tokens(toks: Column, n: int, distinct: bool = True) -> Column:
     def gram(i: Column) -> Column:
         return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
 
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def shingled_docs(

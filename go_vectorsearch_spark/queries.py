@@ -161,14 +161,16 @@ def q_point_lookup(spark, sf_dir):
     )
 
 
-@register(
-    "lookup_in_list",
-    oracle="""
+# S4/F2 multi-row lookup by PK list (reference: server/search.go:291).
+# Demoted out of the 50-entry driver window (slot ceded to
+# text_repetition); the identical parity bar lives in
+# tests/test_demoted_parity.py. point_lookup keeps S3 oracle-checked.
+LOOKUP_IN_LIST_ORACLE = """
 SELECT p_partkey, p_name, p_retailprice FROM part
 WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
-""",
-    doc="S4/F2 multi-row lookup by PK list (reference: server/search.go:291)",
-)
+"""
+
+
 def q_lookup_in_list(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     return lookup_by_keys(part, "p_partkey", [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]).select(
@@ -1350,6 +1352,44 @@ def q_sample_stratified(spark, sf_dir):
         docs, "lang", {"en": 60, "zh": 30}, default_pct=15, id_col="doc_id"
     )
     return samp.select("doc_id", "lang")
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 200) AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round(1 - len(list_distinct(lines))::DOUBLE / len(lines), 6) AS dup_line_frac,
+       round(len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines), 6)
+         AS ellipsis_line_frac,
+       CASE WHEN len(grams) > 0 THEN
+         round(list_max(list_transform(list_distinct(grams),
+                 g2 -> len(list_filter(grams, x -> x = g2))))::DOUBLE
+               / len(grams), 6)
+       END AS top_ngram_frac
+FROM g
+""",
+    doc="Gopher/C4-style repetition quality signals: duplicate-line "
+    "fraction, ellipsis-line fraction, top word-bigram share - pure "
+    "expression-only projection, the boilerplate/spam detector of a "
+    "pre-training corpus filter (operators/curation.repetition_stats)",
+)
+def q_text_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return CUR.repetition_stats(docs, ngram=2, max_tokens=200)
 
 
 # ---------------------------------------------------------------------------

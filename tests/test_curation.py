@@ -4,6 +4,7 @@ the scale-critical plan shapes)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_vectorsearch_spark.operators import curation as CUR
@@ -85,3 +86,28 @@ def test_stratified_sample_deterministic_and_quota_shaped(spark, sf_correct):
     fr_rate = kept.get("fr", 0) / totals["fr"]
     assert 0.4 < en_rate < 0.8
     assert fr_rate < 0.4
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now click here\n" * 10),          # one dup'd line, one hot bigram
+            (2, "alpha beta gamma delta\nepsilon zeta eta theta"),
+            (3, "read more...\nread more...\nunique tail line"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CUR.repetition_stats(docs, ngram=2, max_tokens=200).collect()
+    }
+    assert rows[1]["dup_line_frac"] > 0.8          # 10 identical lines + trailing ''
+    assert rows[1]["top_ngram_frac"] > 0.2         # "here buy" / "buy now" dominate
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] < 0.2
+    assert rows[3]["ellipsis_line_frac"] == pytest.approx(2 / 3)
+    # expression-only: no exchange in the plan
+    plan = (
+        CUR.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -89,6 +89,29 @@ def test_session_stream_equals_batch(spark, sf_smoke, events_stream, events_batc
     assert got_per_user == twin_rows
 
 
+def test_streaming_exact_dedup_equals_batch(spark, sf_smoke):
+    """Streaming dropDuplicates on the content hash keeps exactly one doc
+    per distinct text — same hash set and count as batch exact_dedup
+    (which survivor wins depends on arrival order, so compare hashes)."""
+    from go_vectorsearch_spark.operators.dedup import exact_dedup
+    from go_vectorsearch_spark.streaming.dedup import (
+        exact_dedup_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, sf_smoke)
+    got = run_available_now(
+        exact_dedup_stream(stream), "t_dedup_stream", output_mode="append"
+    )
+    batch = exact_dedup(load_table(spark, sf_smoke, "documents"))
+    got_hashes = {r["_text_md5"] for r in got.select("_text_md5").collect()}
+    want_hashes = {
+        r["h"] for r in batch.select(F.md5("text").alias("h")).collect()
+    }
+    assert got.count() == batch.count()
+    assert got_hashes == want_hashes
+
+
 def test_stateful_user_stats_equals_batch(spark, sf_smoke, events_stream, events_batch):
     from go_vectorsearch_spark.streaming.events import user_running_stats
 
