@@ -131,15 +131,15 @@ def lang_id(tokens: Column) -> Column:
     return expr
 
 
-def fingerprint(text: Column) -> Column:
-    """Rabin–Karp rolling-hash fingerprint over whitespace tokens.
+def fingerprint_of_codes(codes: Column) -> Column:
+    """Rabin–Karp fold over a MATERIALIZED token-hash array column.
 
-    fold over token hashes h_i = md5_int32(token):
-        acc_0 = h_0;  acc_i = (acc_{i-1} * 31 + h_i) mod 1e9+7
-    Seeding with the first element (not 0) matches DuckDB's ``list_reduce``
-    so the oracle is the literal same fold.
+    fold: acc_0 = h_0;  acc_i = (acc_{i-1} * 31 + h_i) mod 1e9+7.
+    Seeding with the first element (not 0) matches DuckDB's
+    ``list_reduce`` so the oracle is the literal same fold. ``codes``
+    should be a staged column reference — it is read 3 times (head,
+    tail, size); an inline expression would be re-derived each time.
     """
-    codes = F.transform(ws_tokens(text), md5_int32)
     head = F.element_at(codes, 1)
     tail = F.slice(codes, 2, F.size(codes) - 1)
     return F.aggregate(
@@ -147,3 +147,13 @@ def fingerprint(text: Column) -> Column:
         head,
         lambda acc, h: (acc * F.lit(FP_BASE) + h) % F.lit(FP_MOD),
     )
+
+
+def fingerprint(text: Column) -> Column:
+    """Rabin–Karp rolling-hash fingerprint over whitespace tokens.
+
+    Convenience form over raw text; for corpus-scale scans stage
+    ``transform(ws_tokens(text), md5_int32)`` in its own projection and
+    call :func:`fingerprint_of_codes` on the column reference.
+    """
+    return fingerprint_of_codes(F.transform(ws_tokens(text), md5_int32))

@@ -123,28 +123,56 @@ def repetition_stats(
 
     Everything is a pure column expression — no shuffle, no UDF; the
     whole stat block pipelines inside the parquet scan stage. The in-doc
-    n-gram mode is computed with higher-order functions (distinct-gram ×
-    gram scan, O(d·g) per row), so ``max_tokens`` caps the token window
-    (standard in published quality-filter implementations) to bound the
-    per-row cost; 200 tokens is plenty to catch boilerplate repetition.
+    n-gram mode is a sort + single-pass max-run-length fold (O(g log g)
+    per row) — the naive distinct×grams HOF scan is O(g²) and measured
+    ~60× slower on the sf0.1 corpus. ``max_tokens`` caps the token
+    window (standard in published quality-filter implementations);
+    200 tokens is plenty to catch boilerplate repetition.
     """
-    toks = F.slice(ws_tokens(F.col(text_col)), 1, max_tokens)
-    lines = F.split(F.col(text_col), "\n")
-    grams = _shingles_of_tokens(toks, ngram, distinct=False)
+    # materialize the token/line arrays in their own projection: inlined,
+    # the per-gram element_at would re-run the whole tokenize subtree
+    # per element (the shingled_docs pitfall — measured ~5× slower);
+    # CollapseProject keeps non-cheap aliased subtrees in separate
+    # projects, so the split runs once per row
+    staged = df.select(
+        "*",
+        F.slice(ws_tokens(F.col(text_col)), 1, max_tokens).alias("_toks"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    staged = staged.select(
+        "*",
+        _shingles_of_tokens(F.col("_toks"), ngram, distinct=False).alias("_grams"),
+    )
+    lines = F.col("_lines")
+    grams = F.col("_grams")
     n_lines = F.size(lines)
     dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
     ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
         "double"
     ) / n_lines
-    gram_counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    # mode count == longest run in the sorted gram array: one fold pass
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_frac = F.when(
         F.size(grams) > 0,
-        F.array_max(gram_counts).cast("double") / F.size(grams),
+        top_count.cast("double") / F.size(grams),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),

@@ -176,7 +176,10 @@ def jaccard_pairs(
     groups = sh.groupBy("_s").agg(F.collect_list("_id").alias("_ids"))
     if max_shingle_freq is not None:
         groups = groups.filter(F.size("_ids") <= max_shingle_freq)
-    ids = F.array_sort("_ids")
+    # stage the sort: referenced inside the per-element pairs_after
+    # lambda, an inline array_sort would re-sort the group per element
+    groups = groups.select(F.array_sort("_ids").alias("_ids"))
+    ids = F.col("_ids")
 
     def pairs_after(x: Column, i: Column) -> Column:
         return F.transform(

@@ -266,9 +266,11 @@ def build_index(
     centroids = kmeans(
         df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size, n_total=n
     )
+    # eager=False: the checkpoint materializes inside the split loop's
+    # first sizes job instead of paying its own job for it
     assigned = assign_nearest(
         df, centroids, vec_col=vec_col, out_col="centroid_id"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     next_id = k
 
     # split oversized leaves: per round, ONE job samples every oversized
@@ -320,7 +322,7 @@ def build_index(
         split = _assign_children_gemm(
             assigned.filter(F.col("centroid_id").isin(ov_ids)), children, vec_col
         )
-        assigned = keep.unionByName(split).localCheckpoint()
+        assigned = keep.unionByName(split).localCheckpoint(eager=False)
 
     # prune small centroids, reassign their members, re-center
     if min_leaf is None:

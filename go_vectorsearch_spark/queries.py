@@ -879,16 +879,33 @@ FROM c
 )
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
-    return docs.select(
+    # stage the token array, then the three unrounded ratios, so the
+    # quality score reuses them instead of re-tokenizing per component
+    # (inlined, the tokenize subtree would run ~5x per row)
+    staged = docs.select(
+        "doc_id", "text", T.ws_tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        "text",
+        "_toks",
+        T.alpha_ratio(F.col("text")).alias("_ar"),
+        T.stopword_ratio(F.col("_toks")).alias("_sr"),
+        T.mean_token_len(F.col("_toks")).alias("_ml"),
+    )
+    quality = (
+        F.lit(0.4) * F.col("_ar")
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(F.col("_sr") - F.lit(0.4)))
+        + F.lit(0.3) * F.least(F.col("_ml") / F.lit(8.0), F.lit(1.0))
+    )
+    return staged.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size("_toks").cast("long").alias("n_ws_tokens"),
         T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-        F.round(T.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
-        F.round(T.stopword_ratio(toks), 6).alias("stop_ratio"),
-        F.round(T.mean_token_len(toks), 6).alias("mean_tok_len"),
-        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        F.round("_ar", 6).alias("alpha_ratio"),
+        F.round("_sr", 6).alias("stop_ratio"),
+        F.round("_ml", 6).alias("mean_tok_len"),
+        F.round(quality, 6).alias("quality"),
     )
 
 
@@ -924,14 +941,26 @@ FROM h
 )
 def q_text_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
-    return docs.select(
+    langs = sorted(T.LANG_MARKERS)
+    # stage tokens, then the per-language hit counts: lang_id over an
+    # inline token expression re-runs tokenize+filter per reference
+    # (~12x per row across the vote CASE chain)
+    staged = docs.select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("_toks")
+    ).select(
         "doc_id",
         *[
-            T.lang_marker_hits(toks, lang).alias(f"hits_{lang}")
-            for lang in sorted(T.LANG_MARKERS)
+            T.lang_marker_hits(F.col("_toks"), lang).alias(f"hits_{lang}")
+            for lang in langs
         ],
-        T.lang_id(toks).alias("pred_lang"),
+    )
+    top = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:  # alphabetical => first match wins ties
+        cond = F.col(f"hits_{lang}") == top
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return staged.select(
+        "doc_id", *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang")
     )
 
 
@@ -949,7 +978,13 @@ FROM documents
 )
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    staged = docs.select(
+        "doc_id",
+        F.transform(T.ws_tokens(F.col("text")), T.md5_int32).alias("_codes"),
+    )
+    return staged.select(
+        "doc_id", T.fingerprint_of_codes(F.col("_codes")).alias("fp")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1369,18 +1404,20 @@ WITH t AS (
                                   i -> toks[i] || ' ' || toks[i + 1])
               ELSE [] END AS grams
   FROM t
+), gc AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g2 FROM g)
+  GROUP BY doc_id, g2
+), gm AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT g.doc_id,
        len(lines) AS n_lines,
        round(1 - len(list_distinct(lines))::DOUBLE / len(lines), 6) AS dup_line_frac,
        round(len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines), 6)
          AS ellipsis_line_frac,
-       CASE WHEN len(grams) > 0 THEN
-         round(list_max(list_transform(list_distinct(grams),
-                 g2 -> len(list_filter(grams, x -> x = g2))))::DOUBLE
-               / len(grams), 6)
-       END AS top_ngram_frac
-FROM g
+       round(gm.top::DOUBLE / gm.tot, 6) AS top_ngram_frac
+FROM g LEFT JOIN gm ON g.doc_id = gm.doc_id
 """,
     doc="Gopher/C4-style repetition quality signals: duplicate-line "
     "fraction, ellipsis-line fraction, top word-bigram share - pure "
@@ -1489,8 +1526,13 @@ def q_doc_noop_embed(spark, sf_dir):
     from go_vectorsearch_spark.sources.tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    codes = DOC.noop_embed_codes(F.col("text"), dim=64, seed=0)
-    return docs.select(
+    # stage the 64-block code array once: referenced three times below,
+    # inlined it would be md5-derived 3x per row
+    staged = docs.select(
+        "doc_id", DOC.noop_embed_codes(F.col("text"), dim=64, seed=0).alias("_codes")
+    )
+    codes = F.col("_codes")
+    return staged.select(
         "doc_id",
         F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
         F.element_at(codes, 1).alias("first_code"),
@@ -1821,13 +1863,23 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     from go_vectorsearch_spark.sources.tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    toks = T.ws_tokens(F.col("text"))
-    scored = docs.select(
+    # stage tokens once; quality_score(text) would re-tokenize 3x
+    staged = docs.select(
+        "doc_id", "lang", "text", T.ws_tokens(F.col("text")).alias("_toks")
+    )
+    quality = (
+        F.lit(0.4) * T.alpha_ratio(F.col("text"))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.abs(T.stopword_ratio(F.col("_toks")) - F.lit(0.4)))
+        + F.lit(0.3)
+        * F.least(T.mean_token_len(F.col("_toks")) / F.lit(8.0), F.lit(1.0))
+    )
+    scored = staged.select(
         "doc_id",
         "lang",
         "text",
-        T.quality_score(F.col("text")).alias("quality"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        F.size("_toks").cast("long").alias("n_tokens"),
     ).filter(F.col("quality") >= 0.5)
     kept = exact_dedup(scored, id_col="doc_id", text_col="text")
     return kept.groupBy("lang").agg(
