@@ -181,6 +181,64 @@ def repetition_stats(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    ctx_len: int = 2048,
+    n_shards: int = 1024,
+    seed: str = "pack",
+) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-size context
+    window for training, sequential-fill within hash shards.
+
+    GPT-style concat-and-chunk: each shard's documents form one token
+    stream (deterministic content-hash order), cut every ``ctx_len``
+    tokens; a document belongs to the pack where it STARTS and may cross
+    into the next pack (training cuts it there — the standard
+    pre-training packing). Output adds ``shard``, ``pack_id``
+    (= shard * 2^32 + local pack) and ``pack_offset`` (token offset of
+    the document's start inside its pack).
+
+    Scale notes: packing is inherently order-dependent, and a global
+    order would mean a single-partition sort — so the order is per-shard
+    (window PARTITION BY shard): one shuffle on shard, each shard a few
+    GB at 100 TB / n_shards, and the running sum is a single window
+    pass. The shard hash is content-addressed (md5 of seed:id), so the
+    same document lands in the same shard/pack on any cluster layout,
+    retry, or engine — the DuckDB oracle reproduces the packing exactly.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    staged = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("_n_tok"),
+        (h % n_shards).alias("shard"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("_n_tok").over(w) - F.col("_n_tok")
+    packed = staged.select(
+        id_col,
+        "shard",
+        F.col("_n_tok").alias("n_tokens"),
+        start.alias("_start"),
+    )
+    local_pack = F.floor(F.col("_start") / ctx_len)
+    return packed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("shard").cast("long") * F.lit(2**32) + local_pack).alias("pack_id"),
+        (F.col("_start") - local_pack * ctx_len).cast("long").alias("pack_offset"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

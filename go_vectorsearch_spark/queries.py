@@ -635,6 +635,37 @@ def q_rollup_pricing(spark, sf_dir):
     )
 
 
+# Sequence packing (operators/curation.pack_sequences): GPT-style
+# concat-and-chunk over per-shard token streams. pytest-parity (the
+# 50-entry driver window is full); same DuckDB bar as the registry.
+PACK_SEQUENCES_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, h % 16 AS shard,
+         sum(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 4294967296 + CAST(floor(strt / 256.0) AS BIGINT) AS pack_id,
+       CAST(strt - CAST(floor(strt / 256.0) AS BIGINT) * 256 AS BIGINT) AS pack_offset
+FROM s
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return CUR.pack_sequences(staged, ctx_len=256, n_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # Phase C: vector column toolkit (SURVEY.md §2.7 V1-V5, §2.4 A3-A5).
 # The f32 reference-parity path is pytest-checked against a numpy golden

@@ -111,3 +111,30 @@ def test_repetition_stats_flags_boilerplate(spark):
         CUR.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, rng.randint(1, 300)) for i in range(500)], "doc_id long, n_tokens long"
+    )
+    packed = CUR.pack_sequences(docs, ctx_len=256, n_shards=8).collect()
+    assert len(packed) == 500
+    by_shard = {}
+    for r in packed:
+        assert 0 <= r["pack_offset"] < 256          # starts inside its pack
+        assert r["pack_id"] >> 32 == r["shard"]     # global id embeds shard
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        total = sum(r["n_tokens"] for r in rows)
+        n_packs = len({r["pack_id"] for r in rows})
+        # concat-and-chunk: at most one start-pack per ctx window; a doc
+        # longer than ctx spans windows nobody else starts in, so the
+        # lower bound divides by (ctx + max doc len)
+        assert n_packs <= total // 256 + 1
+        assert n_packs >= total // (256 + 300)
+    # deterministic: content-addressed, independent of partition layout
+    again = CUR.pack_sequences(docs.repartition(13), ctx_len=256, n_shards=8).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))

@@ -18,6 +18,7 @@ DEMOTED = [
     (Q.q_events_sliding_quarter, Q.SLIDING_QUARTER_ORACLE),
     (Q.q_rollup_pricing, Q.ROLLUP_PRICING_ORACLE),
     (Q.q_lookup_in_list, Q.LOOKUP_IN_LIST_ORACLE),
+    (Q.q_pack_sequences, Q.PACK_SEQUENCES_ORACLE),
 ]
 
 
