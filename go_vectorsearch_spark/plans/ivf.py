@@ -256,8 +256,14 @@ def build_index(
 
     from go_vectorsearch_spark.sources.tables import spread
 
-    df = spread(df).persist()
+    # NO persist of the corpus frame: at the 100 TB design point the
+    # input cannot be cached (the reference re-streams from the DB per
+    # pass too, dnc/dnc.go:93-107); the build makes exactly two passes
+    # over it (sample job, assignment job) against the columnar scan.
+    # count() on the bare scan is metadata-only (parquet row-group
+    # stats) — no data read.
     n = df.count()
+    df = spread(df)
     # overshoot k so the average leaf lands at ~70% of max_leaf; with
     # k = n/max_leaf exactly, half the leaves start oversized and every
     # build pays split rounds for geometry, not skew
@@ -329,7 +335,6 @@ def build_index(
         min_leaf = max_leaf // 10
     index = IVFIndex(centroids=recenter(assigned, vec_col), assigned=assigned)
     index = prune_small(index, vec_col=vec_col, min_size=min_leaf, sizes=leaf_sizes)
-    df.unpersist()
     return index
 
 

@@ -113,3 +113,21 @@ def test_scored_search_has_no_shuffle_before_topk(spark, sf_correct):
     q = score_cosine(emb, qvec, "embedding")
     plan = _executed_plan(q)
     assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_pack_sequences_no_global_sort(spark, sf_correct):
+    """Sequence packing must shuffle once on the shard hash and sort only
+    WITHIN shard partitions (window) - a global ORDER BY would funnel the
+    100 TB corpus through one task."""
+    from go_vectorsearch_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_correct, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    q = pack_sequences(docs, ctx_len=256, n_shards=16)
+    plan = _executed_plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle, on shard
+    assert "rangepartitioning" not in plan  # global sort would use range exchange
+    # the window sort is per-partition: "Sort [...], false, 0" (global=false)
+    assert "Sort [shard" in plan
+    assert "], false, 0" in "Sort [shard" + plan.split("Sort [shard")[1][:200]
