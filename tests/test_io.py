@@ -41,3 +41,29 @@ def test_unknown_format_rejected(spark, sf_smoke, tmp_path_factory):
         write_table(docs, "/tmp/x", "avro")
     with pytest.raises(ValueError, match="schema required"):
         read_table(spark, "/tmp/x", "json")
+
+
+def test_events_loader_handles_both_timestamp_layouts(spark, sf_smoke, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (round 1,
+    readable only as int64 nanos) and TIMESTAMP(MICROS, NTZ) (round 2).
+    load_table must normalize BOTH to a plain UTC TIMESTAMP with
+    identical instants."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    current = load_table(spark, sf_smoke, "events")
+    assert isinstance(current.schema["ts"].dataType, T.TimestampType)
+
+    # synthesize the round-1 layout: ts as int64 nanoseconds
+    nanos_dir = str(tmp_path / "sfnanos")
+    current.withColumn(
+        "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    ).write.parquet(f"{nanos_dir}/events.parquet")
+    legacy = load_table(spark, nanos_dir, "events")
+    assert isinstance(legacy.schema["ts"].dataType, T.TimestampType)
+
+    a = sorted((r["event_id"], r["ts"]) for r in current.select("event_id", "ts").collect())
+    b = sorted((r["event_id"], r["ts"]) for r in legacy.select("event_id", "ts").collect())
+    assert a == b
