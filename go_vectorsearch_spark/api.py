@@ -210,35 +210,17 @@ class Engine:
         if self.api_bases:
             import numpy as np
 
-            from go_vectorsearch_spark.sources.embed_http import (
-                _post_json,
-                quantize_f32_np,
-            )
-            import http.client
-            from urllib.parse import urlparse
+            from go_vectorsearch_spark.sources.embed_http import embed_texts_once
 
-            u = urlparse(self.api_bases[0].rstrip("/"))
-            cls = (
-                http.client.HTTPSConnection
-                if u.scheme == "https"
-                else http.client.HTTPConnection
+            # same request shape AND options as the upload path (shared
+            # helper — the reference embeds the query with the same
+            # provider call as uploads, server/search.go:124-147)
+            codes, lo, hi = embed_texts_once(
+                self.api_bases[0], [qtext], self.embed_model
             )
-            conn = cls(u.hostname, u.port, timeout=30.0)
-            try:
-                out = _post_json(
-                    conn,
-                    "/api/embed",
-                    {"model": self.embed_model, "input": [qtext], "options": {}},
-                    "",
-                )
-            finally:
-                conn.close()
             # quantize-at-decode round-trip: the reference scores the
             # query against dequantized stored vectors with the query
             # itself having passed through the same u8 codec
-            codes, lo, hi = quantize_f32_np(
-                np.asarray(out["embeddings"], dtype=np.float64)
-            )
             span = np.float32(hi[0]) - np.float32(lo[0])
             return (
                 np.float32(lo[0]) + codes[0].astype(np.float32) / np.float32(255.0) * span

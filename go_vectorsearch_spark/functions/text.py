@@ -92,21 +92,33 @@ def mean_token_len(tokens: Column) -> Column:
     return total.cast("double") / F.size(tokens).cast("double")
 
 
+def quality_score_from_parts(ar: Column, sr: Column, ml: Column) -> Column:
+    """The quality formula over precomputed (alpha_ratio, stop_ratio,
+    mean_token_len) columns — THE single source of the weights. Callers
+    that stage the three ratios (to avoid re-tokenizing per component)
+    build the score from their staged columns via this.
+    """
+    return (
+        F.lit(0.4) * ar
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(sr - F.lit(0.4)))
+        + F.lit(0.3) * F.least(ml / F.lit(8.0), F.lit(1.0))
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0, 1].
 
     0.4·alpha_ratio + 0.3·(1 − |stop_ratio − 0.4|) + 0.3·min(mean_len/8, 1):
     rewards mostly-alphabetic text, a natural function-word rate (~40 %),
     and non-trivial word length. Deterministic float64 arithmetic — the
-    DuckDB oracle reproduces it bit-for-bit.
+    DuckDB oracle reproduces it bit-for-bit. Convenience form; corpus
+    scans should stage the token array and ratios once and use
+    :func:`quality_score_from_parts` (the tokenize subtree is otherwise
+    re-evaluated per component).
     """
     toks = ws_tokens(text)
-    sr = stopword_ratio(toks)
-    ml = mean_token_len(toks)
-    return (
-        F.lit(0.4) * alpha_ratio(text)
-        + F.lit(0.3) * (F.lit(1.0) - F.abs(sr - F.lit(0.4)))
-        + F.lit(0.3) * F.least(ml / F.lit(8.0), F.lit(1.0))
+    return quality_score_from_parts(
+        alpha_ratio(text), stopword_ratio(toks), mean_token_len(toks)
     )
 
 

@@ -634,8 +634,20 @@ def embedding_neardup_pairs(
                 sims = mat_a @ mat_b.T
                 ai, bj = np.nonzero(sims >= threshold)
                 ia, ib, s = ids_a[ai], ids_b[bj], sims[ai, bj]
-                keep = ia < ib
-                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
+                if same:
+                    # symmetric self-GEMM: each pair appears twice, keep
+                    # the upper triangle
+                    keep = ia < ib
+                    ia, ib, s = ia[keep], ib[keep], s[keep]
+                else:
+                    # cross-block: each unordered pair appears exactly
+                    # once in this task — CANONICALIZE to (min, max);
+                    # filtering ia < ib here would silently drop every
+                    # pair whose block-a member has the larger id
+                    lo = np.minimum(ia, ib)
+                    ib = np.maximum(ia, ib)
+                    ia = lo
+                yield pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": s})
 
     out = task_pairs.mapInPandas(gemm_blocks, schema="id_a long, id_b long, cosine double")
     return out

@@ -178,9 +178,16 @@ def kmeans(
     """
     spark = df.sparkSession
     if n_total is not None and n_total <= sample_size:
-        # corpus already fits the sample budget: skip the TakeOrdered
-        # permutation job, every row participates anyway
-        rows = df.select(vec_col).collect()
+        # corpus already fits the sample budget: every row participates,
+        # so skip the limit — but KEEP the md5(id) order. _numpy_lloyd
+        # seeds its superset init from X[:k0], so raw collect() order
+        # would make the centroids partition-layout-dependent, breaking
+        # the determinism contract deterministic_sample exists for.
+        rows = (
+            df.orderBy(F.md5(F.col(id_col).cast("string")))
+            .select(vec_col)
+            .collect()
+        )
     else:
         rows = (
             deterministic_sample(df, sample_size, id_col).select(vec_col).collect()

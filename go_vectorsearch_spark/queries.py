@@ -923,11 +923,7 @@ def q_text_quality(spark, sf_dir):
         T.stopword_ratio(F.col("_toks")).alias("_sr"),
         T.mean_token_len(F.col("_toks")).alias("_ml"),
     )
-    quality = (
-        F.lit(0.4) * F.col("_ar")
-        + F.lit(0.3) * (F.lit(1.0) - F.abs(F.col("_sr") - F.lit(0.4)))
-        + F.lit(0.3) * F.least(F.col("_ml") / F.lit(8.0), F.lit(1.0))
-    )
+    quality = T.quality_score_from_parts(F.col("_ar"), F.col("_sr"), F.col("_ml"))
     return staged.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -1061,12 +1057,18 @@ def _shingled_cached(spark, sf_dir):
 
 
 def _jaccard_pairs_cached(spark, sf_dir):
+    # oracle-parity mode: max_shingle_freq=None, because the DuckDB twin
+    # counts every shingle. The capped default stays for production
+    # callers; a cap that ever bound here would drop pairs the oracle
+    # keeps (the sf0.01/0.1 fixtures have no 1000-doc shingle, asserted
+    # in tests/test_dedup_text.py).
     return _dedup_cached(
         "jaccard",
         sf_dir,
         lambda: DD.jaccard_pairs(
             _t(spark, sf_dir, "documents"),
             threshold=0.2,
+            max_shingle_freq=None,
             shingled=_shingled_cached(spark, sf_dir),
         ),
     )
@@ -1898,12 +1900,10 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     staged = docs.select(
         "doc_id", "lang", "text", T.ws_tokens(F.col("text")).alias("_toks")
     )
-    quality = (
-        F.lit(0.4) * T.alpha_ratio(F.col("text"))
-        + F.lit(0.3)
-        * (F.lit(1.0) - F.abs(T.stopword_ratio(F.col("_toks")) - F.lit(0.4)))
-        + F.lit(0.3)
-        * F.least(T.mean_token_len(F.col("_toks")) / F.lit(8.0), F.lit(1.0))
+    quality = T.quality_score_from_parts(
+        T.alpha_ratio(F.col("text")),
+        T.stopword_ratio(F.col("_toks")),
+        T.mean_token_len(F.col("_toks")),
     )
     scored = staged.select(
         "doc_id",

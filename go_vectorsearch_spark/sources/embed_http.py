@@ -66,6 +66,50 @@ def quantize_f32_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return codes, lo, hi
 
 
+def _open_connection(base: str, timeout: float):
+    """(connection, path_prefix) for an api_base URL. The path component
+    of the base ('http://host/ollama', a '/v1' reverse-proxy prefix) is
+    preserved and prepended to the request path — dropping it would 404
+    every request behind a prefixed proxy."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    cls = (
+        http.client.HTTPSConnection
+        if u.scheme == "https"
+        else http.client.HTTPConnection
+    )
+    return cls(u.hostname, u.port, timeout=timeout), u.path.rstrip("/")
+
+
+def embed_texts_once(
+    base: str,
+    texts: Sequence[str],
+    model: str,
+    num_ctx: int = 2048,
+    token: str = "",
+    timeout: float = 30.0,
+    path: str = EMBED_PATH,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One connection, one batch POST, quantize-at-decode. The single
+    shared implementation of the request/decode shape — the driver-side
+    query embed (api.Engine._embed_query) and any one-shot callers use
+    this so the query path can never drift from the upload path."""
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    try:
+        payload = {"model": model, "input": list(texts), "options": {"num_ctx": num_ctx}}
+        out = _post_json(conn, prefix + path, payload, token)
+    finally:
+        conn.close()
+    mat = np.asarray(out["embeddings"], dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] != len(texts):
+        raise RuntimeError(
+            f"embed endpoint returned shape {mat.shape} for {len(texts)} texts"
+        )
+    return quantize_f32_np(mat)
+
+
 def _post_json(conn, path: str, payload: dict, token: str) -> dict:
     import json
 
@@ -107,25 +151,16 @@ def http_embed(
     out_schema = f"{in_fields}, {_OUT_FIELDS}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import http.client
-        from urllib.parse import urlparse
-
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         start = (ctx.partitionId() if ctx is not None else 0) % len(bases)
-        conns: dict[str, object] = {}
+        conns: dict[str, tuple[object, str]] = {}
         calls = 0
 
-        def connection(base: str):
+        def connection(base: str) -> tuple[object, str]:
             if base not in conns:
-                u = urlparse(base)
-                cls = (
-                    http.client.HTTPSConnection
-                    if u.scheme == "https"
-                    else http.client.HTTPConnection
-                )
-                conns[base] = cls(u.hostname, u.port, timeout=timeout)
+                conns[base] = _open_connection(base, timeout)
             return conns[base]
 
         def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -137,7 +172,8 @@ def http_embed(
                 "input": texts,
                 "options": {"num_ctx": num_ctx},
             }
-            out = _post_json(connection(base), path, payload, token)
+            conn, prefix = connection(base)
+            out = _post_json(conn, prefix + path, payload, token)
             mat = np.asarray(out["embeddings"], dtype=np.float64)
             if mat.ndim != 2 or mat.shape[0] != len(texts):
                 raise RuntimeError(
@@ -163,7 +199,7 @@ def http_embed(
                 out["hi"] = np.concatenate(hi_parts)
                 yield out
         finally:
-            for c in conns.values():
+            for c, _prefix in conns.values():
                 c.close()
 
     return df.mapInPandas(run, schema=out_schema)

@@ -210,9 +210,12 @@ def test_embedding_neardup_multiblock_equals_singleblock(spark):
     rng = np.random.RandomState(7)
     base = rng.randn(6, 8)
     rows = []
+    # plant dup pairs as (i, i+6): with rows_per_block=3 -> 4 blocks
+    # (id mod 4), pairs like (3, 9) put the LARGER id in the LOWER block
+    # (9%4=1 < 3%4=3) — the case a cross-block ia<ib filter would drop
     for i, v in enumerate(base):
-        rows.append((2 * i, [float(x) for x in v]))
-        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(8) * 0.01]))
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 6, [float(x) for x in v + rng.randn(8) * 0.01]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     single = {
         (r["id_a"], r["id_b"]): round(r["cosine"], 9)
@@ -223,7 +226,7 @@ def test_embedding_neardup_multiblock_equals_singleblock(spark):
         for r in DD.embedding_neardup_pairs(emb, threshold=0.9, rows_per_block=3).collect()
     }
     assert single == multi
-    assert all((2 * i, 2 * i + 1) in single for i in range(6))  # planted dups found
+    assert all((i, i + 6) in single for i in range(6))  # planted dups found
 
 
 def test_embedding_neardup_lsh_recall(spark):

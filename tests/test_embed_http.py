@@ -34,7 +34,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         n = int(self.headers["Content-Length"])
         req = json.loads(self.rfile.read(n))
-        if self.path != "/api/embed":
+        if not self.path.endswith("/api/embed"):
             self.send_response(404)
             self.send_header("Content-Length", "0")
             self.end_headers()
@@ -129,6 +129,17 @@ def test_http_embed_load_balances_bases(spark, stub_server):
     assert 8 <= total <= 12
     assert len(srv_a.requests) >= 2 and len(srv_b.requests) >= 2
     assert sum(r["n_texts"] for r in srv_a.requests + srv_b.requests) == 32
+
+
+def test_http_embed_preserves_base_path_prefix(spark, stub_server):
+    """api_base URLs behind a reverse proxy carry a path prefix
+    ('http://host/ollama'); the client must POST to <prefix>/api/embed,
+    not the bare /api/embed."""
+    srv, base = stub_server()
+    df = _texts_df(spark, n=4, partitions=1)
+    out = http_embed(df, api_bases=[base + "/ollama"], batch_size=4).collect()
+    assert len(out) == 4
+    assert [r["path"] for r in srv.requests] == ["/ollama/api/embed"]
 
 
 def test_http_embed_error_propagates(spark, stub_server):
