@@ -71,31 +71,6 @@ def assign_nearest(
     return _assign_expr(df, cents, vec_col, out_col, sim_col)
 
 
-def assign_with_matrix(
-    df: DataFrame,
-    ids: list[int],
-    mat: np.ndarray,
-    vec_col: str = "embedding",
-    out_col: str = "assigned_id",
-    sim_col: str | None = None,
-    method: str = "auto",
-) -> DataFrame:
-    """Same as assign_nearest but with a driver-side centroid matrix -
-    the inner-loop entry point for k-means, skipping the
-    createDataFrame/collect round trip per iteration."""
-    cents = sorted(
-        ((int(i), np.asarray(v, dtype=np.float64)) for i, v in zip(ids, mat)),
-        key=lambda t: t[0],
-    )
-    if not cents:
-        raise ValueError("assign_with_matrix: empty centroid set")
-    if method == "auto":
-        method = "gemm" if len(cents) >= GEMM_THRESHOLD else "expr"
-    if method == "gemm":
-        return _assign_gemm(df, cents, vec_col, out_col, sim_col)
-    return _assign_expr(df, cents, vec_col, out_col, sim_col)
-
-
 def _assign_expr(
     df: DataFrame,
     cents: list[tuple[int, np.ndarray]],

@@ -156,7 +156,10 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
         F.lit(0).alias("_is_r"),
     )
-    tagged_r = right.select(
+    # a null-ts right row is "at or before" nothing: it must never match
+    # (nulls-first ordering would otherwise put it ahead of every left
+    # row of its key)
+    tagged_r = right.filter(F.col(ts_col).isNotNull()).select(
         *[
             (F.col(c) if c in carried else F.lit(None).cast(t)).alias(c)
             for c, t in left.dtypes
@@ -201,6 +204,11 @@ def hash_sample(df: DataFrame, key_col: str, hex_prefix: str = "0") -> DataFrame
     sample that any SQL engine reproduces bit-for-bit, and that
     needs no shuffle or coordination at any scale.
     """
+    hex_prefix = hex_prefix.lower()
+    if not hex_prefix or any(c not in "0123456789abcdef" for c in hex_prefix):
+        # md5 emits lowercase hex; an invalid prefix would silently
+        # return an empty "sample"
+        raise ValueError(f"hex_prefix must be non-empty hex, got {hex_prefix!r}")
     return df.filter(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, len(hex_prefix))
         == hex_prefix

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from go_vectorsearch_spark.functions.vector import cosine_similarity
@@ -90,9 +90,11 @@ def topk_paginated(
     pages never duplicate or drop equal-scored rows (the registry's
     every-LIMIT-has-a-total-order convention).
     """
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))
-    ranked = topk_df.withColumn("_rank", w)
-    return ranked.filter(F.col("_rank") > offset).drop("_rank").limit(count)
+    from go_vectorsearch_spark.operators.relational import paginate
+
+    # one pagination implementation: reuse relational.paginate with the
+    # total (score desc, id asc) order
+    return paginate(topk_df, [F.desc("score"), F.asc(id_col)], count, offset)
 
 
 def normalize_search_args(count: int, offset: int, nprobe: int) -> tuple[int, int, int]:

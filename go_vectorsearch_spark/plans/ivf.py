@@ -42,8 +42,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_vectorsearch_spark.functions.vector import vector_mean
-from go_vectorsearch_spark.operators.assign import assign_nearest, assign_with_matrix
+from go_vectorsearch_spark.functions.vector import as_double, vector_mean
+from go_vectorsearch_spark.operators.assign import assign_nearest
 from go_vectorsearch_spark.operators.search import brute_force_topk
 
 CENTROID_SCHEMA = "centroid_id long, centroid_vec array<double>"
@@ -192,6 +192,9 @@ def kmeans(
         rows = (
             deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
         )
+    if not rows:
+        # empty corpus -> empty index, not an AxisError inside Lloyd
+        return spark.createDataFrame([], CENTROID_SCHEMA)
     X = np.array([r[0] for r in rows], dtype=np.float64)
     mat = _numpy_lloyd(X, k, max_iters, init_oversample, quantize_iterations)
     return _centroids_df(spark, mat, list(range(len(mat))))
@@ -217,7 +220,7 @@ def kmeans_mllib(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     spark = df.sparkSession
-    feat = df.select(array_to_vector(as_double_arr(F.col(vec_col))).alias("features"))
+    feat = df.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
     model = MLKMeans(
         k=k, seed=seed, maxIter=max_iters, distanceMeasure="cosine"
     ).fit(feat)
@@ -227,8 +230,6 @@ def kmeans_mllib(
     return spark.createDataFrame(centers, CENTROID_SCHEMA)
 
 
-def as_double_arr(col):
-    return F.transform(col, lambda x: x.cast("double"))
 
 
 @dataclass
@@ -324,7 +325,9 @@ def build_index(
         children: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for cid in ov_ids:
             X = np.array(by_leaf[cid], dtype=np.float64)
-            kk = max(2, math.ceil(oversized[cid] / max_leaf))
+            # same 0.7 overshoot as the top-level k: children averaging
+            # exactly max_leaf leave ~half oversized from geometry alone
+            kk = max(2, math.ceil(oversized[cid] / (max_leaf * 0.7)))
             mat = _numpy_lloyd(
                 X, kk, max_iters=20, init_oversample=5, quantize_iterations=True
             )
@@ -487,14 +490,14 @@ def nearest_centroids(
         return []
     q = np.array(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
-    scored = []
-    for r in rows:
-        c = np.array(r["centroid_vec"], dtype=np.float64)
-        denom = qn * np.linalg.norm(c)
-        sim = float(c @ q / denom) if denom else 0.0
-        scored.append((sim, int(r["centroid_id"])))
-    scored.sort(key=lambda t: (-t[0], t[1]))
-    return [cid for _, cid in scored[:nprobe]]
+    # one matrix-vector product, not a python loop per centroid — at the
+    # design point k reaches ~10^6 driver-side rows
+    ids = np.fromiter((r["centroid_id"] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r["centroid_vec"] for r in rows], dtype=np.float64)
+    denom = qn * np.linalg.norm(mat, axis=1)
+    sims = np.divide(mat @ q, denom, out=np.zeros(len(rows)), where=denom != 0.0)
+    order = np.lexsort((ids, -sims))  # score desc, id asc tie-break
+    return [int(ids[i]) for i in order[:nprobe]]
 
 
 def ivf_search(

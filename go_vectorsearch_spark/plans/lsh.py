@@ -75,7 +75,10 @@ def bucket_of(vec: list[float], planes: list[list[int]]) -> int:
 def _hamming_neighbors(bucket: int, n_bits: int, radius: int) -> list[int]:
     """Buckets within Hamming distance ``radius`` (radius ≤ 1 supported;
     larger radii would enumerate combinations)."""
-    assert radius <= 1, "multi-probe beyond radius 1 not needed yet"
+    if radius > 1:
+        # a real error, not an assert: under python -O an assert would
+        # silently return fewer buckets than the caller asked for
+        raise ValueError(f"multi-probe radius {radius} unsupported (max 1)")
     out = [bucket]
     if radius >= 1:
         out += [bucket ^ (1 << b) for b in range(n_bits)]

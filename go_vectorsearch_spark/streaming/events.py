@@ -120,18 +120,30 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
     import pandas as pd
 
     out_schema = "user_id long, n_events long, sum_value double, max_value double"
-    state_schema = "n long, s double, m double"
+    # nn = count of NON-NULL values: SQL sum/max skip nulls and return
+    # NULL when every value is null — a -inf/NaN seed would diverge from
+    # the batch twin for an all-null-value user
+    state_schema = "n long, nn long, s double, m double"
 
     def update(key, pdfs, state: GroupState):
-        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        n, nn, s, m = state.get if state.exists else (0, 0, 0.0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-            if len(pdf):
-                m = max(m, float(pdf["value"].max()))
-        state.update((n, s, m))
+            vals = pdf["value"]
+            k = int(vals.notna().sum())
+            if k:
+                s += float(vals.sum())  # pandas sum skips NaN
+                batch_max = float(vals.max())
+                m = batch_max if nn == 0 else max(m, batch_max)
+                nn += k
+        state.update((n, nn, s, m))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s if nn else None],
+                "max_value": [m if nn else None],
+            }
         )
 
     return (

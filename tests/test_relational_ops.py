@@ -122,3 +122,28 @@ def test_topk_paginated_tie_break_no_overlap(spark):
     p2 = {r["document_id"] for r in topk_paginated(df, 4, 4).collect()}
     assert p1 == {1, 2, 3, 4}
     assert p2 == {5, 6, 7, 8}
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """Right rows with null ts are 'at or before' nothing and must never
+    match; left rows with null ts get no match (asof_* stays null)."""
+    from go_vectorsearch_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, None), (3, 11, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 50, 1.0), (101, 10, None, 99.0)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["value"], tie_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (50, 1.0)      # matches the real row, not the null-ts one
+    assert out[2] == (None, None)   # null-ts left row: no match
+    assert out[3] == (None, None)   # user 11 has no right rows
