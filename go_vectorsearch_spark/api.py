@@ -256,6 +256,11 @@ class Engine:
     # -- upload (server/upload.go:111-323) ---------------------------------
     def upload(self, owner: str, category: str, documents: list[dict]) -> list[int]:
         """documents: [{name, external_id, document(JSON str)}] → new ids."""
+        if not documents:
+            # clean no-op: without this, the first upload to a new
+            # category would crash on the empty seed head() after
+            # owner/category rows were already committed
+            return []
         owner_id = self._get_or_create("owners", "owner_id", {"name": owner})
         category_id = self._get_or_create(
             "categories", "category_id", {"name": category, "owner_id": owner_id}
@@ -278,9 +283,15 @@ class Engine:
         # full precision past the decode boundary, ai/aicomms/embed.go:
         # 42-50). "vector" is the dequantize-in-expression working column
         # used for centroid assignment, never stored.
+        # persist: the embed stage (an HTTP mapInPandas in live mode) is
+        # referenced by up to three actions below (seed head, stride agg,
+        # embeddings write) — unpersisted, every chunk would be re-POSTed
+        # to the embed endpoint per action, and a non-bit-deterministic
+        # endpoint would seed centroids from a different response than
+        # the stored codes
         chunks = dequantized_vector(
             self._embed_chunks(prepare_chunks(docs, ctx_num=2048))
-        )
+        ).persist()
 
         # first upload of a category seeds centroid #1 with the first
         # chunk's embedding (server/upload.go:210-227)
@@ -324,6 +335,7 @@ class Engine:
             F.lit(category_id).cast("long").alias("category_id"),
         )
         self.t["documents"].write(self.t["documents"].read().unionByName(new_docs))
+        chunks.unpersist()
         return [base_doc + i for i in range(len(documents))]
 
     # -- search (server/search.go:115-334) ---------------------------------
@@ -371,9 +383,16 @@ class Engine:
         )
         page = topk_paginated(topk, count, offset)
         docs = self.t["documents"].read().filter(F.col("category_id") == scope)
-        return page.join(F.broadcast(docs), "document_id", "inner").select(
+        # broadcast the <=20-row PAGE, never the category's document
+        # table (full payloads; unbounded at the 100 TB design point) —
+        # the hydration join then runs map-side over the docs scan
+        hydrated = docs.join(F.broadcast(page), "document_id", "inner").select(
             "document_id", "name", "external_id", "payload_json", "score"
         )
+        # deterministic reference rank order (score desc, doc id asc):
+        # join output order is a plan detail, so re-establish it (tiny
+        # result, single-partition sort)
+        return hydrated.orderBy(F.desc("score"), F.asc("document_id"))
 
     # -- chat (server/chat.go:109-181, minus the LLM call) -------------------
     def chat_messages(

@@ -152,13 +152,17 @@ def fingerprint_of_codes(codes: Column) -> Column:
     should be a staged column reference — it is read 3 times (head,
     tail, size); an inline expression would be re-derived each time.
     """
+    # guard the empty array: slice with length -1 raises at runtime and
+    # ws_tokens never produces [] ([''] for empty text) but staged
+    # upstream tokenizers may — null fingerprint for no tokens
     head = F.element_at(codes, 1)
-    tail = F.slice(codes, 2, F.size(codes) - 1)
-    return F.aggregate(
+    tail = F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0)))
+    fold = F.aggregate(
         tail,
         head,
         lambda acc, h: (acc * F.lit(FP_BASE) + h) % F.lit(FP_MOD),
     )
+    return F.when(F.size(codes) > 0, fold)
 
 
 def fingerprint(text: Column) -> Column:

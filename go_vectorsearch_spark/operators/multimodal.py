@@ -125,15 +125,28 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
     sr = F.col("meta.sample_rate").cast("long")
     dur = F.col("meta.duration_ms").cast("long")
     n_chunks = F.ceil(dur / F.lit(chunk_ms)).cast("long")
-    chunk = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    # guard: sequence(0, -1) steps BACKWARDS in Spark, so zero-duration
+    # audio would emit two bogus chunks (0 and -1); an empty array
+    # explodes to no rows instead
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
     samples_per_chunk = (sr * chunk_ms / F.lit(1000)).cast("long")
+    total_samples = (sr * dur / F.lit(1000)).cast("long")
+    start = F.col("chunk_idx") * F.col("spc")
     return (
         media.filter(F.col("kind") == "audio")
-        .select("media_id", sr.alias("sr"), chunk.alias("chunk_idx"), samples_per_chunk.alias("spc"))
+        .select(
+            "media_id",
+            F.explode(idxs).alias("chunk_idx"),
+            samples_per_chunk.alias("spc"),
+            total_samples.alias("_total"),
+        )
         .select(
             "media_id",
             "chunk_idx",
-            (F.col("chunk_idx") * F.col("spc")).alias("start_sample"),
-            F.col("spc").alias("n_samples"),
+            start.alias("start_sample"),
+            # the final chunk holds only the remaining samples
+            F.least(F.col("spc"), F.col("_total") - start).alias("n_samples"),
         )
     )

@@ -133,6 +133,10 @@ def rag_prompts(
     retrieved docs keep the bare "My question is: " form via the left
     join.
     """
+    # a NULL doc_text (upstream left-join miss) must not poison the
+    # whole prompt to NULL through the concat fold — treat it as
+    # not-retrieved, matching the no-docs path
+    retrieved = retrieved.filter(F.col(doc_text_col).isNotNull())
     packed = (
         retrieved.groupBy(q_id)
         .agg(

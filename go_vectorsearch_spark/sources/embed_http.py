@@ -164,6 +164,8 @@ def http_embed(
             return conns[base]
 
         def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            import http.client
+
             nonlocal calls
             base = bases[(start + calls) % len(bases)]
             calls += 1
@@ -173,7 +175,23 @@ def http_embed(
                 "options": {"num_ctx": num_ctx},
             }
             conn, prefix = connection(base)
-            out = _post_json(conn, prefix + path, payload, token)
+            try:
+                out = _post_json(conn, prefix + path, payload, token)
+            except (
+                http.client.RemoteDisconnected,
+                http.client.CannotSendRequest,
+                http.client.BadStatusLine,
+                ConnectionResetError,
+                BrokenPipeError,
+            ):
+                # the server closed an idle keep-alive connection (proxy
+                # timeout / max-requests); reconnect once and retry —
+                # without this the whole task dies and Spark's retry
+                # re-embeds every earlier batch of the partition
+                conn.close()
+                del conns[base]
+                conn, prefix = connection(base)
+                out = _post_json(conn, prefix + path, payload, token)
             mat = np.asarray(out["embeddings"], dtype=np.float64)
             if mat.ndim != 2 or mat.shape[0] != len(texts):
                 raise RuntimeError(

@@ -65,7 +65,16 @@ def read_table(
         T.StructField(f.name, T.StringType() if isinstance(f.dataType, T.ArrayType) else f.dataType)
         for f in target.fields
     ]
-    df = spark.read.schema(T.StructType(flat_fields)).option("header", True).csv(path)
+    # multiLine: the writer quotes embedded newlines (document text has
+    # them by construction); without it each physical line is parsed as
+    # a record and rows split mid-field — silent corruption
+    df = (
+        spark.read.schema(T.StructType(flat_fields))
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
     for f in target.fields:
         if isinstance(f.dataType, T.ArrayType):
             df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))

@@ -91,16 +91,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     own SparkSession.
     """
     ensure_package_on_workers(spark)
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # The driver owns this session, so only touch the session-wide
+    # nanosAsLong conf when the file ACTUALLY stores TIMESTAMP(NANOS)
+    # (sniffed from the footer) — setting it unconditionally would
+    # silently turn other nanos-timestamp parquet reads into int64
+    # columns for the rest of the session. When nanos data IS present
+    # the conf must stay set (the lazy scan consults it at execution
+    # time as well).
+    if _has_nanos_ts(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _has_nanos_ts(path: str, col: str = "ts") -> bool:
+    """True iff the parquet file/dir stores ``col`` as TIMESTAMP(NANOS)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        f = parts[0]
+    try:
+        t = pq.read_schema(f).field(col).type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -69,3 +69,15 @@ def test_audio_chunks_cover_duration(media):
         n_expected = -(-durs[r["media_id"]] // 250)  # ceil
         assert r["n"] == n_expected
         assert r["last_start"] == (n_expected - 1) * 4000
+    # chunk sample counts tile the audio exactly: sum == total samples,
+    # only the final chunk may be short, never overrunning the duration
+    per_chunk = chunks.collect()
+    by_media = {}
+    for r in per_chunk:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        total = durs[mid] * 16  # 16000 Hz -> 16 samples per ms
+        assert sum(r["n_samples"] for r in rows) == total
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert all(r["n_samples"] == 4000 for r in rows[:-1])
+        assert 0 < rows[-1]["n_samples"] <= 4000
