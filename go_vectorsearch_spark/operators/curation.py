@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 from go_vectorsearch_spark.functions.text import md5_int32, ws_tokens
 from go_vectorsearch_spark.operators.dedup import _shingles_of_tokens
 
+
+def seeded_hash(id_col: str, seed: str) -> Column:
+    """Content-addressed hash of ``seed:id`` — THE single definition of
+    the curation family's addressing scheme (stratified_sample,
+    pack_sequences). The DuckDB oracles mirror it character-for-
+    character, so any change here must change them too."""
+    return md5_int32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+
 # (name, pattern, replacement) applied in order. The pattern dialect is
 # the Java-regex ∩ RE2 subset — both engines must match identically.
 DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -210,7 +218,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    h = md5_int32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    h = seeded_hash(id_col, seed)
     staged = df.select(
         F.col(id_col),
         F.col(n_tokens_col).cast("long").alias("_n_tok"),
@@ -256,9 +264,7 @@ def stratified_sample(
     in the DuckDB oracle. Quotas are integer percents; strata absent from
     ``quotas`` use ``default_pct``.
     """
-    bucket = (
-        md5_int32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % 100
-    )
+    bucket = seeded_hash(id_col, seed) % 100
     pct: Column = F.lit(default_pct)
     for stratum, q in sorted(quotas.items()):
         pct = F.when(F.col(strata_col) == stratum, F.lit(q)).otherwise(pct)

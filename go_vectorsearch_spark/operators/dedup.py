@@ -11,7 +11,7 @@ published technique re-expressed as a Spark shuffle plan:
                        on hot shingles bounds join fan-out at scale)
   * MinHash + LSH    — 16-perm signature, 4 bands × 4 rows, band-bucket
                        join generates candidates, exact Jaccard verifies
-  * SimHash          — 32-bit sign-of-weighted-bits sketch; pigeonhole
+  * SimHash          — 60-bit sign-of-weighted-bits sketch; pigeonhole
                        band join finds all pairs with Hamming ≤ 3
   * embedding cosine — normalized-vector block GEMM via mapInPandas
 
@@ -269,9 +269,19 @@ def minhash_lsh_pairs(
     # hashes at the source), so the 16 signature mins derive from it
     # directly; materializing sigd keeps the signature from being
     # re-evaluated on every reuse (two join sides + verify — measured
-    # ~14x slower unshared at sf0.1).
+    # ~14x slower unshared at sf0.1). Note: sigd stays persisted for the
+    # lifetime of the returned (lazy) frame; callers running many
+    # corpora through one session should pass a managed ``shingled``
+    # frame and handle persistence themselves (the registry does).
+    #
+    # Docs with NO shingles (< n tokens) are excluded up front: they all
+    # share the sentinel [P]*16 signature, so m tiny docs would band-
+    # collide into m²/2 candidates, and their Jaccard is 0/0 (undefined
+    # — NULL here, NaN in DuckDB: a parity split). A shingle-less doc
+    # can never reach a positive Jaccard, so dropping it is exact.
     sigd = (
         shingled
+        .filter(F.size("_sh") > 0)
         .withColumn("_sig", _signature_from_hashes(F.col("_sh")))
         .select("_id", "_sh", "_sig")
         .persist()
@@ -448,9 +458,14 @@ def neardup_components(
     survive the similarity threshold), so like the broadcast-join and
     GEMM-threshold patterns there is a guarded small-graph fast path:
     ≤ ``collect_threshold`` edges are union-found on the driver in one
-    pass (a 5M-edge graph is ~80 MB — driver-sized even at 100 TB corpus
-    scale); bigger graphs take the distributed label-propagation loop.
+    pass (5M collected Rows of two longs plus the union-find dict is
+    ~1-2 GB of Python objects — sized for the default 24 GB driver, not
+    for a slim one; lower the threshold on small drivers); bigger graphs
+    take the distributed label-propagation loop.
     """
+    # persist before branching: count() then collect()/loop would
+    # otherwise recompute the whole upstream pair pipeline twice
+    pairs = pairs.persist()
     n_edges = pairs.count()
     if n_edges <= collect_threshold:
         rows = pairs.select(id_a, id_b).collect()
@@ -476,6 +491,7 @@ def neardup_components(
                 parent[hi] = lo
         labels = [(x, find(x)) for x in parent]
         id_type = dict(pairs.dtypes)[id_a]
+        pairs.unpersist()
         return pairs.sparkSession.createDataFrame(
             labels, f"doc_id {id_type}, component {id_type}"
         )
@@ -519,6 +535,7 @@ def neardup_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"neardup_components did not converge in {max_rounds} rounds "

@@ -68,13 +68,16 @@ def brute_force_topk(
     With ``doc_col`` set, many chunk-vectors per document collapse to the
     document's best score first (partial aggregation map-side, tiny
     shuffle of |docs| rows), then the global top-k merges per-partition
-    heaps. Ties break on the id column ascending so results are
-    deterministic across cluster layouts.
+    heaps. The sort key is the score ROUNDED to the registry's 6-decimal
+    edge precision with the id ascending as tie-break — raw-double
+    ordering would break ties differently than any engine comparing the
+    rounded values (the DuckDB oracles ORDER BY the rounded alias), so
+    top-k membership at the k boundary could diverge between engines.
     """
     scored = score_cosine(df, query_vec, vec_col)
     key = doc_col or id_col
     best = scored.groupBy(key, *extra_cols).agg(F.max("score").alias("score"))
-    return best.orderBy(F.desc("score"), F.asc(key)).limit(k)
+    return best.orderBy(F.desc(F.round("score", 6)), F.asc(key)).limit(k)
 
 
 def topk_paginated(

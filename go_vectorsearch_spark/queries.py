@@ -1137,7 +1137,10 @@ def _minhash_oracle() -> str:
     )
     return rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-shl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+-- len(sh) > 0: shingle-less docs are excluded exactly like the Spark
+-- side (sentinel-signature collisions + 0/0 Jaccard otherwise)
+shl AS (SELECT doc_id, sh FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
+        WHERE len(sh) > 0),
 sig AS (
   SELECT doc_id, sh,
          {sig_cols}
@@ -1203,7 +1206,7 @@ SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM w
 @register(
     "dedup_simhash_docs",
     oracle=_simhash_docs_oracle(),
-    doc="SimHash 32-bit sketch per document: single-shuffle 32-column "
+    doc="SimHash 60-bit sketch per document: single-shuffle 60-column "
     "conditional-sum aggregation (operators/dedup.simhash)",
 )
 def q_dedup_simhash_docs(spark, sf_dir):

@@ -261,3 +261,18 @@ def test_neardup_components_raises_when_budget_exhausted(spark):
         DD.neardup_components(chain, max_rounds=1, collect_threshold=0)
     comp = {r["doc_id"]: r["component"] for r in DD.neardup_components(chain).collect()}
     assert set(comp.values()) == {1}  # one chain, one component
+
+
+def test_minhash_excludes_shingleless_docs(spark):
+    """Docs with <3 tokens have no shingles: they must not band-collide
+    via the sentinel signature (quadratic candidates) nor produce 0/0
+    Jaccard rows — they simply can't pair."""
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "ok"), (3, "no"), (4, "yo")]
+        + [(10 + i, "the quick brown fox jumps over the lazy dog") for i in range(2)],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(docs).collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids_in_pairs == {10, 11}          # only the real dup pair
+    assert all(r["jaccard"] is not None for r in pairs)
