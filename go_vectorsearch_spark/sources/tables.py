@@ -108,6 +108,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
+        # the NTZ->LTZ cast interprets the naive wall clock in the
+        # SESSION timezone; every event-time oracle treats it as UTC
+        # (DuckDB naive-timestamp epoch), so pin the session tz before
+        # the cast executes — the driver supplies its own session and
+        # may not have set it
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

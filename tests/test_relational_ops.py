@@ -147,3 +147,18 @@ def test_asof_join_ignores_null_timestamps(spark):
     assert out[1] == (50, 1.0)      # matches the real row, not the null-ts one
     assert out[2] == (None, None)   # null-ts left row: no match
     assert out[3] == (None, None)   # user 11 has no right rows
+
+
+def test_approx_count_distinct_hll(spark, sf_correct):
+    """Mergeable-sketch distinct counting (HyperLogLog++): the one-pass,
+    fixed-memory path a 100 TB distinct-count uses instead of an exact
+    two-level aggregate. Engine-specific estimates have no cross-engine
+    oracle; the contract is bounded relative error vs the exact count."""
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_correct, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
