@@ -389,10 +389,14 @@ class Engine:
         hydrated = docs.join(F.broadcast(page), "document_id", "inner").select(
             "document_id", "name", "external_id", "payload_json", "score"
         )
-        # deterministic reference rank order (score desc, doc id asc):
-        # join output order is a plan detail, so re-establish it (tiny
-        # result, single-partition sort)
-        return hydrated.orderBy(F.desc("score"), F.asc("document_id"))
+        # deterministic reference rank order: pagination ranked by
+        # round(score, 6) with id tie-break (topk_paginated), so the
+        # hydrated sort must use the SAME key — raw score would let rows
+        # equal at 6 decimals display in a different order than the rank
+        # that paginated them (tiny result, single-partition sort)
+        return hydrated.orderBy(
+            F.desc(F.round("score", 6)), F.asc("document_id")
+        )
 
     # -- chat (server/chat.go:109-181, minus the LLM call) -------------------
     def chat_messages(
@@ -462,20 +466,36 @@ class Engine:
         )
         return None if c is None else c["category_id"]
 
-    def _cascade_categories(self, victim_cats: DataFrame) -> None:
-        """Given victim categories (category_id col), delete their
-        documents, embeddings, and centroids bottom-up via anti-joins."""
+    def _cascade_plans(self, victim_cats: DataFrame) -> dict[str, DataFrame]:
+        """Pure plan builder for a category cascade: survivor frames for
+        embeddings/documents/centroids given victim categories. Split
+        from the writes so tests can assert on the plans directly.
+
+        Only the victim CATEGORY-ID set is broadcast-hinted (ids only,
+        bounded by categories-per-owner). victim_docs = ALL document ids
+        of the deleted categories — unbounded at the design point, so NO
+        broadcast hint: Catalyst (with AQE) picks broadcast only when
+        that side is actually small, falling back to a shuffle anti-join
+        otherwise."""
         vc = F.broadcast(victim_cats.select("category_id"))
         docs = self.t["documents"].read()
         victim_docs = docs.join(vc, "category_id", "left_semi").select("document_id")
         emb = self.t["embeddings"].read()
-        self.t["embeddings"].write(
-            emb.join(F.broadcast(victim_docs), "document_id", "left_anti"),
-            partition_by="centroid_id",
-        )
-        self.t["documents"].write(docs.join(vc, "category_id", "left_anti"))
-        cents = self.t["centroids"].read()
-        self.t["centroids"].write(cents.join(vc, "category_id", "left_anti"))
+        return {
+            "embeddings": emb.join(victim_docs, "document_id", "left_anti"),
+            "documents": docs.join(vc, "category_id", "left_anti"),
+            "centroids": self.t["centroids"].read().join(
+                vc, "category_id", "left_anti"
+            ),
+        }
+
+    def _cascade_categories(self, victim_cats: DataFrame) -> None:
+        """Given victim categories (category_id col), delete their
+        documents, embeddings, and centroids bottom-up via anti-joins."""
+        plans = self._cascade_plans(victim_cats)
+        self.t["embeddings"].write(plans["embeddings"], partition_by="centroid_id")
+        self.t["documents"].write(plans["documents"])
+        self.t["centroids"].write(plans["centroids"])
 
     def delete_owner(self, owner: str) -> None:
         owners = self.t["owners"].read()
@@ -508,6 +528,15 @@ class Engine:
         self.t["documents"].write(docs.filter(F.col("document_id") != document_id))
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------
+    def _refresh_scope(self, cid: int) -> DataFrame:
+        """Embeddings of one category via doc-id semi-join. The
+        category's doc-id set is unbounded (a category can hold the
+        whole corpus) — no broadcast hint; Catalyst broadcasts iff the
+        filtered side is actually under the threshold."""
+        emb = self.t["embeddings"].read()
+        docs = self.t["documents"].read().filter(F.col("category_id") == cid)
+        return emb.join(docs.select("document_id"), "document_id", "left_semi")
+
     def refresh_index(self, owner: str, category: str, max_leaf: int = 10_000) -> int:
         """Rebuild the category's IVF index; returns the centroid count."""
         from go_vectorsearch_spark.plans.ivf import build_index
@@ -516,10 +545,7 @@ class Engine:
         if cid is None:
             return 0
         emb = self.t["embeddings"].read()
-        docs = self.t["documents"].read().filter(F.col("category_id") == cid)
-        scoped = emb.join(
-            F.broadcast(docs.select("document_id")), "document_id", "left_semi"
-        )
+        scoped = self._refresh_scope(cid)
         if scoped.isEmpty():
             return 0
         index = build_index(

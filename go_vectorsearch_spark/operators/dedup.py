@@ -440,12 +440,38 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _driver_collect_threshold(spark) -> int:
+    """Max pair-graph edges to union-find on the driver, derived from
+    the driver heap: a collected edge (Row of two longs + union-find
+    dict slots) costs ~400 B of Python objects; budget ~8% of the heap
+    for the graph so a slim driver automatically takes the distributed
+    path. 24 g → ~5M edges (the previously hard-coded default); 2 g →
+    ~430k. Clamped so a missing/exotic conf still behaves sanely."""
+    raw = ""
+    try:
+        raw = spark.conf.get("spark.driver.memory", "") or ""
+    except Exception:
+        pass
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    raw = raw.strip().lower()
+    try:
+        if raw and raw[-1] in units:
+            heap = float(raw[:-1]) * units[raw[-1]]
+        elif raw:
+            heap = float(raw)
+        else:
+            heap = 1 << 30  # JVM-default-ish when unset
+    except ValueError:
+        heap = 1 << 30
+    return max(100_000, min(5_000_000, int(heap * 0.08 / 400)))
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 32,
-    collect_threshold: int = 5_000_000,
+    collect_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation → (doc_id, component) where component = the
@@ -457,12 +483,13 @@ def neardup_components(
     Pair graphs are tiny relative to the corpus (only near-dup edges
     survive the similarity threshold), so like the broadcast-join and
     GEMM-threshold patterns there is a guarded small-graph fast path:
-    ≤ ``collect_threshold`` edges are union-found on the driver in one
-    pass (5M collected Rows of two longs plus the union-find dict is
-    ~1-2 GB of Python objects — sized for the default 24 GB driver, not
-    for a slim one; lower the threshold on small drivers); bigger graphs
-    take the distributed label-propagation loop.
+    edge counts up to ``collect_threshold`` (default: derived from
+    ``spark.driver.memory`` — see ``_driver_collect_threshold``) are
+    union-found on the driver in one pass; bigger graphs take the
+    distributed label-propagation loop.
     """
+    if collect_threshold is None:
+        collect_threshold = _driver_collect_threshold(pairs.sparkSession)
     # persist before branching: count() then collect()/loop would
     # otherwise recompute the whole upstream pair pipeline twice
     pairs = pairs.persist()

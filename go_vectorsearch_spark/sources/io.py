@@ -40,7 +40,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         out = df
         for c in _array_cols(df):
             out = out.withColumn(c, F.to_json(F.col(c)))
-        out.write.mode("overwrite").option("header", True).csv(path)
+        # escape='"' doubles inner quotes (RFC-4180), matching the reader;
+        # Spark's default backslash escape would silently corrupt document
+        # text containing a double quote on round-trip
+        out.write.mode("overwrite").option("header", True).option(
+            "escape", '"'
+        ).csv(path)
 
 
 def read_table(

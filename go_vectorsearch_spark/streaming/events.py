@@ -40,7 +40,14 @@ def _events_ddl(spark: SparkSession, sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from go_vectorsearch_spark.sources.tables import _has_nanos_ts
+
+    # session-wide conf: set only when the file actually stores
+    # TIMESTAMP(NANOS), mirroring sources/tables.load_table — an
+    # unconditional set would turn other nanos-timestamp parquet reads
+    # into int64 columns for the rest of the session
+    if _has_nanos_ts(f"{sf_dir}/events.parquet"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ddl = _events_ddl(spark, sf_dir)
     # file-stream sources want a directory; an explicit basePath plus a
     # file glob restricts the stream to the events table only
@@ -52,6 +59,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if " ts long," in f" {ddl}":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ→LTZ cast reads the naive wall clock in the SESSION timezone;
+    # the batch twin (load_table) and every oracle treat it as UTC, so
+    # pin it here too — the driver may supply a non-UTC session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

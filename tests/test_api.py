@@ -132,3 +132,55 @@ def test_assign_embedding_ids_no_global_sort(spark):
     again = [r["embedding_id"] for r in assign_embedding_ids(chunks, 7, 100).collect()]
     assert sorted(ids) == sorted(again)  # deterministic
     assert min(ids) == 7  # first doc, first chunk
+
+
+def test_cascade_and_refresh_plans_no_doc_broadcast_hint(engine):
+    """Delete/refresh must not broadcast-HINT documents-derived frames
+    (their size is unbounded at the design point — round-2 verdict #1/#2).
+    The analyzed logical plan records every user hint as ResolvedHint;
+    only the tiny victim category-ID frame may carry one."""
+    eng, _ = engine
+    cid = eng._category_id("acme", "wiki")
+    cats = eng.t["categories"].read()
+    plans = eng._cascade_plans(cats.filter(F.col("category_id") == cid))
+    # embeddings survivors: anti-join against victim doc ids (unbounded
+    # side) — the only allowed hint in the whole tree is the category-id
+    # one, so at most ONE ResolvedHint may appear, and never above a
+    # parquet documents scan without the category-id semi-join shape
+    emb_plan = plans["embeddings"]._jdf.queryExecution().analyzed().toString()
+    assert emb_plan.count("ResolvedHint") <= 1
+    # the hinted subtree must be the 1-column category-id projection,
+    # not a document-id projection
+    if "ResolvedHint" in emb_plan:
+        hinted_tail = emb_plan.split("ResolvedHint", 1)[1]
+        first_project = hinted_tail.split("Project", 1)[1][:80]
+        assert "category_id" in first_project
+        assert "document_id" not in first_project
+    scoped_plan = (
+        eng._refresh_scope(cid)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in scoped_plan
+
+
+def test_driver_collect_threshold_derivation():
+    """neardup_components' driver fast-path budget scales with the
+    configured driver heap instead of assuming 24 GB."""
+    from go_vectorsearch_spark.operators.dedup import _driver_collect_threshold
+
+    class _Conf:
+        def __init__(self, mem):
+            self._mem = mem
+
+        def get(self, key, default=None):
+            return self._mem if self._mem is not None else default
+
+    class _S:
+        def __init__(self, mem):
+            self.conf = _Conf(mem)
+
+    assert _driver_collect_threshold(_S("24g")) == 5_000_000  # clamp top
+    t2 = _driver_collect_threshold(_S("2g"))
+    assert 200_000 < t2 < 600_000  # ~430k: slim driver -> distributed path
+    assert _driver_collect_threshold(_S("512m")) >= 100_000  # clamp bottom
+    assert _driver_collect_threshold(_S(None)) >= 100_000  # unset conf
+    assert _driver_collect_threshold(_S("weird")) >= 100_000  # unparsable
