@@ -456,6 +456,32 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+# X4 JSON payload decode at query time over the events.props column
+# (reference: database/type.go:14-17 DocumentField.JSON). Demoted to the
+# pytest-parity bar (tests/test_demoted_parity.py) — the 50-entry driver
+# window is full; doc_flatten_struct keeps X4 oracle-checked on the
+# documents table, this pins the events-side path extraction.
+EVENTS_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       count(*) AS n
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .filter(F.col("_k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("_k").alias("k_sum"), F.count("*").alias("n"))
+    )
+
+
 @register(
     "events_asof_join",
     oracle="""

@@ -19,6 +19,7 @@ DEMOTED = [
     (Q.q_rollup_pricing, Q.ROLLUP_PRICING_ORACLE),
     (Q.q_lookup_in_list, Q.LOOKUP_IN_LIST_ORACLE),
     (Q.q_pack_sequences, Q.PACK_SEQUENCES_ORACLE),
+    (Q.q_events_json_extract, Q.EVENTS_JSON_EXTRACT_ORACLE),
 ]
 
 
