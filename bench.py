@@ -33,11 +33,11 @@ def main() -> None:
 
     # Boot-vs-steady-state separation (the reference's prefTest also
     # excludes process boot): warm the long-lived-per-deployment JVM
-    # infra on TINY SYNTHETIC data so one-time init isn't billed to
-    # whichever registry query touches it first. None of this touches
-    # the benchmark tables beyond one footer read.
-    #   * parquet footers + a first action
-    registry.REGISTRY["groupby_count"].fn(spark, sf_dir).collect()
+    # infra on TINY SYNTHETIC data ONLY so one-time init isn't billed to
+    # whichever registry query touches it first. The benchmark tables
+    # are touched for nothing but per-table parquet FOOTER reads (schema
+    # inference — a driver-side metadata read, no scan job); measured
+    # queries stay cold-per-JVM.
     #   * Python UDF worker fork+import (process-reused afterwards)
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(n_cpus).repartition(n_cpus).mapInPandas(
@@ -58,17 +58,33 @@ def main() -> None:
     tiny.withColumn(
         "rn", F.row_number().over(Window.partitionBy(F.col("id") % 4).orderBy("id"))
     ).groupBy("rn").agg(F.count("*")).collect()
-    #   * parquet write path: committer, codec, output format classes
+    #   * parquet write path (committer, codec, output format classes)
+    #     then read the synthetic file back with a pushed filter: warms
+    #     the vectorized reader + filter-pushdown classes without
+    #     touching a single benchmark data page
     import tempfile
 
     wp = tempfile.mkdtemp(prefix="bench_warm_")
     spark.range(64).withColumn("p", F.col("id") % 4).repartition("p").write.mode(
         "overwrite"
     ).partitionBy("p").parquet(f"{wp}/warm")
+    spark.read.parquet(f"{wp}/warm").filter(F.col("id") > 32).collect()
+    #   * benchmark-table footers only (allowed: driver-side metadata)
+    from go_vectorsearch_spark.sources.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
 
     t0 = time.perf_counter()
     registry._ivf_index(spark, sf_dir)
     timings["ivf_build"] = round(time.perf_counter() - t0, 3)
+
+    # one-time partitioned-store write, billed to its OWN entry exactly
+    # like ivf_build (deployment amortizes it across every probe);
+    # ivf_partitioned_probe then measures only the pruned-store read
+    t0 = time.perf_counter()
+    registry._ivf_store_path(spark, sf_dir)
+    timings["ivf_store_build"] = round(time.perf_counter() - t0, 3)
 
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()

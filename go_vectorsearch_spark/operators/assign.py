@@ -60,9 +60,24 @@ def assign_nearest(
         (int(r[centroid_id_col]), np.asarray(r[centroid_vec_col], dtype=np.float64))
         for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
     ]
+    return assign_nearest_mat(df, cents, vec_col, out_col, sim_col, method)
+
+
+def assign_nearest_mat(
+    df: DataFrame,
+    cents: list[tuple[int, np.ndarray]],
+    vec_col: str = "embedding",
+    out_col: str = "assigned_id",
+    sim_col: str | None = None,
+    method: str = "auto",
+) -> DataFrame:
+    """``assign_nearest`` for centroids already on the driver as
+    (id, vector) pairs — the k-means fit produces exactly this, so
+    callers like ``build_index`` skip a createDataFrame→collect
+    round-trip of data that never left the driver."""
     if not cents:
         raise ValueError("assign_nearest: empty centroid set")
-    cents.sort(key=lambda t: t[0])  # ascending id => argmax first-hit = lowest id
+    cents = sorted(cents, key=lambda t: t[0])  # asc id => argmax first-hit = lowest id
 
     if method == "auto":
         method = "gemm" if len(cents) >= GEMM_THRESHOLD else "expr"

@@ -168,6 +168,19 @@ def asof_join(
         F.lit(1).alias("_is_r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
+    return _asof_window(unioned, lcols, on, ts_col, right_cols, tie_col)
+
+
+def _asof_window(
+    unioned: DataFrame,
+    lcols: Sequence[str],
+    on: str,
+    ts_col: str,
+    right_cols: Sequence[str],
+    tie_col: str | None,
+) -> DataFrame:
+    """Shared core of the as-of shapes: running last-right-row window
+    over a tagged union frame (left cols + ``_r_*`` + ``_is_r``)."""
     order = [F.col(ts_col).asc(), F.col("_is_r").desc()]
     if tie_col is not None:
         order.append(F.col(tie_col).asc_nulls_first())
@@ -192,6 +205,44 @@ def asof_join(
             *[F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in right_cols],
         )
     )
+
+
+def asof_join_same_source(
+    df: DataFrame,
+    left_pred,
+    right_pred,
+    on: str,
+    ts_col: str = "ts",
+    left_cols: Sequence[str] = (),
+    right_cols: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """As-of join where BOTH sides are predicates over ONE table — the
+    common event-stream case (purchase vs signup rows of the same log).
+    Semantics are identical to ``asof_join(df.filter(left_pred),
+    df.filter(right_pred), ...)`` but the plan reads the source ONCE,
+    tagging rows instead of unioning two filtered scans: at 100 TB that
+    is one pass over the log instead of two. ``left_pred``/``right_pred``
+    must be disjoint (a row is one side or the other). ``tie_col`` (a
+    unique shared column, e.g. the event id) totally orders the window;
+    unlike the two-frame form no carry is needed because both sides
+    already hold the column. Ties at equal (key, ts) resolve
+    right-row-first.
+    """
+    left_cols = list(left_cols) or [c for c in df.columns]
+    is_r = F.when(right_pred, F.lit(1)).otherwise(F.lit(0))
+    # a null-ts right row is "at or before" nothing: drop it at the scan
+    tagged = df.filter(
+        left_pred | (right_pred & F.col(ts_col).isNotNull())
+    ).select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(right_pred, F.col(c)).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        is_r.alias("_is_r"),
+    )
+    return _asof_window(tagged, left_cols, on, ts_col, right_cols, tie_col)
 
 
 def hash_sample(df: DataFrame, key_col: str, hex_prefix: str = "0") -> DataFrame:

@@ -157,6 +157,44 @@ def _numpy_lloyd(
     return mat
 
 
+def _kmeans_mat(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 20,
+    sample_size: int = 50_000,
+    init_oversample: int = 5,
+    quantize_iterations: bool = True,
+    n_total: int | None = None,
+) -> np.ndarray:
+    """Sample-fit Lloyd returning the raw (k x d) centroid matrix —
+    the internal form ``build_index`` feeds straight into the GEMM
+    assigner, skipping a createDataFrame→collect round-trip of data
+    that never left the driver."""
+    if n_total is not None and n_total <= sample_size:
+        # corpus already fits the sample budget: every row participates.
+        # Collect UNSORTED (one narrow job, no Spark sort) and order
+        # driver-side by md5(id) — _numpy_lloyd seeds its superset init
+        # from X[:k0], so raw collect() order would make the centroids
+        # partition-layout-dependent, breaking the determinism contract
+        # deterministic_sample exists for. hashlib.md5 over the decimal
+        # string is bit-identical to F.md5(cast as string).
+        import hashlib
+
+        rows = df.select(id_col, vec_col).collect()
+        rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+        rows = [(r[1],) for r in rows]
+    else:
+        rows = (
+            deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
+        )
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return _numpy_lloyd(X, k, max_iters, init_oversample, quantize_iterations)
+
+
 def kmeans(
     df: DataFrame,
     k: int,
@@ -177,26 +215,12 @@ def kmeans(
     (centroid_id long, centroid_vec array<double>), ids in [0, k).
     """
     spark = df.sparkSession
-    if n_total is not None and n_total <= sample_size:
-        # corpus already fits the sample budget: every row participates,
-        # so skip the limit — but KEEP the md5(id) order. _numpy_lloyd
-        # seeds its superset init from X[:k0], so raw collect() order
-        # would make the centroids partition-layout-dependent, breaking
-        # the determinism contract deterministic_sample exists for.
-        rows = (
-            df.orderBy(F.md5(F.col(id_col).cast("string")))
-            .select(vec_col)
-            .collect()
-        )
-    else:
-        rows = (
-            deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
-        )
-    if not rows:
-        # empty corpus -> empty index, not an AxisError inside Lloyd
+    mat = _kmeans_mat(
+        df, k, id_col, vec_col, max_iters, sample_size,
+        init_oversample, quantize_iterations, n_total,
+    )
+    if mat.size == 0:
         return spark.createDataFrame([], CENTROID_SCHEMA)
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    mat = _numpy_lloyd(X, k, max_iters, init_oversample, quantize_iterations)
     return _centroids_df(spark, mat, list(range(len(mat))))
 
 
@@ -277,15 +301,25 @@ def build_index(
     # build pays split rounds for geometry, not skew
     k = max(1, math.ceil(n / (max_leaf * 0.7)))
 
-    centroids = kmeans(
+    from go_vectorsearch_spark.operators.assign import assign_nearest_mat
+
+    mat = _kmeans_mat(
         df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size, n_total=n
     )
+    if mat.size == 0:
+        raise ValueError("build_index: empty corpus")
+    # feed the driver-resident fit straight into the GEMM assigner —
+    # wrapping it in a DataFrame only for assign_nearest to collect it
+    # back costs a pointless plan+collect round-trip per build.
     # eager=False: the checkpoint materializes inside the split loop's
     # first sizes job instead of paying its own job for it
-    assigned = assign_nearest(
-        df, centroids, vec_col=vec_col, out_col="centroid_id"
+    assigned = assign_nearest_mat(
+        df,
+        [(i, mat[i]) for i in range(len(mat))],
+        vec_col=vec_col,
+        out_col="centroid_id",
     ).localCheckpoint(eager=False)
-    next_id = k
+    next_id = len(mat)
 
     # split oversized leaves: per round, ONE job samples every oversized
     # leaf (window row_number cap), the driver k-means each leaf's

@@ -508,23 +508,25 @@ SELECT event_id, user_id,
 FROM w WHERE is_r = 0
 """,
     doc="As-of join (custom operator Spark lacks): each purchase matched "
-    "to the user's most recent at-or-before signup via the union + "
-    "running-last-value shape - one shuffle, no range-join explosion "
-    "(operators/relational.asof_join)",
+    "to the user's most recent at-or-before signup via the tag + "
+    "running-last-value shape - ONE scan of the log, one shuffle, no "
+    "range-join explosion (operators/relational.asof_join_same_source; "
+    "the two-frame form asof_join shares the window core and is "
+    "equivalence-tested against this in tests/test_relational_ops.py)",
 )
 def q_events_asof_join(spark, sf_dir):
-    from go_vectorsearch_spark.operators.relational import asof_join
+    from go_vectorsearch_spark.operators.relational import asof_join_same_source
 
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", "value", "event_id"
-    )
-    joined = asof_join(
-        purchases, signups, on="user_id", ts_col="ts",
-        right_cols=["value"], tie_col="event_id",
+    joined = asof_join_same_source(
+        ev.select("event_id", "user_id", "ts", "value", "event_type"),
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "signup",
+        on="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["value"],
+        tie_col="event_id",
     )
     return joined.select(
         "event_id",
@@ -854,6 +856,10 @@ def _ivf_index(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=5000)
         _IVF_CACHE[sf_dir].assigned.persist().count()
+        # centroids are k tiny rows but a LAZY recenter plan: every
+        # search collects them (nearest_centroids), so materialize once
+        # here — unpersisted, each consumer re-runs the recenter job
+        _IVF_CACHE[sf_dir].centroids.persist().count()
     return _IVF_CACHE[sf_dir]
 
 

@@ -162,3 +162,38 @@ def test_approx_count_distinct_hll(spark, sf_correct):
         F.countDistinct("l_partkey").alias("exact"),
     ).head()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_asof_same_source_equals_two_frame(spark, sf_correct):
+    """asof_join_same_source (one tagged scan) must produce exactly the
+    rows of asof_join over the two filtered frames — same events data
+    the registry query uses, so this pins the single-scan rewrite."""
+    from go_vectorsearch_spark.operators.relational import (
+        asof_join,
+        asof_join_same_source,
+    )
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_correct, "events")
+    two = asof_join(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value", "event_id"),
+        on="user_id", ts_col="ts", right_cols=["value"], tie_col="event_id",
+    )
+    one = asof_join_same_source(
+        ev.select("event_id", "user_id", "ts", "value", "event_type"),
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "signup",
+        on="user_id", ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["value"], tie_col="event_id",
+    )
+    assert sorted(one.columns) == sorted(two.columns)
+    # the point of the rewrite: ONE scan of the source in the plan
+    # (checked pre-execution: after collect, AQE's toString renders the
+    # tree twice as Final + Initial plan)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    rows_one = sorted(map(str, one.collect()))
+    rows_two = sorted(map(str, two.collect()))
+    assert rows_one == rows_two
