@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,7 +292,7 @@ class Engine:
         # the stored codes
         chunks = dequantized_vector(
             self._embed_chunks(prepare_chunks(docs, ctx_num=2048))
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
 
         # first upload of a category seeds centroid #1 with the first
         # chunk's embedding (server/upload.go:210-227)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,7 +172,7 @@ def jaccard_pairs(
     dedup variants share one shingling pass.
     """
     if shingled is None:
-        shingled = shingled_docs(df, id_col, text_col, n).persist()
+        shingled = shingled_docs(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     sh = shingled.select("_id", F.explode("_sh").alias("_s"))
     groups = sh.groupBy("_s").agg(F.collect_list("_id").alias("_ids"))
     if max_shingle_freq is not None:
@@ -284,7 +285,7 @@ def minhash_lsh_pairs(
         .filter(F.size("_sh") > 0)
         .withColumn("_sig", _signature_from_hashes(F.col("_sh")))
         .select("_id", "_sh", "_sig")
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     bands = sigd.select(
         "_id",
@@ -416,7 +417,7 @@ def simhash_pairs(
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs hamming < bands"
     if sims is None:
-        sims = simhash(df, id_col, text_col).persist()
+        sims = simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     sims = sims.select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sim"))
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sims.select(
@@ -513,7 +514,7 @@ def neardup_components(
         collect_threshold = _driver_collect_threshold(pairs.sparkSession)
     # persist before branching: count() then collect()/loop would
     # otherwise recompute the whole upstream pair pipeline twice
-    pairs = pairs.persist()
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     n_edges = pairs.count()
     if n_edges <= collect_threshold:
         rows = pairs.select(id_a, id_b).collect()
@@ -548,7 +549,7 @@ def neardup_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     labels = (
         edges.select(F.col("u").alias("doc_id"))
@@ -658,7 +659,7 @@ def embedding_neardup_pairs(
         emb.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
         .groupBy("_blk")
         .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     # The B(B+1)/2 block-pair task list is two ints per row — driver-tiny
     # even at thousands of blocks. Equi-joining it against `packed` twice

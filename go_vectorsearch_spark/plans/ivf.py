@@ -294,8 +294,17 @@ def build_index(
     # over it (sample job, assignment job) against the columnar scan.
     # count() on the bare scan is metadata-only (parquet row-group
     # stats) — no data read.
-    n = df.count()
     df = spread(df)
+    # ONE TakeOrdered job (map-side top-`sample_size` by md5(id) + driver
+    # merge — no shuffle, no full sort) doubles as the corpus counter:
+    # a sample that comes back short IS the whole corpus, so the
+    # separate count() job only runs when the sample budget filled up.
+    samp = (
+        deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
+    )
+    n = len(samp) if len(samp) < sample_size else df.count()
+    if n == 0:
+        raise ValueError("build_index: empty corpus")
     # overshoot k so the average leaf lands at ~70% of max_leaf; with
     # k = n/max_leaf exactly, half the leaves start oversized and every
     # build pays split rounds for geometry, not skew
@@ -303,11 +312,10 @@ def build_index(
 
     from go_vectorsearch_spark.operators.assign import assign_nearest_mat
 
-    mat = _kmeans_mat(
-        df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size, n_total=n
+    X = np.array([r[0] for r in samp], dtype=np.float64)
+    mat = _numpy_lloyd(
+        X, k, max_iters=20, init_oversample=5, quantize_iterations=True
     )
-    if mat.size == 0:
-        raise ValueError("build_index: empty corpus")
     # feed the driver-resident fit straight into the GEMM assigner —
     # wrapping it in a DataFrame only for assign_nearest to collect it
     # back costs a pointless plan+collect round-trip per build.

@@ -853,9 +853,14 @@ def _ivf_index(spark, sf_dir):
     if sf_dir not in _IVF_CACHE:
         from go_vectorsearch_spark.plans.ivf import build_index
 
+        from pyspark import StorageLevel
+
         emb = _t(spark, sf_dir, "embeddings")
         _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=5000)
-        _IVF_CACHE[sf_dir].assigned.persist().count()
+        # DESER level: skip the columnar re-encode (see _dedup_cached)
+        _IVF_CACHE[sf_dir].assigned.persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        ).count()
         # centroids are k tiny rows but a LAZY recenter plan: every
         # search collects them (nearest_centroids), so materialize once
         # here — unpersisted, each consumer re-runs the recenter job
@@ -1076,7 +1081,15 @@ _DEDUP_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _dedup_cached(key: str, sf_dir: str, build) -> DataFrame:
     k = (key, sf_dir)
     if k not in _DEDUP_CACHE:
-        df = build().persist()
+        from pyspark import StorageLevel
+
+        # DESER (row-object) storage: the default MEMORY_AND_DISK level
+        # re-encodes into compressed columnar batches — measured ~4x the
+        # materialization cost of the frame's own compute for these
+        # array-heavy intermediates. They are session-scoped scratch
+        # (a deployment would write parquet), so trade memory for the
+        # encode time.
+        df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
         df.count()  # materialize once, eagerly
         _DEDUP_CACHE[k] = df
     return _DEDUP_CACHE[k]
