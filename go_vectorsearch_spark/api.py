@@ -175,15 +175,31 @@ class Engine:
         embed_dim: int = EMBED_DIM,
         api_bases: Sequence[str] | None = None,
         embed_model: str = "embed",
+        providers: Sequence | None = None,
     ):
-        """``api_bases``: embedding endpoint URLs — when set, upload and
-        search embed via the batched HTTP source (sources/embed_http,
-        reference ai/ollama/embed.go); when None (default) the
-        deterministic in-process noop model runs (noop/ai.go:47-64)."""
+        """``providers``: ordered EmbedProvider list (ollama → openai →
+        ...) resolved first-configured-wins exactly like the reference
+        (ai/methods.go:14-22). ``api_bases`` is the one-provider Ollama
+        shorthand. With neither, the deterministic in-process noop model
+        runs (noop/ai.go:47-64)."""
+        from go_vectorsearch_spark.sources.embed_http import (
+            EmbedProvider,
+            select_embed_provider,
+        )
+
         self.spark = spark
         self.embed_dim = embed_dim
-        self.api_bases = list(api_bases) if api_bases else None
         self.embed_model = embed_model
+        if providers:
+            self.provider = select_embed_provider(list(providers))
+        elif api_bases:
+            self.provider = EmbedProvider(
+                api_bases=tuple(str(b) for b in api_bases), model=embed_model
+            )
+        else:
+            self.provider = None
+        # legacy attribute (tests/back-compat): bases of the active provider
+        self.api_bases = list(self.provider.api_bases) if self.provider else None
         self.t = {
             name: _VersionedTable(spark, root, name, ddl)
             for name, ddl in _SCHEMAS.items()
@@ -198,9 +214,8 @@ class Engine:
         return embed_chunks(
             chunks,
             text_col="chunk",
-            api_bases=self.api_bases,
             dim=self.embed_dim,
-            model=self.embed_model,
+            providers=[self.provider] if self.provider else None,
         )
 
     def _embed_query(self, qtext: str) -> list[float]:
@@ -208,7 +223,7 @@ class Engine:
         with the same provider call as uploads, server/search.go:124-147).
         HTTP mode posts a single-text batch; noop mode evaluates the
         expression on a 1-row frame."""
-        if self.api_bases:
+        if self.provider:
             import numpy as np
 
             from go_vectorsearch_spark.sources.embed_http import embed_texts_once
@@ -217,7 +232,12 @@ class Engine:
             # helper — the reference embeds the query with the same
             # provider call as uploads, server/search.go:124-147)
             codes, lo, hi = embed_texts_once(
-                self.api_bases[0], [qtext], self.embed_model
+                self.provider.api_bases[0],
+                [qtext],
+                self.provider.model,
+                num_ctx=self.provider.num_ctx,
+                token=self.provider.token,
+                path=self.provider.embed_path,
             )
             # quantize-at-decode round-trip: the reference scores the
             # query against dequantized stored vectors with the query

@@ -36,14 +36,60 @@ oracle — ``embed_chunks`` selects it when no ``api_bases`` are given.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-EMBED_PATH = "/api/embed"
+OLLAMA_EMBED_PATH = "/api/embed"  # ai/ollama/embed.go:30
+OPENAI_EMBED_PATH = "/v1/embeddings"  # ai/openai/embed.go:39
+EMBED_PATH = OLLAMA_EMBED_PATH  # back-compat alias
 _OUT_FIELDS = "codes array<int>, lo float, hi float"
+
+
+@dataclass(frozen=True)
+class EmbedProvider:
+    """One embedding provider behind the S12 seam.
+
+    The reference configures an Ollama and an OpenAI provider behind one
+    interface; both POST the SAME request/response JSON (aicomms.
+    EmbedRequest/EmbedResponse) and differ only in the URL path — ollama
+    ``/api/embed`` (ai/ollama/embed.go:30), openai ``/v1/embeddings``
+    (ai/openai/embed.go:39) — and in auth/config. ``kind`` picks the
+    path; everything downstream (batching, quantize-at-decode, endpoint
+    rotation) is shared.
+    """
+
+    api_bases: tuple[str, ...] = ()
+    kind: str = "ollama"  # "ollama" | "openai"
+    model: str = "embed"
+    token: str = ""
+    num_ctx: int = 2048
+
+    def __post_init__(self):
+        if self.kind not in ("ollama", "openai"):
+            raise ValueError(f"unknown provider kind {self.kind!r}")
+        object.__setattr__(self, "api_bases", tuple(self.api_bases))
+
+    @property
+    def embed_path(self) -> str:
+        return OPENAI_EMBED_PATH if self.kind == "openai" else OLLAMA_EMBED_PATH
+
+    def can_embed(self) -> bool:
+        """CanEmbed analog (ai/ollama/methods.go / ai/openai): a provider
+        participates iff it has at least one endpoint configured."""
+        return bool(self.api_bases)
+
+
+def select_embed_provider(providers: Sequence[EmbedProvider]) -> EmbedProvider:
+    """Ordered provider fallback, exactly ai/methods.go:14-22: the FIRST
+    provider that CanEmbed wins; none configured is an error."""
+    for p in providers:
+        if p.can_embed():
+            return p
+    raise ValueError("no embed provider configured")
 
 
 def quantize_f32_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -135,6 +181,8 @@ def http_embed(
     token: str = "",
     timeout: float = 30.0,
     path: str = EMBED_PATH,
+    max_attempts: int | None = None,
+    backoff_s: float = 0.2,
 ) -> DataFrame:
     """Embed ``text_col`` via batched HTTP POSTs; appends (codes, lo, hi).
 
@@ -143,10 +191,20 @@ def http_embed(
     "options": {"num_ctx": n}}``; bearer auth when ``token`` is set
     (embed.go:50-52). Response: ``{"embeddings": [[floats...], ...]}``
     — quantized row-by-row at decode, full precision discarded.
+
+    Failure handling: each request has a retry budget of
+    ``max_attempts`` (default ``2 × len(api_bases)``); a failed attempt
+    closes that endpoint's connection, rotates to the NEXT endpoint,
+    and backs off exponentially (``backoff_s · 2^i``, capped at 2 s).
+    A dead endpoint therefore degrades throughput instead of failing
+    the Spark task (whose retry would re-embed the partition's earlier
+    batches); the budget exhausting raises the LAST error.
     """
     if not api_bases:
         raise ValueError("http_embed needs at least one api_base URL")
     bases = [str(b).rstrip("/") for b in api_bases]
+    if max_attempts is None:
+        max_attempts = 2 * len(bases)
     in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
     out_schema = f"{in_fields}, {_OUT_FIELDS}"
 
@@ -164,34 +222,37 @@ def http_embed(
             return conns[base]
 
         def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-            import http.client
+            import time
 
             nonlocal calls
-            base = bases[(start + calls) % len(bases)]
-            calls += 1
             payload = {
                 "model": model,
                 "input": texts,
                 "options": {"num_ctx": num_ctx},
             }
-            conn, prefix = connection(base)
-            try:
-                out = _post_json(conn, prefix + path, payload, token)
-            except (
-                http.client.RemoteDisconnected,
-                http.client.CannotSendRequest,
-                http.client.BadStatusLine,
-                ConnectionResetError,
-                BrokenPipeError,
-            ):
-                # the server closed an idle keep-alive connection (proxy
-                # timeout / max-requests); reconnect once and retry —
-                # without this the whole task dies and Spark's retry
-                # re-embeds every earlier batch of the partition
-                conn.close()
-                del conns[base]
-                conn, prefix = connection(base)
-                out = _post_json(conn, prefix + path, payload, token)
+            first = calls
+            calls += 1
+            last_err: Exception | None = None
+            for attempt in range(max_attempts):
+                # rotate: attempt 0 = this call's round-robin endpoint,
+                # each retry moves to the NEXT endpoint (a dead endpoint
+                # can't eat the whole budget when others are healthy)
+                base = bases[(start + first + attempt) % len(bases)]
+                try:
+                    conn, prefix = connection(base)
+                    out = _post_json(conn, prefix + path, payload, token)
+                    break
+                except Exception as e:  # connection drop, refused, 5xx...
+                    last_err = e
+                    # drop the (possibly half-dead) keep-alive connection
+                    if base in conns:
+                        conns[base][0].close()
+                        del conns[base]
+                    if attempt + 1 >= max_attempts:
+                        raise
+                    time.sleep(min(backoff_s * (2**attempt), 2.0))
+            else:  # pragma: no cover - loop always breaks or raises
+                raise last_err  # type: ignore[misc]
             mat = np.asarray(out["embeddings"], dtype=np.float64)
             if mat.ndim != 2 or mat.shape[0] != len(texts):
                 raise RuntimeError(
@@ -228,13 +289,28 @@ def embed_chunks(
     text_col: str = "chunk",
     api_bases: Sequence[str] | None = None,
     dim: int = 64,
+    providers: Sequence[EmbedProvider] | None = None,
     **http_kwargs,
 ) -> DataFrame:
-    """The S12 seam: HTTP embedding when ``api_bases`` is configured,
-    the deterministic noop embedder otherwise (reference ai/methods.go:
-    14-22 falls through ollama → openai → error; the engine's fallback
-    is the in-process noop model, noop/ai.go:47-64). Both paths emit the
-    same canonical (codes, lo, hi) columns."""
+    """The S12 seam: HTTP embedding when a provider is configured, the
+    deterministic noop embedder otherwise (the engine's in-process
+    fallback, noop/ai.go:47-64). ``providers`` is the full reference
+    shape — an ordered [ollama, openai, ...] list resolved by
+    :func:`select_embed_provider` (ai/methods.go:14-22); ``api_bases``
+    remains the one-provider Ollama shorthand. Both HTTP paths and the
+    noop emit the same canonical (codes, lo, hi) columns."""
+    if providers:
+        p = select_embed_provider(providers)
+        return http_embed(
+            df,
+            text_col=text_col,
+            api_bases=list(p.api_bases),
+            model=http_kwargs.pop("model", None) or p.model,
+            token=p.token,
+            num_ctx=p.num_ctx,
+            path=p.embed_path,
+            **http_kwargs,
+        )
     if api_bases:
         return http_embed(df, text_col=text_col, api_bases=api_bases, **http_kwargs)
     from go_vectorsearch_spark.operators.documents import (

@@ -31,10 +31,15 @@ def fake_vec(text: str) -> list[float]:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # both provider shapes share request/response JSON (aicomms.EmbedRequest
+    # is reused verbatim by the openai client, ai/openai/embed.go:28) and
+    # differ only in path
+    PATHS = ("/api/embed", "/v1/embeddings")
+
     def do_POST(self):
         n = int(self.headers["Content-Length"])
         req = json.loads(self.rfile.read(n))
-        if not self.path.endswith("/api/embed"):
+        if not self.path.endswith(self.PATHS):
             self.send_response(404)
             self.send_header("Content-Length", "0")
             self.end_headers()
@@ -189,3 +194,97 @@ def test_engine_with_http_provider(spark, stub_server, tmp_path):
     assert [r["document_id"] for r in res] == ids
     emb = eng.t["embeddings"].read()
     assert {"codes", "lo", "hi"} <= set(emb.columns) and "vector" not in emb.columns
+
+
+def test_openai_provider_shape(spark, stub_server):
+    """kind="openai" POSTs the same payload to /v1/embeddings
+    (ai/openai/embed.go:39) with bearer auth."""
+    from go_vectorsearch_spark.sources.embed_http import EmbedProvider
+
+    srv, base = stub_server()
+    df = _texts_df(spark, n=4, partitions=1)
+    out = embed_chunks(
+        df,
+        providers=[EmbedProvider(api_bases=(base,), kind="openai",
+                                 model="text-embedding", token="sk-x")],
+        batch_size=4,
+    ).collect()
+    assert len(out) == 4
+    assert [r["path"] for r in srv.requests] == ["/v1/embeddings"]
+    assert srv.requests[0]["model"] == "text-embedding"
+    assert srv.requests[0]["auth"] == "Bearer sk-x"
+
+
+def test_provider_fallback_order(spark, stub_server):
+    """ai/methods.go:14-22: first CONFIGURED provider wins — an
+    unconfigured (no endpoints) ollama slot falls through to openai;
+    nothing configured raises."""
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.sources.embed_http import (
+        EmbedProvider,
+        select_embed_provider,
+    )
+
+    srv, base = stub_server()
+    ollama_empty = EmbedProvider(api_bases=(), kind="ollama")
+    openai = EmbedProvider(api_bases=(base,), kind="openai")
+    assert select_embed_provider([ollama_empty, openai]) is openai
+    df = _texts_df(spark, n=2, partitions=1)
+    out = embed_chunks(df, providers=[ollama_empty, openai], batch_size=2).collect()
+    assert len(out) == 2
+    assert [r["path"] for r in srv.requests] == ["/v1/embeddings"]
+    with _pytest.raises(ValueError, match="no embed provider"):
+        select_embed_provider([ollama_empty])
+
+
+def test_retry_rotates_to_healthy_endpoint(spark, stub_server):
+    """A dead endpoint in api_bases must not fail the task: the retry
+    budget rotates each attempt to the next endpoint with backoff, so
+    every batch lands on the healthy server."""
+    srv, base = stub_server()
+    dead = "http://127.0.0.1:1"  # nothing listens on port 1
+    df = _texts_df(spark, n=8, partitions=1)
+    out = http_embed(
+        df, api_bases=[dead, base], batch_size=4, backoff_s=0.01
+    ).collect()
+    assert len(out) == 8
+    assert sum(r["n_texts"] for r in srv.requests) == 8
+
+
+def test_retry_budget_exhausts(spark):
+    """All endpoints dead -> the budget raises instead of hanging."""
+    df = _texts_df(spark, n=2, partitions=1)
+    with pytest.raises(Exception, match="[Cc]onnection|refused|embed"):
+        http_embed(
+            df,
+            api_bases=["http://127.0.0.1:1"],
+            batch_size=2,
+            max_attempts=2,
+            backoff_s=0.01,
+        ).collect()
+
+
+def test_engine_openai_provider_roundtrip(spark, stub_server, tmp_path):
+    """Engine wired with the ordered provider list uses the first
+    configured provider for uploads AND query embedding."""
+    from go_vectorsearch_spark.api import Engine
+    from go_vectorsearch_spark.sources.embed_http import EmbedProvider
+
+    srv, base = stub_server()
+    eng = Engine(
+        spark,
+        str(tmp_path / "store2"),
+        providers=[
+            EmbedProvider(api_bases=(), kind="ollama"),
+            EmbedProvider(api_bases=(base,), kind="openai", model="emb3"),
+        ],
+    )
+    ids = eng.upload(
+        "o", "c",
+        [{"name": "d", "external_id": "e", "document": json.dumps("hello")}],
+    )
+    res = eng.search("o", "c", "hello", nprobe=-1).collect()
+    assert [r["document_id"] for r in res] == ids
+    assert all(r["path"] == "/v1/embeddings" for r in srv.requests)
+    assert all(r["model"] == "emb3" for r in srv.requests)
