@@ -1,0 +1,352 @@
+"""S10/M1: the HTTP service surface over :class:`~go_vectorsearch_spark.api.Engine`.
+
+The reference ships as an HTTP server; this module is its route-for-route
+counterpart (main.go:128-178):
+
+  POST /api/upload           → Engine.upload          (server/upload.go)
+  POST|GET /api/search       → Engine.search          (server/search.go)
+  POST /api/chat             → chat token stream      (server/chat.go:85-105)
+  POST|GET /api/categories   → Engine.fetch_category_names (server/fetch.go)
+  POST|DELETE /api/delete/owner|category|document     (server/delete.go)
+
+Request/response JSON field names match the reference structs exactly
+(UploadRequest/SearchRequest/ChatRequest/... in server/*.go), so a client
+of the reference talks to this service unchanged.
+
+Middleware parity (main.go:128-173):
+  * zstd request decompression on every API route when the client sends
+    ``Content-Encoding: zstd``;
+  * zstd response compression on upload/search when the client sends
+    ``Accept-Encoding: zstd`` (chat streams uncompressed, like the
+    reference, whose compression middleware wraps upload/search only).
+  Codec: pyarrow's bundled zstd (streaming, no content-size needed) —
+  the same frames any zstd client produces/consumes.
+
+Chat streaming (M1): the handler assembles the message list via
+``Engine.chat_messages`` (history alternation + quoted document context,
+server/chat.go:109-181), POSTs it to the configured LLM endpoint with
+``stream: true``, NDJSON-decodes the reply line-by-line, and forwards
+each ``message.content`` fragment to the HTTP client as it arrives —
+exactly ai/ollama/chat.go:92-155 feeding server/chat.go:85-105. With no
+LLM endpoint configured the route answers 501, mirroring the reference's
+"no provider configured" error (ai/methods.go:46-54).
+
+Scale note: one Service process fronts one SparkSession (the reference
+is likewise one process over one DB pool); horizontal scale is N
+service replicas over the same table root — the versioned tables give
+each request snapshot isolation, so replicas need no coordination.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections.abc import Iterator
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from go_vectorsearch_spark.api import Engine
+
+CHAT_PATH = "/api/chat"  # LLM-provider side path (ai/ollama/chat.go:114)
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as out:
+        out.write(data)
+    return bytes(sink.getvalue())
+
+
+def chat_stream(
+    base: str,
+    messages: list[dict[str, str]],
+    model: str = "chat",
+    token: str = "",
+    num_ctx: int = 2048,
+    timeout: float = 60.0,
+) -> Iterator[str]:
+    """POST a streaming chat request and yield content fragments.
+
+    The provider-side decode of ai/ollama/chat.go:92-155: request
+    ``{"model", "messages", "stream": true, "options": {"num_ctx"}}``
+    to ``<base>/api/chat``; the response is NDJSON lines
+    ``{"message": {"role", "content"}, "done": bool}`` — yield each
+    line's ``message.content`` until ``done``.
+    """
+    from go_vectorsearch_spark.sources.embed_http import _open_connection
+
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    try:
+        payload = {
+            "model": model,
+            "messages": list(messages),
+            "stream": True,
+            "options": {"num_ctx": num_ctx},
+        }
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        conn.request("POST", prefix + CHAT_PATH, json.dumps(payload).encode(), headers)
+        resp = conn.getresponse()
+        if resp.status != 200:
+            raise RuntimeError(
+                f"chat endpoint -> {resp.status}: {resp.read()[:200]!r}"
+            )
+        buf = b""
+        while True:
+            chunk = resp.read1(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if not line.strip():
+                    continue
+                res = json.loads(line)
+                yield res.get("message", {}).get("content", "")
+                if res.get("done"):
+                    return
+        if buf.strip():  # final line without trailing newline
+            res = json.loads(buf)
+            yield res.get("message", {}).get("content", "")
+    finally:
+        conn.close()
+
+
+class Service:
+    """The engine + its LLM provider config, shared by all requests."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        llm_base: str | None = None,
+        llm_model: str = "chat",
+        llm_token: str = "",
+    ):
+        self.engine = engine
+        self.llm_base = llm_base
+        self.llm_model = llm_model
+        self.llm_token = llm_token
+        # one request at a time against the (single-driver) SparkSession;
+        # the reference serializes on its DB pool the same way
+        self.lock = threading.Lock()
+
+    # -- route bodies (pure JSON -> JSON, no HTTP) -------------------------
+    def upload(self, req: dict) -> dict:
+        docs = [
+            {
+                "name": d.get("name", ""),
+                "external_id": d.get("external_id", ""),
+                # DocumentUpload.Document is `any` (upload.go:33); the
+                # engine stores its JSON serialization
+                "document": json.dumps(d.get("document")),
+            }
+            for d in req.get("documents", [])
+        ]
+        ids = self.engine.upload(req.get("owner", ""), req.get("category", ""), docs)
+        return {"document_ids": ids}
+
+    def search(self, req: dict) -> dict:
+        rows = self.engine.search(
+            req.get("owner", ""),
+            req.get("category", ""),
+            req.get("text", ""),
+            count=int(req.get("count") or 10),
+            offset=int(req.get("offset") or 0),
+            nprobe=int(req.get("centroids") or 0),
+        ).collect()
+        return {
+            "documents": [
+                {
+                    "name": r["name"],
+                    "external_id": r["external_id"],
+                    "document": json.loads(r["payload_json"]),
+                    "document_id": r["document_id"],
+                    "document_similarity": r["score"],
+                }
+                for r in rows
+            ]
+        }
+
+    def categories(self, req: dict) -> dict:
+        return {
+            "category_names": self.engine.fetch_category_names(req.get("owner", ""))
+        }
+
+    def delete_owner(self, req: dict) -> dict:
+        self.engine.delete_owner(req.get("owner", ""))
+        return {}
+
+    def delete_category(self, req: dict) -> dict:
+        self.engine.delete_category(req.get("owner", ""), req.get("category", ""))
+        return {}
+
+    def delete_document(self, req: dict) -> dict:
+        self.engine.delete_document(int(req.get("document_id", 0)))
+        return {}
+
+    def chat(self, req: dict) -> Iterator[str]:
+        """ChatRequest → content-fragment stream (server/chat.go:109-181).
+
+        Only the message assembly (a Spark lookup of the referenced
+        documents) runs under the engine lock; the LLM stream is
+        forwarded fragment-by-fragment OUTSIDE it, so a slow generation
+        never blocks other requests — the reference behaves identically
+        (DB fetch, then a pipe off the provider's response body).
+        """
+        if not self.llm_base:
+            raise LookupError("no chat provider configured")  # ai/methods.go:46-54
+        with self.lock:
+            messages = self.engine.chat_messages(
+                req.get("text", ""),
+                document_ids=[int(x) for x in req.get("document_ids") or []],
+                history=req.get("history") or [],
+                prefix=req.get("prefix", ""),
+            )
+        return chat_stream(
+            self.llm_base, messages, model=self.llm_model, token=self.llm_token
+        )
+
+
+# route table: path -> (service method, allowed HTTP methods, compress?)
+# (main.go:148-159; compression middleware wraps upload/search only)
+_ROUTES = {
+    "/api/upload": ("upload", ("POST",), True),
+    "/api/search": ("search", ("POST", "GET"), True),
+    "/api/categories": ("categories", ("POST", "GET"), False),
+    "/api/delete/owner": ("delete_owner", ("POST", "DELETE"), False),
+    "/api/delete/category": ("delete_category", ("POST", "DELETE"), False),
+    "/api/delete/document": ("delete_document", ("POST", "DELETE"), False),
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    service: Service  # set by make_server
+
+    # -- plumbing ----------------------------------------------------------
+    def _read_body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n) if n else b"{}"
+        # decompression middleware (main.go:128-145)
+        if "zstd" in (self.headers.get("Content-Encoding") or ""):
+            body = _zstd_decompress(body)
+        return json.loads(body or b"{}")
+
+    def _send_json(self, obj: dict, status: int = 200, compress_ok: bool = False):
+        body = json.dumps(obj).encode()
+        enc = None
+        # compression middleware (main.go:147-167): only when the client
+        # advertises zstd AND the route is wrapped in it
+        if compress_ok and "zstd" in (self.headers.get("Accept-Encoding") or ""):
+            body = _zstd_compress(body)
+            enc = "zstd"
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        if enc:
+            self.send_header("Content-Encoding", enc)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, status: int, msg: str):
+        self._send_json({"error": msg}, status=status)
+
+    # -- dispatch ----------------------------------------------------------
+    def _handle(self):
+        route = _ROUTES.get(self.path)
+        if self.path == CHAT_PATH:
+            return self._handle_chat()
+        if route is None:
+            return self._error(404, "Not found")
+        name, methods, compress = route
+        if self.command not in methods:
+            self.send_response(405)
+            self.send_header("Allow", methods[0])
+            body = b'{"error":"Invalid request method"}'
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
+            req = self._read_body()
+        except Exception:
+            return self._error(400, "Invalid request body")
+        try:
+            with self.service.lock:
+                out = getattr(self.service, name)(req)
+        except Exception as e:  # request failed inside the engine
+            return self._error(500, f"{type(e).__name__}: {e}")
+        self._send_json(out, compress_ok=compress)
+
+    def _handle_chat(self):
+        """Chunked text/plain fragment stream (server/chat.go:85-105)."""
+        if self.command != "POST":
+            return self._error(405, "Invalid request method")
+        try:
+            req = self._read_body()
+        except Exception:
+            return self._error(400, "Invalid request body")
+        try:
+            stream = self.service.chat(req)  # locks internally for Spark
+            first = next(stream, None)  # surface provider errors pre-headers
+        except LookupError:
+            return self._error(501, "no chat provider configured")
+        except Exception as e:
+            return self._error(500, f"{type(e).__name__}: {e}")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def emit(frag: str) -> None:
+            data = frag.encode()
+            if data:
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+        if first is not None:
+            emit(first)
+        for frag in stream:
+            emit(frag)
+        self.wfile.write(b"0\r\n\r\n")
+
+    def do_POST(self):
+        self._handle()
+
+    def do_GET(self):
+        self._handle()
+
+    def do_DELETE(self):
+        self._handle()
+
+    def log_message(self, *a):  # quiet; the reference logs via zap
+        pass
+
+
+def make_server(
+    engine: Engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    llm_base: str | None = None,
+    llm_model: str = "chat",
+    llm_token: str = "",
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``port=0`` picks a free port.
+    Start with ``threading.Thread(target=srv.serve_forever)`` or
+    :func:`serve`."""
+    svc = Service(engine, llm_base=llm_base, llm_model=llm_model, llm_token=llm_token)
+    handler = type("BoundHandler", (_Handler,), {"service": svc})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8080, **kw) -> None:
+    """Blocking entry point (the reference's ListenAndServe, main.go:183)."""
+    make_server(engine, host=host, port=port, **kw).serve_forever()

@@ -1,0 +1,193 @@
+"""S10/M1: HTTP service surface round-trip tests.
+
+Spins the real handler (service.make_server) on a loopback port and
+drives it with http.client — request/response JSON must match the
+reference server structs (server/upload.go:24-38, search.go:26-43,
+fetch.go:19-25, chat.go:23-29), the zstd Content-Encoding middleware
+must round-trip (main.go:128-167), and /api/chat must stream the
+stub LLM's NDJSON as a chunked text stream (server/chat.go:85-105 +
+ai/ollama/chat.go:92-155).
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from go_vectorsearch_spark.api import Engine
+from go_vectorsearch_spark.service import make_server
+
+DOCS = [
+    {"name": "Doc A", "external_id": "a", "document": {"title": "alpha", "body": "spark shuffles data"}},
+    {"name": "Doc B", "external_id": "b", "document": {"title": "beta", "body": "catalyst optimizes plans"}},
+    {"name": "Doc C", "external_id": "c", "document": "plain string payload"},
+]
+
+
+class _StubLLM(BaseHTTPRequestHandler):
+    """NDJSON chat stream, echoing how many messages it got."""
+
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        req = json.loads(self.rfile.read(n))
+        self.server.requests.append(req)
+        lines = [
+            {"message": {"role": "assistant", "content": "Hello "}, "done": False},
+            {"message": {"role": "assistant", "content": f"({len(req['messages'])} msgs)"}, "done": False},
+            {"message": {"role": "assistant", "content": ""}, "done": True},
+        ]
+        body = b"".join(json.dumps(l).encode() + b"\n" for l in lines)
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("svc_root")))
+
+    llm = ThreadingHTTPServer(("127.0.0.1", 0), _StubLLM)
+    llm.requests = []
+    threading.Thread(target=llm.serve_forever, daemon=True).start()
+
+    srv = make_server(eng, llm_base=f"http://127.0.0.1:{llm.server_port}", llm_model="m")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield eng, srv.server_port, llm
+    srv.shutdown()
+    srv.server_close()
+    llm.shutdown()
+    llm.server_close()
+
+
+def _call(port, path, payload=None, method="POST", headers=None, raw_body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    body = raw_body if raw_body is not None else json.dumps(payload or {}).encode()
+    conn.request(method, path, body=body, headers={"Content-Type": "application/json", **(headers or {})})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp, data
+
+
+def test_upload_search_roundtrip_matches_engine(served):
+    eng, port, _ = served
+    resp, data = _call(port, "/api/upload", {"owner": "acme", "category": "wiki", "documents": DOCS})
+    assert resp.status == 200
+    ids = json.loads(data)["document_ids"]
+    assert len(ids) == 3
+
+    resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "spark shuffles", "count": 3, "centroids": -1})
+    assert resp.status == 200
+    docs = json.loads(data)["documents"]
+    assert 1 <= len(docs) <= 3
+    # response carries the reference's DocumentSearch fields with the
+    # original (deserialized) document payload
+    for d in docs:
+        assert set(d) == {"name", "external_id", "document", "document_id", "document_similarity"}
+    # parity with the Engine-direct call
+    direct = eng.search("acme", "wiki", "spark shuffles", count=3, nprobe=-1).collect()
+    assert [d["document_id"] for d in docs] == [r["document_id"] for r in direct]
+    assert [d["document_similarity"] for d in docs] == pytest.approx([r["score"] for r in direct])
+
+
+def test_categories_and_deletes(served):
+    eng, port, _ = served
+    _call(port, "/api/upload", {"owner": "acme", "category": "blog", "documents": [DOCS[0]]})
+    _call(port, "/api/upload", {"owner": "other", "category": "misc", "documents": [DOCS[1]]})
+    resp, data = _call(port, "/api/categories", {"owner": "acme"})
+    assert json.loads(data)["category_names"] == ["blog", "wiki"]
+
+    resp, data = _call(port, "/api/delete/category", {"owner": "acme", "category": "blog"}, method="DELETE")
+    assert resp.status == 200 and json.loads(data) == {}
+    resp, data = _call(port, "/api/categories", {"owner": "acme"})
+    assert json.loads(data)["category_names"] == ["wiki"]
+
+    resp, data = _call(port, "/api/delete/owner", {"owner": "other"})
+    assert resp.status == 200
+    assert eng.fetch_category_names("other") == []
+
+    # delete one document; search must no longer return it
+    resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "alpha", "count": 5, "centroids": -1})
+    before = {d["document_id"] for d in json.loads(data)["documents"]}
+    victim = sorted(before)[0]
+    _call(port, "/api/delete/document", {"document_id": victim})
+    resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "alpha", "count": 5, "centroids": -1})
+    after = {d["document_id"] for d in json.loads(data)["documents"]}
+    assert victim not in after
+
+
+def test_method_not_allowed_and_404(served):
+    _, port, _ = served
+    resp, data = _call(port, "/api/upload", method="GET")
+    assert resp.status == 405 and b"Invalid request method" in data
+    resp, _ = _call(port, "/api/nope", {})
+    assert resp.status == 404
+
+
+def test_zstd_request_and_response_middleware(served):
+    """Content-Encoding: zstd requests decompress; Accept-Encoding: zstd
+    search responses compress (main.go:128-167)."""
+    _, port, _ = served
+    payload = json.dumps(
+        {"owner": "acme", "category": "wiki", "text": "catalyst", "count": 2, "centroids": -1}
+    ).encode()
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as out:
+        out.write(payload)
+    resp, data = _call(
+        port,
+        "/api/search",
+        raw_body=bytes(sink.getvalue()),
+        headers={"Content-Encoding": "zstd", "Accept-Encoding": "zstd"},
+    )
+    assert resp.status == 200
+    assert resp.getheader("Content-Encoding") == "zstd"
+    plain = pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+    docs = json.loads(plain)["documents"]
+    assert len(docs) >= 1
+
+
+def test_chat_streams_ndjson_fragments(served):
+    """M1 end-to-end: ChatRequest -> message assembly -> stub LLM NDJSON
+    -> chunked text stream; history alternation reaches the provider."""
+    _, port, llm = served
+    resp, data = _call(
+        port,
+        "/api/chat",
+        {"text": "what is spark?", "history": ["hi", "hello"], "document_ids": [1]},
+    )
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/plain"
+    # stub emits two fragments then done; golden concatenation.
+    # 3 messages: 2 history turns + ONE final user message that folds the
+    # quoted document context into the question (chat.go:142-175 appends
+    # context to the question content, not as an extra message)
+    assert data.decode() == "Hello (3 msgs)"
+    sent = llm.requests[-1]
+    assert sent["stream"] is True and sent["model"] == "m"
+    roles = [m["role"] for m in sent["messages"]]
+    assert roles == ["user", "assistant", "user"]
+    assert "My question is: " in sent["messages"][-1]["content"]
+
+
+def test_chat_without_provider_501(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "nochat"))
+    srv = make_server(eng)  # no llm_base
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        resp, data = _call(srv.server_port, "/api/chat", {"text": "x"})
+        assert resp.status == 501
+        assert b"no chat provider" in data
+    finally:
+        srv.shutdown()
+        srv.server_close()
