@@ -150,23 +150,26 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ ``threshold``.
 
-    Plan: explode distinct shingles → group by shingle (ONE shuffle of
-    (shingle, id) pairs) → drop groups larger than ``max_shingle_freq``
-    (hot-key cap — the standard prefix trick: one shingle shared by f docs
-    contributes f²/2 candidate pairs, so an uncapped hot shingle like "the
-    end of" is a quadratic blowup) → emit each group's sorted id pairs as
-    a pure array expression → count per pair → Jaccard from per-doc
-    set sizes (array lengths — no extra shuffle). Two shuffles total,
-    both on reduced data; the grouped form replaces the classic shingle
-    self-join (which costs the same fan-out plus an extra shuffle and a
-    separate frequency-count pass for the cap).
+    Plan: explode distinct shingles → equi-self-join on the shingle hash
+    with ``id_a < id_b`` → count common shingles per pair → Jaccard from
+    per-doc set sizes (array lengths — no extra shuffle). The join and
+    the pair-count are shuffles of (shingle, id) INT pairs only — raw
+    text never moves. An earlier version built pairs per shingle-group
+    with collect_list + a higher-order slice/transform expression to
+    save the cap's frequency pass; measured on the sf0.1 corpus the
+    per-group HOF evaluation ran ~2× slower than the join it replaced
+    (interpreted lambda per emitted pair vs codegen'd sort-merge join),
+    so the classic join plan is also the faster one.
 
-    The cap is ON by default; pass ``max_shingle_freq=None`` only for
-    small-corpus oracle-parity runs — uncapped, a hot group's f²/2 pairs
-    are generated inside one task, which is exactly the skew the cap
-    exists to prevent. A capped run can only *miss* pairs whose overlap
-    is exclusively hot shingles; per-doc set sizes are computed from the
-    full shingle arrays, so reported Jaccard values are unchanged.
+    ``max_shingle_freq`` (ON by default) drops shingles shared by more
+    docs than the cap BEFORE the join — the standard prefix trick: one
+    shingle shared by f docs contributes f²/2 join rows through a single
+    key, so an uncapped hot shingle like "the end of" is a quadratic
+    skew bomb at corpus scale. The frequency pass is one extra shuffle
+    of (shingle) ints. Pass ``None`` only for small-corpus oracle-parity
+    runs (the DuckDB twin counts every shingle). A capped run can only
+    *miss* pairs whose overlap is exclusively hot shingles; per-doc set
+    sizes come from the full arrays, so reported Jaccard is unchanged.
 
     ``shingled`` (a persisted :func:`shingled_docs` frame) lets several
     dedup variants share one shingling pass.
@@ -174,23 +177,22 @@ def jaccard_pairs(
     if shingled is None:
         shingled = shingled_docs(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     sh = shingled.select("_id", F.explode("_sh").alias("_s"))
-    groups = sh.groupBy("_s").agg(F.collect_list("_id").alias("_ids"))
     if max_shingle_freq is not None:
-        groups = groups.filter(F.size("_ids") <= max_shingle_freq)
-    # stage the sort: referenced inside the per-element pairs_after
-    # lambda, an inline array_sort would re-sort the group per element
-    groups = groups.select(F.array_sort("_ids").alias("_ids"))
-    ids = F.col("_ids")
-
-    def pairs_after(x: Column, i: Column) -> Column:
-        return F.transform(
-            F.slice(ids, i + F.lit(2), F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        hot = (
+            sh.groupBy("_s")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("_s")
         )
-
+        # hot set is tiny by construction (few shingles exceed the cap);
+        # Catalyst broadcasts it on its own when stats agree
+        sh = sh.join(hot, "_s", "left_anti")
+    a = sh.select(F.col("_id").alias("id_a"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), "_s")
     common = (
-        groups.select(F.explode(F.flatten(F.transform(ids, pairs_after))).alias("_p"))
-        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        a.join(b, ["_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_c"))
     )
     sizes = shingled.select("_id", F.size("_sh").cast("long").alias("_n"))

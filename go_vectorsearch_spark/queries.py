@@ -51,8 +51,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Loaded-table plan cache: spark.read.parquet re-reads the footer and
+# re-infers the schema on every call (~30-80 ms); 55 registry queries ×
+# several tables each adds whole seconds of pure metadata work. A
+# DataFrame is an immutable logical plan, so reusing it is free. Keyed
+# by session too — a stale session's plans are unusable.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
+    return _TABLE_CACHE[key]
 
 
 # The deterministic query vector (stored embedding of vec_id 0) is fetched

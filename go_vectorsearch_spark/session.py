@@ -30,6 +30,11 @@ def get_spark(app_name: str = "spark-vectorsearch") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not by keeping the
+        # parallelism hint: small shuffles collapse to few tasks (less
+        # scheduling), huge ones still fan out to the target size — the
+        # right behavior at every scale, not a small-data hack
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
