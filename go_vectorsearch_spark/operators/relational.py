@@ -245,6 +245,54 @@ def asof_join_same_source(
     return _asof_window(tagged, left_cols, on, ts_col, right_cols, tie_col)
 
 
+def range_join_point(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Point-in-interval range join (custom operator Spark lacks):
+    left rows whose ``point_col`` falls in [start_col, end_col] of a
+    right row. A raw ``l.ts BETWEEN r.start AND r.end`` join has no
+    equi-key, so Spark plans a BroadcastNestedLoop/cartesian product —
+    O(|L|·|R|) compares, dead at scale. The standard distributed shape
+    instead manufactures an equi-key: bucket each point into
+    floor(epoch/bucket), explode each interval into every bucket it
+    overlaps (``F.sequence``), hash-join on the bucket int, then
+    re-apply the exact range predicate to the survivors.
+
+    Cost: one equi-shuffle per side; interval fan-out =
+    ceil(len/bucket)+1 replicas — pick ``bucket_seconds`` near the
+    typical interval length so fan-out stays O(1). Each (point,
+    interval) pair meets in EXACTLY one bucket (the point's), so no
+    post-join dedup is needed. Inner join only; intervals with
+    end < start produce nothing (empty sequence would error: guarded).
+
+    Both time columns may be TIMESTAMP or DATE; comparison happens on
+    the original values, bucketing on epoch seconds.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    bkt = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("timestamp").cast("double") / F.lit(float(bucket_seconds))
+    )
+    left_b = left.withColumn("_rjb", bkt(point_col))
+    right_b = (
+        right.filter(F.col(start_col) <= F.col(end_col))
+        .withColumn("_rjb", F.explode(F.sequence(bkt(start_col), bkt(end_col))))
+    )
+    return (
+        left_b.join(right_b, "_rjb")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_rjb")
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, hex_prefix: str = "0") -> DataFrame:
     """C1/D2 analog: deterministic, engine-portable pseudo-sample.
 

@@ -467,6 +467,89 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+# Range join (custom operator Spark lacks, like asof_join): per promo
+# window [o_orderdate, +7d] of every 1000th order, count lineitems
+# shipped inside it. Bucketed-equi-join shape — a raw BETWEEN join
+# plans a nested-loop cross product (operators/relational.
+# range_join_point; plan shape pytest-asserted). Demoted parity bar.
+RANGE_JOIN_SHIPMENTS_ORACLE = """
+WITH w AS (
+  SELECT o_orderkey, o_orderdate AS win_start,
+         o_orderdate + INTERVAL 7 DAY AS win_end
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT w.o_orderkey, count(*) AS n_shipped,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM w JOIN lineitem l
+  ON l.l_shipdate >= w.win_start AND l.l_shipdate <= w.win_end
+GROUP BY w.o_orderkey
+"""
+
+
+def q_range_join_shipments(spark, sf_dir):
+    from go_vectorsearch_spark.operators.relational import range_join_point
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    windows = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    joined = range_join_point(
+        li.select("l_shipdate", "l_quantity"),
+        windows,
+        point_col="l_shipdate",
+        start_col="win_start",
+        end_col="win_end",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# Hypertable-style time-hierarchy rollup: one pass emits hourly,
+# daily, and grand-total event aggregates via ROLLUP (Expand + single
+# partial-agg shuffle — the batch form of a continuous aggregate; the
+# streaming twin is streaming/events.tumbling_counts). Demoted parity.
+EVENTS_ROLLUP_TIME_ORACLE = """
+SELECT CAST(grouping(date_trunc('day', ts)) * 2
+          + grouping(date_trunc('hour', ts)) AS INT) AS lvl,
+       CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
+def q_events_rollup_time(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    return (
+        ev.rollup(day.alias("_day"), hour.alias("_hour"))
+        .agg(
+            # grouping_id over (day, hour): 0 = hourly cell, 1 = daily
+            # subtotal, 3 = grand total — same encoding both engines.
+            # (must be computed INSIDE the agg: it reads the Expand
+            # node's grouping bitmap)
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "lvl",
+            F.unix_micros(F.col("_day")).alias("day_us"),
+            F.unix_micros(F.col("_hour")).alias("hour_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # X4 JSON payload decode at query time over the events.props column
 # (reference: database/type.go:14-17 DocumentField.JSON). Demoted to the
 # pytest-parity bar (tests/test_demoted_parity.py) — the 50-entry driver

@@ -20,6 +20,8 @@ DEMOTED = [
     (Q.q_lookup_in_list, Q.LOOKUP_IN_LIST_ORACLE),
     (Q.q_pack_sequences, Q.PACK_SEQUENCES_ORACLE),
     (Q.q_events_json_extract, Q.EVENTS_JSON_EXTRACT_ORACLE),
+    (Q.q_range_join_shipments, Q.RANGE_JOIN_SHIPMENTS_ORACLE),
+    (Q.q_events_rollup_time, Q.EVENTS_ROLLUP_TIME_ORACLE),
 ]
 
 

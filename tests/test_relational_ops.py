@@ -197,3 +197,44 @@ def test_asof_same_source_equals_two_frame(spark, sf_correct):
     rows_one = sorted(map(str, one.collect()))
     rows_two = sorted(map(str, two.collect()))
     assert rows_one == rows_two
+
+
+def test_range_join_point_shape_and_equivalence(spark):
+    """range_join_point must equal the naive BETWEEN join row-for-row
+    while planning an equi-hash join (no BroadcastNestedLoop/cartesian
+    product — the thing that dies at scale). Covers boundary inclusivity,
+    bucket-spanning intervals, inverted intervals, and multi-match."""
+    from datetime import datetime
+
+    from go_vectorsearch_spark.operators.relational import range_join_point
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    points = spark.createDataFrame(
+        [(i, t(d, h)) for i, (d, h) in enumerate(
+            [(1, 0), (3, 12), (8, 0), (15, 23), (20, 5), (28, 0)]
+        )],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, t(1), t(3, 12)),   # boundary-inclusive both ends
+            (101, t(2), t(16)),      # spans multiple 7-day buckets
+            (102, t(19), t(18)),     # inverted: matches nothing
+            (103, t(27), t(31)),
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    fast = range_join_point(points, intervals, "ts", "start", "end",
+                            bucket_seconds=7 * 86400)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    naive = points.join(
+        intervals,
+        (points.ts >= intervals.start) & (points.ts <= intervals.end),
+    )
+    got = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+    # every pair meets in exactly one bucket: no dup rows
+    assert len(got) == len(set(got))
