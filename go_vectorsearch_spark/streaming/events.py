@@ -170,6 +170,38 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+) -> None:
+    """Deployment sink: drain the stream into an append-mode parquet
+    table via ``foreachBatch`` with AvailableNow semantics. foreachBatch
+    (not the built-in parquet sink) is the production shape because a
+    real pipeline upgrades this lambda to MERGE/overwrite-partition on a
+    table format; the checkpoint dir makes restarts exactly-once at the
+    batch level (replayed epochs overwrite their own output only when
+    the writer is idempotent — append parquet + AvailableNow + a fresh
+    checkpoint is, because every epoch runs once)."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = df.repartition(partition_by).write.mode("append").partitionBy(
+                partition_by
+            )
+        w.parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -67,3 +67,23 @@ def test_events_loader_handles_both_timestamp_layouts(spark, sf_smoke, tmp_path)
     a = sorted((r["event_id"], r["ts"]) for r in current.select("event_id", "ts").collect())
     b = sorted((r["event_id"], r["ts"]) for r in legacy.select("event_id", "ts").collect())
     assert a == b
+
+
+def test_csv_roundtrip_quotes_and_newlines(spark, tmp_path):
+    """Document text containing double quotes, commas, AND embedded
+    newlines must survive the CSV round-trip byte-for-byte: the writer
+    doubles inner quotes (escape='"', RFC-4180) to match the reader —
+    Spark's default backslash escape silently corrupts such rows (the
+    round-2 advisor finding; plain-fixture tests can't catch it)."""
+    rows = [
+        (1, 'She said "hello, world" and left', [1.0, -2.5]),
+        (2, 'line one\nline "two", with comma', [0.0]),
+        (3, '""already double-quoted""', [3.25, 4.0]),
+        (4, 'trailing backslash \\ and "quote"', []),
+        (5, None, [9.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, vec array<double>")
+    path = str(tmp_path / "quotes_csv")
+    write_table(df, path, "csv")
+    back = read_table(spark, path, "csv", schema=df.schema)
+    assert _rows(back) == _rows(df)

@@ -140,3 +140,28 @@ def test_stateful_user_stats_equals_batch(spark, sf_smoke, events_stream, events
     gs = {(r["user_id"], r["n_events"], round(r["sum_value"], 4), r["max_value"]) for r in final.collect()}
     ws = {(r["user_id"], r["n_events"], round(r["sum_value"], 4), r["max_value"]) for r in want.collect()}
     assert gs == ws
+
+
+def test_stream_to_parquet_sink_equals_batch(spark, sf_smoke, tmp_path):
+    """foreachBatch parquet sink: draining the (stateless) enriched
+    event stream into parquet must produce exactly the batch rows."""
+    from pyspark.sql import functions as F
+
+    from go_vectorsearch_spark.sources.tables import load_table
+    from go_vectorsearch_spark.streaming.events import (
+        read_events_stream,
+        stream_to_parquet,
+    )
+
+    enrich = lambda df: df.filter(F.col("event_type") == "purchase").select(  # noqa: E731
+        "event_id", "user_id", "ts", (F.col("value") * 2).alias("v2")
+    )
+    out = str(tmp_path / "sink_out")
+    stream_to_parquet(
+        enrich(read_events_stream(spark, sf_smoke)),
+        out,
+        str(tmp_path / "sink_ckpt"),
+    )
+    got = sorted(map(str, spark.read.parquet(out).collect()))
+    want = sorted(map(str, enrich(load_table(spark, sf_smoke, "events")).collect()))
+    assert got == want
