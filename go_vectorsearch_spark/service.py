@@ -134,8 +134,13 @@ class Service:
         self.llm_base = llm_base
         self.llm_model = llm_model
         self.llm_token = llm_token
-        # one request at a time against the (single-driver) SparkSession;
-        # the reference serializes on its DB pool the same way
+        # MUTATIONS serialize: _VersionedTable.write is read-modify-write
+        # (union current + flip pointer), so two concurrent uploads could
+        # drop each other's rows. READS need no lock — the VERSION
+        # pointer is read once per request, so a reader sees a complete
+        # snapshot regardless of concurrent writers (and SparkSession
+        # actions are thread-safe). Mirrors the reference: SQL writes
+        # serialize in the DB, reads run concurrently.
         self.lock = threading.Lock()
 
     # -- route bodies (pure JSON -> JSON, no HTTP) -------------------------
@@ -195,35 +200,34 @@ class Service:
     def chat(self, req: dict) -> Iterator[str]:
         """ChatRequest → content-fragment stream (server/chat.go:109-181).
 
-        Only the message assembly (a Spark lookup of the referenced
-        documents) runs under the engine lock; the LLM stream is
-        forwarded fragment-by-fragment OUTSIDE it, so a slow generation
-        never blocks other requests — the reference behaves identically
-        (DB fetch, then a pipe off the provider's response body).
+        Message assembly is a snapshot READ (document lookup) — no lock;
+        the LLM stream is forwarded fragment-by-fragment, so a slow
+        generation never blocks other requests — the reference behaves
+        identically (DB fetch, then a pipe off the provider's body).
         """
         if not self.llm_base:
             raise LookupError("no chat provider configured")  # ai/methods.go:46-54
-        with self.lock:
-            messages = self.engine.chat_messages(
-                req.get("text", ""),
-                document_ids=[int(x) for x in req.get("document_ids") or []],
-                history=req.get("history") or [],
-                prefix=req.get("prefix", ""),
-            )
+        messages = self.engine.chat_messages(
+            req.get("text", ""),
+            document_ids=[int(x) for x in req.get("document_ids") or []],
+            history=req.get("history") or [],
+            prefix=req.get("prefix", ""),
+        )
         return chat_stream(
             self.llm_base, messages, model=self.llm_model, token=self.llm_token
         )
 
 
-# route table: path -> (service method, allowed HTTP methods, compress?)
-# (main.go:148-159; compression middleware wraps upload/search only)
+# route table: path -> (service method, allowed HTTP methods, compress?,
+# mutates?) (main.go:148-159; compression middleware wraps upload/search
+# only; mutating routes take the engine write lock)
 _ROUTES = {
-    "/api/upload": ("upload", ("POST",), True),
-    "/api/search": ("search", ("POST", "GET"), True),
-    "/api/categories": ("categories", ("POST", "GET"), False),
-    "/api/delete/owner": ("delete_owner", ("POST", "DELETE"), False),
-    "/api/delete/category": ("delete_category", ("POST", "DELETE"), False),
-    "/api/delete/document": ("delete_document", ("POST", "DELETE"), False),
+    "/api/upload": ("upload", ("POST",), True, True),
+    "/api/search": ("search", ("POST", "GET"), True, False),
+    "/api/categories": ("categories", ("POST", "GET"), False, False),
+    "/api/delete/owner": ("delete_owner", ("POST", "DELETE"), False, True),
+    "/api/delete/category": ("delete_category", ("POST", "DELETE"), False, True),
+    "/api/delete/document": ("delete_document", ("POST", "DELETE"), False, True),
 }
 
 
@@ -266,7 +270,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._handle_chat()
         if route is None:
             return self._error(404, "Not found")
-        name, methods, compress = route
+        name, methods, compress, mutates = route
         if self.command not in methods:
             self.send_response(405)
             self.send_header("Allow", methods[0])
@@ -280,7 +284,10 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:
             return self._error(400, "Invalid request body")
         try:
-            with self.service.lock:
+            if mutates:
+                with self.service.lock:
+                    out = getattr(self.service, name)(req)
+            else:
                 out = getattr(self.service, name)(req)
         except Exception as e:  # request failed inside the engine
             return self._error(500, f"{type(e).__name__}: {e}")
