@@ -127,7 +127,9 @@ class _VersionedTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(os.path.join(self.dir, f"v{v}"))
 
-    def write(self, df: DataFrame, partition_by: str | None = None) -> None:
+    def write(
+        self, df: DataFrame, partition_by: str | None = None, keep_versions: int = 2
+    ) -> None:
         v = self._version() + 1
         path = os.path.join(self.dir, f"v{v}")
         w = df.write.mode("overwrite")
@@ -141,6 +143,20 @@ class _VersionedTable:
         w.parquet(path)
         with open(self._ptr, "w") as f:
             f.write(str(v))
+        self._vacuum(v, keep_versions)
+
+    def _vacuum(self, current: int, keep: int) -> None:
+        """Drop version dirs older than the ``keep`` most recent —
+        copy-on-write otherwise accumulates a full table copy per
+        mutation (what Delta's VACUUM exists for). Keeping >1 gives
+        in-flight readers that already resolved an older pointer their
+        snapshot; a real deployment would gate on retention time."""
+        import shutil
+
+        for old in range(max(0, current - keep + 1)):
+            p = os.path.join(self.dir, f"v{old}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def assign_embedding_ids(

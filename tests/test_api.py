@@ -184,3 +184,19 @@ def test_driver_collect_threshold_derivation():
     assert _driver_collect_threshold(_S("512m")) >= 100_000  # clamp bottom
     assert _driver_collect_threshold(_S(None)) >= 100_000  # unset conf
     assert _driver_collect_threshold(_S("weird")) >= 100_000  # unparsable
+
+
+def test_versioned_table_vacuum(spark, tmp_path):
+    """Copy-on-write versions are vacuumed to the keep-window: after N
+    writes only the most recent `keep_versions` dirs remain, and the
+    current pointer always resolves."""
+    import os
+
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path), "tv", "id long, x string")
+    for i in range(5):
+        t.write(spark.createDataFrame([(i, f"v{i}")], "id long, x string"))
+    dirs = sorted(d for d in os.listdir(t.dir) if d.startswith("v") and d != "VERSION")
+    assert dirs == ["v3", "v4"]
+    assert [tuple(r) for r in t.read().collect()] == [(4, "v4")]
