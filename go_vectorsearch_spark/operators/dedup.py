@@ -407,6 +407,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = SIMHASH_MAX_HAMMING,
     sims: DataFrame | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` (≤ 3).
 
@@ -416,6 +417,17 @@ def simhash_pairs(
     approximate — while shuffling only (band, key) ints. Verification
     uses bit_count(xor). Pass a precomputed (persisted) :func:`simhash`
     frame as ``sims`` to share the sketch pass with other consumers.
+
+    ``max_band_freq``: hot-band cap, the simhash analog of
+    :func:`jaccard_pairs`'s hot-shingle cap. A (band, key) bucket of f
+    docs feeds f²/2 join rows through ONE key — and degenerate buckets
+    exist in the wild: every empty/token-less document sketches to
+    exactly 0, so a crawl with m empty docs detonates m²/4 pairs per
+    band uncapped. ``None`` (default) keeps exact oracle parity for
+    corpora without such skew; production corpus-scale runs should set
+    it (capped runs can only miss pairs whose EVERY agreeing band is
+    hot — boilerplate-heavy near-dups, the same trade the jaccard cap
+    makes).
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs hamming < bands"
     if sims is None:
@@ -440,6 +452,14 @@ def simhash_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_sim", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("_band", "_key")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_band_freq)
+            .select("_band", "_key")
+        )
+        bands = bands.join(hot, ["_band", "_key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
     return (

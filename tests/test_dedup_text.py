@@ -276,3 +276,27 @@ def test_minhash_excludes_shingleless_docs(spark):
     ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert ids_in_pairs == {10, 11}          # only the real dup pair
     assert all(r["jaccard"] is not None for r in pairs)
+
+
+def test_simhash_pairs_hot_band_cap(spark):
+    """Empty docs all sketch to 0 → one degenerate band bucket feeding
+    m²/2 join rows. The cap drops hot buckets (losing only pairs whose
+    EVERY agreeing band is hot) while normal near-dup pairs survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, "") for i in range(1, 31)] + [
+        (100, base),
+        (101, base),  # identical text -> hamming 0, pair guaranteed
+        (102, "completely different text about spark catalyst plans here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = DD.simhash_pairs(df)
+    capped = DD.simhash_pairs(df, max_band_freq=10)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # uncapped: the 30 empty docs are pairwise hamming-0 -> 435 pairs
+    assert sum(1 for a, b in un if a < 31 and b < 31) == 435
+    # capped: the degenerate bucket (30 > 10) is dropped entirely...
+    assert not any(a < 31 and b < 31 for a, b in cp)
+    # ...but real near-dup pairs still come through both ways
+    assert (100, 101) in un and (100, 101) in cp
+    assert cp <= un
