@@ -1,0 +1,58 @@
+import sys, io
+sys.path.insert(0, "/root/repo")
+from contextlib import redirect_stdout
+from go_vectorsearch_spark import get_spark
+from go_vectorsearch_spark import queries as R
+
+sf = "/root/testdata/sf0.01"
+spark = get_spark("plans")
+
+PICKS = [
+    ("cosine_topk", "Flagship brute-force cosine top-k: the literal query vector folds into "
+     "whole-stage codegen (scoring is a narrow map); the only exchange is the T2 dedup groupBy's "
+     "tiny (id, score) shuffle with map-side partial max; TakeOrderedAndProject replaces any "
+     "global sort (partial top-k per partition + driver merge)."),
+    ("events_asof_join", "As-of join via single-scan tag + running last_value window: ONE parquet "
+     "scan (filter pushed), ONE hash-partition exchange on user_id. No range-join row explosion "
+     "at any scale."),
+    ("scan_projection", "Projection/filter pushdown: ReadSchema carries only the selected "
+     "columns; PushedFilters carries the predicate into the parquet reader."),
+    ("join_fk_filter", "FK join with pushed dimension filter: Catalyst broadcasts the small "
+     "side on its own (no hint) and prunes both scans."),
+    ("dedup_minhash_lsh", "MinHash+LSH: signatures are per-row expression folds over the "
+     "persisted hashed-shingle frame (InMemoryTableScan); band bucket join + Jaccard verify "
+     "shuffle only (band, id) keys and candidate pairs — raw text never moves."),
+    ("ivf_partitioned_probe", "IVF probe through the on-disk partitionBy(centroid_id) store: "
+     "the centroid_id IN (...) filter is a PartitionFilter — non-probed inverted lists are "
+     "never read (the parquet analog of the reference's indexed FK scan)."),
+]
+
+out = []
+out.append("# PLANS — flagship physical plans (generated; sf0.01)\n")
+out.append("Regenerate with `python tools/gen_plans.py` (any sf). Each plan is the executed\n"
+           "`explain('formatted')` of the registry query, BEFORE execution (initial AQE plan).\n")
+for name, blurb in PICKS:
+    df = R.REGISTRY[name].fn(spark, sf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    # keep the tree + the scan/exchange/window node details, drop long column dumps
+    lines = text.splitlines()
+    keep = []
+    in_tree = True
+    for ln in lines:
+        if ln.startswith("("):
+            in_tree = False
+        if in_tree:
+            keep.append(ln)
+        else:
+            if ln.startswith("(") or ln.startswith("Location") or \
+               ln.startswith("ReadSchema") or ln.startswith("PushedFilters") or \
+               ln.startswith("PartitionFilters") or ln.startswith("Arguments: hashpartitioning") or \
+               ln.startswith("Condition"):
+                keep.append(ln)
+    out.append(f"\n## {name}\n\n{blurb}\n\n```\n" + "\n".join(keep).strip() + "\n```\n")
+open("PLANS.md", "w").write("\n".join(out))
+print("written", sum(len(o) for o in out), "chars")
+spark.stop()
