@@ -69,6 +69,22 @@ def main() -> None:
         "overwrite"
     ).partitionBy("p").parquet(f"{wp}/warm")
     spark.read.parquet(f"{wp}/warm").filter(F.col("id") > 32).collect()
+    #   * createDataFrame (Arrow/py4j local-relation conversion classes;
+    #     first call measured ~2 s, billed to whichever recall query
+    #     builds its tiny result frame first)
+    spark.createDataFrame([(1, 1.0)], "a long, b double").collect()
+    #   * broadcast-exchange executor pool + BroadcastHashJoin codegen
+    spark.range(8).join(
+        F.broadcast(spark.range(2).withColumnRenamed("id", "k")),
+        F.col("id") == F.col("k"),
+    ).count()
+    #   * localCheckpoint path (RDD checkpoint machinery, block manager
+    #     writes) — used by the IVF build and connected components
+    spark.range(8).localCheckpoint(eager=True).count()
+    #   * persist/unpersist path (memory store init)
+    warm_p = spark.range(8).persist()
+    warm_p.count()
+    warm_p.unpersist()
     #   * benchmark-table footers only (allowed: driver-side metadata)
     from go_vectorsearch_spark.sources.tables import TABLE_NAMES
 
@@ -85,6 +101,14 @@ def main() -> None:
     t0 = time.perf_counter()
     registry._ivf_store_path(spark, sf_dir)
     timings["ivf_store_build"] = round(time.perf_counter() - t0, 3)
+
+    # the shared hashed-shingle frame (input of the whole text-dedup
+    # family + decontamination) is likewise computed once per corpus;
+    # bill its materialization to its own entry instead of whichever
+    # family query alphabetically touches it first
+    t0 = time.perf_counter()
+    registry._shingled_cached(spark, sf_dir)
+    timings["dedup_shingle_build"] = round(time.perf_counter() - t0, 3)
 
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
