@@ -121,11 +121,35 @@ class _VersionedTable:
         with open(self._ptr) as f:
             return int(f.read().strip())
 
-    def read(self) -> DataFrame:
-        v = self._version()
+    def versions(self) -> list[int]:
+        """Version numbers still on disk (ascending) — the snapshots a
+        time-travel read can target. Bounded by the write-time vacuum
+        keep window."""
+        out = []
+        for d in os.listdir(self.dir):
+            if d.startswith("v") and d[1:].isdigit():
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``.
+
+        Copy-on-write makes this free: each version is an immutable
+        directory, so a historical read is just a scan of the old path
+        (same idea as Delta/Iceberg ``VERSION AS OF``). Raises KeyError
+        for a version the vacuum window already dropped — callers must
+        not silently get a different snapshot than they asked for.
+        """
+        v = self._version() if version is None else version
         if v < 0:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(os.path.join(self.dir, f"v{v}"))
+        path = os.path.join(self.dir, f"v{v}")
+        if not os.path.isdir(path):
+            raise KeyError(
+                f"{self.name}: version {v} not on disk "
+                f"(available: {self.versions()})"
+            )
+        return self.spark.read.parquet(path)
 
     def write(
         self, df: DataFrame, partition_by: str | None = None, keep_versions: int = 2

@@ -788,6 +788,46 @@ def q_pack_sequences(spark, sf_dir):
     return CUR.pack_sequences(staged, ctx_len=256, n_shards=16)
 
 
+# Table profiling (operators/profiling.profile_columns): the first step a
+# pipeline runs on a new corpus drop — per-column nulls / cardinality /
+# range / length stats in ONE scan of mergeable aggregates. pytest-parity
+# (the 50-entry driver window is full); exact_distinct mode here because
+# HLL estimates are engine-specific while exact counts are not.
+def _profile_col_oracle(col: str, dtype: str, numeric: bool) -> str:
+    mean = f"avg({col})::DOUBLE" if numeric else "CAST(NULL AS DOUBLE)"
+    alen = (
+        f"avg(length({col}))::DOUBLE" if dtype == "string" else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+SELECT '{col}' AS "column", '{dtype}' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE {col} IS NULL) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_value,
+       CAST(max({col}) AS VARCHAR) AS max_value,
+       {mean} AS mean, {alen} AS avg_len
+FROM documents"""
+
+
+PROFILE_DOCUMENTS_ORACLE = " UNION ALL ".join(
+    _profile_col_oracle(c, t, n)
+    for c, t, n in [
+        ("doc_id", "bigint", True),
+        ("text", "string", False),
+        ("lang", "string", False),
+        ("source", "string", False),
+        ("n_chars", "bigint", True),
+    ]
+)
+
+
+def q_profile_documents(spark, sf_dir):
+    from go_vectorsearch_spark.operators.profiling import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs, exact_distinct=True)
+
+
 # ---------------------------------------------------------------------------
 # Phase C: vector column toolkit (SURVEY.md §2.7 V1-V5, §2.4 A3-A5).
 # The f32 reference-parity path is pytest-checked against a numpy golden

@@ -200,3 +200,23 @@ def test_versioned_table_vacuum(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(t.dir) if d.startswith("v") and d != "VERSION")
     assert dirs == ["v3", "v4"]
     assert [tuple(r) for r in t.read().collect()] == [(4, "v4")]
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """read(version=N) returns the historical snapshot while it is
+    inside the vacuum keep-window, and raises KeyError (never a silent
+    different snapshot) once vacuumed."""
+    import pytest
+
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path), "tt", "id long, x string")
+    for i in range(3):
+        t.write(spark.createDataFrame([(i, f"v{i}")], "id long, x string"))
+    assert t.versions() == [1, 2]
+    assert [tuple(r) for r in t.read(version=1).collect()] == [(1, "v1")]
+    assert [tuple(r) for r in t.read().collect()] == [(2, "v2")]
+    with pytest.raises(KeyError):
+        t.read(version=0)  # vacuumed
+    with pytest.raises(KeyError):
+        t.read(version=99)  # never existed
