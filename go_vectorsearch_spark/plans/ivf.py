@@ -496,7 +496,12 @@ def prune_small(
     return IVFIndex(centroids=recenter(assigned, vec_col), assigned=assigned)
 
 
-def write_partitioned(index: IVFIndex, path: str) -> None:
+def write_partitioned(
+    index: IVFIndex,
+    path: str,
+    files_per_centroid: int = 1,
+    id_col: str = "vec_id",
+) -> None:
     """Persist the index partitioned by centroid_id - the parquet analog
     of the reference's indexed FK column (database/model.go:16): nprobe
     search then prunes partitions at the source.
@@ -506,10 +511,33 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     small files (1000 executors x 10k centroids = 10M files - a
     metadata catastrophe); with it each centroid's rows sit in one
     shuffle partition, so the file count is O(centroids).
+
+    ``files_per_centroid > 1`` adds a deterministic id-hash sub-key to
+    the repartition for SKEWED indexes: a hot leaf (a duplicate-heavy
+    crawl can pile millions of near-identical vectors into one
+    centroid) otherwise funnels through a single write task and becomes
+    one task-killing file. The sub-key spreads each centroid over that
+    many tasks/files while keeping the directory layout - and therefore
+    partition pruning - identical. File count becomes
+    O(centroids x files_per_centroid); leave at 1 unless leaf skew is
+    real (leaf sizes are known from the build, so callers can decide).
     """
-    index.assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(f"{path}/assigned")
+    df = index.assigned
+    if files_per_centroid > 1:
+        # explicit partition count (files x centroids): leaving it to the
+        # session default lets AQE coalesce the sub-splits back into one
+        # task whenever partitions are small, silently undoing the
+        # spread; the centroid count is a collect-sized frame by the
+        # build contract, so the count() here is a k-row job
+        n_parts = files_per_centroid * max(1, index.centroids.count())
+        df = df.repartition(
+            n_parts,
+            F.col("centroid_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_centroid)),
+        )
+    else:
+        df = df.repartition("centroid_id")
+    df.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/assigned")
     index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -520,12 +548,40 @@ def read_index(spark: SparkSession, path: str) -> IVFIndex:
     )
 
 
+def nearest_centroids_distributed(
+    centroids: DataFrame, query_vec, nprobe: int
+) -> list[int]:
+    """T1 at index scale: the same nprobe ranking as
+    :func:`nearest_centroids`, but scored as Catalyst expressions with a
+    TakeOrdered top-nprobe — only nprobe rows ever reach the driver.
+
+    Use this when the centroid table outgrows the broadcast/collect
+    contract (~10^6 centroids at the 100 TB design point: collecting
+    10M x d float64 rows is GBs on the driver; scoring them is one
+    narrow map over a k-row frame). Same score, same (score desc, id
+    asc) tie-break — pytest asserts list-equality with the driver path.
+    """
+    from go_vectorsearch_spark.operators.search import score_cosine
+
+    ranked = (
+        score_cosine(
+            centroids, list(query_vec), vec_col="centroid_vec", score_col="score"
+        )
+        .orderBy(F.desc("score"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return [int(r["centroid_id"]) for r in ranked.collect()]
+
+
 def nearest_centroids(
     centroids: DataFrame, query_vec, nprobe: int
 ) -> list[int]:
     """T1: pick the nprobe nearest centroids to the query (tiny table,
     driver-side math like the reference's in-process scan,
-    server/search.go:202-227).
+    server/search.go:202-227). Per-search latency path: no Spark job at
+    all when ``centroids`` is persisted. For centroid tables too big to
+    collect, use :func:`nearest_centroids_distributed`.
     """
     rows = centroids.collect()
     if not rows:

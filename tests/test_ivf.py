@@ -103,6 +103,44 @@ def test_partitioned_roundtrip_and_pruning(spark, index, query_vec, tmp_path):
     assert probed.count() < 500
 
 
+def test_nearest_centroids_distributed_matches_driver_path(index, query_vec):
+    """The TakeOrdered scale path must rank identically to the
+    driver-collect path (same score, same (score desc, id asc)
+    tie-break)."""
+    from go_vectorsearch_spark.plans.ivf import (
+        nearest_centroids,
+        nearest_centroids_distributed,
+    )
+
+    n = index.centroids.count()
+    for nprobe in (1, 3, n):
+        assert nearest_centroids_distributed(
+            index.centroids, query_vec, nprobe
+        ) == nearest_centroids(index.centroids, query_vec, nprobe)
+
+
+def test_write_partitioned_skew_split(spark, index, query_vec, tmp_path):
+    """files_per_centroid > 1 spreads a centroid over several files but
+    keeps the directory layout (and search results) identical."""
+    import os
+
+    path = str(tmp_path / "ivf_skew")
+    write_partitioned(index, path, files_per_centroid=3)
+    loaded = read_index(spark, path)
+    assert loaded.assigned.count() == index.assigned.count()
+    # the sub-key spread must produce more data files than centroid
+    # dirs (i.e. at least one dir is split across write tasks)
+    dirs = [d for d in os.listdir(os.path.join(path, "assigned")) if d.startswith("centroid_id=")]
+    n_files = sum(
+        len([f for f in os.listdir(os.path.join(path, "assigned", d)) if f.endswith(".parquet")])
+        for d in dirs
+    )
+    assert n_files > len(dirs)
+    res = [r["vec_id"] for r in ivf_search(loaded, query_vec, k=5, nprobe=1).collect()]
+    base = [r["vec_id"] for r in ivf_search(index, query_vec, k=5, nprobe=1).collect()]
+    assert res == base
+
+
 def test_partitioned_index_prunes_partitions(spark, emb, tmp_path_factory):
     """The written index layout must turn nprobe filters into partition
     pruning: the scan of a partitionBy(centroid_id) table with an isin
