@@ -85,11 +85,14 @@ def main() -> None:
     warm_p = spark.range(8).persist()
     warm_p.count()
     warm_p.unpersist()
-    #   * benchmark-table footers only (allowed: driver-side metadata)
-    from go_vectorsearch_spark.sources.tables import TABLE_NAMES
+    #   * benchmark-table footers only (allowed: driver-side metadata).
+    #     Through load_table, not a bare spark.read.parquet: the loader
+    #     owns the nanos-timestamp footer sniff — a bare read of a
+    #     TIMESTAMP(NANOS) events layout throws on schema inference
+    from go_vectorsearch_spark.sources.tables import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        load_table(spark, sf_dir, t).schema
 
     t0 = time.perf_counter()
     registry._ivf_index(spark, sf_dir)

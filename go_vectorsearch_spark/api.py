@@ -109,11 +109,24 @@ class _VersionedTable:
     file named when they loaded; writers write a fresh directory then
     flip the pointer (no read-modify-write races on one path)."""
 
-    def __init__(self, spark: SparkSession, root: str, name: str, schema: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: str,
+        vacuum_min_age_s: float = 0.0,
+    ):
         self.spark, self.name, self.schema = spark, name, schema
         self.dir = os.path.join(root, name)
         os.makedirs(self.dir, exist_ok=True)
         self._ptr = os.path.join(self.dir, "VERSION")
+        # retention grace: never vacuum a version directory younger than
+        # this, so a reader that resolved the pointer and is mid-scan
+        # keeps its snapshot even if the keep-window count has moved past
+        # it (two quick writes would otherwise rmtree the files under an
+        # in-flight multi-second job). 0 = count-only (unit tests).
+        self.vacuum_min_age_s = vacuum_min_age_s
 
     def _version(self) -> int:
         if not os.path.exists(self._ptr):
@@ -172,14 +185,22 @@ class _VersionedTable:
     def _vacuum(self, current: int, keep: int) -> None:
         """Drop version dirs older than the ``keep`` most recent —
         copy-on-write otherwise accumulates a full table copy per
-        mutation (what Delta's VACUUM exists for). Keeping >1 gives
-        in-flight readers that already resolved an older pointer their
-        snapshot; a real deployment would gate on retention time."""
+        mutation (what Delta's VACUUM exists for) — but never one
+        younger than ``vacuum_min_age_s`` (see __init__: in-flight
+        readers keep their snapshot; same retention idea as Delta's
+        VACUUM ... RETAIN)."""
         import shutil
+        import time
 
+        cutoff = time.time() - self.vacuum_min_age_s
         for old in range(max(0, current - keep + 1)):
             p = os.path.join(self.dir, f"v{old}")
             if os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue
+                except OSError:
+                    pass
                 shutil.rmtree(p, ignore_errors=True)
 
 
@@ -240,8 +261,12 @@ class Engine:
             self.provider = None
         # legacy attribute (tests/back-compat): bases of the active provider
         self.api_bases = list(self.provider.api_bases) if self.provider else None
+        # 5-minute vacuum grace: an Engine serves concurrent snapshot
+        # readers (service.py), so old versions must outlive any
+        # plausible in-flight scan before the keep-window count drops
+        # them. Direct _VersionedTable users (unit tests) default to 0.
         self.t = {
-            name: _VersionedTable(spark, root, name, ddl)
+            name: _VersionedTable(spark, root, name, ddl, vacuum_min_age_s=300.0)
             for name, ddl in _SCHEMAS.items()
         }
 

@@ -96,8 +96,14 @@ def topk_paginated(
     from go_vectorsearch_spark.operators.relational import paginate
 
     # one pagination implementation: reuse relational.paginate with the
-    # total (score desc, id asc) order
-    return paginate(topk_df, [F.desc("score"), F.asc(id_col)], count, offset)
+    # SAME total order brute_force_topk ranks by — (round(score, 6)
+    # desc, id asc). Raw-score ranking here would let rows equal at 6
+    # decimals slice into pages in a different order than the top-k /
+    # hydration display order, so a page boundary could drop or
+    # duplicate a rounded-tie row.
+    return paginate(
+        topk_df, [F.desc(F.round("score", 6)), F.asc(id_col)], count, offset
+    )
 
 
 def normalize_search_args(count: int, offset: int, nprobe: int) -> tuple[int, int, int]:

@@ -54,16 +54,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Loaded-table plan cache: spark.read.parquet re-reads the footer and
 # re-infers the schema on every call (~30-80 ms); 55 registry queries ×
 # several tables each adds whole seconds of pure metadata work. A
-# DataFrame is an immutable logical plan, so reusing it is free. Keyed
-# by session too — a stale session's plans are unusable.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# DataFrame is an immutable logical plan, so reusing it is free. The
+# cache lives ON the session object (not in a module dict keyed by
+# id(spark)): its lifetime is then exactly the session's — a new session
+# at a recycled address can't inherit a dead session's plans, and
+# stopped sessions' entries are garbage-collected with the session.
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
-    return _TABLE_CACHE[key]
+    cache = getattr(spark, "_gvs_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._gvs_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = load_table(spark, sf_dir, name)
+    return cache[key]
 
 
 # The deterministic query vector (stored embedding of vec_id 0) is fetched
@@ -976,30 +982,30 @@ def q_centroid_assign(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-_IVF_CACHE: dict[str, object] = {}
-
-
 def _ivf_index(spark, sf_dir):
     """Build (once per sf_dir) the IVF index both IVF queries share -
     index reuse across queries is exactly how the engine is meant to be
     operated (build in the background, search many times,
-    reference: server/centroids.go:17-83)."""
-    if sf_dir not in _IVF_CACHE:
+    reference: server/centroids.go:17-83). Session-attached cache like
+    _t/_dedup_cached: persisted frames die with their session."""
+    cache = getattr(spark, "_gvs_ivf_cache", None)
+    if cache is None:
+        cache = {}
+        spark._gvs_ivf_cache = cache
+    if sf_dir not in cache:
         from go_vectorsearch_spark.plans.ivf import build_index
 
         from pyspark import StorageLevel
 
         emb = _t(spark, sf_dir, "embeddings")
-        _IVF_CACHE[sf_dir] = build_index(emb, max_leaf=100, sample_size=5000)
+        cache[sf_dir] = build_index(emb, max_leaf=100, sample_size=5000)
         # DESER level: skip the columnar re-encode (see _dedup_cached)
-        _IVF_CACHE[sf_dir].assigned.persist(
-            StorageLevel.MEMORY_AND_DISK_DESER
-        ).count()
+        cache[sf_dir].assigned.persist(StorageLevel.MEMORY_AND_DISK_DESER).count()
         # centroids are k tiny rows but a LAZY recenter plan: every
         # search collects them (nearest_centroids), so materialize once
         # here — unpersisted, each consumer re-runs the recenter job
-        _IVF_CACHE[sf_dir].centroids.persist().count()
-    return _IVF_CACHE[sf_dir]
+        cache[sf_dir].centroids.persist().count()
+    return cache[sf_dir]
 
 
 @register(
@@ -1205,16 +1211,20 @@ _SQL_SHINGLES = (
 
 
 # Shared, persisted intermediate frames for the dedup family — the
-# _IVF_CACHE pattern: shingling / sketching the corpus once and reusing it
+# _ivf_index pattern: shingling / sketching the corpus once and reusing it
 # across registry queries is exactly how a real cleaning job runs (one
 # pass, many consumers), and it removes the dominant repeated map-side
 # cost from the bench.
-_DEDUP_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _dedup_cached(key: str, sf_dir: str, build) -> DataFrame:
+def _dedup_cached(spark, key: str, sf_dir: str, build) -> DataFrame:
+    # session-attached like _t's plan cache: persisted frames are bound
+    # to their session, so a module-level dict would hand a later
+    # session another session's dead frames
+    cache = getattr(spark, "_gvs_dedup_cache", None)
+    if cache is None:
+        cache = {}
+        spark._gvs_dedup_cache = cache
     k = (key, sf_dir)
-    if k not in _DEDUP_CACHE:
+    if k not in cache:
         from pyspark import StorageLevel
 
         # DESER (row-object) storage: the default MEMORY_AND_DISK level
@@ -1225,13 +1235,16 @@ def _dedup_cached(key: str, sf_dir: str, build) -> DataFrame:
         # encode time.
         df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
         df.count()  # materialize once, eagerly
-        _DEDUP_CACHE[k] = df
-    return _DEDUP_CACHE[k]
+        cache[k] = df
+    return cache[k]
 
 
 def _shingled_cached(spark, sf_dir):
     return _dedup_cached(
-        "shingled", sf_dir, lambda: DD.shingled_docs(_t(spark, sf_dir, "documents"))
+        spark,
+        "shingled",
+        sf_dir,
+        lambda: DD.shingled_docs(_t(spark, sf_dir, "documents")),
     )
 
 
@@ -1242,6 +1255,7 @@ def _jaccard_pairs_cached(spark, sf_dir):
     # keeps (the sf0.01/0.1 fixtures have no 1000-doc shingle, asserted
     # in tests/test_dedup_text.py).
     return _dedup_cached(
+        spark,
         "jaccard",
         sf_dir,
         lambda: DD.jaccard_pairs(
@@ -1255,7 +1269,7 @@ def _jaccard_pairs_cached(spark, sf_dir):
 
 def _simhash_cached(spark, sf_dir):
     return _dedup_cached(
-        "simhash", sf_dir, lambda: DD.simhash(_t(spark, sf_dir, "documents"))
+        spark, "simhash", sf_dir, lambda: DD.simhash(_t(spark, sf_dir, "documents"))
     )
 
 
@@ -1906,6 +1920,7 @@ def q_ann_lsh_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
     bucketed = _dedup_cached(
+        spark,
         "lsh_bucketed_small",
         sf_dir,
         lambda: emb.withColumn(
@@ -2315,6 +2330,7 @@ def q_ann_lsh_recall(spark, sf_dir):
     # bucket the corpus once for both probe radii (the bucket-on-write
     # shape: at scale _bucket is a stored column, never recomputed)
     bucketed = _dedup_cached(
+        spark,
         "lsh_bucketed_small",
         sf_dir,
         lambda: emb.withColumn(

@@ -163,7 +163,9 @@ class Service:
             req.get("owner", ""),
             req.get("category", ""),
             req.get("text", ""),
-            count=int(req.get("count") or 10),
+            # missing count ≡ 0 in the reference (Go zero-value JSON),
+            # and the engine clamp maps 0 → 1 (server/search.go:116)
+            count=int(req.get("count") or 0),
             offset=int(req.get("offset") or 0),
             nprobe=int(req.get("centroids") or 0),
         ).collect()
@@ -263,15 +265,30 @@ class _Handler(BaseHTTPRequestHandler):
     def _error(self, status: int, msg: str):
         self._send_json({"error": msg}, status=status)
 
+    def _drain_body(self) -> None:
+        """Consume an unread request body before an error response:
+        under HTTP/1.1 keep-alive, leftover body bytes would be parsed
+        as the NEXT request line, desynchronizing the connection."""
+        n = int(self.headers.get("Content-Length") or 0)
+        if n:
+            self.rfile.read(n)
+
     # -- dispatch ----------------------------------------------------------
     def _handle(self):
-        route = _ROUTES.get(self.path)
-        if self.path == CHAT_PATH:
+        from urllib.parse import parse_qsl, urlsplit
+
+        # route on the bare path — GET requests carry their parameters
+        # in the query string, which is not part of the route key
+        split = urlsplit(self.path)
+        route = _ROUTES.get(split.path)
+        if split.path == CHAT_PATH:
             return self._handle_chat()
         if route is None:
+            self._drain_body()
             return self._error(404, "Not found")
         name, methods, compress, mutates = route
         if self.command not in methods:
+            self._drain_body()
             self.send_response(405)
             self.send_header("Allow", methods[0])
             body = b'{"error":"Invalid request method"}'
@@ -281,6 +298,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             req = self._read_body()
+            # GET parameters ride the query string; body keys win so a
+            # client can't be broken by sending both
+            for k, v in parse_qsl(split.query):
+                req.setdefault(k, v)
         except Exception:
             return self._error(400, "Invalid request body")
         try:

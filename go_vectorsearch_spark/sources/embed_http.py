@@ -156,6 +156,21 @@ def embed_texts_once(
     return quantize_f32_np(mat)
 
 
+class _HttpStatusError(RuntimeError):
+    """Non-200 from the embed endpoint, carrying the status so the retry
+    loop can tell permanent client errors (401/404/422 — retrying those
+    against every endpoint just multiplies the failure by the backoff
+    budget) from transient ones (5xx, 408, 429)."""
+
+    def __init__(self, msg: str, status: int):
+        super().__init__(msg)
+        self.status = status
+
+    @property
+    def permanent(self) -> bool:
+        return 400 <= self.status < 500 and self.status not in (408, 429)
+
+
 def _post_json(conn, path: str, payload: dict, token: str) -> dict:
     import json
 
@@ -167,7 +182,9 @@ def _post_json(conn, path: str, payload: dict, token: str) -> dict:
     resp = conn.getresponse()
     data = resp.read()
     if resp.status != 200:
-        raise RuntimeError(f"embed endpoint {path} -> {resp.status}: {data[:200]!r}")
+        raise _HttpStatusError(
+            f"embed endpoint {path} -> {resp.status}: {data[:200]!r}", resp.status
+        )
     return json.loads(data)
 
 
@@ -205,6 +222,7 @@ def http_embed(
     bases = [str(b).rstrip("/") for b in api_bases]
     if max_attempts is None:
         max_attempts = 2 * len(bases)
+    max_attempts = max(1, max_attempts)  # 0/negative would skip the loop
     in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
     out_schema = f"{in_fields}, {_OUT_FIELDS}"
 
@@ -248,6 +266,11 @@ def http_embed(
                     if base in conns:
                         conns[base][0].close()
                         del conns[base]
+                    # permanent client errors (bad token, unknown model/
+                    # path) fail every endpoint identically — fail fast
+                    # instead of burning the whole budget with backoff
+                    if isinstance(e, _HttpStatusError) and e.permanent:
+                        raise
                     if attempt + 1 >= max_attempts:
                         raise
                     time.sleep(min(backoff_s * (2**attempt), 2.0))
@@ -301,14 +324,16 @@ def embed_chunks(
     noop emit the same canonical (codes, lo, hi) columns."""
     if providers:
         p = select_embed_provider(providers)
+        # explicit caller kwargs override the provider config; popping
+        # them keeps **http_kwargs from passing the same keyword twice
         return http_embed(
             df,
             text_col=text_col,
             api_bases=list(p.api_bases),
             model=http_kwargs.pop("model", None) or p.model,
-            token=p.token,
-            num_ctx=p.num_ctx,
-            path=p.embed_path,
+            token=http_kwargs.pop("token", p.token),
+            num_ctx=http_kwargs.pop("num_ctx", p.num_ctx),
+            path=http_kwargs.pop("path", p.embed_path),
             **http_kwargs,
         )
     if api_bases:

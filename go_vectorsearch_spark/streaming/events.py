@@ -176,22 +176,28 @@ def stream_to_parquet(
     checkpoint_dir: str,
     partition_by: str | None = None,
 ) -> None:
-    """Deployment sink: drain the stream into an append-mode parquet
-    table via ``foreachBatch`` with AvailableNow semantics. foreachBatch
-    (not the built-in parquet sink) is the production shape because a
-    real pipeline upgrades this lambda to MERGE/overwrite-partition on a
-    table format; the checkpoint dir makes restarts exactly-once at the
-    batch level (replayed epochs overwrite their own output only when
-    the writer is idempotent — append parquet + AvailableNow + a fresh
-    checkpoint is, because every epoch runs once)."""
+    """Deployment sink: drain the stream into a parquet table via
+    ``foreachBatch`` with AvailableNow semantics. foreachBatch (not the
+    built-in parquet sink) is the production shape because a real
+    pipeline upgrades this lambda to MERGE/overwrite-partition on a
+    table format — but foreachBatch alone is only at-least-once: a crash
+    after the write commits and before the checkpoint records the epoch
+    replays that epoch on restart. The writer here is IDEMPOTENT to make
+    that exactly-once: each epoch overwrites its own ``_epoch=<id>``
+    directory, so a replay rewrites the same rows instead of appending
+    them twice (the same job the built-in sink's _spark_metadata
+    manifest does). Read the sink back with :func:`read_parquet_sink`,
+    which hides the bookkeeping column.
+    """
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        w = df.write.mode("append")
+        epoch_path = f"{path}/_epoch={epoch_id}"
+        w = df.write.mode("overwrite")
         if partition_by:
-            w = df.repartition(partition_by).write.mode("append").partitionBy(
+            w = df.repartition(partition_by).write.mode("overwrite").partitionBy(
                 partition_by
             )
-        w.parquet(path)
+        w.parquet(epoch_path)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -200,6 +206,13 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def read_parquet_sink(spark, path: str) -> DataFrame:
+    """Read a :func:`stream_to_parquet` sink: partition discovery picks
+    up the per-epoch directories; the ``_epoch`` bookkeeping column is
+    dropped so consumers see exactly the streamed schema."""
+    return spark.read.option("basePath", path).parquet(path).drop("_epoch")
 
 
 def run_available_now(

@@ -37,6 +37,7 @@ class _Handler(BaseHTTPRequestHandler):
     PATHS = ("/api/embed", "/v1/embeddings")
 
     def do_POST(self):
+        self.server.hits = getattr(self.server, "hits", 0) + 1
         n = int(self.headers["Content-Length"])
         req = json.loads(self.rfile.read(n))
         if not self.path.endswith(self.PATHS):
@@ -261,6 +262,38 @@ def test_retry_budget_exhausts(spark):
             api_bases=["http://127.0.0.1:1"],
             batch_size=2,
             max_attempts=2,
+            backoff_s=0.01,
+        ).collect()
+
+
+def test_permanent_http_error_fails_fast(spark, stub_server):
+    """A 4xx (bad path/token/model: identical on every endpoint) must
+    fail on the FIRST attempt — retrying it across the whole budget with
+    backoff multiplies a permanent failure by max_attempts."""
+    srv, base = stub_server()
+    df = _texts_df(spark, n=4, partitions=1)
+    with pytest.raises(Exception, match="404"):
+        http_embed(
+            df,
+            api_bases=[base],
+            path="/api/no-such-route",
+            batch_size=4,
+            max_attempts=6,
+            backoff_s=0.01,
+        ).collect()
+    assert getattr(srv, "hits", 0) <= 2  # 1 attempt (+ possible task retry)
+
+
+def test_max_attempts_floor(spark):
+    """max_attempts=0 still makes one attempt and raises the real error
+    (not a raise-None TypeError)."""
+    df = _texts_df(spark, n=2, partitions=1)
+    with pytest.raises(Exception, match="[Cc]onnection|refused|embed"):
+        http_embed(
+            df,
+            api_bases=["http://127.0.0.1:1"],
+            batch_size=2,
+            max_attempts=0,
             backoff_s=0.01,
         ).collect()
 

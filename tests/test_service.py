@@ -134,6 +134,61 @@ def test_method_not_allowed_and_404(served):
     assert resp.status == 404
 
 
+def test_get_with_query_string(served):
+    """GET routes carry parameters in the query string: routing must
+    match on the bare path and the params must reach the service body."""
+    eng, port, _ = served
+    resp, data = _call(
+        port,
+        "/api/search?owner=acme&category=wiki&text=spark+shuffles&count=3&centroids=-1",
+        method="GET",
+        raw_body=b"",
+    )
+    assert resp.status == 200
+    docs = json.loads(data)["documents"]
+    direct = eng.search("acme", "wiki", "spark shuffles", count=3, nprobe=-1).collect()
+    assert [d["document_id"] for d in docs] == [r["document_id"] for r in direct]
+    resp, data = _call(port, "/api/categories?owner=acme", method="GET", raw_body=b"")
+    assert resp.status == 200 and "wiki" in json.loads(data)["category_names"]
+
+
+def test_count_zero_clamps_like_engine(served):
+    """count=0 (and a missing count — Go's JSON zero value) must reach
+    the engine clamp and come back as ONE document, not a service-side
+    default (server/search.go:116)."""
+    _, port, _ = served
+    for payload in (
+        {"owner": "acme", "category": "wiki", "text": "spark", "count": 0, "centroids": -1},
+        {"owner": "acme", "category": "wiki", "text": "spark", "centroids": -1},
+    ):
+        resp, data = _call(port, "/api/search", payload)
+        assert resp.status == 200
+        assert len(json.loads(data)["documents"]) == 1
+
+
+def test_keep_alive_error_paths_drain_body(served):
+    """404/405 on a persistent connection must drain the request body so
+    the next pipelined request is parsed from a clean stream."""
+    _, port, _ = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    body = json.dumps({"junk": "x" * 512}).encode()
+    conn.request("POST", "/api/nope", body=body, headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+    # reuse the SAME connection: a desynced stream would 400/garbage here
+    conn.request(
+        "POST",
+        "/api/categories",
+        body=json.dumps({"owner": "acme"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    assert resp.status == 200 and "category_names" in json.loads(data)
+
+
 def test_zstd_request_and_response_middleware(served):
     """Content-Encoding: zstd requests decompress; Accept-Encoding: zstd
     search responses compress (main.go:128-167)."""

@@ -150,6 +150,7 @@ def test_stream_to_parquet_sink_equals_batch(spark, sf_smoke, tmp_path):
     from go_vectorsearch_spark.sources.tables import load_table
     from go_vectorsearch_spark.streaming.events import (
         read_events_stream,
+        read_parquet_sink,
         stream_to_parquet,
     )
 
@@ -162,6 +163,18 @@ def test_stream_to_parquet_sink_equals_batch(spark, sf_smoke, tmp_path):
         out,
         str(tmp_path / "sink_ckpt"),
     )
-    got = sorted(map(str, spark.read.parquet(out).collect()))
+    got = sorted(map(str, read_parquet_sink(spark, out).collect()))
     want = sorted(map(str, enrich(load_table(spark, sf_smoke, "events")).collect()))
     assert got == want
+
+    # idempotent replay: re-draining the same source into the same sink
+    # with a FRESH checkpoint re-runs the same epoch ids — the per-epoch
+    # overwrite must rewrite, not duplicate (the at-least-once append
+    # failure mode this sink exists to prevent)
+    stream_to_parquet(
+        enrich(read_events_stream(spark, sf_smoke)),
+        out,
+        str(tmp_path / "sink_ckpt2"),
+    )
+    again = sorted(map(str, read_parquet_sink(spark, out).collect()))
+    assert again == want
