@@ -462,21 +462,35 @@ def simhash_pairs(
         bands = bands.join(hot, ["_band", "_key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._key") == F.col("b._key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .filter(ham <= max_hamming)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .distinct()
-    )
+    joined = a.join(
+        b,
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._key") == F.col("b._key"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).filter(ham <= max_hamming)
+    out_cols = [
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        ham.cast("int").alias("hamming"),
+    ]
+    if max_band_freq is None:
+        # a pair agreeing on m bands comes out of the band join m times;
+        # instead of a distinct() (a full shuffle of the pair stream),
+        # keep the copy emitted by the FIRST agreeing band only —
+        # computable post-join from the two sketches, so dedup costs one
+        # codegen'd predicate and zero exchanges
+        xor = F.col("a._sim").bitwiseXOR(F.col("b._sim"))
+        first_band = F.lit(SIMHASH_BANDS)
+        for i in reversed(range(SIMHASH_BANDS)):
+            agrees_i = (
+                F.shiftright(xor, SIMHASH_BAND_BITS * i) % F.lit(band_mask + 1)
+            ) == 0
+            first_band = F.when(agrees_i, F.lit(i)).otherwise(first_band)
+        return joined.filter(F.col("a._band") == first_band).select(*out_cols)
+    # capped mode: a pair's first agreeing band may have been capped out
+    # of the join, so "first agreeing" no longer identifies the surviving
+    # copy — fall back to distinct()
+    return joined.select(*out_cols).distinct()
 
 
 # ---------------------------------------------------------------------------
