@@ -66,6 +66,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each streamed event with
+    dimension attributes (user → customer profile, document → category,
+    …) — the standard ingest-time denormalization step of a streaming
+    pipeline.
+
+    Scale notes: a stream-static join is STATELESS — each micro-batch
+    joins against the current static relation, no streaming state store
+    involved. Catalyst broadcasts the static side per micro-batch when
+    it is broadcast-sized (the usual dimension-table case, so every
+    batch is a map-side hash join on the stream partitions); an
+    over-broadcast-size dimension degrades to a shuffled join per batch,
+    at which point pre-bucketing the dimension on the join key is the
+    deployment fix. Left join keeps events with no dimension row
+    (late-arriving dimension data) instead of silently dropping them.
+    """
+    return events.join(dim, on, how)
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -44,6 +44,23 @@ def test_tumbling_stream_equals_batch(events_stream, events_batch):
     assert got.count() > 0
 
 
+def test_enrich_stream_static_join_equals_batch(spark, sf_smoke, events_stream, events_batch):
+    """Stream-static dimension join: drained enriched stream == the same
+    join run in batch; events without a dimension row survive (left)."""
+    from go_vectorsearch_spark.streaming.events import enrich_stream
+
+    dim = (
+        load_table(spark, sf_smoke, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey")
+    )
+    got = run_available_now(
+        enrich_stream(events_stream, dim), "t_enrich", output_mode="append"
+    )
+    want = events_batch.join(dim, "user_id", "left")
+    assert _rows(got) == _rows(want)
+    assert got.count() == events_batch.count()  # left join drops nothing
+
+
 def test_sliding_stream_equals_batch(events_stream, events_batch):
     got = run_available_now(sliding_counts(events_stream), "t_sliding")
     want = (
