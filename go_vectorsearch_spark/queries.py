@@ -834,6 +834,16 @@ def q_profile_documents(spark, sf_dir):
     return profile_columns(docs, exact_distinct=True)
 
 
+def q_profile_documents_approx(spark, sf_dir):
+    """The corpus-scale mode: HLL distinct sketches keep the whole
+    profile one aggregate pair (no Expand, no per-column shuffles) —
+    this is the plan PLANS.md documents; the exact twin above is the
+    engine-parity mode."""
+    from go_vectorsearch_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Phase C: vector column toolkit (SURVEY.md §2.7 V1-V5, §2.4 A3-A5).
 # The f32 reference-parity path is pytest-checked against a numpy golden

@@ -25,6 +25,18 @@ PICKS = [
     ("ivf_partitioned_probe", "IVF probe through the on-disk partitionBy(centroid_id) store: "
      "the centroid_id IN (...) filter is a PartitionFilter — non-probed inverted lists are "
      "never read (the parquet analog of the reference's indexed FK scan)."),
+    ("dedup_simhash_pairs", "SimHash near-dup pairs: band explode is a narrow projection; the "
+     "band-bucket self-join shuffles only (band, key, id, sketch) ints; candidate dedup is the "
+     "first-agreeing-band predicate on the joined sketches — no distinct() exchange of the "
+     "pair stream."),
+    ("range_join_shipments", "Range join (point-in-interval) via bucketed equi-join: intervals "
+     "explode to the buckets they span, points join on their bucket, the exact predicate "
+     "re-applies post-join — no BroadcastNestedLoopJoin row explosion at any scale."),
+    ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
+     "per-column statistic is a mergeable aggregate in a single aggregate pair "
+     "(partial+final, one Exchange of one row per partition); the long-format explode runs "
+     "on the one aggregated row. The exact_distinct parity mode instead plans an Expand + "
+     "per-column distinct shuffles — fine at validation scale, wrong at corpus scale."),
 ]
 
 out = []
@@ -32,7 +44,9 @@ out.append("# PLANS — flagship physical plans (generated; sf0.01)\n")
 out.append("Regenerate with `python tools/gen_plans.py` (any sf). Each plan is the executed\n"
            "`explain('formatted')` of the registry query, BEFORE execution (initial AQE plan).\n")
 for name, blurb in PICKS:
-    df = R.REGISTRY[name].fn(spark, sf)
+    # registry entry, or a demoted pytest-parity query (plain q_ function)
+    fn = R.REGISTRY[name].fn if name in R.REGISTRY else getattr(R, f"q_{name}")
+    df = fn(spark, sf)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
