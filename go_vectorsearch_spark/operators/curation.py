@@ -269,3 +269,45 @@ def stratified_sample(
     for stratum, q in sorted(quotas.items()):
         pct = F.when(F.col(strata_col) == stratum, F.lit(q)).otherwise(pct)
     return df.filter(bucket < pct)
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    copy_col: str = "_copy",
+) -> DataFrame:
+    """Dataset mixing with OVERSAMPLING: per-stratum weights may exceed
+    1.0 (training mixes routinely replay a small high-quality stratum
+    for several epochs while subsampling a large noisy one —
+    ``stratified_sample`` covers only the subsample side).
+
+    A weight ``w = k + f`` emits ``k`` full copies of every row in the
+    stratum plus one more for the deterministic ``f``-fraction
+    (``md5_int32(seed:id) % 10000 < f·10000`` — the same
+    content-addressed scheme as :func:`stratified_sample`, so the row
+    multiset is identical on any cluster layout, retry, or engine).
+    ``copy_col`` numbers the copies 1..n so downstream shuffling or
+    epoch-aware packing can tell them apart.
+
+    Scale notes: pure narrow plan — a weight lookup, one hash, one
+    ``explode(sequence(1, n))``; no shuffle, no RNG state. Output size
+    is exactly ``Σ_stratum |rows| · w`` in expectation with bounded
+    deviation (the hash is uniform).
+    """
+    w: Column = F.lit(float(default_weight))
+    for stratum, wt in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == stratum, F.lit(float(wt))).otherwise(w)
+    base = F.floor(w).cast("long")
+    frac_bps = F.round((w - F.floor(w)) * 10000).cast("long")
+    extra = (seeded_hash(id_col, seed) % 10000 < frac_bps).cast("long")
+    n = (base + extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

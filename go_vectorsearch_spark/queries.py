@@ -794,6 +794,36 @@ def q_pack_sequences(spark, sf_dir):
     return CUR.pack_sequences(staged, ctx_len=256, n_shards=16)
 
 
+# Weighted dataset mixing with oversampling (operators/curation.
+# weighted_mix): per-stratum weights may exceed 1.0 — w = k + f emits k
+# deterministic full copies + a content-addressed f-fraction extra.
+# pytest-parity (the 50-entry driver window is full).
+WEIGHTED_MIX_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 2.25 ELSE 1.0 END AS wt,
+         (CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) % 10000 AS h
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+         CAST(floor(wt) AS BIGINT)
+         + CASE WHEN h < round((wt - floor(wt)) * 10000) THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, lang, gs.c AS _copy
+FROM n JOIN LATERAL (SELECT unnest(generate_series(1, n.n_copies)) AS c) gs ON TRUE
+WHERE n_copies > 0
+"""
+
+
+def q_weighted_mix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = CUR.weighted_mix(
+        docs, "lang", {"en": 0.5, "zh": 2.25}, default_weight=1.0, id_col="doc_id"
+    )
+    return mixed.select("doc_id", "lang", "_copy")
+
+
 # Table profiling (operators/profiling.profile_columns): the first step a
 # pipeline runs on a new corpus drop — per-column nulls / cardinality /
 # range / length stats in ONE scan of mergeable aggregates. pytest-parity

@@ -138,3 +138,44 @@ def test_pack_sequences_invariants(spark):
     # deterministic: content-addressed, independent of partition layout
     again = CUR.pack_sequences(docs.repartition(13), ctx_len=256, n_shards=8).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_weighted_mix_oversamples_deterministically(spark):
+    from go_vectorsearch_spark.operators.curation import weighted_mix
+
+    df = spark.createDataFrame(
+        [(i, "hq" if i % 3 == 0 else "lq") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    mixed = weighted_mix(df, "lang", {"hq": 2.5, "lq": 0.5}, id_col="doc_id")
+    rows = mixed.collect()
+    again = weighted_mix(df, "lang", {"hq": 2.5, "lq": 0.5}, id_col="doc_id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # deterministic
+
+    by = {}
+    for r in rows:
+        by.setdefault(r["lang"], []).append(r)
+    # every hq row appears at least twice (floor(2.5)); ~half get a third copy
+    hq_counts = {}
+    for r in by["hq"]:
+        hq_counts[r["doc_id"]] = max(hq_counts.get(r["doc_id"], 0), r["_copy"])
+    assert all(c in (2, 3) for c in hq_counts.values())
+    assert len(hq_counts) == 100
+    third = sum(1 for c in hq_counts.values() if c == 3)
+    assert 25 <= third <= 75  # ~50% fraction, hash-uniform
+    # lq: no duplicates, roughly half survive
+    lq_ids = [r["doc_id"] for r in by["lq"]]
+    assert len(set(lq_ids)) == len(lq_ids)
+    assert 60 <= len(lq_ids) <= 140
+    # copy numbering starts at 1
+    assert min(r["_copy"] for r in rows) == 1
+
+
+def test_weighted_mix_zero_weight_drops_stratum(spark):
+    from go_vectorsearch_spark.operators.curation import weighted_mix
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    out = weighted_mix(df, "lang", {"a": 0.0}, default_weight=1.0).collect()
+    assert [(r["doc_id"], r["_copy"]) for r in out] == [(2, 1)]

@@ -23,6 +23,7 @@ DEMOTED = [
     (Q.q_range_join_shipments, Q.RANGE_JOIN_SHIPMENTS_ORACLE),
     (Q.q_events_rollup_time, Q.EVENTS_ROLLUP_TIME_ORACLE),
     (Q.q_profile_documents, Q.PROFILE_DOCUMENTS_ORACLE),
+    (Q.q_weighted_mix, Q.WEIGHTED_MIX_ORACLE),
 ]
 
 
