@@ -37,6 +37,7 @@ def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
     exact_distinct: bool = False,
+    quantiles: tuple[float, ...] = (),
 ) -> DataFrame:
     """Profile ``cols`` (default: every top-level column) in one pass.
 
@@ -51,6 +52,10 @@ def profile_columns(
       max_value     string  — max, cast to string
       mean          double  — numeric columns only, else NULL
       avg_len       double  — string columns only: average length
+      quantiles     array<double> — numeric columns, only when
+                    ``quantiles`` is non-empty: ``percentile_approx`` at
+                    the requested points (a mergeable t-digest-style
+                    sketch — still one scan, still one aggregate pair)
     """
     if cols is None:
         cols = [f.name for f in df.schema.fields]
@@ -68,6 +73,13 @@ def profile_columns(
         aggs.append(F.max(q).cast("string").alias(f"_max_{c}"))
         if isinstance(fld.dataType, NumericType):
             aggs.append(F.avg(q).alias(f"_mean_{c}"))
+            if quantiles:
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(q).cast("double"),
+                        F.array(*[F.lit(float(p)) for p in quantiles]),
+                    ).alias(f"_qtl_{c}")
+                )
         if isinstance(fld.dataType, StringType):
             aggs.append(F.avg(F.length(q)).alias(f"_len_{c}"))
     one = df.agg(*aggs)
@@ -92,6 +104,17 @@ def profile_columns(
                     if isinstance(by_name[c].dataType, StringType)
                     else F.lit(None).cast("double")
                 ).alias("avg_len"),
+                *(
+                    [
+                        (
+                            F.col(f"_qtl_{c}")
+                            if isinstance(by_name[c].dataType, NumericType)
+                            else F.lit(None).cast("array<double>")
+                        ).alias("quantiles")
+                    ]
+                    if quantiles
+                    else []
+                ),
             )
             for c in cols
         ]

@@ -55,3 +55,30 @@ def test_profile_subset_and_single_scan(spark):
     # aggregate pair (partial + final) in the plan, scan appears once
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+def test_profile_quantiles_sketch(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"),
+                                  F.lit("s").alias("s"))
+    rows = {r["column"]: r for r in
+            profile_columns(df, quantiles=(0.5, 0.99)).collect()}
+    q = rows["x"]["quantiles"]
+    assert len(q) == 2
+    assert abs(q[0] - 500) <= 10  # approx median of 0..999
+    assert q[1] >= 950
+    assert rows["s"]["quantiles"] is None  # non-numeric -> NULL
+
+
+def test_table_cache_is_session_isolated(spark):
+    """_t plan cache lives on the session object: a sibling session must
+    not see (or serve) another session's cached frames."""
+    from go_vectorsearch_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    a = _t(spark, sf, "region")
+    sib = spark.newSession()
+    b = _t(sib, sf, "region")
+    assert a is _t(spark, sf, "region")  # cache hit within a session
+    assert b is _t(sib, sf, "region")
+    assert a is not b  # no cross-session leak
+    assert spark._gvs_table_cache is not sib._gvs_table_cache
