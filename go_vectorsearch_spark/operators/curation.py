@@ -304,10 +304,12 @@ def weighted_mix(
     base = F.floor(w).cast("long")
     frac_bps = F.round((w - F.floor(w)) * 10000).cast("long")
     extra = (seeded_hash(id_col, seed) % 10000 < frac_bps).cast("long")
-    n = (base + extra).alias("_n_copies")
+    # namespaced scratch column: a plain "_n_copies" would silently
+    # clobber (and then drop) a caller's same-named column
+    tmp = "__gvs_wm_n_copies__"
     return (
-        df.withColumn("_n_copies", n)
-        .filter(F.col("_n_copies") > 0)
-        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
-        .drop("_n_copies")
+        df.withColumn(tmp, base + extra)
+        .filter(F.col(tmp) > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col(tmp))))
+        .drop(tmp)
     )

@@ -61,11 +61,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # stopped sessions' entries are garbage-collected with the session.
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cache = getattr(spark, "_gvs_table_cache", None)
+def _session_cache(spark: SparkSession, attr: str) -> dict:
+    """The one definition of the session-attached cache idiom (used for
+    table plans, the IVF index, and dedup frames)."""
+    cache = getattr(spark, attr, None)
     if cache is None:
         cache = {}
-        spark._gvs_table_cache = cache
+        setattr(spark, attr, cache)
+    return cache
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = _session_cache(spark, "_gvs_table_cache")
     key = (sf_dir, name)
     if key not in cache:
         cache[key] = load_table(spark, sf_dir, name)
@@ -1028,10 +1035,7 @@ def _ivf_index(spark, sf_dir):
     operated (build in the background, search many times,
     reference: server/centroids.go:17-83). Session-attached cache like
     _t/_dedup_cached: persisted frames die with their session."""
-    cache = getattr(spark, "_gvs_ivf_cache", None)
-    if cache is None:
-        cache = {}
-        spark._gvs_ivf_cache = cache
+    cache = _session_cache(spark, "_gvs_ivf_cache")
     if sf_dir not in cache:
         from go_vectorsearch_spark.plans.ivf import build_index
 
@@ -1259,10 +1263,7 @@ def _dedup_cached(spark, key: str, sf_dir: str, build) -> DataFrame:
     # session-attached like _t's plan cache: persisted frames are bound
     # to their session, so a module-level dict would hand a later
     # session another session's dead frames
-    cache = getattr(spark, "_gvs_dedup_cache", None)
-    if cache is None:
-        cache = {}
-        spark._gvs_dedup_cache = cache
+    cache = _session_cache(spark, "_gvs_dedup_cache")
     k = (key, sf_dir)
     if k not in cache:
         from pyspark import StorageLevel

@@ -262,16 +262,40 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _error(self, status: int, msg: str):
+    def _error(self, status: int, msg: str, close: bool = False):
+        # close=True: the request stream is in an unknown state (body
+        # unparsable/undrainable) — tear the connection down instead of
+        # letting keep-alive parse leftover bytes as the next request
+        if close:
+            self.close_connection = True
         self._send_json({"error": msg}, status=status)
+
+    # never buffer more than this just to discard a body; beyond it the
+    # connection is closed instead (client-supplied Content-Length is
+    # untrusted input)
+    _DRAIN_CAP = 1 << 20
 
     def _drain_body(self) -> None:
         """Consume an unread request body before an error response:
         under HTTP/1.1 keep-alive, leftover body bytes would be parsed
-        as the NEXT request line, desynchronizing the connection."""
-        n = int(self.headers.get("Content-Length") or 0)
-        if n:
-            self.rfile.read(n)
+        as the NEXT request line, desynchronizing the connection.
+        Malformed/negative/huge lengths close the connection instead of
+        blocking or buffering unbounded garbage."""
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            self.close_connection = True
+            return
+        if n < 0 or n > self._DRAIN_CAP or "chunked" in (
+            self.headers.get("Transfer-Encoding") or ""
+        ):
+            self.close_connection = True
+            return
+        while n > 0:
+            chunk = self.rfile.read(min(n, 65536))
+            if not chunk:
+                break
+            n -= len(chunk)
 
     # -- dispatch ----------------------------------------------------------
     def _handle(self):
@@ -303,7 +327,9 @@ class _Handler(BaseHTTPRequestHandler):
             for k, v in parse_qsl(split.query):
                 req.setdefault(k, v)
         except Exception:
-            return self._error(400, "Invalid request body")
+            # body partly consumed or headers unparsable: stream state
+            # unknown, so close instead of attempting a drain
+            return self._error(400, "Invalid request body", close=True)
         try:
             if mutates:
                 with self.service.lock:
@@ -321,7 +347,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             req = self._read_body()
         except Exception:
-            return self._error(400, "Invalid request body")
+            # body partly consumed or headers unparsable: stream state
+            # unknown, so close instead of attempting a drain
+            return self._error(400, "Invalid request body", close=True)
         try:
             stream = self.service.chat(req)  # locks internally for Spark
             first = next(stream, None)  # surface provider errors pre-headers

@@ -266,11 +266,16 @@ def http_embed(
                     if base in conns:
                         conns[base][0].close()
                         del conns[base]
-                    # permanent client errors (bad token, unknown model/
-                    # path) fail every endpoint identically — fail fast
-                    # instead of burning the whole budget with backoff
                     if isinstance(e, _HttpStatusError) and e.permanent:
-                        raise
+                        # permanent client errors (bad token, unknown
+                        # model/path) don't heal with time — skip the
+                        # backoff — but a SINGLE stale/misconfigured
+                        # replica can return 404/401 while its siblings
+                        # are fine, so still rotate until every distinct
+                        # base has been tried once before failing fast
+                        if attempt + 1 >= min(len(bases), max_attempts):
+                            raise
+                        continue
                     if attempt + 1 >= max_attempts:
                         raise
                     time.sleep(min(backoff_s * (2**attempt), 2.0))

@@ -208,11 +208,28 @@ def stream_to_parquet(
     after the write commits and before the checkpoint records the epoch
     replays that epoch on restart. The writer here is IDEMPOTENT to make
     that exactly-once: each epoch overwrites its own ``_epoch=<id>``
-    directory, so a replay rewrites the same rows instead of appending
-    them twice (the same job the built-in sink's _spark_metadata
-    manifest does). Read the sink back with :func:`read_parquet_sink`,
-    which hides the bookkeeping column.
+    directory, so a CHECKPOINT-RESUMED replay rewrites the same rows
+    instead of appending them twice (the same job the built-in sink's
+    _spark_metadata manifest does); a FRESH checkpoint gets an empty
+    sink first, since its epoch numbering need not match a previous
+    run's. Read the sink back with :func:`read_parquet_sink`, which
+    hides the bookkeeping column.
     """
+
+    import os
+    import shutil
+
+    # a FRESH checkpoint replays the source from scratch with its own
+    # epoch numbering/batching, which need not line up with a previous
+    # run's (fewer, larger micro-batches would overwrite only the low
+    # epoch ids and resurrect the stale high ones as duplicates) — so a
+    # fresh run starts from an empty sink. A RESUMED checkpoint keeps
+    # its dirs: epoch ids continue, and the replayed epoch overwrites
+    # exactly its own directory.
+    if not os.path.isdir(checkpoint_dir) and os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith("_epoch="):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         epoch_path = f"{path}/_epoch={epoch_id}"
