@@ -113,6 +113,12 @@ def main() -> None:
     registry._shingled_cached(spark, sf_dir)
     timings["dedup_shingle_build"] = round(time.perf_counter() - t0, 3)
 
+    # same for the bucket-on-write LSH frame shared by the three
+    # ANN/LSH queries (at scale `_bucket` is a stored column)
+    t0 = time.perf_counter()
+    registry._lsh_bucketed_cached(spark, sf_dir)
+    timings["ann_lsh_bucket_build"] = round(time.perf_counter() - t0, 3)
+
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()

@@ -1886,6 +1886,22 @@ _LSH_PLANES = LSH.rademacher_planes(_LSH_DIM, n_bits=16)
 _LSH_PLANES_SMALL = LSH.rademacher_planes(_LSH_DIM, n_bits=6)
 
 
+def _lsh_bucketed_cached(spark, sf_dir):
+    """The bucket-on-write frame shared by the three ANN/LSH queries
+    (at scale ``_bucket`` is a stored column, never recomputed); cached
+    once per corpus like the shingle frame, and billed to its own bench
+    entry instead of whichever consumer runs first."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _dedup_cached(
+        spark,
+        "lsh_bucketed_small",
+        sf_dir,
+        lambda: emb.withColumn(
+            "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
+        ),
+    )
+
+
 def _lsh_bucket_cte(planes=None) -> str:
     rows = ",\n    ".join(
         "({b}, {pw}, [{sgn}])".format(
@@ -1960,14 +1976,7 @@ LIMIT {TOPK_K}
 def q_ann_lsh_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
-    bucketed = _dedup_cached(
-        spark,
-        "lsh_bucketed_small",
-        sf_dir,
-        lambda: emb.withColumn(
-            "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
-        ),
-    )
+    bucketed = _lsh_bucketed_cached(spark, sf_dir)
     res = LSH.lsh_search(
         emb,
         qvec,
@@ -2370,14 +2379,7 @@ def q_ann_lsh_recall(spark, sf_dir):
     qvec = _qvec(spark, sf_dir)
     # bucket the corpus once for both probe radii (the bucket-on-write
     # shape: at scale _bucket is a stored column, never recomputed)
-    bucketed = _dedup_cached(
-        spark,
-        "lsh_bucketed_small",
-        sf_dir,
-        lambda: emb.withColumn(
-            "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
-        ),
-    )
+    bucketed = _lsh_bucketed_cached(spark, sf_dir)
     # both radii AND the brute-force ground truth in ONE job: tier rows
     # by bucket distance to the query's bucket (0 = same bucket, 1 =
     # Hamming-1 neighbor, 2 = everything else), take per-tier top-k with
