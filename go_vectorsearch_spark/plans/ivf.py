@@ -574,6 +574,30 @@ def nearest_centroids_distributed(
     return [int(r["centroid_id"]) for r in ranked.collect()]
 
 
+def _centroid_matrix(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the centroid table once as (ids, matrix) — the shared
+    driver-side form every probe ranking consumes."""
+    rows = centroids.collect()
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    ids = np.fromiter((r["centroid_id"] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r["centroid_vec"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _rank_centroids(ids: np.ndarray, mat: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    if len(ids) == 0:
+        return []
+    q = np.array(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    # one matrix-vector product, not a python loop per centroid — at the
+    # design point k reaches ~10^6 driver-side rows
+    denom = qn * np.linalg.norm(mat, axis=1)
+    sims = np.divide(mat @ q, denom, out=np.zeros(len(ids)), where=denom != 0.0)
+    order = np.lexsort((ids, -sims))  # score desc, id asc tie-break
+    return [int(ids[i]) for i in order[:nprobe]]
+
+
 def nearest_centroids(
     centroids: DataFrame, query_vec, nprobe: int
 ) -> list[int]:
@@ -583,19 +607,8 @@ def nearest_centroids(
     all when ``centroids`` is persisted. For centroid tables too big to
     collect, use :func:`nearest_centroids_distributed`.
     """
-    rows = centroids.collect()
-    if not rows:
-        return []
-    q = np.array(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    # one matrix-vector product, not a python loop per centroid — at the
-    # design point k reaches ~10^6 driver-side rows
-    ids = np.fromiter((r["centroid_id"] for r in rows), dtype=np.int64, count=len(rows))
-    mat = np.array([r["centroid_vec"] for r in rows], dtype=np.float64)
-    denom = qn * np.linalg.norm(mat, axis=1)
-    sims = np.divide(mat @ q, denom, out=np.zeros(len(rows)), where=denom != 0.0)
-    order = np.lexsort((ids, -sims))  # score desc, id asc tie-break
-    return [int(ids[i]) for i in order[:nprobe]]
+    ids, mat = _centroid_matrix(centroids)
+    return _rank_centroids(ids, mat, query_vec, nprobe)
 
 
 def ivf_search(
@@ -620,4 +633,58 @@ def ivf_search(
     pruned = index.assigned.filter(F.col("centroid_id").isin(probe_ids))
     return brute_force_topk(
         pruned, query_vec, k, id_col=id_col, vec_col=vec_col, doc_col=doc_col
+    )
+
+
+def ivf_search_batch(
+    index: IVFIndex,
+    queries: list[tuple[int, list]],
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF search: N queries share ONE plan.
+
+    The brute-force batch variant (`batch_search_topk`) scores every
+    query against the whole corpus; here each query scores only its own
+    nprobe probed inverted lists. Probe ranking runs driver-side against
+    the ONE collected centroid matrix (a request batch is
+    driver-sized by definition — the reference serves each request the
+    same way, server/search.go:202-227); the (q_id, qvec, centroid_id)
+    probe frame then broadcasts into a map-side join with the assigned
+    table, so a row is scored once per query that probes its partition
+    — total candidate work = Σ_q |probed lists of q|, NOT |queries| ×
+    |corpus|. One shuffle: the per-query top-k window on (q_id).
+
+    Tie-break matches :func:`brute_force_topk` exactly (round(score, 6)
+    desc, id asc), so nprobe = all reproduces the per-query brute force.
+    """
+    from pyspark.sql import Window
+
+    from go_vectorsearch_spark.functions.vector import cosine_similarity
+
+    spark = index.assigned.sparkSession
+    ids, mat = _centroid_matrix(index.centroids)
+    probe_rows = [
+        (int(qid), [float(x) for x in qv], int(cid))
+        for qid, qv in queries
+        for cid in _rank_centroids(ids, mat, qv, nprobe)
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "q_id long, _qvec array<double>, centroid_id long"
+    )
+    cand = index.assigned.join(F.broadcast(probe), "centroid_id")
+    # dot() casts element-wise to double with the same fold order as the
+    # literal-query path, so scores are bit-identical to ivf_search's
+    scored = cand.withColumn(
+        "score", cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, "score")
     )

@@ -103,6 +103,29 @@ def test_partitioned_roundtrip_and_pruning(spark, index, query_vec, tmp_path):
     assert probed.count() < 500
 
 
+def test_ivf_search_batch_matches_per_query(spark, index, emb):
+    """The batched plan must reproduce ivf_search query-by-query, at
+    nprobe=1 and at nprobe=all (where both equal brute force)."""
+    from go_vectorsearch_spark.plans.ivf import ivf_search_batch
+
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    ]
+    n_cents = index.centroids.count()
+    for nprobe in (1, n_cents):
+        batch = ivf_search_batch(index, queries, k=5, nprobe=nprobe)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["q_id"], []).append((r["vec_id"], round(r["score"], 9)))
+        for qid, qv in queries:
+            single = [
+                (r["vec_id"], round(r["score"], 9))
+                for r in ivf_search(index, qv, k=5, nprobe=nprobe).collect()
+            ]
+            assert got[qid] == single, f"q={qid} nprobe={nprobe}"
+
+
 def test_nearest_centroids_distributed_matches_driver_path(index, query_vec):
     """The TakeOrdered scale path must rank identically to the
     driver-collect path (same score, same (score desc, id asc)
