@@ -79,11 +79,13 @@ def cascade_delete_survivors(
     (database/model.go:32,45,57-58,66; server/delete.go:214-288); in a
     columnar store deletion is a rewrite, so "delete parents P" becomes
     "child survivors = child ANTI JOIN P on fk". Chain per level for
-    grandchildren. The victim set is typically tiny -> broadcast anti-join,
-    no shuffle of the big child table.
+    grandchildren. No broadcast hint: the victim set is unbounded (a
+    whole region's customers here), so Catalyst/AQE picks broadcast
+    only when the side is actually under threshold — a forced hint is
+    the OOM-at-scale anti-pattern.
     """
     victims = root_victims.select(F.col(parent_key).alias(fk)).distinct()
-    return child.join(F.broadcast(victims), fk, "left_anti")
+    return child.join(victims, fk, "left_anti")
 
 
 def salted_join(

@@ -237,7 +237,9 @@ def q_join_semi_segment(spark, sf_dir):
     keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    return orders.join(F.broadcast(keys), "o_custkey", "left_semi").select(
+    # no broadcast hint: the segment's customer set scales with SF;
+    # AQE broadcasts it only while it is actually small
+    return orders.join(keys, "o_custkey", "left_semi").select(
         "o_orderkey", "o_totalprice"
     )
 
@@ -694,8 +696,10 @@ def q_multi_star_revenue(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # supplier scales with SF (10k rows per SF=1) — no forced
+        # broadcast; nation/region below are constant-size (25/5 rows)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

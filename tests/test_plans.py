@@ -131,3 +131,37 @@ def test_pack_sequences_no_global_sort(spark, sf_correct):
     # the window sort is per-partition: "Sort [...], false, 0" (global=false)
     assert "Sort [shard" in plan
     assert "], false, 0" in "Sort [shard" + plan.split("Sort [shard")[1][:200]
+
+
+def test_no_forced_broadcast_over_sf_scaling_frames(spark, sf_correct):
+    """The r2 verdict's anti-pattern class, locked down: frames that grow
+    with SF (a region's customers, a segment's customers, the supplier
+    table) must NOT carry a forced broadcast hint — Catalyst/AQE may
+    still CHOOSE broadcast while the side is small, but the logical plan
+    must leave it the choice. Constant-size dims (nation=25, region=5)
+    may keep their hints; a hint whose subtree scans customer/supplier
+    is the OOM-at-scale bug."""
+    from go_vectorsearch_spark import queries as Q
+    from go_vectorsearch_spark.operators.relational import (
+        cascade_delete_survivors,
+    )
+
+    # operator level: the victim set is caller-sized — never hinted
+    victims = spark.range(10).select(F.col("id").alias("k"))
+    child = spark.range(100).select(F.col("id").alias("k"))
+    out = cascade_delete_survivors(victims, child, "k", "k")
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+
+    # registry level: no hint subtree may contain an SF-scaling table.
+    # The 3 lines after a ResolvedHint node are its subtree (a Relation,
+    # optionally under a Filter/Project) in the pre-order tree print.
+    for name in ("cascade_delete_survivors", "join_semi_segment",
+                 "multi_star_revenue"):
+        df = Q.REGISTRY[name].fn(spark, sf_correct)
+        lp = df._jdf.queryExecution().analyzed().toString()
+        for seg in lp.split("ResolvedHint")[1:]:
+            subtree = "\n".join(seg.splitlines()[:4])
+            for big in ("customer", "supplier", "orders", "lineitem"):
+                assert big not in subtree, (
+                    f"{name} forces broadcast over SF-scaling {big}"
+                )
