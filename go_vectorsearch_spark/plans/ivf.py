@@ -97,6 +97,19 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _argmax_ids(X: np.ndarray, ids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-centroid ids by cosine argmax — the one numpy
+    kernel behind the distributed GEMM batches (operators/assign.py
+    ``_assign_gemm``) and the driver-local build path, so both paths
+    are float-op-identical per row. ``C`` must already be row-normalized
+    and ``ids`` ascending (first-max tie = lowest id,
+    compute/cosine.go:113-117). Zero rows score 0 against every
+    centroid -> first (lowest) id."""
+    sims = _norm_rows(X.astype(np.float64)) @ C.T
+    sims[np.linalg.norm(X, axis=1) == 0] = 0.0
+    return ids[sims.argmax(axis=1)]
+
+
 def _cluster_stats(X: np.ndarray, mat: np.ndarray):
     """Cosine-argmax assign X to mat's rows; per-cluster (count, sum).
     numpy argmax keeps the first (lowest-index) max = reference
@@ -272,6 +285,7 @@ def build_index(
     sample_size: int = 50_000,
     max_split_rounds: int = 4,
     min_leaf: int | None = None,
+    _force_distributed: bool = False,
 ) -> IVFIndex:
     """C3/C5: full index build.
 
@@ -283,6 +297,21 @@ def build_index(
     (< max_leaf/10, dnc/dnc.go:486) are dissolved: members reassigned
     to surviving centroids, which are then re-centered to the member
     mean (C6, dnc/dnc.go:458-574, 402-456).
+
+    Adaptive small-corpus path: when the sample job comes back short,
+    the WHOLE corpus is already on the driver — exactly the situation
+    the reference is always in (its entire build runs in one process
+    over a <=50k sample, dnc/k_means.go:19-30). Launching a cluster
+    job per build stage for data the driver holds is pure scheduling
+    overhead, so the build then runs ``_build_index_local``: the same
+    kernels (``_numpy_lloyd``, ``_argmax_ids``,
+    ``_quantize_f32_roundtrip``), same split/prune/re-center order,
+    producing byte-identical memberships (pytest-asserted against the
+    distributed path). Catalyst makes the same call when it folds a
+    driver-sized frame into a LocalRelation. The distributed path is
+    taken whenever N exceeds the sample budget — i.e. always at real
+    scale; ``_force_distributed`` exists so tests can pin it at small
+    SF.
     """
     from pyspark.sql import Window
 
@@ -305,6 +334,15 @@ def build_index(
     n = len(samp) if len(samp) < sample_size else df.count()
     if n == 0:
         raise ValueError("build_index: empty corpus")
+    if n < sample_size and not _force_distributed:
+        # the sample IS the corpus — one more corpus-sized collect for
+        # the full rows (the sample projected vectors only), then every
+        # remaining build stage runs driver-local
+        rows = deterministic_sample(df, sample_size, id_col).collect()
+        return _build_index_local(
+            df.sparkSession, rows, df.schema, id_col, vec_col,
+            max_leaf, max_split_rounds, min_leaf,
+        )
     # overshoot k so the average leaf lands at ~70% of max_leaf; with
     # k = n/max_leaf exactly, half the leaves start oversized and every
     # build pays split rounds for geometry, not skew
@@ -388,6 +426,91 @@ def build_index(
     index = IVFIndex(centroids=recenter(assigned, vec_col), assigned=assigned)
     index = prune_small(index, vec_col=vec_col, min_size=min_leaf, sizes=leaf_sizes)
     return index
+
+
+def _build_index_local(
+    spark: SparkSession,
+    rows: list,
+    schema,
+    id_col: str,
+    vec_col: str,
+    max_leaf: int,
+    max_split_rounds: int,
+    min_leaf: int | None,
+) -> IVFIndex:
+    """Driver-local twin of ``build_index``'s distributed stages, taken
+    when the deterministic sample already contains the whole corpus
+    (see build_index docstring). Same kernels, same stage order:
+    lloyd fit -> argmax assign -> split oversized leaves -> prune small
+    -> quantized re-center. ``rows`` arrive in md5(id) order — the same
+    order the distributed path feeds the per-leaf k-means fits, so the
+    fits see identical matrices. Memberships come out identical (up to
+    centroid relabeling across split rounds); pytest asserts partition
+    equality against ``_force_distributed=True``.
+    """
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    n = len(rows)
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    k = max(1, math.ceil(n / (max_leaf * 0.7)))
+    mat = _numpy_lloyd(X, k, max_iters=20, init_oversample=5, quantize_iterations=True)
+    assign = _argmax_ids(X, np.arange(len(mat), dtype=np.int64), _norm_rows(mat))
+    next_id = len(mat)
+
+    for _ in range(max_split_rounds):
+        sizes = Counter(assign.tolist())
+        oversized = sorted(c for c, m in sizes.items() if m > max_leaf)
+        if not oversized:
+            break
+        for cid in oversized:
+            member_idx = np.nonzero(assign == cid)[0]
+            kk = max(2, math.ceil(len(member_idx) / (max_leaf * 0.7)))
+            cmat = _numpy_lloyd(
+                X[member_idx], kk, max_iters=20, init_oversample=5,
+                quantize_iterations=True,
+            )
+            cids = np.arange(next_id, next_id + len(cmat), dtype=np.int64)
+            next_id += len(cmat)
+            assign[member_idx] = _argmax_ids(X[member_idx], cids, _norm_rows(cmat))
+
+    def _qmeans(members: dict[int, np.ndarray]) -> np.ndarray:
+        """Per-centroid member mean -> f32 quantize roundtrip, the
+        driver twin of ``recenter`` (same §1.3 semantics)."""
+        return _quantize_f32_roundtrip(
+            np.vstack([X[idx].sum(axis=0) / len(idx) for idx in members.values()])
+        )
+
+    if min_leaf is None:
+        min_leaf = max_leaf // 10
+    sizes = Counter(assign.tolist())
+    present = sorted(sizes)
+    members = {c: np.nonzero(assign == c)[0] for c in present}
+    survivors = sorted(c for c in present if sizes[c] >= min_leaf)
+    if survivors and len(survivors) < len(present):
+        # orphans reassign against the QUANTIZED re-centered survivors,
+        # exactly like prune_small feeds recenter()'d centroids
+        qmat = _qmeans(members)
+        surv_rows = _norm_rows(qmat[[present.index(c) for c in survivors]])
+        orphan_idx = np.nonzero(~np.isin(assign, survivors))[0]
+        assign[orphan_idx] = _argmax_ids(
+            X[orphan_idx], np.array(survivors, dtype=np.int64), surv_rows
+        )
+        present = survivors
+        members = {c: np.nonzero(assign == c)[0] for c in present}
+    qmat = _qmeans(members)
+
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("centroid_id", T.LongType())]
+    )
+    assigned = spark.createDataFrame(
+        [tuple(r) + (int(c),) for r, c in zip(rows, assign)], out_schema
+    )
+    return IVFIndex(
+        centroids=_centroids_df(spark, qmat, [int(c) for c in present]),
+        assigned=assigned,
+    )
 
 
 def _assign_children_gemm(

@@ -271,3 +271,44 @@ def test_recenter_quantizes_means(spark):
         assert np.array_equal(got[cid], golden), cid
         # and quantization actually moved at least one non-trivial value
     assert any(not np.array_equal(got[c], raw[c]) for c in raw)
+
+
+def test_local_and_distributed_build_paths_agree(spark, emb):
+    """The adaptive driver-local build (corpus fits the sample budget)
+    must produce the same index as the distributed stages: identical
+    leaf partitions (up to centroid relabeling across split rounds) and
+    the same quantized re-centered vectors. max_leaf=50 forces split
+    rounds; min_leaf default prunes, so every stage runs on both paths."""
+    loc = build_index(emb, max_leaf=50, sample_size=5000)
+    dist = build_index(emb, max_leaf=50, sample_size=5000, _force_distributed=True)
+
+    def parts(ix):
+        rows = ix.assigned.select("vec_id", "centroid_id").collect()
+        by_c = {}
+        for r in rows:
+            by_c.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+        cents = {
+            r["centroid_id"]: np.array(r["centroid_vec"])
+            for r in ix.centroids.collect()
+        }
+        return {frozenset(m): cents[c] for c, m in by_c.items()}
+
+    pl, pd_ = parts(loc), parts(dist)
+    assert set(pl.keys()) == set(pd_.keys())
+    for m in pl:
+        # quantized means may differ by one truncation step where the
+        # aggregation-order ulp lands on a code boundary
+        assert np.allclose(pl[m], pd_[m], atol=0.05), "centroid vec mismatch"
+
+
+def test_local_build_is_deterministic_and_schema_stable(spark, emb):
+    a = build_index(emb, max_leaf=100, sample_size=5000)
+    b = build_index(emb, max_leaf=100, sample_size=5000)
+    assert a.assigned.schema == b.assigned.schema
+    assert a.assigned.columns == emb.columns + ["centroid_id"]
+    ra = sorted(map(tuple, a.assigned.select("vec_id", "centroid_id").collect()))
+    rb = sorted(map(tuple, b.assigned.select("vec_id", "centroid_id").collect()))
+    assert ra == rb
+    ca = sorted(map(repr, a.centroids.collect()))
+    cb = sorted(map(repr, b.centroids.collect()))
+    assert ca == cb
