@@ -119,18 +119,35 @@ def main() -> None:
     registry._lsh_bucketed_cached(spark, sf_dir)
     timings["ann_lsh_bucket_build"] = round(time.perf_counter() - t0, 3)
 
+    # PQ codebook train + corpus encode: the codes column is written
+    # once per corpus at scale (same contract as the IVF assignment)
+    t0 = time.perf_counter()
+    registry._pq_cached(spark, sf_dir)
+    timings["ann_pq_encode_build"] = round(time.perf_counter() - t0, 3)
+
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Decomposition (extra keys; "value" stays the full total): the
+    # oracle-checked 50 are what the DuckDB baseline actually runs;
+    # the rest are index/recall diagnostics and one-time builds with
+    # no oracle twin (build, store write, shared-frame materialization,
+    # recall sweeps) — amortized background work in deployment,
+    # mirroring the reference's background refresh
+    # (server/centroids.go:17-83).
+    oracle_names = {n for n, s in registry.REGISTRY.items() if s.oracle is not None}
+    oracle_total = round(sum(v for n, v in timings.items() if n in oracle_names), 3)
     print(
         json.dumps(
             {
                 "metric": "registry_queries_total",
                 "value": total,
                 "unit": "sec",
+                "oracle_queries_sec": oracle_total,
+                "diagnostics_and_builds_sec": round(total - oracle_total, 3),
                 "queries": timings,
                 "sf": sf,
             }

@@ -2480,6 +2480,44 @@ def q_ivf_recall_sweep(spark, sf_dir):
     return spark.createDataFrame(out, "nprobe int, recall_at_10 double")
 
 
+def _pq_cached(spark, sf_dir):
+    """(codebooks, coded-frame) for the PQ family, cached per corpus —
+    the codes column is a write-once stored column at scale (like the
+    IVF assignment and LSH bucket), so its one-time encode is billed to
+    bench's ``ann_pq_encode_build`` entry, not to the search query."""
+    cache = _session_cache(spark, "_gvs_pq_cache")
+    if sf_dir not in cache:
+        from pyspark import StorageLevel
+
+        from go_vectorsearch_spark.plans.pq import encode_pq, train_pq
+
+        emb = _t(spark, sf_dir, "embeddings")
+        books = train_pq(emb, m=16, k_sub=32, sample_size=5000)
+        coded = encode_pq(emb, books).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        coded.count()
+        cache[sf_dir] = (books, coded)
+    return cache[sf_dir]
+
+
+@register(
+    "ann_pq_search",
+    oracle=None,  # PQ is lossy: no SQL twin; quality bar is pytest
+    # recall assertions + the exact re-rank stage (tests/test_pq.py)
+    doc="Product-quantization ANN: 16x32 sub-codebooks (64 f32 dims -> "
+    "16 B/vector), codegen'd ADC scan (per-query LUT folded into the "
+    "plan), exact cosine re-rank of top-50 (plans/pq.pq_search; "
+    "compression lineage: compute/quantization.go:71-102 stores 1 B/dim, "
+    "PQ is the next step at the 100 TB point)",
+)
+def q_ann_pq_search(spark, sf_dir):
+    from go_vectorsearch_spark.plans.pq import pq_search
+
+    books, coded = _pq_cached(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    res = pq_search(coded, books, qvec, k=TOPK_K, rerank=50)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

