@@ -271,6 +271,38 @@ def stratified_sample(
     return df.filter(bucket < pct)
 
 
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shard",
+) -> DataFrame:
+    """Training-shard manifest: content-addressed shard assignment
+    (``seeded_hash % n_shards`` — deterministic, join-free, no shuffle
+    of the corpus beyond the one per-shard aggregation) plus the
+    per-shard doc/token/char totals a dataloader needs to plan epochs.
+    The same addressing scheme as stratified_sample/pack_sequences, so
+    a document's shard is stable across runs and engines."""
+    from go_vectorsearch_spark.functions.text import ws_tokens
+
+    t = df.select(
+        F.col(id_col),
+        (seeded_hash(id_col, seed) % n_shards).alias("shard"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("_n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("_n_chars"),
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tokens").alias("total_tokens"),
+            F.sum("_n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     strata_col: str,

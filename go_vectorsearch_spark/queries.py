@@ -774,6 +774,79 @@ def q_rollup_pricing(spark, sf_dir):
     )
 
 
+CUBE_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_pricing(spark, sf_dir):
+    """CUBE completes the grouping-set family next to rollup/pivot. Same
+    scale shape as a plain groupBy: Spark expands the grouping sets
+    map-side (each input row feeds its 4 combinations into the partial
+    agg), one shuffle of |groups| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+VOCAB_TOP_TERMS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY n_total DESC, term ASC
+LIMIT 100
+"""
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Vocabulary construction — the first pass of any tokenizer/BPE
+    training run: term -> (corpus frequency, document frequency), top
+    100. Scale shape: explode + ONE groupBy(term) with map-side partial
+    aggregation (stopword skew collapses map-side; count-distinct
+    expands to a two-phase agg), TakeOrdered for the cut. The explode
+    never shuffles raw text — only (term, doc_id) pairs."""
+    from go_vectorsearch_spark.functions.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SHARD_MANIFEST_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS shard,
+         len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars
+FROM t GROUP BY shard ORDER BY shard
+"""
+
+
+def q_shard_manifest(spark, sf_dir):
+    from go_vectorsearch_spark.operators.curation import shard_manifest
+
+    return shard_manifest(_t(spark, sf_dir, "documents"), n_shards=32)
+
+
 # Sequence packing (operators/curation.pack_sequences): GPT-style
 # concat-and-chunk over per-shard token streams. pytest-parity (the
 # 50-entry driver window is full); same DuckDB bar as the registry.

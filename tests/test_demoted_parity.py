@@ -24,6 +24,9 @@ DEMOTED = [
     (Q.q_events_rollup_time, Q.EVENTS_ROLLUP_TIME_ORACLE),
     (Q.q_profile_documents, Q.PROFILE_DOCUMENTS_ORACLE),
     (Q.q_weighted_mix, Q.WEIGHTED_MIX_ORACLE),
+    (Q.q_cube_pricing, Q.CUBE_PRICING_ORACLE),
+    (Q.q_vocab_top_terms, Q.VOCAB_TOP_TERMS_ORACLE),
+    (Q.q_shard_manifest, Q.SHARD_MANIFEST_ORACLE),
 ]
 
 
