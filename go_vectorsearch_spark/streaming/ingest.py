@@ -1,0 +1,126 @@
+"""Continuous embedding ingest — the streaming twin of upload.
+
+The reference ingests via request-sized batches: every upload assigns
+its new chunk vectors to the CURRENT centroids and appends rows whose
+``centroid_id`` joins them to existing inverted lists; the index
+rebuild is a separate background job (server/upload.go:239-313,
+server/centroids.go:17-83). At the 100 TB design point ingest is a
+stream, so this module restates that contract with Structured
+Streaming:
+
+    readStream(embeddings)
+      -> nearest-centroid assignment against a STATIC centroid frame
+         (stream-static: the per-batch map uses the centroids as of
+         query start, exactly like an upload uses the centroids as of
+         its request)
+      -> foreachBatch append into the partitionBy("centroid_id")
+         store (idempotent per-epoch overwrite, streaming/events.
+         stream_to_parquet), so searches prune the new rows' partitions
+         the same way they prune the bulk-built store.
+
+Assignment reuses ``operators/assign.assign_nearest`` — both its
+codegen'd expression path and its Arrow GEMM path are per-row maps
+with no shuffle, hence legal and efficient inside a streaming query.
+
+Small-file pressure is the known cost of streaming appends (one file
+per epoch per centroid); :func:`compact_partitioned` rewrites a
+partitioned directory to O(1) files per partition and is the
+compaction job a deployment schedules, mirroring how the reference
+amortizes upkeep into the background refresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.assign import assign_nearest
+from go_vectorsearch_spark.streaming.events import (
+    read_parquet_sink,
+    stream_to_parquet,
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over the embeddings table (the test harness's
+    stand-in for a message bus; the file source gives the same
+    micro-batch semantics)."""
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    # the file-stream source wants a directory; basePath + single-file
+    # glob restricts the stream to the embeddings table (same idiom as
+    # events.read_events_stream)
+    return (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/embeddings.parque[t]")
+    )
+
+
+def assign_stream(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Stream-static nearest-centroid assignment. ``centroids`` is a
+    static driver-sized frame by the index contract (it broadcasts into
+    every micro-batch as plan literals / a closure matrix — no shuffle,
+    no state). Centroids are fixed for the lifetime of the streaming
+    query; a rebuild means restarting the ingest query with the new
+    frame, the same cutover the reference's background refresh does."""
+    return assign_nearest(
+        stream_df,
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid_vec")
+        ),
+        vec_col=vec_col,
+        out_col=out_col,
+    )
+
+
+def ingest_embeddings_stream(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Drain the embedding stream into a partitioned store slice:
+    assign -> idempotent per-epoch parquet append partitioned by
+    centroid_id. Read back with
+    ``streaming.events.read_parquet_sink``; union with the bulk store
+    for search."""
+    assigned = assign_stream(stream_df, centroids, vec_col=vec_col)
+    stream_to_parquet(
+        assigned, store_path, checkpoint_dir, partition_by="centroid_id"
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_col: str = "centroid_id",
+    drop_cols: tuple = ("_epoch",),
+) -> None:
+    """Compact a partitioned directory (e.g. an ingest sink's
+    per-epoch files) into one file per partition value at
+    ``dst_path``: one shuffle keyed by the partition column, so each
+    partition's rows land in a single write task — the same file-count
+    argument as plans/ivf.write_partitioned. Writes to a NEW directory
+    (copy-on-write, like api's versioned tables): the reader flips to
+    ``dst_path`` when the job commits, and a crash mid-compaction
+    leaves the source untouched."""
+    df = spark.read.option("basePath", src_path).parquet(src_path)
+    for c in drop_cols:
+        if c in df.columns:
+            df = df.drop(c)
+    (
+        df.repartition(partition_col)
+        .write.mode("errorifexists")
+        .partitionBy(partition_col)
+        .parquet(dst_path)
+    )

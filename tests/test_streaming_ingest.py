@@ -1,0 +1,103 @@
+"""Streaming embedding ingest (streaming/ingest.py): stream-static
+assignment must equal the batch assignment exactly; the sink must be
+idempotent under replay; compaction must preserve rows while collapsing
+files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.assign import assign_nearest
+from go_vectorsearch_spark.plans.ivf import build_index
+from go_vectorsearch_spark.sources.tables import load_table
+from go_vectorsearch_spark.streaming.events import read_parquet_sink
+from go_vectorsearch_spark.streaming.ingest import (
+    compact_partitioned,
+    ingest_embeddings_stream,
+    read_embeddings_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return build_index(emb, max_leaf=100, sample_size=5000).centroids
+
+
+def _assign_rows(df):
+    return sorted(
+        tuple(r) for r in df.select("vec_id", "centroid_id").collect()
+    )
+
+
+def test_stream_assignment_equals_batch(spark, sf_smoke, emb, centroids, tmp_path):
+    out = str(tmp_path / "ingest_out")
+    ingest_embeddings_stream(
+        read_embeddings_stream(spark, sf_smoke),
+        centroids,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    got = _assign_rows(read_parquet_sink(spark, out))
+    want = _assign_rows(
+        assign_nearest(emb, centroids, out_col="centroid_id")
+    )
+    assert got == want
+
+    # replay with a fresh checkpoint: same rows, no duplicates
+    ingest_embeddings_stream(
+        read_embeddings_stream(spark, sf_smoke),
+        centroids,
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    assert _assign_rows(read_parquet_sink(spark, out)) == want
+
+
+def test_sink_prunes_centroid_partitions(spark, sf_smoke, centroids, tmp_path):
+    """The streamed store must give the same partition pruning as the
+    bulk store: a centroid_id filter shows PartitionFilters, not a full
+    scan."""
+    out = str(tmp_path / "prune_out")
+    ingest_embeddings_stream(
+        read_embeddings_stream(spark, sf_smoke),
+        centroids,
+        out,
+        str(tmp_path / "prune_ckpt"),
+    )
+    one = centroids.select("centroid_id").first()[0]
+    q = read_parquet_sink(spark, out).filter(F.col("centroid_id") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "centroid_id" in pf
+
+
+def test_compaction_preserves_rows_and_collapses_files(
+    spark, sf_smoke, centroids, tmp_path
+):
+    out = str(tmp_path / "cmp_out")
+    ingest_embeddings_stream(
+        read_embeddings_stream(spark, sf_smoke),
+        centroids,
+        out,
+        str(tmp_path / "cmp_ckpt"),
+    )
+    dst = str(tmp_path / "cmp_dst")
+    compact_partitioned(spark, out, dst)
+    got = _assign_rows(spark.read.parquet(dst))
+    want = _assign_rows(read_parquet_sink(spark, out))
+    assert got == want
+    # one data file per centroid directory
+    for d in os.listdir(dst):
+        if not d.startswith("centroid_id="):
+            continue
+        files = [f for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
