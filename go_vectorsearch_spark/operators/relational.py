@@ -52,19 +52,16 @@ def dedup_best_by_key(
 def paginate(df: DataFrame, order_cols: Sequence, count: int, offset: int) -> DataFrame:
     """T3: offset/limit pagination with a total order.
 
-    Spark has no OFFSET pushdown pre-collect; row_number over the global
-    order + range filter keeps semantics identical to the reference's
-    in-memory slice (server/search.go:312-331). Only sane for small
-    result windows (the reference caps count at 20) - the limit
-    (count+offset) should be applied upstream first so the window sort
-    sees few rows.
+    Semantics identical to the reference's in-memory slice
+    (server/search.go:312-331). Native ``offset``/``limit`` over the
+    sorted frame compiles to a distributed partial top-(offset+count)
+    per partition + single merge (TakeOrdered-style) — no global-window
+    single-partition shuffle, so the plan stays scale-safe even when a
+    caller forgets to pre-limit. ``order_cols`` MUST be a total order
+    (tie-broken, as every caller's is): rows equal under a partial
+    order could otherwise migrate across page boundaries between runs.
     """
-    w = Window.orderBy(*order_cols)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + count))
-        .drop("_rn")
-    )
+    return df.orderBy(*order_cols).offset(offset).limit(count)
 
 
 def cascade_delete_survivors(
