@@ -46,18 +46,38 @@ def rademacher_planes(dim: int, n_bits: int = N_BITS, seed: int = LSH_SEED) -> l
 
 
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Bucket id (long) of a vector: bit b = 1 iff vec · plane_b > 0."""
-    bucket = None
-    for b, signs in enumerate(planes):
-        lits = F.array(*[F.lit(float(s)) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(vec, lits, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    """Bucket id (long) of a vector: bit b = 1 iff vec · plane_b > 0.
+
+    One nested fold over a single flat plane Literal, not one unrolled
+    zip_with/aggregate subtree per bit: the unrolled form was ~n_bits x
+    dim expression nodes (16x64 = 1024), whose whole-stage-codegen
+    compile alone cost ~3 s per query — the generic loop compiles in
+    milliseconds and evaluates identically. Per-bit dots accumulate in
+    the same index order as the old zip_with fold, so bucket values
+    (and every stored _bucket column / SQL oracle) are bit-identical.
+    """
+    n_bits, dim = len(planes), len(planes[0])
+    flat = F.lit([float(s) for row in planes for s in row])
+    # fold bits high -> low as acc*2 + bit_b, i.e. Horner form of
+    # sum(bit_b << b) without needing a column-valued shift amount
+    return F.aggregate(
+        F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long")
+        + F.when(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda a, i: a
+                + F.element_at(vec, i + F.lit(1)).cast("double")
+                * F.element_at(flat, b * dim + i + F.lit(1)),
+            )
+            > 0,
+            F.lit(1).cast("long"),
         )
-        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        bucket = term if bucket is None else bucket + term
-    return bucket
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
 
 
 def bucket_of(vec: list[float], planes: list[list[int]]) -> int:
