@@ -1,0 +1,55 @@
+"""Physical-plan lint over the WHOLE registry: scale-killer detection.
+
+Correctness tests pin values; this suite pins the SHAPE of every
+registry query's executed plan. Three operator classes are forbidden
+because each one works at sf0.01 and falls over at 100 TB:
+
+* ``CartesianProduct`` — an unbroadcast cross join materializes
+  |L|x|R| rows; every intended cross join in the engine broadcasts
+  its small side (BroadcastNestedLoopJoin over a k-row frame).
+* ``BatchEvalPython`` — a row-at-a-time Python UDF in the hot path
+  (~10-100x slower than Arrow-batched pandas exec; the engine's
+  Python boundaries are all ArrowEvalPython / mapInPandas).
+* Unpartitioned ``Window`` — ``Window.orderBy`` without partitionBy
+  moves the entire input to ONE partition (the WindowExec "No
+  Partition Defined" warning); at scale that is a single-task sort
+  of the whole dataset. Detected structurally: a
+  ``windowspecdefinition`` whose argument list starts with a sort
+  spec has no partition keys.
+
+A new query that introduces one of these fails here with its name,
+not in a 100x-slower production run. The lint runs on the sf0.001
+plans (plan shape is data-size independent; AQE re-planning at
+runtime only ever *improves* on the static shape checked here).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from go_vectorsearch_spark import queries as R
+
+_WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def _lint(plan: str) -> list[str]:
+    bad = []
+    if "CartesianProduct" in plan:
+        bad.append("CartesianProduct (unbroadcast cross join)")
+    if "BatchEvalPython" in plan:
+        bad.append("BatchEvalPython (row-at-a-time Python UDF)")
+    for m in _WINDOWSPEC.finditer(plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            bad.append("unpartitioned Window (single-partition sort)")
+            break
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(R.REGISTRY))
+def test_registry_plan_has_no_scale_killers(spark, sf_smoke, name):
+    df = R.REGISTRY[name].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
