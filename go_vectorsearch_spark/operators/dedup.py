@@ -803,3 +803,122 @@ def embedding_neardup_pairs_lsh(
     return bucketed.groupBy("_bkt").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Semantic dedup (cluster-bounded greedy near-dup removal)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_semantic(
+    ids: np.ndarray, mat: np.ndarray, threshold: float, chunk: int = 1024
+):
+    """Greedy min-id-first semantic dedup of ONE cluster.
+
+    Rows are visited in ascending id order; a row is dropped iff its
+    cosine to some already-KEPT row reaches ``threshold`` (recording
+    which, and the similarity). The kept set is therefore pairwise
+    < threshold by construction, and the result is deterministic.
+
+    Memory-bounded: candidate rows are processed in ``chunk``-row
+    blocks, so the largest similarity buffer is chunk x |kept| (plus a
+    chunk x chunk intra-block GEMM) — never |cluster|², which at the
+    10k max_leaf design point would be an 800 MB buffer per task.
+    ``mat`` must be L2-normalized.
+    """
+    n = len(ids)
+    keep = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    max_sim = np.full(n, np.nan)
+    kept: list[int] = []  # global row indexes of kept rows
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        C = mat[s:e]
+        pre = list(kept)  # kept set snapshot at block start
+        prev = C @ mat[pre].T if pre else None
+        intra = C @ C.T
+        for i in range(e - s):
+            gi = s + i
+            best_j, best_s = -1, -np.inf
+            if prev is not None and prev.shape[1]:
+                j = int(np.argmax(prev[i]))
+                if prev[i, j] > best_s:
+                    best_j, best_s = pre[j], float(prev[i, j])
+            # rows kept earlier within this block
+            blk = [k - s for k in kept if k >= s]
+            if blk:
+                sims = intra[i, blk]
+                j = int(np.argmax(sims))
+                if sims[j] > best_s:
+                    best_j, best_s = kept[len(pre) + j], float(sims[j])
+            if best_j >= 0 and best_s >= threshold:
+                dup_of[gi] = ids[best_j]
+                max_sim[gi] = best_s
+            else:
+                keep[gi] = True
+                kept.append(gi)
+    return keep, dup_of, max_sim
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster first, then greedy
+    near-dup removal WITHIN each cluster only (Abbas et al. 2023,
+    arXiv:2303.09540 — the published web-scale recipe).
+
+    ``assigned`` is a frame already carrying a cluster id — in this
+    engine the IVF build's assignment (plans/ivf.build_index, the same
+    k-means the reference's index rests on, dnc/dnc.go:35-297), so the
+    clustering cost is SHARED with the ANN index instead of paid twice.
+
+    Output: one row per input row — (id, cluster, keep, dup_of,
+    max_kept_sim). ``dup_of`` is the kept row this one duplicated
+    (null for survivors). Survivors of a cluster are pairwise below
+    ``threshold``; duplicates are each >= ``threshold`` to their
+    ``dup_of``. Cross-CLUSTER near-dups are not examined — the method's
+    documented trade (quantization error bounds it; the paper measures
+    the miss rate as negligible at web scale).
+
+    Scale: one shuffle on cluster id, then one applyInPandas task per
+    cluster with chunked GEMM (see :func:`_greedy_semantic`) — task
+    memory is O(max_leaf · d + chunk · max_leaf), never corpus-sized,
+    and clusters process in parallel. The greedy visit order (ascending
+    id) makes reruns byte-identical.
+    """
+    out_schema = (
+        f"{id_col} long, {cluster_col} long, keep boolean, "
+        "dup_of long, max_kept_sim double"
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        keep, dup_of, max_sim = _greedy_semantic(ids, mat / norms, threshold)
+        dup_obj = dup_of.astype(object)
+        sim_obj = max_sim.astype(object)
+        dup_obj[keep] = None
+        sim_obj[keep] = None
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cluster_col: pdf[cluster_col].to_numpy(dtype=np.int64),
+                "keep": keep,
+                "dup_of": dup_obj,
+                "max_kept_sim": sim_obj,
+            }
+        )
+
+    cols = [F.col(id_col), F.col(vec_col), F.col(cluster_col)]
+    return (
+        assigned.select(*cols)
+        .groupBy(cluster_col)
+        .applyInPandas(per_cluster, schema=out_schema)
+    )

@@ -2591,6 +2591,33 @@ def q_ann_pq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "dedup_semantic",
+    oracle=None,  # k-means-cluster dependent: rows-only check; the
+    # greedy semantics are pinned by tests/test_dedup_text.py against an
+    # independent pure-Python reference plus invariant checks.
+    # Registered in the no-oracle TAIL: the driver's correctness window
+    # covers the first 50 entries, which must stay the 50 oracle ones.
+    doc="SemDeDup-style semantic dedup: greedy min-id near-dup removal "
+    "within each IVF cluster, reusing the index build's k-means "
+    "assignment (operators/dedup.semantic_dedup; Abbas et al. 2023, "
+    "arXiv:2303.09540). Survivors are pairwise < threshold per cluster; "
+    "each duplicate records its kept dup_of and similarity",
+)
+def q_dedup_semantic(spark, sf_dir):
+    from go_vectorsearch_spark.operators import dedup as _DD
+
+    index = _ivf_index(spark, sf_dir)
+    out = _DD.semantic_dedup(index.assigned, threshold=0.4)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        "keep",
+        "dup_of",
+        F.round("max_kept_sim", 6).alias("max_kept_sim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

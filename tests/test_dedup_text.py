@@ -300,3 +300,125 @@ def test_simhash_pairs_hot_band_cap(spark):
     # ...but real near-dup pairs still come through both ways
     assert (100, 101) in un and (100, 101) in cp
     assert cp <= un
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, operators/dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _naive_greedy(ids, mat, threshold):
+    """Independent O(n²) reference: ascending-id greedy, no chunking."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms
+    order = np.argsort(ids)
+    kept, out = [], {}
+    for i in order:
+        best_j, best_s = None, -np.inf
+        for j in kept:
+            s = float(mat[i] @ mat[j])
+            if s > best_s:
+                best_j, best_s = j, s
+        if best_j is not None and best_s >= threshold:
+            out[int(ids[i])] = (False, int(ids[best_j]), best_s)
+        else:
+            kept.append(i)
+            out[int(ids[i])] = (True, None, None)
+    return out
+
+
+def test_greedy_semantic_matches_naive_across_chunk_boundaries():
+    import numpy as np
+
+    from go_vectorsearch_spark.operators.dedup import _greedy_semantic
+
+    rng = np.random.default_rng(7)
+    # 40 vectors in 5 noisy families => plenty of near-dups; chunk=8
+    # forces both the intra-block and the cross-block kept paths
+    fam = rng.normal(size=(5, 16))
+    mat = np.vstack([f + rng.normal(scale=0.05, size=(8, 16)) for f in fam])
+    ids = np.arange(1000, 1000 + len(mat), dtype=np.int64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    keep, dup_of, max_sim = _greedy_semantic(ids, mat / norms, 0.9, chunk=8)
+    ref = _naive_greedy(ids, mat, 0.9)
+    for i, vid in enumerate(ids):
+        rkeep, rdup, rsim = ref[int(vid)]
+        assert keep[i] == rkeep, vid
+        if not rkeep:
+            assert dup_of[i] == rdup, vid
+            assert abs(max_sim[i] - rsim) < 1e-12, vid
+
+
+def test_semantic_dedup_invariants_and_cross_cluster_miss(spark):
+    import numpy as np
+
+    # two clusters; vec 11 duplicates vec 10 in-cluster (dropped), vec 21
+    # duplicates vec 10 but lives in the OTHER cluster (kept - the
+    # method's documented cross-cluster miss)
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (10, 0, v),
+        (11, 0, [0.999, 0.01, 0.0, 0.0]),
+        (12, 0, w),
+        (21, 1, v),
+        (22, 1, w),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in DD.semantic_dedup(df, threshold=0.8).collect()
+    }
+    assert out[10]["keep"] and out[12]["keep"] and out[22]["keep"]
+    assert not out[11]["keep"]
+    assert out[11]["dup_of"] == 10 and out[11]["max_kept_sim"] >= 0.8
+    assert out[21]["keep"], "cross-cluster near-dup must NOT be examined"
+    # survivors of a cluster are pairwise < threshold (greedy guarantee)
+    vecs = {vid: np.array(vec) for vid, _cid, vec in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for cid in (0, 1):
+        kept = [r for r in out.values() if r["centroid_id"] == cid and r["keep"]]
+        for a in kept:
+            for b in kept:
+                if a["vec_id"] < b["vec_id"]:
+                    assert cos(vecs[a["vec_id"]], vecs[b["vec_id"]]) < 0.8
+    # duplicates reference an in-cluster kept row with a smaller id
+    for r in out.values():
+        if not r["keep"]:
+            assert out[r["dup_of"]]["keep"]
+            assert out[r["dup_of"]]["centroid_id"] == r["centroid_id"]
+            assert r["dup_of"] < r["vec_id"]
+
+
+def test_semantic_dedup_on_real_embeddings_vs_reference(spark, sf_smoke):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    # synthetic deterministic clustering (id mod 3): the operator's
+    # contract is per-cluster greedy, independent of HOW rows clustered
+    df = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 3).alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    got = {r["vec_id"]: r for r in DD.semantic_dedup(df, threshold=0.6).collect()}
+    rows = df.collect()
+    assert len(got) == len(rows)
+    for cid in (0, 1, 2):
+        sub = [r for r in rows if r["centroid_id"] == cid]
+        ids = np.array([r["vec_id"] for r in sub], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in sub])
+        ref = _naive_greedy(ids, mat, 0.6)
+        for vid, (rkeep, rdup, rsim) in ref.items():
+            assert got[vid]["keep"] == rkeep, vid
+            if not rkeep:
+                assert got[vid]["dup_of"] == rdup, vid
+                assert abs(got[vid]["max_kept_sim"] - rsim) < 1e-9, vid
