@@ -165,3 +165,30 @@ def test_no_forced_broadcast_over_sf_scaling_frames(spark, sf_correct):
                 assert big not in subtree, (
                     f"{name} forces broadcast over SF-scaling {big}"
                 )
+
+
+def test_lsh_bucket_expression_agrees_with_driver_bucket_of(spark):
+    """lsh_search buckets the QUERY driver-side (bucket_of) and the
+    CORPUS with the codegen expression (lsh_bucket); search correctness
+    rests on the two implementations agreeing bit-for-bit. Covers
+    boundary shapes: zero vectors (all dots 0 -> bucket 0, strict >),
+    negatives, and a dim that is not a power of two."""
+    import numpy as np
+
+    from go_vectorsearch_spark.plans import lsh as L
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    dim, n_bits = 17, 12
+    vecs = rng.normal(size=(200, dim)).tolist()
+    vecs += [[0.0] * dim, [-1.0] * dim, [1e-12] * dim]
+    planes = L.rademacher_planes(dim, n_bits=n_bits)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.withColumn("b", L.lsh_bucket(F.col("v"), planes)).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == L.bucket_of(v, planes), i
