@@ -343,6 +343,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _handle_chat(self):
         """Chunked text/plain fragment stream (server/chat.go:85-105)."""
         if self.command != "POST":
+            # same keep-alive hygiene as _handle's 405: consume the unread
+            # body so leftover bytes aren't parsed as the next request
+            self._drain_body()
             return self._error(405, "Invalid request method")
         try:
             req = self._read_body()
