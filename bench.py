@@ -24,9 +24,29 @@ from go_vectorsearch_spark import get_spark  # noqa: E402
 from go_vectorsearch_spark import queries as registry  # noqa: E402
 
 
+def _cpu_score() -> float:
+    """Single-thread md5 iterations/ms over ~0.3 s — a box-speed probe.
+
+    Recorded before and after the run so a reader can tell an engine
+    regression from a slow-host period: at this SF the bench is
+    scheduling/compile-latency bound and virtualized-host jitter has
+    been observed to swing identical trees ±30 % (BASELINE.md); the
+    score pins what the host was actually delivering during THIS run.
+    """
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.3:
+        hashlib.md5(str(n).encode()).digest()
+        n += 1
+    return round(n / ((time.perf_counter() - t0) * 1000), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    cpu_before = _cpu_score()
     spark = get_spark("spark-vectorsearch-bench")
 
     timings: dict[str, float] = {}
@@ -125,6 +145,17 @@ def main() -> None:
     registry._pq_cached(spark, sf_dir)
     timings["ann_pq_encode_build"] = round(time.perf_counter() - t0, 3)
 
+    # per-job scheduling floor: the cost of an EMPTY Spark job on this
+    # box right now (median of 5) — the data-independent latency every
+    # one of the ~58 measured collects pays at least once; 0 % of the
+    # cost at real scale, ~40 % of this bench's total at sf0.1
+    floor_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        floor_samples.append(time.perf_counter() - t0)
+    per_job_floor = round(sorted(floor_samples)[2], 4)
+
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
@@ -148,6 +179,12 @@ def main() -> None:
                 "unit": "sec",
                 "oracle_queries_sec": oracle_total,
                 "diagnostics_and_builds_sec": round(total - oracle_total, 3),
+                # environment context (see BASELINE.md's measurement
+                # caveat): single-thread md5 iters/ms before/after, and
+                # the median empty-job latency on this box during the run
+                "cpu_score_before": cpu_before,
+                "cpu_score_after": _cpu_score(),
+                "per_job_floor_sec": per_job_floor,
                 "queries": timings,
                 "sf": sf,
             }
