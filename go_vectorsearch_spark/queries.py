@@ -2591,6 +2591,50 @@ def q_ann_pq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# Demoted parity (tests/test_demoted_parity.py): the batched IVF search
+# at nprobe=all must reproduce the per-query brute force exactly — the
+# batch twin of the `ivf_search_exact` guarantee, pinned at the same
+# DuckDB bar. Ranking key matches brute_force_topk: (round(score, 6)
+# desc, id asc).
+IVF_BATCH_PROBE_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.q_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, round(sim, 6) AS score
+FROM (SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(sim, 6) DESC, vec_id ASC) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def q_ivf_batch_probe_all(spark, sf_dir):
+    """Batched IVF search, nprobe=all ≡ per-query brute force
+    (plans/ivf.ivf_search_batch; reference serves one query per request,
+    server/search.go:118-122 — the batch shape is the Spark-native
+    extension)."""
+    from go_vectorsearch_spark.plans.ivf import ivf_search_batch
+
+    index = _ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    nprobe = index.centroids.count()
+    res = ivf_search_batch(index, qs, k=3, nprobe=nprobe)
+    return res.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
 @register(
     "dedup_semantic",
     oracle=None,  # k-means-cluster dependent: rows-only check; the
