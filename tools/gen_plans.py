@@ -32,6 +32,17 @@ PICKS = [
     ("range_join_shipments", "Range join (point-in-interval) via bucketed equi-join: intervals "
      "explode to the buckets they span, points join on their bucket, the exact predicate "
      "re-applies post-join — no BroadcastNestedLoopJoin row explosion at any scale."),
+    ("pagination_orders", "Offset/limit pagination: native offset+limit over the sorted "
+     "frame compiles to TakeOrdered-style partial top-(offset+count) per partition with a "
+     "single merge — no row_number window, no single-partition exchange (the plan-lint "
+     "forbids unpartitioned Windows repo-wide)."),
+    ("ann_lsh_buckets", "LSH bucketing: the 16-bit sign-random-projection bucket is ONE "
+     "nested fold over a flat plane Literal inside a single projection (no per-bit "
+     "subtrees); the histogram is a partial+final hash aggregate over the narrow bucket "
+     "column."),
+    ("dedup_semantic", "Semantic dedup (SemDeDup): one hash-partition exchange on the IVF "
+     "cluster id feeding FlatMapGroupsInPandas — per-cluster chunked GEMM with task memory "
+     "bounded by max_leaf; no corpus-squared similarity buffer anywhere."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
