@@ -240,12 +240,27 @@ def minhash_signature(text: Column, n: int = 3) -> Column:
 
 
 def _signature_from_hashes(hashes: Column) -> Column:
-    def perm(a: int, b: int):
-        # closure (not default-arg lambda): pyspark reads the lambda's arity
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
-    sig = [F.array_min(F.transform(hashes, perm(a, b))) for a, b in MINHASH_PERMS]
-    return F.array(*[F.coalesce(s, F.lit(MINHASH_P)) for s in sig])
+    # ONE generic transform over the permutation index with the (a, b)
+    # constants in flat array Literals, not 16 unrolled
+    # array_min(transform(...)) subtrees: the unrolled form compiled 16
+    # near-identical loops per query (~2x slower end-to-end, measured at
+    # sf0.1; same codegen-tree collapse as plans/lsh.lsh_bucket).
+    # array_min is order-independent, so signatures are value-identical.
+    A = F.lit([a for a, _ in MINHASH_PERMS])
+    B = F.lit([b for _, b in MINHASH_PERMS])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(MINHASH_PERMS))),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: (F.element_at(A, i) * h + F.element_at(B, i))
+                    % F.lit(MINHASH_P),
+                )
+            ),
+            F.lit(MINHASH_P),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
