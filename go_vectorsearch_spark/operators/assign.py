@@ -100,11 +100,15 @@ def _assign_expr(
         n = np.linalg.norm(v)
         normed.append((cid, v / n if n > 0 else v))
 
+    # F.lit(list) makes each centroid vector a single array Literal —
+    # the F.array(*[lit per dim]) form was a CreateArray with k x d
+    # literal children re-evaluated per row (same codegen-tree collapse
+    # as dedup._signature_from_hashes / plans/lsh.lsh_bucket)
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("cvec"),
+                F.lit([float(x) for x in v]).alias("cvec"),
             )
             for cid, v in normed
         ]
