@@ -73,7 +73,7 @@ def md5_int32(col: Column) -> Column:
 
 def stopword_ratio(tokens: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are function words (float64)."""
-    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    sw = F.lit(list(stopwords or STOPWORDS))
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
     return n_stop.cast("double") / F.size(tokens).cast("double")
 
@@ -124,7 +124,7 @@ def quality_score(text: Column) -> Column:
 
 def lang_marker_hits(tokens: Column, lang: str) -> Column:
     """Number of tokens that are marker function words of ``lang``."""
-    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    markers = F.lit(list(LANG_MARKERS[lang]))
     return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t))).cast("long")
 
 

@@ -47,7 +47,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
         ]
     )
     kind = F.element_at(
-        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        F.lit(list(MEDIA_KINDS)),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
     return docs.select(

@@ -77,7 +77,7 @@ def profile_columns(
                 aggs.append(
                     F.percentile_approx(
                         F.col(q).cast("double"),
-                        F.array(*[F.lit(float(p)) for p in quantiles]),
+                        F.lit([float(p) for p in quantiles]),
                     ).alias(f"_qtl_{c}")
                 )
         if isinstance(fld.dataType, StringType):

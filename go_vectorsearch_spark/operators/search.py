@@ -34,7 +34,9 @@ def query_vec_lit(query_vec: Sequence[float]) -> Column:
     becomes a constant in the codegen'd expression, shipped once with
     the task binary - strictly cheaper than a broadcast join.
     """
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # a true array Literal (one node), not CreateArray of d literal
+    # children re-evaluated per row
+    return F.lit([float(x) for x in query_vec])
 
 
 def score_cosine(

@@ -196,9 +196,9 @@ def adc_score_expr(codes_col: Column, lut: list) -> Column:
     """Codegen'd ADC score: the LUT folds into the plan as nested array
     literals, score = sum over positions of lut[j][code_j]. Pure JVM
     column math - the codes scan stays inside whole-stage codegen."""
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
-    )
+    # one nested array Literal, not CreateArray-of-CreateArrays: the
+    # unrolled form re-evaluated m x k_sub literal children per row
+    lut_lit = F.lit([[float(v) for v in row] for row in lut])
     # zip codes with their subspace index via transform's index arg
     return F.aggregate(
         F.zip_with(
@@ -250,7 +250,7 @@ def pq_search(
 
     q = np.asarray(qvec, dtype=np.float64)
     qn = np.linalg.norm(q)
-    qlit = F.array(*[F.lit(float(x / qn if qn > 0 else x)) for x in q])
+    qlit = F.lit([float(x / qn if qn > 0 else x) for x in q])
     return (
         cands.withColumn("score", dot(l2_normalize(F.col(vec_col)), qlit))
         .orderBy(F.desc("score"), F.asc(id_col))
