@@ -171,6 +171,31 @@ def main() -> None:
     # (server/centroids.go:17-83).
     oracle_names = {n for n, s in registry.REGISTRY.items() if s.oracle is not None}
     oracle_total = round(sum(v for n, v in timings.items() if n in oracle_names), 3)
+
+    # The DuckDB oracle suite, SAME process, SAME minutes: host speed on
+    # this box swings ±30% across hours (BASELINE.md), so a ratio of a
+    # Spark total against a DuckDB total recorded on a different day
+    # measures the weather, not the engine. Running both sides back to
+    # back makes spark_vs_duckdb_oracle_ratio box-independent.
+    duckdb_total = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        from go_vectorsearch_spark.sources.tables import TABLE_NAMES
+
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        t0 = time.perf_counter()
+        for name in sorted(oracle_names):
+            con.execute(registry.REGISTRY[name].oracle).fetchall()
+        duckdb_total = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass  # context only: the bench metric never depends on it
     print(
         json.dumps(
             {
@@ -185,6 +210,12 @@ def main() -> None:
                 "cpu_score_before": cpu_before,
                 "cpu_score_after": _cpu_score(),
                 "per_job_floor_sec": per_job_floor,
+                # same-box, same-minutes DuckDB run of the 50 oracle
+                # statements; ratio = oracle_queries_sec / this
+                "duckdb_oracle_total_sec": duckdb_total,
+                "spark_vs_duckdb_oracle_ratio": (
+                    round(oracle_total / duckdb_total, 3) if duckdb_total else None
+                ),
                 "queries": timings,
                 "sf": sf,
             }
