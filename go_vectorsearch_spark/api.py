@@ -182,6 +182,61 @@ class _VersionedTable:
             f.write(str(v))
         self._vacuum(v, keep_versions)
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        key: str | None = None,
+    ) -> DataFrame:
+        """Change feed between two snapshots (Delta CDF's
+        ``table_changes`` analog, computed on demand from the immutable
+        version directories): every row of the newer snapshot not in the
+        older one tagged ``insert``, every departed row tagged
+        ``delete``, and — when ``key`` names the table's id column —
+        rows present on both sides with changed content tagged
+        ``update_preimage``/``update_postimage``.
+
+        Plans (all minimal-diff shapes): keyless mode is two
+        ``exceptAll`` set-diffs (one shuffle each over hashed full
+        rows); keyed mode is two anti-joins on the key plus one
+        key-join of md5(row-json) digests to find updates — the key
+        and a 32-hex digest shuffle, never double-width rows. Output =
+        table columns + ``_change_type``.
+        """
+        old = self.read(from_version)
+        new = self.read(to_version)
+        ct = F.lit
+        if key is None:
+            return new.exceptAll(old).withColumn(
+                "_change_type", ct("insert")
+            ).unionByName(
+                old.exceptAll(new).withColumn("_change_type", ct("delete"))
+            )
+        cols = new.columns
+        digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        o = old.withColumn("_d", digest)
+        n = new.withColumn("_d", digest)
+        inserted = n.join(o.select(key), key, "left_anti").withColumn(
+            "_change_type", ct("insert")
+        )
+        deleted = o.join(n.select(key), key, "left_anti").withColumn(
+            "_change_type", ct("delete")
+        )
+        changed_keys = (
+            n.select(key, F.col("_d").alias("_dn"))
+            .join(o.select(key, F.col("_d").alias("_do")), key)
+            .filter(F.col("_dn") != F.col("_do"))
+            .select(key)
+        )
+        pre = o.join(changed_keys, key, "left_semi").withColumn(
+            "_change_type", ct("update_preimage")
+        )
+        post = n.join(changed_keys, key, "left_semi").withColumn(
+            "_change_type", ct("update_postimage")
+        )
+        out = inserted.unionByName(deleted).unionByName(pre).unionByName(post)
+        return out.select(*cols, "_change_type")
+
     def _vacuum(self, current: int, keep: int) -> None:
         """Drop version dirs older than the ``keep`` most recent —
         copy-on-write otherwise accumulates a full table copy per
@@ -521,6 +576,17 @@ class Engine:
         return build_messages(text, doc_texts, history, prefix)
 
     # -- fetch (server/fetch.go:19-124) -------------------------------------
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed of an engine table between two snapshot versions
+        (see _VersionedTable.changes). The table's id column — the first
+        schema column by the engine's DDL convention — keys the diff, so
+        in-place mutations surface as update_preimage/update_postimage
+        pairs rather than unrelated delete+insert rows."""
+        key = _SCHEMAS[name].split(",")[0].split()[0]
+        return self.t[name].changes(from_version, to_version, key=key)
+
     def fetch_category_names(self, owner: str) -> list[str]:
         owners = self.t["owners"].read().filter(F.col("name") == owner)
         cats = self.t["categories"].read()

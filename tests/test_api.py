@@ -220,3 +220,57 @@ def test_versioned_table_time_travel(spark, tmp_path):
         t.read(version=0)  # vacuumed
     with pytest.raises(KeyError):
         t.read(version=99)  # never existed
+
+
+def test_versioned_table_changes_keyless(spark, tmp_path):
+    """Keyless change feed: pure set-diff insert/delete tagging."""
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path), "cdf0", "id long, x string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.write(spark.createDataFrame([(2, "b"), (3, "c")], t.schema))
+    feed = {(r["id"], r["_change_type"]) for r in t.changes(0, 1).collect()}
+    assert feed == {(3, "insert"), (1, "delete")}
+
+
+def test_versioned_table_changes_keyed_updates(spark, tmp_path):
+    """With a key, an in-place mutation surfaces as an
+    update_preimage/update_postimage pair, not delete+insert."""
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path), "cdf1", "id long, x string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], t.schema))
+    t.write(spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], t.schema))
+    rows = t.changes(0, 1, key="id").collect()
+    feed = {(r["id"], r["_change_type"], r["x"]) for r in rows}
+    assert feed == {
+        (1, "delete", "a"),
+        (3, "insert", "c"),
+        (2, "update_preimage", "b"),
+        (2, "update_postimage", "B"),
+    }
+    # unchanged rows never appear in the feed
+    assert all(r["id"] != 4 for r in rows)
+
+
+def test_engine_table_changes_after_delete(spark, tmp_path):
+    """End-to-end CDF: a document delete shows up as delete rows in the
+    documents table's change feed between the surrounding versions."""
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    ids = eng.upload(
+        "o1",
+        "c1",
+        [
+            {"name": "d1", "external_id": "x1", "document": '{"t": "alpha"}'},
+            {"name": "d2", "external_id": "x2", "document": '{"t": "beta"}'},
+        ],
+    )
+    v_before = eng.t["documents"].versions()[-1]
+    eng.delete_document(ids[0])
+    v_after = eng.t["documents"].versions()[-1]
+    feed = eng.table_changes("documents", v_before, v_after).collect()
+    assert {(r["document_id"], r["_change_type"]) for r in feed} == {
+        (ids[0], "delete")
+    }
