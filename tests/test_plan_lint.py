@@ -53,3 +53,19 @@ def test_registry_plan_has_no_scale_killers(spark, sf_smoke, name):
     df = R.REGISTRY[name].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
+
+
+def _demoted_fns():
+    from tests.test_demoted_parity import DEMOTED
+
+    return [fn for fn, _oracle in DEMOTED]
+
+
+@pytest.mark.parametrize(
+    "fn", _demoted_fns(), ids=lambda f: getattr(f, "__name__", "")
+)
+def test_demoted_plan_has_no_scale_killers(spark, sf_smoke, fn):
+    """The demoted-parity queries meet the same plan bar as the
+    registry — demotion moved their oracle, not their standards."""
+    plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert not _lint(plan), f"{fn.__name__}: {_lint(plan)}\n{plan[:2000]}"
