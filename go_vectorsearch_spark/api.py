@@ -201,7 +201,10 @@ class _VersionedTable:
         rows); keyed mode is two anti-joins on the key plus one
         key-join of md5(row-json) digests to find updates — the key
         and a 32-hex digest shuffle, never double-width rows. Output =
-        table columns + ``_change_type``.
+        table columns + ``_change_type``. Keyed mode assumes ``key``
+        is unique per snapshot (true for every engine table's id
+        column); duplicated keys would mis-classify updates — use
+        keyless mode for non-unique data.
         """
         old = self.read(from_version)
         new = self.read(to_version)

@@ -74,6 +74,12 @@ def zorder_code(
 ) -> Column:
     """The Morton code column for ``cols`` (numeric), using equi-depth
     buckets fit on ``df`` via approxQuantile (one sketch pass)."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_code: {len(cols)} cols x {bits} bits = "
+            f"{bits * len(cols)} interleaved bits exceeds a signed long; "
+            "lower bits or cluster fewer columns"
+        )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     # one sketch job for ALL columns (approxQuantile merges per-column
     # KLL sketches in a single pass)

@@ -96,3 +96,11 @@ def test_point_filter_skips_most_zordered_files(layouts):
         assert touched <= len(zboxes) * 0.6, (
             f"point filter on {c} touches {touched}/{len(zboxes)} files"
         )
+
+
+def test_zorder_rejects_bit_overflow(spark, sf_correct):
+    from go_vectorsearch_spark.sources.zorder import zorder_code
+
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        zorder_code(li, ["l_partkey"] * 8, bits=8)
