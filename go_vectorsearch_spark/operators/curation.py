@@ -345,3 +345,47 @@ def weighted_mix(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col(tmp))))
         .drop(tmp)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: tag every row train/val/test (or any
+    custom partition names) by content-addressed hash bucket.
+
+    The holdout assignment of a training pipeline must be a PROPERTY OF
+    THE ROW, not of a run: ``randomSplit`` re-draws on every retry,
+    partition-layout change, or engine, silently leaking rows across the
+    split boundary between runs. Here bucket =
+    ``md5_int32(seed:id) % 10000`` (the curation family's
+    :func:`seeded_hash` scheme) against cumulative fraction thresholds,
+    so the same row lands in the same split on any cluster, any rerun,
+    and in the SQL oracle — and adding data never reassigns existing
+    rows. Pure projection: no shuffle, no RNG state.
+
+    ``fractions`` maps name -> fraction in declaration order (the last
+    name absorbs rounding remainder); default 98/1/1 train/val/test.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    bucket = seeded_hash(id_col, seed) % 10000
+    names = list(fractions)
+    expr: Column | None = None
+    cum = 0.0
+    # build thresholds over the FIRST n-1 names; the last absorbs the
+    # integer-rounding remainder so every bucket is assigned
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((name, int(round(cum * 10000))))
+    expr = F.lit(names[-1])
+    for name, threshold in reversed(cases):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -828,6 +828,29 @@ def q_vocab_top_terms(spark, sf_dir):
     )
 
 
+# Deterministic holdout split (operators/curation.train_val_test_split):
+# content-addressed hash buckets against cumulative fraction thresholds,
+# so the same row lands in the same split on any cluster/rerun/engine.
+# pytest-parity (the 50-entry driver window is full).
+TRAIN_VAL_TEST_ORACLE = r"""
+SELECT doc_id,
+       CASE
+         WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9800 THEN 'train'
+         WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9900 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+def q_train_val_test_split(spark, sf_dir):
+    from go_vectorsearch_spark.operators.curation import train_val_test_split
+
+    return train_val_test_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
 SHARD_MANIFEST_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

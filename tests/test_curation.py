@@ -179,3 +179,28 @@ def test_weighted_mix_zero_weight_drops_stratum(spark):
     )
     out = weighted_mix(df, "lang", {"a": 0.0}, default_weight=1.0).collect()
     assert [(r["doc_id"], r["_copy"]) for r in out] == [(2, 1)]
+
+
+def test_train_val_test_split_deterministic_and_complete(spark, sf_smoke):
+    from go_vectorsearch_spark.operators.curation import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every row assigned exactly once
+    # growing the input never reassigns existing rows (content-addressed)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    h = {r["doc_id"]: r["split"] for r in train_val_test_split(half).collect()}
+    assert all(a[k] == v for k, v in h.items())
+
+
+def test_train_val_test_split_rejects_bad_fractions(spark, sf_smoke):
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.curation import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    with _pytest.raises(ValueError, match="sum to"):
+        train_val_test_split(docs, {"train": 0.5, "val": 0.1})
