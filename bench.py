@@ -182,20 +182,28 @@ def main() -> None:
         import duckdb
 
         con = duckdb.connect()
-        from go_vectorsearch_spark.sources.tables import TABLE_NAMES
+        try:
+            from go_vectorsearch_spark.sources.tables import TABLE_NAMES
 
-        for t in TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        t0 = time.perf_counter()
-        for name in sorted(oracle_names):
-            con.execute(registry.REGISTRY[name].oracle).fetchall()
-        duckdb_total = round(time.perf_counter() - t0, 3)
-        con.close()
-    except Exception:
-        pass  # context only: the bench metric never depends on it
+            for t in TABLE_NAMES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            t0 = time.perf_counter()
+            name = None
+            try:
+                for name in sorted(oracle_names):
+                    con.execute(registry.REGISTRY[name].oracle).fetchall()
+                duckdb_total = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                # context only — the bench metric never depends on it —
+                # but a silent null would hide WHICH statement broke
+                print(f"duckdb oracle pass failed at {name!r}: {e}", file=sys.stderr)
+        finally:
+            con.close()
+    except Exception as e:
+        print(f"duckdb oracle pass unavailable: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -56,6 +56,17 @@ EMBED_DIM = 64  # matches the driver testdata's embedding width
 # (compute/quantization.go:71-80); every consumer dequantizes in-flight.
 # At 100 TB this is the 4x memory/storage headline: 1 byte per dim + 8
 # bytes per vector instead of 4 bytes per dim.
+# per-table UNIQUE id column, declared (not derived from DDL order):
+# the change feed's keyed diff is only correct on a per-snapshot-unique
+# key (_VersionedTable.changes)
+_TABLE_KEYS = {
+    "owners": "owner_id",
+    "categories": "category_id",
+    "documents": "document_id",
+    "embeddings": "embedding_id",
+    "centroids": "centroid_id",
+}
+
 _SCHEMAS = {
     "owners": "owner_id long, name string",
     "categories": "category_id long, name string, owner_id long",
@@ -583,12 +594,16 @@ class Engine:
         self, name: str, from_version: int, to_version: int | None = None
     ) -> DataFrame:
         """Change feed of an engine table between two snapshot versions
-        (see _VersionedTable.changes). The table's id column — the first
-        schema column by the engine's DDL convention — keys the diff, so
-        in-place mutations surface as update_preimage/update_postimage
-        pairs rather than unrelated delete+insert rows."""
-        key = _SCHEMAS[name].split(",")[0].split()[0]
-        return self.t[name].changes(from_version, to_version, key=key)
+        (see _VersionedTable.changes), keyed by the table's unique id
+        column so in-place mutations surface as update_preimage/
+        update_postimage pairs rather than unrelated delete+insert
+        rows. Keys are DECLARED per table (_TABLE_KEYS), not derived
+        from DDL column order: keyed-diff correctness requires a
+        per-snapshot-unique column, and a silent convention would let a
+        reordered schema key the diff on a non-unique column."""
+        return self.t[name].changes(
+            from_version, to_version, key=_TABLE_KEYS[name]
+        )
 
     def fetch_category_names(self, owner: str) -> list[str]:
         owners = self.t["owners"].read().filter(F.col("name") == owner)

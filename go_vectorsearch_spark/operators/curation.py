@@ -377,7 +377,6 @@ def train_val_test_split(
         raise ValueError(f"split fractions sum to {total}, expected 1.0")
     bucket = seeded_hash(id_col, seed) % 10000
     names = list(fractions)
-    expr: Column | None = None
     cum = 0.0
     # build thresholds over the FIRST n-1 names; the last absorbs the
     # integer-rounding remainder so every bucket is assigned

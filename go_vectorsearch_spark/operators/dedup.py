@@ -852,6 +852,9 @@ def _greedy_semantic(
         pre = list(kept)  # kept set snapshot at block start
         prev = C @ mat[pre].T if pre else None
         intra = C @ C.T
+        blk: list[int] = []  # LOCAL indexes of rows kept in this block,
+        # maintained incrementally — rebuilding it from the cumulative
+        # kept list per row is O(|kept|) per row = O(n²) per cluster
         for i in range(e - s):
             gi = s + i
             best_j, best_s = -1, -np.inf
@@ -859,19 +862,18 @@ def _greedy_semantic(
                 j = int(np.argmax(prev[i]))
                 if prev[i, j] > best_s:
                     best_j, best_s = pre[j], float(prev[i, j])
-            # rows kept earlier within this block
-            blk = [k - s for k in kept if k >= s]
             if blk:
                 sims = intra[i, blk]
                 j = int(np.argmax(sims))
                 if sims[j] > best_s:
-                    best_j, best_s = kept[len(pre) + j], float(sims[j])
+                    best_j, best_s = s + blk[j], float(sims[j])
             if best_j >= 0 and best_s >= threshold:
                 dup_of[gi] = ids[best_j]
                 max_sim[gi] = best_s
             else:
                 keep[gi] = True
                 kept.append(gi)
+                blk.append(i)
     return keep, dup_of, max_sim
 
 

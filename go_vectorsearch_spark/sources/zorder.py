@@ -40,17 +40,25 @@ from pyspark.sql import functions as F
 
 def _bucket_expr(col: Column, boundaries: list[float], bits: int) -> Column:
     """Equi-depth bucket id of ``col`` in [0, 2^bits): the count of
-    interior quantile boundaries <= value — a fold over a boundary
-    array Literal (2^bits - 1 elements), clamped so NULLs map to 0."""
-    b = F.lit([float(x) for x in boundaries])
-    cnt = F.aggregate(
-        b,
-        F.lit(0),
-        lambda acc, bound: acc
-        + F.when(col.cast("double") >= bound, F.lit(1)).otherwise(F.lit(0)),
-    )
-    return F.least(
-        F.coalesce(cnt, F.lit(0)), F.lit((1 << bits) - 1)
+    interior quantile boundaries <= value, found by a NESTED-when
+    binary search over the sorted boundary list — each row evaluates
+    one comparison per level (``bits`` total), not one per boundary
+    (2^bits - 1; at bits=8 that fold was a 30x arithmetic multiplier
+    on the clustering write's hot projection). NULLs map to bucket 0.
+    """
+    v = col.cast("double")
+
+    def search(lo: int, hi: int) -> Column:
+        # bucket id in [lo, hi] given boundaries[lo-1] <= v < boundaries[hi]
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            v >= F.lit(float(boundaries[mid - 1])), search(mid, hi)
+        ).otherwise(search(lo, mid - 1))
+
+    return F.coalesce(
+        search(0, min((1 << bits) - 1, len(boundaries))), F.lit(0)
     ).cast("long")
 
 
