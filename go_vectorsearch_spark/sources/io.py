@@ -8,6 +8,9 @@ round-trip semantics, so every operator works on any source.
 
 Format notes (scale):
   * parquet — canonical: columnar pruning + predicate pushdown + stats.
+  * orc — the other built-in columnar format (same pruning/pushdown
+    class; arrays/structs native) for pipelines whose upstream is
+    ORC-standardized. Schema-on-read like parquet.
   * json (lines) — ingest format; arrays/structs map natively. Schema
     must be supplied on read (inference = extra full scan).
   * csv — flat columns only: array columns (embeddings) are serialized
@@ -21,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def _array_cols(df: DataFrame) -> list[str]:
@@ -34,6 +37,8 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     w = df.write.mode("overwrite")
     if fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     elif fmt == "json":
         w.json(path)
     else:
@@ -58,6 +63,8 @@ def read_table(
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if schema is None:
         raise ValueError(f"schema required to read {fmt} (avoid inference scans)")
     target = (
