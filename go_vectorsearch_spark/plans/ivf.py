@@ -328,21 +328,22 @@ def build_index(
     # merge — no shuffle, no full sort) doubles as the corpus counter:
     # a sample that comes back short IS the whole corpus, so the
     # separate count() job only runs when the sample budget filled up.
-    samp = (
-        deterministic_sample(df, sample_size, id_col).select(vec_col).collect()
-    )
-    n = len(samp) if len(samp) < sample_size else df.count()
+    # FULL rows are collected (not a vector-only projection): the few
+    # extra narrow columns per sample row cost less than the second
+    # corpus-sized collect the small-corpus path otherwise pays to
+    # re-fetch them.
+    rows = deterministic_sample(df, sample_size, id_col).collect()
+    n = len(rows) if len(rows) < sample_size else df.count()
     if n == 0:
         raise ValueError("build_index: empty corpus")
     if n < sample_size and not _force_distributed:
-        # the sample IS the corpus — one more corpus-sized collect for
-        # the full rows (the sample projected vectors only), then every
-        # remaining build stage runs driver-local
-        rows = deterministic_sample(df, sample_size, id_col).collect()
+        # the sample IS the corpus — every remaining stage runs
+        # driver-local on the rows already here
         return _build_index_local(
             df.sparkSession, rows, df.schema, id_col, vec_col,
             max_leaf, max_split_rounds, min_leaf,
         )
+    samp = [r[vec_col] for r in rows]
     # overshoot k so the average leaf lands at ~70% of max_leaf; with
     # k = n/max_leaf exactly, half the leaves start oversized and every
     # build pays split rounds for geometry, not skew
@@ -350,7 +351,7 @@ def build_index(
 
     from go_vectorsearch_spark.operators.assign import assign_nearest_mat
 
-    X = np.array([r[0] for r in samp], dtype=np.float64)
+    X = np.array(samp, dtype=np.float64)
     mat = _numpy_lloyd(
         X, k, max_iters=20, init_oversample=5, quantize_iterations=True
     )
