@@ -828,6 +828,42 @@ def q_vocab_top_terms(spark, sf_dir):
     )
 
 
+# Embedding-side data validation — the vector twin of the registry's
+# validate_documents: one aggregate pass asserting the invariants every
+# ANN/quantization operator in the engine assumes (uniform dimension,
+# no NULL vectors, no NaN elements, no all-zero vectors). pytest-parity
+# (the 50-entry driver window is full).
+VALIDATE_EMBEDDINGS_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT len(embedding)) AS n_distinct_dims,
+       count(*) FILTER (WHERE embedding IS NULL) AS null_vectors,
+       count(*) FILTER (
+         WHERE len(list_filter(embedding, x -> isnan(x::DOUBLE))) > 0
+       ) AS nan_vectors,
+       count(*) FILTER (
+         WHERE list_sum(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+       ) AS zero_vectors
+FROM embeddings
+"""
+
+
+def q_validate_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    abs_sum = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + F.abs(x.cast("double"))
+    )
+    return emb.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.size(v)).alias("n_distinct_dims"),
+        F.count_if(v.isNull()).alias("null_vectors"),
+        F.count_if(
+            F.exists(v, lambda x: F.isnan(x.cast("double")))
+        ).alias("nan_vectors"),
+        F.count_if(abs_sum == 0.0).alias("zero_vectors"),
+    )
+
+
 # Deterministic holdout split (operators/curation.train_val_test_split):
 # content-addressed hash buckets against cumulative fraction thresholds,
 # so the same row lands in the same split on any cluster/rerun/engine.

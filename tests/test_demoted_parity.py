@@ -29,6 +29,7 @@ DEMOTED = [
     (Q.q_shard_manifest, Q.SHARD_MANIFEST_ORACLE),
     (Q.q_ivf_batch_probe_all, Q.IVF_BATCH_PROBE_ORACLE),
     (Q.q_train_val_test_split, Q.TRAIN_VAL_TEST_ORACLE),
+    (Q.q_validate_embeddings, Q.VALIDATE_EMBEDDINGS_ORACLE),
 ]
 
 
