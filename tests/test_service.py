@@ -246,3 +246,47 @@ def test_chat_without_provider_501(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_concurrent_uploads_lose_no_rows(served):
+    """The mutation lock's contract: N racing uploads (read-modify-write
+    of the versioned documents table) all land — every returned id is
+    unique and every document is searchable afterwards. Without the
+    lock, two writers reading the same base version would drop each
+    other's rows on the pointer flip."""
+    eng, port, _llm = served
+    n_threads, per_batch = 4, 3
+    results: list = [None] * n_threads
+
+    def upload(i: int) -> None:
+        docs = [
+            {
+                "name": f"cc{i}-{j}",
+                "external_id": f"cc{i}-{j}",
+                "document": {"t": f"race doc {i} {j}"},
+            }
+            for j in range(per_batch)
+        ]
+        resp, data = _call(
+            port, "/api/upload", {"owner": "racer", "category": "cc", "documents": docs}
+        )
+        results[i] = (resp.status, json.loads(data))
+
+    threads = [threading.Thread(target=upload, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None and r[0] == 200 for r in results), results
+    ids = [d for _s, body in results for d in body["document_ids"]]
+    assert len(ids) == n_threads * per_batch
+    assert len(set(ids)) == len(ids), "duplicate document ids across racers"
+    from pyspark.sql import functions as F
+
+    stored = (
+        eng.t["documents"]
+        .read()
+        .filter(F.col("name").startswith("cc"))
+        .count()
+    )
+    assert stored == n_threads * per_batch, "a racing upload lost rows"
