@@ -93,15 +93,29 @@ def bucket_of(vec: list[float], planes: list[list[int]]) -> int:
 
 
 def _hamming_neighbors(bucket: int, n_bits: int, radius: int) -> list[int]:
-    """Buckets within Hamming distance ``radius`` (radius ≤ 1 supported;
-    larger radii would enumerate combinations)."""
-    if radius > 1:
-        # a real error, not an assert: under python -O an assert would
-        # silently return fewer buckets than the caller asked for
-        raise ValueError(f"multi-probe radius {radius} unsupported (max 1)")
+    """Buckets within Hamming distance ``radius`` (0, 1, or 2).
+
+    Probe counts: 1, 1 + n, 1 + n + C(n, 2) — at 16 bits radius 2 is
+    137 buckets, still a tiny IN-list/partition filter next to the
+    2^16 bucket space. Radius ≥ 3 would probe C(n, 3)-style bucket
+    counts approaching a meaningful fraction of the space; at that
+    point fewer bits (bigger buckets) is the right recall dial, so it
+    stays a real error (not an assert: under python -O an assert would
+    silently return fewer buckets than the caller asked for)."""
+    if radius > 2:
+        raise ValueError(
+            f"multi-probe radius {radius} unsupported (max 2); "
+            "use fewer plane bits for higher recall instead"
+        )
     out = [bucket]
     if radius >= 1:
         out += [bucket ^ (1 << b) for b in range(n_bits)]
+    if radius >= 2:
+        out += [
+            bucket ^ (1 << a) ^ (1 << b)
+            for a in range(n_bits)
+            for b in range(a + 1, n_bits)
+        ]
     return out
 
 

@@ -192,3 +192,43 @@ def test_lsh_bucket_expression_agrees_with_driver_bucket_of(spark):
     }
     for i, v in enumerate(vecs):
         assert got[i] == L.bucket_of(v, planes), i
+
+
+def test_lsh_multiprobe_radius_two(spark):
+    """Radius-2 probing: the probe set is exactly the Hamming<=2 ball
+    (1 + n + C(n,2) buckets), recall is monotone in radius, and
+    radius 3 stays a real error."""
+    import numpy as np
+    import pytest
+
+    from go_vectorsearch_spark.plans import lsh as L
+    from pyspark.sql import functions as F
+
+    n_bits = 6
+    ball = L._hamming_neighbors(0b101010, n_bits, 2)
+    assert len(ball) == 1 + n_bits + n_bits * (n_bits - 1) // 2
+    assert len(set(ball)) == len(ball)
+    assert all(bin(b ^ 0b101010).count("1") <= 2 for b in ball)
+
+    with pytest.raises(ValueError, match="max 2"):
+        L._hamming_neighbors(0, n_bits, 3)
+
+    # recall vs brute force is monotone in probe radius
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(300, 12)).tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    q = vecs[0]
+    planes = L.rademacher_planes(12, n_bits=n_bits)
+
+    def ids(radius):
+        res = L.lsh_search(emb, q, k=10, probe_radius=radius, planes=planes)
+        return {r["vec_id"] for r in res.collect()}
+
+    from go_vectorsearch_spark.operators.search import brute_force_topk
+
+    bf = {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
+    r0, r1, r2 = (len(ids(r) & bf) for r in (0, 1, 2))
+    assert r0 <= r1 <= r2
+    assert r2 >= 8  # 137-bucket ball of a 64-bucket space ~ brute force
