@@ -833,15 +833,27 @@ def q_vocab_top_terms(spark, sf_dir):
 # ANN/quantization operator in the engine assumes (uniform dimension,
 # no NULL vectors, no NaN elements, no all-zero vectors). pytest-parity
 # (the 50-entry driver window is full).
+# Degenerate-input semantics, pinned identically on BOTH engines (the
+# rows this validator exists to catch): a NULL element never hides a
+# row (counted in null_element_vectors; the zero test folds over the
+# NON-null elements — DuckDB's list_sum skips NULL products, Spark
+# filters first); an EMPTY or all-NULL-element vector counts as zero
+# (no signal — Spark folds to 0.0, DuckDB's NULL list_sum coalesces to
+# 0); a NULL vector counts ONLY as null_vectors.
+# tests/test_demoted_parity.py re-checks parity on planted dirty rows.
 VALIDATE_EMBEDDINGS_ORACLE = """
 SELECT count(*) AS n_rows,
        count(DISTINCT len(embedding)) AS n_distinct_dims,
        count(*) FILTER (WHERE embedding IS NULL) AS null_vectors,
        count(*) FILTER (
+         WHERE len(list_filter(embedding, x -> x IS NULL)) > 0
+       ) AS null_element_vectors,
+       count(*) FILTER (
          WHERE len(list_filter(embedding, x -> isnan(x::DOUBLE))) > 0
        ) AS nan_vectors,
        count(*) FILTER (
-         WHERE list_sum(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+         WHERE embedding IS NOT NULL
+           AND coalesce(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 0) = 0
        ) AS zero_vectors
 FROM embeddings
 """
@@ -851,12 +863,17 @@ def q_validate_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     abs_sum = F.aggregate(
-        v, F.lit(0.0), lambda a, x: a + F.abs(x.cast("double"))
+        F.filter(v, lambda x: x.isNotNull()),
+        F.lit(0.0),
+        lambda a, x: a + F.abs(x.cast("double")),
     )
     return emb.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct(F.size(v)).alias("n_distinct_dims"),
         F.count_if(v.isNull()).alias("null_vectors"),
+        F.count_if(F.exists(v, lambda x: x.isNull())).alias(
+            "null_element_vectors"
+        ),
         F.count_if(
             F.exists(v, lambda x: F.isnan(x.cast("double")))
         ).alias("nan_vectors"),

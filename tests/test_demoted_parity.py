@@ -50,3 +50,50 @@ def test_demoted_query_parity(spark, sf_correct, fn, oracle):
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d_rows)
+
+
+def test_validate_embeddings_parity_on_planted_dirty_rows(spark, tmp_path):
+    """The degenerate inputs the validator exists to catch — empty
+    array, NULL vector, NULL element, NaN element, zero vector — must
+    count identically on both engines (the sf fixtures contain none of
+    them, so the standard parity run can't see a divergence here)."""
+    import duckdb
+
+    rows = [
+        (0, [1.0, 2.0]),          # clean
+        (1, [0.0, 0.0]),          # zero vector
+        (2, []),                  # empty -> zero (no signal)
+        (3, None),                # NULL vector
+        (4, [0.0, None]),         # NULL element, zero otherwise
+        (5, [float("nan"), 1.0]), # NaN element
+        (6, [1.0, 2.0, 3.0]),     # second dimension
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "dirty_emb")
+    df.repartition(1).write.parquet(path)
+
+    # q_validate_embeddings loads '<sf_dir>/embeddings.parquet'; lay the
+    # file out that way instead of monkeypatching the loader
+    import shutil
+
+    root = tmp_path / "sfdirty"
+    root.mkdir()
+    shutil.move(path, str(root / "embeddings.parquet"))
+    sdf = Q.q_validate_embeddings(spark, str(root))
+    s = sdf.head().asDict()
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{root}/embeddings.parquet/*.parquet')"
+        )
+        res = con.execute(Q.VALIDATE_EMBEDDINGS_ORACLE)
+        d = dict(zip([c[0] for c in res.description], res.fetchone()))
+    finally:
+        con.close()
+    assert s == d, f"spark {s} != duckdb {d}"
+    # and the counts themselves are the planted truth
+    assert s["n_rows"] == 7 and s["null_vectors"] == 1
+    assert s["null_element_vectors"] == 1 and s["nan_vectors"] == 1
+    assert s["zero_vectors"] == 3  # zero + empty + (0.0, NULL)

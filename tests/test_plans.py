@@ -231,4 +231,8 @@ def test_lsh_multiprobe_radius_two(spark):
     bf = {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
     r0, r1, r2 = (len(ids(r) & bf) for r in (0, 1, 2))
     assert r0 <= r1 <= r2
-    assert r2 >= 8  # 137-bucket ball of a 64-bucket space ~ brute force
+    # 22-bucket Hamming-2 ball of the 64-bucket space (~34% coverage):
+    # high recall here comes from near neighbors CONCENTRATING in
+    # Hamming-near buckets (the SRP property), not exhaustive coverage —
+    # the seeded data keeps this comfortably above the bound
+    assert r2 >= 8

@@ -267,9 +267,22 @@ def test_concurrent_uploads_lose_no_rows(served):
             }
             for j in range(per_batch)
         ]
-        resp, data = _call(
-            port, "/api/upload", {"owner": "racer", "category": "cc", "documents": docs}
+        # generous client timeout: the engine lock SERIALIZES the four
+        # copy-on-write upload cycles, so the last response legitimately
+        # waits for all predecessors — on a contended host that can pass
+        # the default 120 s without any row being lost
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request(
+            "POST",
+            "/api/upload",
+            body=json.dumps(
+                {"owner": "racer", "category": "cc", "documents": docs}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
         )
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
         results[i] = (resp.status, json.loads(data))
 
     threads = [threading.Thread(target=upload, args=(i,)) for i in range(n_threads)]
