@@ -939,3 +939,187 @@ def semantic_dedup(
         .groupBy(cluster_col)
         .applyInPandas(per_cluster, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. kNN graph construction
+# ---------------------------------------------------------------------------
+
+
+def _topk_per_row(pairs: DataFrame, k: int) -> DataFrame:
+    """Per-source top-k by (round(cosine, 6) desc, dst asc) — the
+    engine's every-LIMIT-total-order convention (brute_force_topk), so
+    ranks are reproducible across engines whose float summation orders
+    differ below 1e-6. One window shuffle over the candidate edges
+    (already a reduced set)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("dst")
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def knn_graph_exact(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph: (src, dst, cosine), dst != src,
+    each source's k best by (cosine desc, dst asc).
+
+    The neighbor graph is the substrate of graph-based curation
+    (connected-component dedup over similarity edges, SemDeDup-style
+    pruning, agglomerative topic clustering). Same fully-distributed
+    block-pair GEMM as :func:`embedding_neardup_pairs` (nothing
+    corpus-sized on the driver, B(B+1)/2 independent tasks), but each
+    task emits its block-pair's per-row top-k in BOTH directions
+    instead of thresholded pairs, and a final per-src window reduces
+    the <= B·k candidates per row to the global k. O(n²·d) compute is
+    inherent to exact kNN — :func:`knn_graph` is the bucketed
+    approximation at corpus scale, with this as its recall oracle.
+    """
+    spark = emb.sparkSession
+    src = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    n_blocks = max(1, -(-n // rows_per_block))
+    packed = (
+        src.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    pair_list = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "_blk_a int, _blk_b int",
+    )
+    task_pairs = (
+        pair_list.join(
+            packed.select(F.col("_blk").alias("_blk_a"), F.col("_rows").alias("_rows_a")),
+            "_blk_a",
+        )
+        .join(
+            packed.select(F.col("_blk").alias("_blk_b"), F.col("_rows").alias("_rows_b")),
+            "_blk_b",
+        )
+        .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
+    )
+
+    def _unpack(cell):
+        ids = np.fromiter((e["_id"] for e in cell), dtype=np.int64, count=len(cell))
+        mat = np.array([e["_v"] for e in cell], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return ids, mat / norms
+
+    def block_topk(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = _unpack(row["_rows_a"])
+                same = row["_blk_a"] == row["_blk_b"]
+                ids_b, mat_b = (ids_a, mat_a) if same else _unpack(row["_rows_b"])
+                sims = mat_a @ mat_b.T
+                if same:
+                    np.fill_diagonal(sims, -np.inf)  # no self edges
+
+                def emit(S, row_ids, col_ids):
+                    # +4 margin: block-level selection is by raw sim,
+                    # the final window ranks by round(.,6) — candidates
+                    # tied at 6 decimals across the block-k boundary
+                    # must survive to the window to rank by dst
+                    kk = min(k + 4, S.shape[1])
+                    if kk <= 0:
+                        return None
+                    # per-row top-k via argpartition (O(cols) per row)
+                    idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                    r = np.repeat(row_ids, kk)
+                    c = col_ids[idx.ravel()]
+                    s = S[np.arange(S.shape[0])[:, None], idx].ravel()
+                    keepm = np.isfinite(s)
+                    return pd.DataFrame(
+                        {"src": r[keepm], "dst": c[keepm], "cosine": s[keepm]}
+                    )
+
+                out = [emit(sims, ids_a, ids_b)]
+                if not same:
+                    out.append(emit(sims.T, ids_b, ids_a))
+                out = [o for o in out if o is not None]
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    cand = task_pairs.mapInPandas(
+        block_topk, schema="src long, dst long, cosine double"
+    )
+    return _topk_per_row(cand, k)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate kNN graph at corpus scale: each row is REPLICATED to
+    every bucket in its Hamming-``probe_radius`` ball (1 + n [+ C(n,2)]
+    copies), candidates meet inside buckets only, per-src window picks
+    the global k. Work is O(ball · n · avg_bucket · d) instead of n²·d;
+    recall rises with the ball size and falls with n_bits — calibrate
+    against :func:`knn_graph_exact` on a sample (tests do).
+
+    Replication-to-ball (not query-side probing) keeps the plan ONE
+    groupBy: every pair whose buckets differ by <= probe_radius meets
+    in at least one common bucket, symmetric by construction.
+    """
+    from go_vectorsearch_spark.plans.lsh import (
+        _hamming_neighbors,
+        lsh_bucket,
+        rademacher_planes,
+    )
+
+    dim = len(emb.select(vec_col).head()[0])
+    planes = rademacher_planes(dim, n_bits=n_bits)
+    ball0 = _hamming_neighbors(0, n_bits, probe_radius)
+    flips = F.lit([int(b) for b in ball0])  # XOR masks of the ball
+    bucketed = spread(emb).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.transform(flips, lambda m: lsh_bucket(F.col(vec_col), planes).bitwiseXOR(m))
+        ).alias("_bkt"),
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "cosine": []}
+            ).astype({"src": "int64", "dst": "int64", "cosine": "float64"})
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k + 4, len(ids) - 1)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        r = np.repeat(ids, kk)
+        c = ids[idx.ravel()]
+        s = sims[np.arange(len(ids))[:, None], idx].ravel()
+        keepm = np.isfinite(s)
+        return pd.DataFrame({"src": r[keepm], "dst": c[keepm], "cosine": s[keepm]})
+
+    cand = bucketed.groupBy("_bkt").applyInPandas(
+        bucket_topk, schema="src long, dst long, cosine double"
+    )
+    # a (src, dst) pair can meet in several shared buckets — dedup via
+    # max (identical values) before the per-src top-k window
+    cand = cand.groupBy("src", "dst").agg(F.max("cosine").alias("cosine"))
+    return _topk_per_row(cand, k)

@@ -828,6 +828,38 @@ def q_vocab_top_terms(spark, sf_dir):
     )
 
 
+# Exact kNN graph (operators/dedup.knn_graph_exact): the substrate of
+# graph-based curation, pinned against an exhaustive SQL kNN with the
+# same (round(cosine, 6) desc, dst asc) ranking. pytest-parity (the
+# 50-entry driver window is full); knn_graph (LSH-bucketed) calibrates
+# its recall against this in tests/test_dedup_text.py.
+KNN_GRAPH_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+           6) AS cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, cosine
+FROM (SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+def q_knn_graph_exact(spark, sf_dir):
+    from go_vectorsearch_spark.operators.dedup import knn_graph_exact
+
+    g = knn_graph_exact(_t(spark, sf_dir, "embeddings"), k=5)
+    return g.select("src", "dst", F.round("cosine", 6).alias("cosine"))
+
+
 # Embedding-side data validation — the vector twin of the registry's
 # validate_documents: one aggregate pass asserting the invariants every
 # ANN/quantization operator in the engine assumes (uniform dimension,

@@ -422,3 +422,40 @@ def test_semantic_dedup_on_real_embeddings_vs_reference(spark, sf_smoke):
             if not rkeep:
                 assert got[vid]["dup_of"] == rdup, vid
                 assert abs(got[vid]["max_kept_sim"] - rsim) < 1e-9, vid
+
+
+# ---------------------------------------------------------------------------
+# kNN graph (operators/dedup.knn_graph_exact / knn_graph)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_shapes_and_recall(spark, sf_smoke):
+    """Exact graph: every src has exactly k edges, no self edges, edges
+    rank by (round-6 cosine desc, dst asc). Approximate (LSH-bucketed)
+    graph: edge recall vs exact is high at radius 1 and monotone in
+    probe radius."""
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(300)
+    k = 5
+    exact = DD.knn_graph_exact(emb, k=k).collect()
+    n = emb.count()
+    by_src = {}
+    for r in exact:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src) == n
+    assert all(len(v) == k for v in by_src.values())
+
+    exact_edges = {(r["src"], r["dst"]) for r in exact}
+
+    def recall(radius):
+        g = DD.knn_graph(emb, k=k, n_bits=6, probe_radius=radius).collect()
+        edges = {(r["src"], r["dst"]) for r in g}
+        return len(edges & exact_edges) / len(exact_edges)
+
+    r1 = recall(1)
+    r2 = recall(2)
+    assert r1 <= r2 + 1e-9
+    assert r2 >= 0.8, f"radius-2 edge recall {r2:.2f}"
+    assert r1 >= 0.5, f"radius-1 edge recall {r1:.2f}"

@@ -30,6 +30,7 @@ DEMOTED = [
     (Q.q_ivf_batch_probe_all, Q.IVF_BATCH_PROBE_ORACLE),
     (Q.q_train_val_test_split, Q.TRAIN_VAL_TEST_ORACLE),
     (Q.q_validate_embeddings, Q.VALIDATE_EMBEDDINGS_ORACLE),
+    (Q.q_knn_graph_exact, Q.KNN_GRAPH_ORACLE),
 ]
 
 
