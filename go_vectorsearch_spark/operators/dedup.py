@@ -1123,3 +1123,45 @@ def knn_graph(
     # max (identical values) before the per-src top-k window
     cand = cand.groupBy("src", "dst").agg(F.max("cosine").alias("cosine"))
     return _topk_per_row(cand, k)
+
+
+def cluster_embeddings_graph(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    **knn_kwargs,
+) -> DataFrame:
+    """Similarity-graph clustering: kNN edges above ``threshold`` →
+    connected components → (id, component) with component = min member
+    id. The one-call composition of :func:`knn_graph` (or
+    :func:`knn_graph_exact` with ``exact=True``) and
+    :func:`neardup_components` — the standard corpus topic/near-dup
+    clustering recipe, and the graph-walking alternative to
+    :func:`semantic_dedup`'s centroid-bounded greedy (graph clusters
+    can span IVF cells; greedy is cheaper and deterministic per cell).
+
+    Rows with no edge above ``threshold`` form singleton components
+    (their own id), so the output covers EVERY input row — callers can
+    group by ``component`` directly for per-cluster work.
+    """
+    build = knn_graph_exact if exact else knn_graph
+    edges = build(
+        emb, k=k, id_col=id_col, vec_col=vec_col, **knn_kwargs
+    ).filter(F.col("cosine") >= threshold)
+    # undirected, canonical (a < b): kNN edges are directed and not
+    # necessarily symmetric at the k boundary
+    pairs = edges.select(
+        F.least("src", "dst").alias("id_a"), F.greatest("src", "dst").alias("id_b")
+    ).distinct()
+    comps = neardup_components(pairs)
+    all_ids = emb.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_ids.join(comps, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )

@@ -459,3 +459,27 @@ def test_knn_graph_shapes_and_recall(spark, sf_smoke):
     assert r1 <= r2 + 1e-9
     assert r2 >= 0.8, f"radius-2 edge recall {r2:.2f}"
     assert r1 >= 0.5, f"radius-1 edge recall {r1:.2f}"
+
+
+def test_cluster_embeddings_graph(spark):
+    """Two tight vector families + one isolate: graph clustering yields
+    two multi-member components (min-id labeled) and a singleton."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.02, 0.0]),
+        (3, [0.98, 0.03, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.99, 0.02]),
+        (50, [0.0, 0.0, 1.0]),  # isolate
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in DD.cluster_embeddings_graph(
+            emb, threshold=0.9, k=3, exact=True
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[50] == 50
+    assert len(comp) == len(rows)
