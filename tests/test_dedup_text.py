@@ -483,3 +483,16 @@ def test_cluster_embeddings_graph(spark):
     assert comp[10] == comp[11] == 10
     assert comp[50] == 50
     assert len(comp) == len(rows)
+
+
+def test_cluster_embeddings_graph_no_edges_all_singletons(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in DD.cluster_embeddings_graph(
+            emb, threshold=1.01, k=2, exact=True
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 2}
