@@ -279,3 +279,58 @@ def _adc_score_numpy(coded: DataFrame, lut: list, codes_col: str) -> DataFrame:
             yield res
 
     return coded.mapInPandas(score, schema=out_schema)
+
+
+def ivfpq_search(
+    index,
+    coded: DataFrame,
+    codebooks: PQCodebooks,
+    qvec,
+    k: int = 10,
+    nprobe: int = 1,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: probe-pruned ADC search — the canonical two-level ANN
+    architecture (FAISS's IndexIVFPQ; Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"), composed from the
+    engine's existing levels:
+
+      1. coarse: rank the IVF index's centroids driver-side, keep the
+         top ``nprobe`` (plans/ivf.nearest_centroids — the reference's
+         probe step, server/search.go:202-227);
+      2. fine: ADC-scan ONLY rows assigned to probed lists (16 B/vector
+         codes, LUT folded into codegen), instead of the whole corpus;
+      3. optional exact cosine re-rank of the top-R (two-stage search).
+
+    Scale: work = Σ probed-list sizes × m byte lookups; with the codes
+    column stored in the partitionBy(centroid_id) layout
+    (plans/ivf.write_partitioned) the probe filter is partition
+    pruning, so scan + compute + memory all shrink by nprobe/k_lists —
+    the 100 TB shape where neither brute ADC (full scan) nor IVF-Flat
+    (full vectors in probed lists) fits the latency/footprint budget.
+
+    ``coded`` must carry (id, codes, vectors) for the SAME corpus the
+    index assigned; the join on ``id_col`` is a narrow equi-join of the
+    probed subset against the codes (broadcast when small, shuffle
+    otherwise — Catalyst's call).
+    """
+    from go_vectorsearch_spark.plans.ivf import nearest_centroids
+
+    probe_ids = nearest_centroids(index.centroids, qvec, nprobe)
+    probed = index.assigned.filter(
+        F.col("centroid_id").isin([int(c) for c in probe_ids])
+    ).select(id_col)
+    cand = coded.join(probed, id_col, "left_semi")
+    return pq_search(
+        cand,
+        codebooks,
+        qvec,
+        k=k,
+        id_col=id_col,
+        codes_col=codes_col,
+        vec_col=vec_col,
+        rerank=rerank,
+    )

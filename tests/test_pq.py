@@ -132,3 +132,75 @@ def test_uneven_dim_split():
     spans = cb.splits
     assert [e - s for s, e in spans] == [3, 3, 3, 2, 2]
     assert spans[0][0] == 0 and spans[-1][1] == 13
+
+
+@pytest.fixture(scope="module")
+def ivf_index(emb):
+    from go_vectorsearch_spark.plans.ivf import build_index
+
+    idx = build_index(emb, max_leaf=100, sample_size=5000)
+    idx.assigned.persist().count()
+    idx.centroids.persist().count()
+    return idx
+
+
+def test_ivfpq_nprobe_all_rerank_equals_brute_force(emb, coded, books, ivf_index):
+    """Probing every list with full exact re-rank degenerates to brute
+    force exactly — the IVF-PQ analog of ivf_search_exact's guarantee."""
+    from go_vectorsearch_spark.plans.pq import ivfpq_search
+
+    q = _qvec(emb)
+    n = emb.count()
+    nprobe = ivf_index.centroids.count()
+    got = ivfpq_search(
+        ivf_index, coded, books, q, k=10, nprobe=nprobe, rerank=n
+    ).collect()
+    want = brute_force_topk(emb, q, 10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert [r["score"] for r in got] == pytest.approx(
+        [r["score"] for r in want]
+    )
+
+
+def test_ivfpq_scans_only_probed_lists(emb, coded, books, ivf_index):
+    """nprobe=1 candidates are a subset of the probed list's members,
+    and recall against brute force stays useful (the coarse+fine trade
+    the architecture exists for)."""
+    from go_vectorsearch_spark.plans.ivf import nearest_centroids
+    from go_vectorsearch_spark.plans.pq import ivfpq_search
+
+    q = _qvec(emb)
+    [probe] = nearest_centroids(ivf_index.centroids, q, 1)
+    members = {
+        r["vec_id"]
+        for r in ivf_index.assigned.filter(
+            F.col("centroid_id") == probe
+        ).collect()
+    }
+    got = ivfpq_search(ivf_index, coded, books, q, k=10, nprobe=1, rerank=50).collect()
+    assert {r["vec_id"] for r in got} <= members
+    bf = {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
+    overlap = len({r["vec_id"] for r in got} & bf)
+    # loose floor: at max_leaf=100 over 500 scattered synthetic vectors
+    # one list holds only part of the true top-10 (IVF-Flat nprobe=1
+    # shows the same on this data) — the quality gates are the
+    # monotone-in-nprobe test and the nprobe=all brute-force equality
+    assert overlap >= 3, f"nprobe=1 IVF-PQ recall@10 {overlap}/10"
+
+
+def test_ivfpq_recall_monotone_in_nprobe(emb, coded, books, ivf_index):
+    from go_vectorsearch_spark.plans.pq import ivfpq_search
+
+    q = _qvec(emb, vec_id=7)
+    bf = {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
+
+    def rec(nprobe):
+        got = ivfpq_search(
+            ivf_index, coded, books, q, k=10, nprobe=nprobe, rerank=50
+        ).collect()
+        return len({r["vec_id"] for r in got} & bf)
+
+    nall = ivf_index.centroids.count()
+    r1, r4, rall = rec(1), rec(4), rec(nall)
+    assert r1 <= r4 + 1 and r4 <= rall + 1  # ±1: rerank-pool noise
+    assert rall >= 8
