@@ -674,6 +674,54 @@ def neardup_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _block_pair_tasks(
+    emb: DataFrame, id_col: str, vec_col: str, rows_per_block: int
+) -> DataFrame:
+    """Shared scaffolding of the distributed block-pair GEMM family
+    (:func:`embedding_neardup_pairs`, :func:`knn_graph_exact`): pack
+    deterministic id-mod blocks into one row each (a single shuffle of
+    the vector data), then equi-join the driver-tiny B(B+1)/2 block-pair
+    list against the packed frame twice — each output row is one
+    independent GEMM task. A <=-condition self-join would instead
+    compile to a nested-loop join that BROADCASTS the packed vectors
+    (the exact anti-pattern this shape removes)."""
+    spark = emb.sparkSession
+    src = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    n_blocks = max(1, -(-n // rows_per_block))
+    packed = (
+        src.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    pair_list = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "_blk_a int, _blk_b int",
+    )
+    return (
+        pair_list.join(
+            packed.select(F.col("_blk").alias("_blk_a"), F.col("_rows").alias("_rows_a")),
+            "_blk_a",
+        )
+        .join(
+            packed.select(F.col("_blk").alias("_blk_b"), F.col("_rows").alias("_rows_b")),
+            "_blk_b",
+        )
+        # one task (= one GEMM) per row, spread across the cluster
+        .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
+    )
+
+
+def _unpack_block(cell) -> "tuple[np.ndarray, np.ndarray]":
+    """(ids, L2-normalized matrix) of one packed block row."""
+    ids = np.fromiter((e["_id"] for e in cell), dtype=np.int64, count=len(cell))
+    mat = np.array([e["_v"] for e in cell], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -702,45 +750,8 @@ def embedding_neardup_pairs(
     table, use :func:`embedding_neardup_pairs_lsh` (bucket first, GEMM
     within buckets) and keep this as its small-corpus recall oracle.
     """
-    spark = emb.sparkSession
-    emb = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n = emb.count()
-    n_blocks = max(1, -(-n // rows_per_block))
-    packed = (
-        emb.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    )
-    # The B(B+1)/2 block-pair task list is two ints per row — driver-tiny
-    # even at thousands of blocks. Equi-joining it against `packed` twice
-    # replicates each block to its pairs through ordinary shuffle joins;
-    # a <=-condition self-join would instead compile to a nested-loop join
-    # that BROADCASTS the packed vectors (the exact anti-pattern this
-    # rewrite removes).
-    pair_list = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "_blk_a int, _blk_b int",
-    )
-    task_pairs = (
-        pair_list.join(
-            packed.select(F.col("_blk").alias("_blk_a"), F.col("_rows").alias("_rows_a")),
-            "_blk_a",
-        )
-        .join(
-            packed.select(F.col("_blk").alias("_blk_b"), F.col("_rows").alias("_rows_b")),
-            "_blk_b",
-        )
-        # one task (= one GEMM) per row, spread across the cluster
-        .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
-    )
-
-    def _unpack(cell) -> tuple[np.ndarray, np.ndarray]:
-        ids = np.fromiter((e["_id"] for e in cell), dtype=np.int64, count=len(cell))
-        mat = np.array([e["_v"] for e in cell], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        return ids, mat / norms
+    task_pairs = _block_pair_tasks(emb, id_col, vec_col, rows_per_block)
+    _unpack = _unpack_block
 
     def gemm_blocks(batches):
         for pdf in batches:
@@ -985,65 +996,42 @@ def knn_graph_exact(
     inherent to exact kNN — :func:`knn_graph` is the bucketed
     approximation at corpus scale, with this as its recall oracle.
     """
-    spark = emb.sparkSession
-    src = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n = src.count()
-    n_blocks = max(1, -(-n // rows_per_block))
-    packed = (
-        src.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    )
-    pair_list = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "_blk_a int, _blk_b int",
-    )
-    task_pairs = (
-        pair_list.join(
-            packed.select(F.col("_blk").alias("_blk_a"), F.col("_rows").alias("_rows_a")),
-            "_blk_a",
-        )
-        .join(
-            packed.select(F.col("_blk").alias("_blk_b"), F.col("_rows").alias("_rows_b")),
-            "_blk_b",
-        )
-        .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
-    )
-
-    def _unpack(cell):
-        ids = np.fromiter((e["_id"] for e in cell), dtype=np.int64, count=len(cell))
-        mat = np.array([e["_v"] for e in cell], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        return ids, mat / norms
+    task_pairs = _block_pair_tasks(emb, id_col, vec_col, rows_per_block)
 
     def block_topk(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids_a, mat_a = _unpack(row["_rows_a"])
+                ids_a, mat_a = _unpack_block(row["_rows_a"])
                 same = row["_blk_a"] == row["_blk_b"]
-                ids_b, mat_b = (ids_a, mat_a) if same else _unpack(row["_rows_b"])
+                ids_b, mat_b = (
+                    (ids_a, mat_a) if same else _unpack_block(row["_rows_b"])
+                )
                 sims = mat_a @ mat_b.T
                 if same:
                     np.fill_diagonal(sims, -np.inf)  # no self edges
 
                 def emit(S, row_ids, col_ids):
-                    # +4 margin: block-level selection is by raw sim,
-                    # the final window ranks by round(.,6) — candidates
-                    # tied at 6 decimals across the block-k boundary
-                    # must survive to the window to rank by dst
-                    kk = min(k + 4, S.shape[1])
-                    if kk <= 0:
+                    if S.shape[1] == 0:
                         return None
-                    # per-row top-k via argpartition (O(cols) per row)
-                    idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-                    r = np.repeat(row_ids, kk)
-                    c = col_ids[idx.ravel()]
-                    s = S[np.arange(S.shape[0])[:, None], idx].ravel()
-                    keepm = np.isfinite(s)
+                    # tie-COMPLETE selection at round-6 (the final
+                    # window's ranking precision): keep every candidate
+                    # whose rounded sim reaches the row's kth-largest
+                    # rounded sim. A fixed +margin would break on
+                    # mass-duplicate corpora (> margin candidates tied
+                    # at 6 decimals), silently dropping the tie the
+                    # window's dst-asc order should have kept — exact
+                    # means ALL round-6 ties survive to the window.
+                    R = np.round(S, 6)
+                    kk = min(k, S.shape[1])
+                    thr = -np.partition(-R, kk - 1, axis=1)[:, kk - 1]
+                    mask = (R >= thr[:, None]) & np.isfinite(S)
+                    ri, ci = np.nonzero(mask)
                     return pd.DataFrame(
-                        {"src": r[keepm], "dst": c[keepm], "cosine": s[keepm]}
+                        {
+                            "src": row_ids[ri],
+                            "dst": col_ids[ci],
+                            "cosine": S[ri, ci],
+                        }
                     )
 
                 out = [emit(sims, ids_a, ids_b)]
@@ -1088,12 +1076,24 @@ def knn_graph(
     planes = rademacher_planes(dim, n_bits=n_bits)
     ball0 = _hamming_neighbors(0, n_bits, probe_radius)
     flips = F.lit([int(b) for b in ball0])  # XOR masks of the ball
-    bucketed = spread(emb).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(
-            F.transform(flips, lambda m: lsh_bucket(F.col(vec_col), planes).bitwiseXOR(m))
-        ).alias("_bkt"),
+    # the bucket fold is computed ONCE per row in its own projection:
+    # embedded inside the transform lambda it would re-evaluate per ball
+    # element (Spark does not hoist lambda-invariant subtrees out of
+    # higher-order functions) — 7x/22x the per-row cost at radius 1/2
+    bucketed = (
+        spread(emb)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            lsh_bucket(F.col(vec_col), planes).alias("_b0"),
+        )
+        .select(
+            "_id",
+            "_v",
+            F.explode(
+                F.transform(flips, lambda m: F.col("_b0").bitwiseXOR(m))
+            ).alias("_bkt"),
+        )
     )
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:

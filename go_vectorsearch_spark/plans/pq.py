@@ -253,7 +253,11 @@ def pq_search(
     qlit = F.lit([float(x / qn if qn > 0 else x) for x in q])
     return (
         cands.withColumn("score", dot(l2_normalize(F.col(vec_col)), qlit))
-        .orderBy(F.desc("score"), F.asc(id_col))
+        # the registry's every-LIMIT-total-order convention
+        # (brute_force_topk): rank by round-6 with id tie-break, so the
+        # re-ranked result is reproducible and comparable across engines
+        # whose float summation orders differ below 1e-6
+        .orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
         .limit(k)
         .select(id_col, "score")
     )
@@ -313,17 +317,26 @@ def ivfpq_search(
     (full vectors in probed lists) fits the latency/footprint budget.
 
     ``coded`` must carry (id, codes, vectors) for the SAME corpus the
-    index assigned; the join on ``id_col`` is a narrow equi-join of the
-    probed subset against the codes (broadcast when small, shuffle
-    otherwise — Catalyst's call).
+    index assigned. When it ALSO carries ``centroid_id`` (the
+    write-time layout: codes encoded after assignment and stored in the
+    partitionBy(centroid_id) store), the probe filter applies to the
+    codes scan DIRECTLY — partition pruning, no join, the I/O-shrink
+    the architecture exists for. Without the column the probe falls
+    back to a semi-join against the assignment's probed ids, which
+    prunes COMPUTE but still scans the full codes frame — fine for an
+    ad-hoc frame, wrong as the stored layout at scale.
     """
     from go_vectorsearch_spark.plans.ivf import nearest_centroids
 
     probe_ids = nearest_centroids(index.centroids, qvec, nprobe)
-    probed = index.assigned.filter(
-        F.col("centroid_id").isin([int(c) for c in probe_ids])
-    ).select(id_col)
-    cand = coded.join(probed, id_col, "left_semi")
+    probe_set = [int(c) for c in probe_ids]
+    if "centroid_id" in coded.columns:
+        cand = coded.filter(F.col("centroid_id").isin(probe_set))
+    else:
+        probed = index.assigned.filter(
+            F.col("centroid_id").isin(probe_set)
+        ).select(id_col)
+        cand = coded.join(probed, id_col, "left_semi")
     return pq_search(
         cand,
         codebooks,
