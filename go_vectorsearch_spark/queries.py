@@ -2674,7 +2674,17 @@ def _pq_cached(spark, sf_dir):
 
         emb = _t(spark, sf_dir, "embeddings")
         books = train_pq(emb, m=16, k_sub=32, sample_size=5000)
-        coded = encode_pq(emb, books).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        # codes stored WITH the IVF assignment's centroid_id — the
+        # write-time layout ivfpq_search partition-prunes on; the extra
+        # column is inert for plain ADC search
+        assign = _ivf_index(spark, sf_dir).assigned.select(
+            "vec_id", "centroid_id"
+        )
+        coded = (
+            encode_pq(emb, books)
+            .join(assign, "vec_id")
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
         coded.count()
         cache[sf_dir] = (books, coded)
     return cache[sf_dir]
@@ -2768,6 +2778,27 @@ def q_dedup_semantic(spark, sf_dir):
         "dup_of",
         F.round("max_kept_sim", 6).alias("max_kept_sim"),
     )
+
+
+@register(
+    "ann_ivfpq_search",
+    oracle=None,  # lossy two-level ANN: no SQL twin; pinned by pytest
+    # brute-force equality at nprobe=all + monotone recall
+    # (tests/test_pq.py). Tail-registered like every no-oracle entry.
+    doc="IVF-PQ: probe-pruned ADC scan + exact re-rank over codes stored "
+    "with their centroid assignment (plans/pq.ivfpq_search — the "
+    "two-level FAISS IndexIVFPQ architecture; probe filter hits the "
+    "codes scan directly, so I/O shrinks with nprobe at the stored "
+    "partitionBy(centroid_id) layout)",
+)
+def q_ann_ivfpq_search(spark, sf_dir):
+    from go_vectorsearch_spark.plans.pq import ivfpq_search
+
+    index = _ivf_index(spark, sf_dir)
+    books, coded = _pq_cached(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    res = ivfpq_search(index, coded, books, qvec, k=TOPK_K, nprobe=2, rerank=50)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
