@@ -104,3 +104,36 @@ def test_zorder_rejects_bit_overflow(spark, sf_correct):
     li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
     with pytest.raises(ValueError, match="exceeds a signed long"):
         zorder_code(li, ["l_partkey"] * 8, bits=8)
+
+
+def test_bucket_search_equals_boundary_count(spark):
+    """The nested-when binary search must equal 'count of boundaries
+    <= value' (the fold it replaced) on the shapes approxQuantile can
+    emit: duplicated boundaries (skewed columns), values exactly ON a
+    boundary, below-min, above-max, and NULL (bucket 0)."""
+    import numpy as np
+
+    from go_vectorsearch_spark.sources.zorder import _bucket_expr
+    from pyspark.sql import functions as F
+
+    bits = 4
+    rng = np.random.default_rng(5)
+    # 15 interior boundaries with runs of duplicates
+    base = sorted(rng.integers(0, 8, size=(1 << bits) - 1).astype(float))
+    values = sorted(
+        {float(v) for v in base}
+        | {b + 0.5 for b in range(9)}
+        | {-10.0, 100.0}
+    )
+    rows = [(i, v) for i, v in enumerate(values)] + [(999, None)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {
+        r["i"]: r["b"]
+        for r in df.withColumn("b", _bucket_expr(F.col("v"), base, bits)).collect()
+    }
+    for i, v in rows:
+        if v is None:
+            want = 0
+        else:
+            want = min(sum(1 for b in base if v >= b), (1 << bits) - 1)
+        assert got[i] == want, (i, v, got[i], want)
