@@ -303,3 +303,20 @@ def test_concurrent_uploads_lose_no_rows(served):
         .count()
     )
     assert stored == n_threads * per_batch, "a racing upload lost rows"
+
+
+def test_search_offset_pages_match_engine(served):
+    """The offset parameter pages through ranked results without overlap
+    or gaps, matching the Engine-direct call (server/search.go:312-331)."""
+    eng, port, _ = served
+    base = {"owner": "acme", "category": "wiki", "text": "spark", "centroids": -1}
+    _resp, d1 = _call(port, "/api/search", {**base, "count": 2, "offset": 0})
+    _resp, d2 = _call(port, "/api/search", {**base, "count": 2, "offset": 2})
+    p1 = [d["document_id"] for d in json.loads(d1)["documents"]]
+    p2 = [d["document_id"] for d in json.loads(d2)["documents"]]
+    assert not (set(p1) & set(p2)), "adjacent pages overlap"
+    direct = [
+        r["document_id"]
+        for r in eng.search("acme", "wiki", "spark", count=4, nprobe=-1).collect()
+    ]
+    assert p1 + p2 == direct[: len(p1 + p2)]
