@@ -193,6 +193,10 @@ def test_zstd_request_and_response_middleware(served):
     """Content-Encoding: zstd requests decompress; Accept-Encoding: zstd
     search responses compress (main.go:128-167)."""
     _, port, _ = served
+    # self-sufficient: upload the searched corpus here so the test does
+    # not depend on module ordering (a -k selection that skips the
+    # earlier upload tests would otherwise search an empty category)
+    _call(port, "/api/upload", {"owner": "acme", "category": "wiki", "documents": DOCS})
     payload = json.dumps(
         {"owner": "acme", "category": "wiki", "text": "catalyst", "count": 2, "centroids": -1}
     ).encode()
@@ -320,3 +324,24 @@ def test_search_offset_pages_match_engine(served):
         for r in eng.search("acme", "wiki", "spark", count=4, nprobe=-1).collect()
     ]
     assert p1 + p2 == direct[: len(p1 + p2)]
+
+
+def test_chat_accepts_zstd_request_body(served):
+    """The zstd request-decompression middleware wraps every API route
+    (main.go:128-145) — including chat, whose response then streams
+    uncompressed like the reference."""
+    from go_vectorsearch_spark.service import _zstd_compress
+
+    _, port, _ = served
+    body = _zstd_compress(
+        json.dumps({"text": "ping?", "history": [], "document_ids": []}).encode()
+    )
+    resp, data = _call(
+        port,
+        "/api/chat",
+        raw_body=body,
+        headers={"Content-Encoding": "zstd"},
+    )
+    assert resp.status == 200
+    assert resp.getheader("Content-Encoding") is None  # stream uncompressed
+    assert data.decode() == "Hello (1 msgs)"
