@@ -381,9 +381,21 @@ def train_val_test_split(
     # build thresholds over the FIRST n-1 names; the last absorbs the
     # integer-rounding remainder so every bucket is assigned
     cases = []
+    prev = 0
     for name in names[:-1]:
         cum += fractions[name]
-        cases.append((name, int(round(cum * 10000))))
+        threshold = int(round(cum * 10000))
+        # the bucket space has 1/10000 resolution: a fraction below it
+        # (or colliding rounded thresholds) would silently yield an
+        # EMPTY split — fail loudly instead
+        if threshold <= prev:
+            raise ValueError(
+                f"split fraction for {name!r} ({fractions[name]}) is below "
+                "the 1/10000 bucket resolution — it would produce an "
+                "empty split"
+            )
+        prev = threshold
+        cases.append((name, threshold))
     expr = F.lit(names[-1])
     for name, threshold in reversed(cases):
         expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)

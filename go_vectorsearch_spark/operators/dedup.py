@@ -689,11 +689,14 @@ def _block_pair_tasks(
     src = spread(emb).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     n = src.count()
     n_blocks = max(1, -(-n // rows_per_block))
+    # no persist: the self-join's two sides share the pack shuffle via
+    # ReusedExchange (verified in the plan), so the scan + partial agg
+    # run once; a persist here would cache the packed corpus for the
+    # session with no caller able to release it (the result is lazy)
     packed = (
         src.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
         .groupBy("_blk")
         .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     pair_list = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
@@ -711,6 +714,16 @@ def _block_pair_tasks(
         # one task (= one GEMM) per row, spread across the cluster
         .repartition(max(32, n_blocks * (n_blocks + 1) // 2))
     )
+
+
+def _vec_dim(emb: DataFrame, vec_col: str, fn_name: str) -> int:
+    """Vector width from the first row; a clear error (not a TypeError
+    on None) when the corpus is empty or the probe vector is null —
+    matching build_index's empty-corpus guard."""
+    probe = emb.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(f"{fn_name}: empty corpus")
+    return len(probe[0])
 
 
 def _unpack_block(cell) -> "tuple[np.ndarray, np.ndarray]":
@@ -802,7 +815,7 @@ def embedding_neardup_pairs_lsh(
     """
     from go_vectorsearch_spark.plans.lsh import lsh_bucket, rademacher_planes
 
-    dim = len(emb.select(vec_col).head()[0])
+    dim = _vec_dim(emb, vec_col, "embedding_neardup_pairs_lsh")
     planes = rademacher_planes(dim, n_bits=n_bits)
     bucketed = spread(emb).select(
         F.col(id_col).alias("_id"),
@@ -1072,7 +1085,7 @@ def knn_graph(
         rademacher_planes,
     )
 
-    dim = len(emb.select(vec_col).head()[0])
+    dim = _vec_dim(emb, vec_col, "knn_graph")
     planes = rademacher_planes(dim, n_bits=n_bits)
     ball0 = _hamming_neighbors(0, n_bits, probe_radius)
     flips = F.lit([int(b) for b in ball0])  # XOR masks of the ball

@@ -61,9 +61,10 @@ def write_bucketed(
 
     # ONE file per bucket: repartition on the bucket key with the bucket
     # count (same Murmur3 hash as the bucketer) so each write task holds
-    # exactly one bucket's rows. Spark only trusts the sortBy metadata —
-    # and elides the SortMergeJoin's per-task Sort — when a bucket is a
-    # single sorted file; multi-file buckets would re-sort per task.
+    # exactly one bucket's rows. Spark 3+ keeps the SortMergeJoin's
+    # per-task Sort either way (see module docstring) — but over a
+    # single already-sorted file it is a near-linear pass, while
+    # multi-file buckets would pay a real merge-sort per task.
     w = (
         df.repartition(num_buckets, F.col(bucket_col))
         .write.mode(mode)
