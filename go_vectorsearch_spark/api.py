@@ -688,14 +688,30 @@ class Engine:
         self._cascade_categories(cats.filter(F.col("category_id") == cid))
         self.t["categories"].write(cats.filter(F.col("category_id") != cid))
 
-    def delete_document(self, document_id: int) -> None:
+    def delete_document(self, owner: str, category: str, document_id: int) -> None:
+        """Tenant-scoped document delete (server/delete.go:252-279): the
+        reference resolves owner -> category and deletes only
+        ``WHERE category_id = ? AND id = ?`` — a caller can never delete
+        another tenant's identically-ID'd document. Missing owner or
+        category is a silent no-op (gorm.ErrRecordNotFound -> nil)."""
+        cid = self._category_id(owner, category)
+        if cid is None:
+            return
         docs = self.t["documents"].read()
         emb = self.t["embeddings"].read()
+        victim = (F.col("document_id") == document_id) & (
+            F.col("category_id") == cid
+        )
+        if docs.filter(victim).isEmpty():
+            return  # not this tenant's document (or no such id): no-op
+        # embeddings carry no category_id — the cascade follows the
+        # VERIFIED victim document (FK ON DELETE CASCADE semantics),
+        # so a bare document_id match can't cross tenants here either
         self.t["embeddings"].write(
             emb.filter(F.col("document_id") != document_id),
             partition_by="centroid_id",
         )
-        self.t["documents"].write(docs.filter(F.col("document_id") != document_id))
+        self.t["documents"].write(docs.filter(~victim))
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------
     def _refresh_scope(self, cid: int) -> DataFrame:

@@ -196,7 +196,13 @@ class Service:
         return {}
 
     def delete_document(self, req: dict) -> dict:
-        self.engine.delete_document(int(req.get("document_id", 0)))
+        # deleteDocument carries owner+category (server/delete.go:165-175)
+        # so the engine can verify tenant ownership before deleting
+        self.engine.delete_document(
+            req.get("owner", ""),
+            req.get("category", ""),
+            int(req.get("document_id", 0)),
+        )
         return {}
 
     def chat(self, req: dict) -> Iterator[str]:

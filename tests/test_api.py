@@ -82,9 +82,26 @@ def test_refresh_index_reassigns(engine):
     assert eng.search("acme", "wiki", "plans", nprobe=-1).count() >= 1
 
 
+def test_delete_document_tenant_scoped(engine):
+    """server/delete.go:252-279: delete resolves (owner, category) ->
+    category_id and deletes only the document that BELONGS to it — a
+    caller naming another tenant's scope (or a bogus scope) must leave
+    the document untouched."""
+    eng, ids = engine
+    # wrong tenant / wrong category / unknown owner: all silent no-ops
+    eng.delete_document("other", "wiki", ids[2])
+    eng.delete_document("acme", "blog", ids[2])
+    eng.delete_document("nobody", "wiki", ids[2])
+    docs = eng.t["documents"].read()
+    assert docs.filter(F.col("document_id") == ids[2]).count() == 1
+    assert eng.t["embeddings"].read().filter(
+        F.col("document_id") == ids[2]
+    ).count() >= 1
+
+
 def test_delete_document_cascades(engine):
     eng, ids = engine
-    eng.delete_document(ids[2])
+    eng.delete_document("acme", "wiki", ids[2])
     docs = eng.t["documents"].read()
     assert docs.filter(F.col("document_id") == ids[2]).count() == 0
     emb = eng.t["embeddings"].read()
@@ -268,7 +285,7 @@ def test_engine_table_changes_after_delete(spark, tmp_path):
         ],
     )
     v_before = eng.t["documents"].versions()[-1]
-    eng.delete_document(ids[0])
+    eng.delete_document("o1", "c1", ids[0])
     v_after = eng.t["documents"].versions()[-1]
     feed = eng.table_changes("documents", v_before, v_after).collect()
     assert {(r["document_id"], r["_change_type"]) for r in feed} == {

@@ -120,7 +120,14 @@ def test_categories_and_deletes(served):
     resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "alpha", "count": 5, "centroids": -1})
     before = {d["document_id"] for d in json.loads(data)["documents"]}
     victim = sorted(before)[0]
-    _call(port, "/api/delete/document", {"document_id": victim})
+    # tenant scoping (server/delete.go:252-279): a delete request naming
+    # the WRONG owner/category must not touch the document
+    _call(port, "/api/delete/document", {"owner": "mallory", "category": "wiki", "document_id": victim})
+    _call(port, "/api/delete/document", {"owner": "acme", "category": "nope", "document_id": victim})
+    resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "alpha", "count": 5, "centroids": -1})
+    assert victim in {d["document_id"] for d in json.loads(data)["documents"]}
+    # correctly-scoped delete removes it
+    _call(port, "/api/delete/document", {"owner": "acme", "category": "wiki", "document_id": victim})
     resp, data = _call(port, "/api/search", {"owner": "acme", "category": "wiki", "text": "alpha", "count": 5, "centroids": -1})
     after = {d["document_id"] for d in json.loads(data)["documents"]}
     assert victim not in after
