@@ -270,6 +270,74 @@ def test_versioned_table_changes_keyed_updates(spark, tmp_path):
     assert all(r["id"] != 4 for r in rows)
 
 
+def test_mutations_are_partition_scoped(spark, tmp_path):
+    """The 100 TB write path: an upload APPENDS (no existing directory
+    is rewritten — every prior manifest entry carried over verbatim),
+    and a one-document delete rewrites ONLY the document's hash bucket
+    and the centroid lists its chunks lived in; all other partitions
+    keep the exact same immutable data directories."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    docs = [
+        {
+            "name": f"d{i}",
+            "external_id": f"x{i}",
+            "document": _json.dumps({"body": f"text number {i} " * (i + 1)}),
+        }
+        for i in range(8)
+    ]
+    ids = eng.upload("o", "c", docs)
+
+    def parts(table):
+        t = eng.t[table]
+        return t._manifest(t._version())
+
+    docs_v1, emb_v1 = parts("documents"), parts("embeddings")
+
+    # second upload: pure append — every v1 directory survives verbatim
+    eng.upload("o", "c", [{"name": "d9", "external_id": "x9", "document": '"more"'}])
+    docs_v2, emb_v2 = parts("documents"), parts("embeddings")
+    for key, dirs in docs_v1.items():
+        assert set(dirs) <= set(docs_v2[key])
+    for key, dirs in emb_v1.items():
+        assert set(dirs) <= set(emb_v2[key])
+
+    # delete one document: only its bucket + its centroid lists change
+    victim = ids[3]
+    victim_cents = {
+        str(r[0])
+        for r in eng.t["embeddings"]
+        .read()
+        .filter(F.col("document_id") == victim)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    eng.delete_document("o", "c", victim)
+    docs_v3, emb_v3 = parts("documents"), parts("embeddings")
+    from go_vectorsearch_spark.api import N_DOC_BUCKETS
+
+    victim_bucket = str(victim % N_DOC_BUCKETS)
+    for key in docs_v2:
+        if key != victim_bucket:
+            assert docs_v3[key] == docs_v2[key], f"untouched bucket {key} rewritten"
+    assert docs_v3.get(victim_bucket, []) != docs_v2[victim_bucket]
+    for key in emb_v2:
+        if key not in victim_cents:
+            assert emb_v3[key] == emb_v2[key], f"untouched list {key} rewritten"
+    # correctness after the scoped rewrite
+    assert (
+        eng.t["documents"].read().filter(F.col("document_id") == victim).count() == 0
+    )
+    assert (
+        eng.t["embeddings"].read().filter(F.col("document_id") == victim).count() == 0
+    )
+    assert eng.t["documents"].read().count() == 8  # 9 uploaded - 1 deleted
+
+
 def test_engine_table_changes_after_delete(spark, tmp_path):
     """End-to-end CDF: a document delete shows up as delete rows in the
     documents table's change feed between the surrounding versions."""
