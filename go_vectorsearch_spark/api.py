@@ -29,6 +29,8 @@ manifest level, exactly the IVF inverted-list layout
 from __future__ import annotations
 
 import os
+import threading
+import time
 from collections.abc import Sequence
 
 from pyspark import StorageLevel
@@ -439,6 +441,73 @@ class _VersionedTable:
             shutil.rmtree(bpath, ignore_errors=True)
 
 
+def _rank_probe_ids(
+    cent_rows: list[tuple[int, list[float]]],
+    query_vec: Sequence[float],
+    nprobe: int,
+) -> list[int]:
+    """T1: top-nprobe centroid ids by cosine, driver-side numpy over a
+    bounded centroid set — the same total order as brute_force_topk
+    (round(score, 6) desc, id asc) so the probe set is identical to the
+    Spark-ranked path; zero-norm sides score 0.0 like
+    functions.vector.cosine_similarity."""
+    import numpy as np
+
+    if not cent_rows:
+        return []
+    ids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    mat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    denom = np.linalg.norm(mat, axis=1) * float(np.linalg.norm(q))
+    sims = np.where(denom == 0.0, 0.0, (mat @ q) / np.where(denom == 0.0, 1.0, denom))
+    order = np.lexsort((ids, -np.round(sims, 6)))
+    return [int(x) for x in ids[order[: min(nprobe, len(ids))]]]
+
+
+class _TTLCache:
+    """M2: TTL read-through cache with singleflight dedup — the serving
+    layer's metadata cache (cache/middleware.go:18-163 + cache/cache.go:
+    38-79, CACHE_DURATION=5 s, config/constants.go:15). Concurrent loads
+    of the same key collapse onto ONE loader call (a per-key lock is Go
+    singleflight's moral equivalent); a ``None`` result is never cached
+    (the reference caches only successful fetches). Mutations call
+    :meth:`clear` — stricter than the reference's pure TTL expiry, so a
+    single-process engine never serves stale metadata to itself; other
+    processes on the same root are bounded by the TTL, as in the
+    reference."""
+
+    def __init__(self, ttl_s: float):
+        self.ttl_s = ttl_s
+        self._lock = threading.Lock()
+        self._items: dict = {}  # key -> (expires_at, value)
+        self._inflight: dict = {}  # key -> per-key loader gate
+
+    def get(self, key, loader):
+        with self._lock:
+            hit = self._items.get(key)
+            if hit and hit[0] > time.monotonic():
+                return hit[1]
+            gate = self._inflight.get(key)
+            if gate is None:
+                gate = self._inflight[key] = threading.Lock()
+        with gate:
+            with self._lock:
+                # the flight we queued behind may have filled the entry
+                hit = self._items.get(key)
+                if hit and hit[0] > time.monotonic():
+                    return hit[1]
+            value = loader()
+            with self._lock:
+                if value is not None:
+                    self._items[key] = (time.monotonic() + self.ttl_s, value)
+                self._inflight.pop(key, None)
+            return value
+
+    def clear(self) -> None:
+        with self._lock:
+            self._items.clear()
+
+
 def assign_embedding_ids(
     chunks: DataFrame, base_emb: int, base_doc: int, stride: int | None = None
 ) -> DataFrame:
@@ -472,12 +541,14 @@ class Engine:
         api_bases: Sequence[str] | None = None,
         embed_model: str = "embed",
         providers: Sequence | None = None,
+        cache_ttl_s: float = 5.0,
     ):
         """``providers``: ordered EmbedProvider list (ollama → openai →
         ...) resolved first-configured-wins exactly like the reference
         (ai/methods.go:14-22). ``api_bases`` is the one-provider Ollama
         shorthand. With neither, the deterministic in-process noop model
-        runs (noop/ai.go:47-64)."""
+        runs (noop/ai.go:47-64). ``cache_ttl_s``: metadata/centroid
+        cache TTL (CACHE_DURATION, config/constants.go:15); 0 disables."""
         from go_vectorsearch_spark.sources.embed_http import (
             EmbedProvider,
             select_embed_provider,
@@ -500,6 +571,7 @@ class Engine:
         # readers (service.py), so old versions must outlive any
         # plausible in-flight scan before the keep-window count drops
         # them. Direct _VersionedTable users (unit tests) default to 0.
+        self._cache = _TTLCache(cache_ttl_s) if cache_ttl_s > 0 else None
         self.t = {
             name: _VersionedTable(
                 spark,
@@ -664,6 +736,7 @@ class Engine:
         )
         self.t["documents"].append(new_docs)
         chunks.unpersist()
+        self._invalidate_cache()  # owner/category/centroids may have changed
         return [base_doc + i for i in range(len(documents))]
 
     # -- search (server/search.go:115-334) ---------------------------------
@@ -688,13 +761,11 @@ class Engine:
         qtext = f"{SEARCH_QUERY_PREFIX}{text}"
         qvec = self._embed_query(qtext)
 
-        cents = (
-            self.t["centroids"].read().filter(F.col("category_id") == scope)
-        )
-        probed = brute_force_topk(
-            cents, qvec, nprobe, id_col="centroid_id", vec_col="vector"
-        ).select("centroid_id")
-        probe_ids = [r[0] for r in probed.collect()]  # tiny (nprobe)
+        # T1 centroid pruning runs DRIVER-SIDE over the TTL-cached
+        # centroid set — exactly the reference's in-process V2 cosine
+        # over cached centroids (server/search.go:202-227): a repeat
+        # search launches zero Spark jobs before the probed scan.
+        probe_ids = _rank_probe_ids(self._category_centroids(scope), qvec, nprobe)
         if not probe_ids:
             return empty
 
@@ -795,21 +866,58 @@ class Engine:
         )
         return [r[0] for r in rows]
 
-    # -- deletes (server/delete.go:214-288, cascades as anti-joins) ----------
+    # -- serving-layer metadata (cache/middleware.go:18-163) -----------------
+    def _invalidate_cache(self) -> None:
+        if self._cache:
+            self._cache.clear()
+
     def _category_id(self, owner: str, category: str) -> int | None:
-        owners = self.t["owners"].read().filter(F.col("name") == owner)
-        o = owners.head()
-        if o is None:
-            return None
-        c = (
-            self.t["categories"]
-            .read()
-            .filter(
-                (F.col("owner_id") == o["owner_id"]) & (F.col("name") == category)
+        """owner name + category name -> category_id, TTL-cached with
+        singleflight like the reference's FetchOwner/FetchCategory
+        (misses — unknown owner/category — are never cached)."""
+
+        def load() -> int | None:
+            owners = self.t["owners"].read().filter(F.col("name") == owner)
+            o = owners.head()
+            if o is None:
+                return None
+            c = (
+                self.t["categories"]
+                .read()
+                .filter(
+                    (F.col("owner_id") == o["owner_id"]) & (F.col("name") == category)
+                )
+                .head()
             )
-            .head()
-        )
-        return None if c is None else c["category_id"]
+            return None if c is None else c["category_id"]
+
+        if self._cache:
+            return self._cache.get(("category_id", owner, category), load)
+        return load()
+
+    def _category_centroids(self, cid: int) -> list[tuple[int, list[float]]]:
+        """All (centroid_id, vector) of a category, TTL-cached — the
+        reference's FetchCentroids (cache/middleware.go:115-163): search
+        resolves its probe set WITHOUT touching storage on repeat
+        requests. Bounded by design: centroid count ~ rows/10k (the
+        reference likewise holds a category's full centroid set in
+        process memory, server/search.go:202-227); for beyond-memory
+        centroid sets use plans/ivf.nearest_centroids_distributed."""
+
+        def load() -> list[tuple[int, list[float]]]:
+            return [
+                (r["centroid_id"], r["vector"])
+                for r in self.t["centroids"]
+                .read()
+                .filter(F.col("category_id") == cid)
+                .collect()
+            ]
+
+        if self._cache:
+            return self._cache.get(("centroids", cid), load)
+        return load()
+
+    # -- deletes (server/delete.go:214-288, cascades as anti-joins) ----------
 
     def _cascade_plans(self, victim_cats: DataFrame) -> dict[str, DataFrame]:
         """Pure plan builder for a category cascade: survivor frames for
@@ -881,6 +989,7 @@ class Engine:
             cats.join(F.broadcast(victim.select("owner_id")), "owner_id", "left_anti")
         )
         self.t["owners"].write(owners.filter(F.col("name") != owner))
+        self._invalidate_cache()
 
     def delete_category(self, owner: str, category: str) -> None:
         cid = self._category_id(owner, category)
@@ -889,6 +998,7 @@ class Engine:
         cats = self.t["categories"].read()
         self._cascade_categories(cats.filter(F.col("category_id") == cid))
         self.t["categories"].write(cats.filter(F.col("category_id") != cid))
+        self._invalidate_cache()
 
     def delete_document(self, owner: str, category: str, document_id: int) -> None:
         """Tenant-scoped document delete (server/delete.go:252-279): the
@@ -927,6 +1037,7 @@ class Engine:
         self.t["documents"].overwrite_partitions(
             docs.filter(~victim), [document_id % N_DOC_BUCKETS]
         )
+        self._invalidate_cache()
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------
     def _refresh_scope(self, cid: int) -> DataFrame:
@@ -978,4 +1089,30 @@ class Engine:
         # centroid_id, so every partition's membership changes (the
         # reference likewise re-UPDATEs all assignments, dnc.go:176-263)
         self.t["embeddings"].write(out)
+        self._invalidate_cache()  # new centroid set
         return cents.count()
+
+    def refresh_all(self, max_leaf: int = 10_000) -> dict[tuple[str, str], int]:
+        """RefreshCentroids parity (server/centroids.go:17-83, run once
+        at startup, main.go:92): rebuild the IVF index of EVERY category
+        of every owner, one category at a time like the reference's
+        sequential sweep. Returns {(owner, category): centroid count}.
+        The category list is a bounded-metadata collect; the reference's
+        per-category Postgres SHARE NOWAIT lock (C7) is n/a with a
+        single driver (SURVEY §2.8)."""
+        cats = self.t["categories"].read()
+        owners = self.t["owners"].read().select(
+            F.col("owner_id"), F.col("name").alias("_owner_name")
+        )
+        pairs = (
+            cats.join(owners, "owner_id")
+            .select("_owner_name", "name")
+            .orderBy("_owner_name", "name")
+            .collect()
+        )
+        return {
+            (r["_owner_name"], r["name"]): self.refresh_index(
+                r["_owner_name"], r["name"], max_leaf=max_leaf
+            )
+            for r in pairs
+        }

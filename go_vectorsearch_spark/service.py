@@ -412,6 +412,17 @@ def make_server(
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8080, **kw) -> None:
-    """Blocking entry point (the reference's ListenAndServe, main.go:183)."""
-    make_server(engine, host=host, port=port, **kw).serve_forever()
+def serve(
+    engine: Engine,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    refresh_on_boot: bool = False,
+    **kw,
+) -> None:
+    """Blocking entry point (the reference's ListenAndServe, main.go:183).
+    ``refresh_on_boot`` mirrors the reference's startup RefreshCentroids
+    sweep over every category (main.go:92 -> server/centroids.go:17-83)."""
+    srv = make_server(engine, host=host, port=port, **kw)
+    if refresh_on_boot:
+        engine.refresh_all()
+    srv.serve_forever()

@@ -82,6 +82,35 @@ def test_refresh_index_reassigns(engine):
     assert eng.search("acme", "wiki", "plans", nprobe=-1).count() >= 1
 
 
+def test_refresh_all_sweeps_every_category(spark, tmp_path):
+    """server/centroids.go:17-83: the boot-time sweep rebuilds the index
+    of every (owner, category); each is then searchable with
+    nprobe=all ≡ brute force over its own scope."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    for owner, cat, texts in [
+        ("o1", "news", ["alpha beta gamma", "delta epsilon"]),
+        ("o1", "docs", ["spark plans shuffle"]),
+        ("o2", "news", ["tenant two text"]),
+    ]:
+        eng.upload(
+            owner,
+            cat,
+            [
+                {"name": f"d{i}", "external_id": str(i), "document": _json.dumps(t)}
+                for i, t in enumerate(texts)
+            ],
+        )
+    counts = eng.refresh_all(max_leaf=2)
+    assert set(counts) == {("o1", "news"), ("o1", "docs"), ("o2", "news")}
+    assert all(n >= 1 for n in counts.values())
+    for owner, cat in counts:
+        assert eng.search(owner, cat, "text", nprobe=-1).count() >= 1
+
+
 def test_delete_document_tenant_scoped(engine):
     """server/delete.go:252-279: delete resolves (owner, category) ->
     category_id and deletes only the document that BELONGS to it — a
@@ -268,6 +297,84 @@ def test_versioned_table_changes_keyed_updates(spark, tmp_path):
     }
     # unchanged rows never appear in the feed
     assert all(r["id"] != 4 for r in rows)
+
+
+def test_search_metadata_cached_and_invalidated(spark, tmp_path, monkeypatch):
+    """M2 parity (cache/middleware.go:18-163): repeat searches resolve
+    owner/category/centroids from the TTL cache — ZERO storage reads of
+    the metadata tables — and any mutation invalidates, so the next
+    search sees fresh metadata."""
+    import collections
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine, _VersionedTable
+
+    eng = Engine(spark, str(tmp_path), cache_ttl_s=300.0)
+    eng.upload(
+        "o", "c", [{"name": "d", "external_id": "x", "document": _json.dumps({"a": "first words"})}]
+    )
+
+    calls = collections.Counter()
+    orig = _VersionedTable.read
+
+    def counting_read(self, *a, **k):
+        calls[self.name] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(_VersionedTable, "read", counting_read)
+    eng.search("o", "c", "words", nprobe=-1).collect()
+    warm = dict(calls)
+    assert warm.get("centroids", 0) >= 1  # first search loads metadata
+    calls.clear()
+    eng.search("o", "c", "words", nprobe=-1).collect()
+    # repeat search: metadata entirely from cache
+    assert calls.get("owners", 0) == 0
+    assert calls.get("categories", 0) == 0
+    assert calls.get("centroids", 0) == 0
+    assert calls.get("embeddings", 0) >= 1  # the probed scan still runs
+
+    # invalidation: a mutation clears the cache and search sees new data
+    eng.upload(
+        "o", "c", [{"name": "d2", "external_id": "y", "document": _json.dumps({"a": "second words"})}]
+    )
+    calls.clear()
+    res = eng.search("o", "c", "words", count=5, nprobe=-1).collect()
+    assert calls.get("centroids", 0) >= 1  # reloaded after invalidation
+    assert len(res) == 2  # both documents visible
+
+
+def test_ttl_cache_singleflight():
+    """Concurrent loads of one key collapse onto a single loader call
+    (the reference's singleflight.Group)."""
+    import threading as _th
+    import time as _time
+
+    from go_vectorsearch_spark.api import _TTLCache
+
+    cache = _TTLCache(ttl_s=60.0)
+    loads = []
+
+    def loader():
+        loads.append(1)
+        _time.sleep(0.2)
+        return "v"
+
+    results = []
+    threads = [
+        _th.Thread(target=lambda: results.append(cache.get("k", loader)))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == ["v"] * 8
+    assert len(loads) == 1
+    # None results are never cached (reference caches only successes)
+    misses = []
+    cache.get("absent", lambda: misses.append(1))
+    cache.get("absent", lambda: misses.append(1))
+    assert len(misses) == 2
 
 
 def test_mutations_are_partition_scoped(spark, tmp_path):
