@@ -16,12 +16,14 @@ one Python worker that
   * keeps one persistent ``http.client`` connection per endpoint
     (keep-alive across batches — the per-host client reuse of
     ai/httpclient/clientmanager.go);
-  * spreads endpoints by round-robin seeded with the partition id.
-    A cluster has no shared mutable counter, so the reference's
-    least-connections state is replaced by its stationary equivalent:
-    P partitions × round-robin over B bases ≈ uniform load, with no
-    coordination. (The driver-side picker would be a bottleneck at
-    1000 executors; partition-seeded round-robin is free.)
+  * picks endpoints per request with a least-connections balancer
+    (:class:`_EndpointBalancer` — the reference's shuffled-tie
+    fewest-in-flight picker, ai/httpclient/provider.go:56-87, plus a
+    latency-EWMA tiebreak so a slow endpoint sheds load even when a
+    worker issues one request at a time). State is per worker process:
+    a cluster has no shared counter, and a driver-side picker would
+    serialize 1000 executors; N workers × local least-connections is
+    the distributed equivalent.
   * quantizes each vector with numpy the moment the JSON is decoded,
     emitting ONLY (codes, lo, hi) — the engine's canonical store form;
 
@@ -156,6 +158,83 @@ def embed_texts_once(
     return quantize_f32_np(mat)
 
 
+class _EndpointBalancer:
+    """Least-connections endpoint picker with shuffled ties and a
+    latency-EWMA tiebreak (ai/httpclient/provider.go:56-87).
+
+    The reference shuffles its endpoint list and picks the fewest
+    in-flight connections. Each Spark Python worker balances its OWN
+    traffic (executors share no state), so the in-flight count is kept
+    as the PRIMARY key — it dominates whenever a worker issues
+    concurrent requests, exactly like the reference — and a latency
+    EWMA breaks the tie when it cannot: with one request in flight at a
+    time the reference's counter is always zero and its pick degenerates
+    to uniform random, sending a slow endpoint half the traffic; the
+    EWMA routes measurably less to it. An endpoint idle for
+    ``probe_every`` selections is re-probed (latency treated as
+    unknown/optimistic) so a recovered endpoint wins load back instead
+    of starving forever; failures score as ``fail_penalty_s``."""
+
+    def __init__(
+        self,
+        bases: Sequence[str],
+        seed: int = 0,
+        alpha: float = 0.3,
+        probe_every: int = 10,
+        fail_penalty_s: float = 30.0,
+    ):
+        import random
+        import threading
+
+        self.bases = list(bases)
+        self.alpha = alpha
+        self.probe_every = probe_every
+        self.fail_penalty_s = fail_penalty_s
+        self._rng = random.Random(seed)
+        self._lock = threading.Lock()
+        self._inflight = dict.fromkeys(self.bases, 0)
+        self._ewma: dict[str, float | None] = dict.fromkeys(self.bases)
+        self._idle = dict.fromkeys(self.bases, 0)
+
+    def acquire(self, exclude: Sequence[str] = ()):
+        """Pick an endpoint; returns (base, done). Call ``done()`` when
+        the request finishes (``done(failed=True)`` on error) — the
+        reference's ``Url() (uri, done func())`` shape."""
+        import time
+
+        with self._lock:
+            order = [b for b in self.bases if b not in set(exclude)] or list(
+                self.bases
+            )
+            self._rng.shuffle(order)  # shuffled ties (provider.go:63-66)
+
+            def key(b: str) -> tuple:
+                lat = self._ewma[b]
+                if lat is None or self._idle[b] >= self.probe_every:
+                    lat = 0.0  # untried / due a re-probe: optimistic
+                return (self._inflight[b], lat)
+
+            best = min(order, key=key)
+            self._inflight[best] += 1
+            for b in self.bases:
+                self._idle[b] += 1
+            self._idle[best] = 0
+        t0 = time.monotonic()
+
+        def done(failed: bool = False) -> None:
+            elapsed = self.fail_penalty_s if failed else time.monotonic() - t0
+            with self._lock:
+                self._inflight[best] -= 1
+                prev = self._ewma[best]
+                self._ewma[best] = (
+                    elapsed
+                    if prev is None
+                    else (1 - self.alpha) * prev + self.alpha * elapsed
+                )
+
+        return best, done
+
+
 class _HttpStatusError(RuntimeError):
     """Non-200 from the embed endpoint, carrying the status so the retry
     loop can tell permanent client errors (401/404/422 — retrying those
@@ -209,9 +288,12 @@ def http_embed(
     (embed.go:50-52). Response: ``{"embeddings": [[floats...], ...]}``
     — quantized row-by-row at decode, full precision discarded.
 
+    Endpoint selection is least-connections with latency-EWMA ties
+    (:class:`_EndpointBalancer`, ai/httpclient/provider.go:56-87).
     Failure handling: each request has a retry budget of
     ``max_attempts`` (default ``2 × len(api_bases)``); a failed attempt
-    closes that endpoint's connection, rotates to the NEXT endpoint,
+    closes that endpoint's connection, re-picks among the endpoints
+    this request hasn't tried yet,
     and backs off exponentially (``backoff_s · 2^i``, capped at 2 s).
     A dead endpoint therefore degrades throughput instead of failing
     the Spark task (whose retry would re-embed the partition's earlier
@@ -230,9 +312,10 @@ def http_embed(
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        start = (ctx.partitionId() if ctx is not None else 0) % len(bases)
+        balancer = _EndpointBalancer(
+            bases, seed=(ctx.partitionId() if ctx is not None else 0)
+        )
         conns: dict[str, tuple[object, str]] = {}
-        calls = 0
 
         def connection(base: str) -> tuple[object, str]:
             if base not in conns:
@@ -242,25 +325,29 @@ def http_embed(
         def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             import time
 
-            nonlocal calls
             payload = {
                 "model": model,
                 "input": texts,
                 "options": {"num_ctx": num_ctx},
             }
-            first = calls
-            calls += 1
             last_err: Exception | None = None
+            tried: set[str] = set()
             for attempt in range(max_attempts):
-                # rotate: attempt 0 = this call's round-robin endpoint,
-                # each retry moves to the NEXT endpoint (a dead endpoint
-                # can't eat the whole budget when others are healthy)
-                base = bases[(start + first + attempt) % len(bases)]
+                # least-connections pick; retries EXCLUDE endpoints this
+                # request already failed on until every distinct base has
+                # been tried once (a dead endpoint can't eat the whole
+                # budget when others are healthy)
+                base, done = balancer.acquire(
+                    exclude=tried if len(tried) < len(bases) else ()
+                )
+                tried.add(base)
                 try:
                     conn, prefix = connection(base)
                     out = _post_json(conn, prefix + path, payload, token)
+                    done()
                     break
                 except Exception as e:  # connection drop, refused, 5xx...
+                    done(failed=True)
                     last_err = e
                     # drop the (possibly half-dead) keep-alive connection
                     if base in conns:

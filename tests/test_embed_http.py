@@ -239,6 +239,61 @@ def test_provider_fallback_order(spark, stub_server):
         select_embed_provider([ollama_empty])
 
 
+def test_balancer_least_connections_and_exclude():
+    """The picker is fewest-in-flight first (provider.go:56-87): with one
+    endpoint busy, the next acquire goes elsewhere; exclusion re-picks
+    among untried endpoints; an idle endpoint is re-probed eventually."""
+    from go_vectorsearch_spark.sources.embed_http import _EndpointBalancer
+
+    bal = _EndpointBalancer(["a", "b"], seed=7)
+    first, done_first = bal.acquire()
+    other, done_other = bal.acquire()  # first still in flight
+    assert {first, other} == {"a", "b"}
+    done_first()
+    done_other()
+    # exclusion: a retry that already failed on X must pick the other
+    picked, done = bal.acquire(exclude=[first])
+    assert picked == other
+    done(failed=True)
+    # all-excluded degrades to all-allowed instead of deadlocking
+    picked, done = bal.acquire(exclude=["a", "b"])
+    assert picked in ("a", "b")
+    done()
+
+
+def test_slow_endpoint_sheds_load(spark, stub_server):
+    """ai/httpclient/provider.go:56-87's goal, sequential-client form: a
+    deliberately slow endpoint must receive measurably FEWER requests
+    than round-robin's half — the latency EWMA routes around it while
+    the periodic re-probe keeps it from starving forever."""
+    import time as _time
+
+    class _SlowHandler(_Handler):
+        def do_POST(self):
+            _time.sleep(0.12)
+            super().do_POST()
+
+    slow_srv = ThreadingHTTPServer(("127.0.0.1", 0), _SlowHandler)
+    slow_srv.requests = []
+    threading.Thread(target=slow_srv.serve_forever, daemon=True).start()
+    try:
+        fast_srv, fast_base = stub_server()
+        slow_base = f"http://127.0.0.1:{slow_srv.server_port}"
+        df = _texts_df(spark, n=40, partitions=1)
+        out = http_embed(
+            df, api_bases=[slow_base, fast_base], batch_size=2
+        ).collect()
+        assert len(out) == 40
+        n_slow, n_fast = len(slow_srv.requests), len(fast_srv.requests)
+        assert n_slow + n_fast == 20
+        # round-robin would send 10; the balancer sends the probe hits only
+        assert n_slow <= 6, f"slow endpoint got {n_slow}/20 requests"
+        assert n_fast >= 14
+    finally:
+        slow_srv.shutdown()
+        slow_srv.server_close()
+
+
 def test_retry_rotates_to_healthy_endpoint(spark, stub_server):
     """A dead endpoint in api_bases must not fail the task: the retry
     budget rotates each attempt to the next endpoint with backoff, so
