@@ -98,3 +98,48 @@ def test_validate_embeddings_parity_on_planted_dirty_rows(spark, tmp_path):
     assert s["n_rows"] == 7 and s["null_vectors"] == 1
     assert s["null_element_vectors"] == 1 and s["nan_vectors"] == 1
     assert s["zero_vectors"] == 3  # zero + empty + (0.0, NULL)
+
+
+def test_pq_rerank_stage_duckdb_parity(spark, sf_correct):
+    """The PQ two-stage search's exact RE-RANK is deterministic and
+    DuckDB-expressible: given the ADC candidate id set, re-ranking by
+    exact cosine (round-6 desc, id asc) must agree row-for-row with
+    DuckDB doing the same over the same candidates. The lossy ADC
+    ordering itself stays recall-bounded in tests/test_pq.py — this
+    pins the half of the pipeline that has an exact oracle."""
+    from go_vectorsearch_spark.plans.pq import encode_pq, pq_search, train_pq
+
+    emb = Q._t(spark, sf_correct, "embeddings")
+    qvec = Q._qvec(spark, sf_correct)
+    cb = train_pq(emb, m=8, k_sub=16)
+    coded = encode_pq(emb, cb)
+    R, K = 50, 10
+
+    # stage 1 (ADC) alone: the candidate set the re-rank will see
+    cand_ids = [
+        r["vec_id"] for r in pq_search(coded, cb, qvec, k=R, rerank=None).collect()
+    ]
+    assert len(cand_ids) == R
+    # full two-stage search
+    reranked = pq_search(coded, cb, qvec, k=K, rerank=R)
+    s_rows = [(r["vec_id"], round(r["score"], 5)) for r in reranked.collect()]
+
+    con = duckdb_conn(sf_correct)
+    try:
+        ids = ",".join(str(i) for i in cand_ids)
+        res = con.execute(f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       list_sum(list_transform(generate_series(1, len(e.embedding)),
+                               i -> e.embedding[i]::DOUBLE * q.qv[i]))
+       / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+FROM embeddings e, q
+WHERE e.vec_id IN ({ids})
+ORDER BY round(score, 6) DESC, e.vec_id ASC
+LIMIT {K}
+""")
+        d_rows = [(r[0], round(r[1], 5)) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert s_rows == d_rows
