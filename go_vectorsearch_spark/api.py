@@ -384,6 +384,30 @@ class _VersionedTable:
         out = inserted.unionByName(deleted).unionByName(pre).unionByName(post)
         return out.select(*cols, "_change_type")
 
+    def compact(self, min_dirs: int = 2, keep_versions: int = 2) -> list[str]:
+        """Collapse every partition whose manifest lists >= ``min_dirs``
+        directories into ONE directory (the append path accumulates a
+        directory per upload per touched partition — the classic
+        small-file problem; same job as streaming/ingest's
+        compact_partitioned and Delta's OPTIMIZE). One new snapshot;
+        partitions already compact are carried by reference, so the
+        rewrite cost is proportional to the fragmented data only.
+        Returns the partition keys compacted."""
+        v = self._version()
+        if v < 0:
+            return []
+        parts = self._manifest(v)
+        victims = sorted(k for k, dirs in parts.items() if len(dirs) >= min_dirs)
+        if not victims:
+            return []
+        if not self.partition_expr:
+            self.write(self.read(), keep_versions=keep_versions)
+            return victims
+        self.overwrite_partitions(
+            self.read(partition_values=victims), victims, keep_versions=keep_versions
+        )
+        return victims
+
     def _vacuum(self, current: int, keep: int) -> None:
         """Drop manifests older than the ``keep`` most recent, then
         garbage-collect data directories no surviving manifest
@@ -1091,6 +1115,15 @@ class Engine:
         self.t["embeddings"].write(out)
         self._invalidate_cache()  # new centroid set
         return cents.count()
+
+    def compact(self, min_dirs: int = 2) -> dict[str, list[str]]:
+        """Compact every engine table's fragmented partitions (see
+        _VersionedTable.compact) — the maintenance job a deployment runs
+        beside the background index refresh. Returns the compacted
+        partition keys per table."""
+        out = {name: t.compact(min_dirs=min_dirs) for name, t in self.t.items()}
+        self._invalidate_cache()
+        return out
 
     def refresh_all(self, max_leaf: int = 10_000) -> dict[tuple[str, str], int]:
         """RefreshCentroids parity (server/centroids.go:17-83, run once

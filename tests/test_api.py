@@ -445,6 +445,46 @@ def test_mutations_are_partition_scoped(spark, tmp_path):
     assert eng.t["documents"].read().count() == 8  # 9 uploaded - 1 deleted
 
 
+def test_compact_collapses_fragmented_partitions(spark, tmp_path):
+    """Repeated uploads leave a directory per batch per touched
+    partition; compact() collapses each fragmented partition to one
+    directory without changing the data, and leaves already-compact
+    partitions' directories untouched (carried by reference)."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    for i in range(3):  # 3 uploads -> up to 3 dirs per touched partition
+        eng.upload(
+            "o",
+            "c",
+            [
+                {
+                    "name": f"d{i}",
+                    "external_id": str(i),
+                    "document": _json.dumps({"t": f"body text {i}"}),
+                }
+            ],
+        )
+    t = eng.t["embeddings"]
+    before_rows = sorted(tuple(r) for r in t.read().collect())
+    parts_before = t._manifest(t._version())
+    assert any(len(d) >= 2 for d in parts_before.values())  # fragmented
+
+    compacted = eng.compact(min_dirs=2)
+    assert compacted["embeddings"]  # something was compacted
+    parts_after = t._manifest(t._version())
+    for key, dirs in parts_after.items():
+        assert len(dirs) == 1, f"partition {key} still fragmented: {dirs}"
+    for key, dirs in parts_before.items():
+        if len(dirs) == 1:  # already compact: carried by reference
+            assert parts_after[key] == dirs
+    assert sorted(tuple(r) for r in t.read().collect()) == before_rows
+    # idempotent: nothing left to compact
+    assert eng.t["embeddings"].compact(min_dirs=2) == []
+
+
 def test_engine_table_changes_after_delete(spark, tmp_path):
     """End-to-end CDF: a document delete shows up as delete rows in the
     documents table's change feed between the surrounding versions."""
