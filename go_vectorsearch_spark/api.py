@@ -384,6 +384,48 @@ class _VersionedTable:
         out = inserted.unionByName(deleted).unionByName(pre).unionByName(post)
         return out.select(*cols, "_change_type")
 
+    def upsert(self, df: DataFrame, key: str, keep_versions: int = 2) -> None:
+        """MERGE by unique key: rows whose ``key`` exists are replaced,
+        new keys are inserted — the reference's GORM ``Save`` upsert
+        (dnc/dnc.go:159-162) generalized to any table. Partition-scoped:
+        only partitions the INCOMING rows land in are rewritten (their
+        survivors = old rows anti-joined on the incoming key set), every
+        other partition is carried by reference; unpartitioned tables
+        fall back to a full anti-join rewrite (they are metadata-sized).
+
+        Assumes ``key`` is unique per snapshot. A row MAY move
+        partitions (an embedding reassigned to a new centroid): the
+        touched set is the union of the partitions the incoming rows
+        land in and the partitions currently holding the incoming keys
+        (one key-semi-join scan — the match-finding pass every MERGE
+        pays), so no stale twin is left behind."""
+        if not self.partition_expr:
+            old = self.read()
+            self.write(
+                old.join(df.select(key), key, "left_anti").unionByName(df),
+                keep_versions=keep_versions,
+            )
+            return
+        part = F.expr(self.partition_expr)
+        new_parts = {r[0] for r in df.select(part).distinct().collect()}
+        old_parts = {
+            r[0]
+            for r in self.read()
+            .join(df.select(key), key, "left_semi")
+            .select(part)
+            .distinct()
+            .collect()
+        }
+        touched = sorted(new_parts | old_parts)
+        if not touched:
+            return
+        survivors = self.read(partition_values=touched).join(
+            df.select(key), key, "left_anti"
+        )
+        self.overwrite_partitions(
+            survivors.unionByName(df), touched, keep_versions=keep_versions
+        )
+
     def compact(self, min_dirs: int = 2, keep_versions: int = 2) -> list[str]:
         """Collapse every partition whose manifest lists >= ``min_dirs``
         directories into ONE directory (the append path accumulates a

@@ -445,6 +445,79 @@ def test_mutations_are_partition_scoped(spark, tmp_path):
     assert eng.t["documents"].read().count() == 8  # 9 uploaded - 1 deleted
 
 
+def test_versioned_table_upsert_keyed_merge(spark, tmp_path):
+    """MERGE by key on a partitioned table: existing keys replaced, new
+    keys inserted, untouched partitions carried by reference — and a
+    row that MOVES partitions (its partition column changed) leaves no
+    stale twin behind."""
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(
+        spark, str(tmp_path), "up", "id long, part long, x string",
+        partition_expr="part",
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 2, "d")], t.schema
+        )
+    )
+    parts_before = t._manifest(t._version())
+    # replace id=1 in place, MOVE id=3 from part 1 to part 0, insert id=9
+    t.upsert(
+        spark.createDataFrame([(1, 0, "A"), (3, 0, "C"), (9, 0, "new")], t.schema),
+        key="id",
+    )
+    rows = {r["id"]: (r["part"], r["x"]) for r in t.read().collect()}
+    assert rows == {1: (0, "A"), 2: (0, "b"), 3: (0, "C"), 4: (2, "d"), 9: (0, "new")}
+    parts_after = t._manifest(t._version())
+    assert parts_after["2"] == parts_before["2"]  # untouched partition
+    assert "1" not in parts_after or t.read(
+        partition_values=[1]
+    ).count() == 0  # moved row's old partition emptied
+    # keyed change feed sees the in-place replacement as an update pair
+    feed = {
+        (r["id"], r["_change_type"])
+        for r in t.changes(0, 1, key="id").collect()
+    }
+    assert (1, "update_preimage") in feed and (1, "update_postimage") in feed
+    assert (9, "insert") in feed
+
+
+def test_versioned_table_upsert_unpartitioned(spark, tmp_path):
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path), "upu", "id long, x string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], t.schema), key="id")
+    assert {tuple(r) for r in t.read().collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_vacuum_age_guard_protects_young_data(spark, tmp_path):
+    """With vacuum_min_age_s > 0, data directories that fell out of the
+    manifest keep-window survive until they age out — an in-flight
+    reader holding a resolved snapshot keeps its files."""
+    import os
+
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(
+        spark, str(tmp_path), "ag", "id long, x string", vacuum_min_age_s=3600.0
+    )
+    for i in range(4):
+        t.write(spark.createDataFrame([(i, f"v{i}")], t.schema), keep_versions=2)
+    # manifests beyond the keep-window are gone (count-only window)...
+    assert t.versions() == [2, 3]
+    # ...but every data batch is younger than the age guard: all survive
+    data = sorted(os.listdir(os.path.join(t.dir, "_data")))
+    assert data == ["w0", "w1", "w2", "w3"]
+    # age-expired path: a zero-grace table drops unreferenced batches
+    t0 = _VersionedTable(spark, str(tmp_path), "ag0", "id long, x string")
+    for i in range(4):
+        t0.write(spark.createDataFrame([(i, f"v{i}")], t0.schema), keep_versions=2)
+    data0 = sorted(os.listdir(os.path.join(t0.dir, "_data")))
+    assert data0 == ["w2", "w3"]
+
+
 def test_compact_collapses_fragmented_partitions(spark, tmp_path):
     """Repeated uploads leave a directory per batch per touched
     partition; compact() collapses each fragmented partition to one
