@@ -1,0 +1,192 @@
+"""Full-text retrieval: BM25 lexical search + reciprocal-rank fusion.
+
+The reference retrieves by embedding cosine only; any production search
+stack pairs that with a lexical scorer, and a training-data pipeline
+needs the same machinery for corpus-level term statistics. This module
+is the Spark-first version of an inverted-index BM25 engine:
+
+  * the index is a POSTINGS TABLE (term, doc_id, tf, dl) — document
+    length denormalized into each posting so the query path never joins
+    a corpus-sized side — built in one explode + one groupBy pass, written once
+    per corpus (at 100 TB: partitionBy a term hash bucket so a query's
+    postings scan prunes to its terms' buckets; the build shuffles each
+    token once, the classic inverted-index construction);
+  * a query scores ONLY its own terms' postings: the postings scan gets
+    an `isin(query terms)` filter (pushed to parquet on a stored
+    index), looks idf up in a driver-computed literal map folded into
+    codegen (query terms are request-sized), computes the BM25 term
+    contribution, and groupBy(doc).sum → TakeOrdered top-k. Work per
+    query = Σ postings of the query's terms, never the corpus.
+  * hybrid retrieval = reciprocal-rank fusion of the lexical ranking
+    with the engine's cosine ANN ranking (two bounded top-n frames;
+    the fusion itself is driver-sized arithmetic kept declarative).
+
+Scoring is Robertson/Sparck-Jones BM25 (the Okapi formulation used by
+Lucene/Elasticsearch):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = Σ_t idf(t) · tf · (k1 + 1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+Tokenization is deliberately minimal and ENGINE-REPRODUCIBLE (lowercase,
+split on non-alphanumeric runs) so the DuckDB oracle tests can replay it
+exactly (tests/test_fulltext.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """lowercase, split on non-alphanumeric runs, drop empties — one
+    codegen'd expression (split produces '' at string edges; filter
+    keeps the token multiset exact)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+@dataclass(frozen=True)
+class BM25Index:
+    """postings: (term, doc_id, tf, dl) — the document length is
+    DENORMALIZED into every posting at build time (one small int per
+    row) so the query path is a single pruned scan with NO join against
+    a corpus-sized lengths table; n_docs/avgdl are the two corpus
+    scalars every query needs (driver-held, like the reference's
+    cached centroid set)."""
+
+    postings: DataFrame
+    n_docs: int
+    avgdl: float
+
+
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BM25Index:
+    """One explode + one groupBy(term, doc) pass — each token shuffles
+    once, the standard distributed inverted-index build; dl rides every
+    posting row (grouping on it is free: dl is functionally dependent
+    on doc_id). The two corpus scalars are ONE driver row. At scale the
+    postings frame is written once (bucketed by term hash) and reused
+    per query, exactly like the IVF assignment column."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    postings = (
+        toks.select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+    ).head()
+    return BM25Index(
+        postings=postings,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+    )
+
+
+def bm25_search(
+    index: BM25Index,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for ``query``: postings pruned to the query's
+    terms, idf computed from a ONE-ROW-PER-TERM df aggregate (a driver
+    dict folded into the plan as a literal map — query terms are
+    request-sized, the same bounded-broadcast rule as the centroid
+    set), BM25 contribution in codegen, groupBy(doc).sum, TakeOrdered
+    with the engine's (round-6 desc, id asc) total order."""
+    terms = sorted(
+        {t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t}
+    )
+    empty = index.postings.sparkSession.createDataFrame(
+        [], "doc_id long, score double"
+    )
+    if not terms or index.n_docs == 0:
+        return empty
+    # per-term document frequency: one tiny agg over the pruned postings
+    df_rows = (
+        index.postings.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    if not df_rows:
+        return empty
+    n = index.n_docs
+    idf = {
+        r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    idf_map = F.create_map(
+        *[F.lit(x) for t, v in sorted(idf.items()) for x in (t, float(v))]
+    )
+    avgdl = index.avgdl if index.avgdl > 0 else 1.0
+    # the query path is ONE pruned scan — dl rides each posting row, so
+    # there is no join at all; work = Σ postings(query terms)
+    pruned = index.postings.filter(F.col("term").isin(list(idf)))
+    scored = pruned.select(
+        "doc_id",
+        (
+            idf_map[F.col("term")]
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl").cast("double") / F.lit(float(avgdl)))
+            )
+        ).alias("_contrib"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_contrib").alias("score"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fused(d) = Σ_r 1/(c + rank_r(d)), ranks from each input's
+    (round-6 score desc, id asc) total order; documents absent from a
+    ranking contribute nothing. Inputs are top-n frames (bounded), so
+    the union + window is driver-scale work kept declarative."""
+    from pyspark.sql import Window
+
+    # the unpartitioned window is justified by the BOUNDED-INPUT
+    # contract: every input is a .limit(n) search result, so ranking it
+    # is a single-task sort of <= n rows — the same merge step
+    # TakeOrdered runs; corpus-sized frames must never be passed here
+    tagged = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
+        tagged.append(
+            r.select(id_col, "score")
+            .withColumn("_rank", F.row_number().over(w))
+            .select(id_col, (1.0 / (F.lit(c) + F.col("_rank"))).alias("_rrf"))
+        )
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    return (
+        allr.groupBy(id_col)
+        .agg(F.sum("_rrf").alias("score"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,183 @@
+"""BM25 + RRF hybrid retrieval: DuckDB parity (demoted bar), plan
+shape, and fusion semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators.fulltext import (
+    BM25Index,
+    bm25_search,
+    build_bm25_index,
+    rrf_fuse,
+    tokenize,
+)
+from tests.parity import _norm_rows, duckdb_conn
+
+QUERY = "spark shuffle hash table"
+K1, B = 1.2, 0.75
+
+
+def _load_docs(spark, sf_dir):
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+), posts AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM posts WHERE term IN ({in_list})
+  GROUP BY term, doc_id, dl
+), idf AS (
+  SELECT term,
+         ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5))
+           AS idf
+  FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       sum(idf.idf * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl
+                              / (SELECT avgdl FROM stats)))) AS score
+FROM tf JOIN idf USING (term)
+GROUP BY tf.doc_id
+ORDER BY round(score, 6) DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
+def test_bm25_duckdb_parity(spark, sf_correct):
+    """Same tokenizer, same Okapi formula, same (round-6 desc, id asc)
+    total order — DuckDB must reproduce the top-k row for row."""
+    docs = _load_docs(spark, sf_correct)
+    index = build_bm25_index(docs)
+    sdf = bm25_search(index, QUERY, k=10, k1=K1, b=B)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) == 10
+
+    terms = sorted(set(QUERY.lower().split()))
+    con = duckdb_conn(sf_correct)
+    try:
+        res = con.execute(_bm25_oracle_sql(terms, 10))
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d_rows)
+
+
+def test_bm25_sf_dir_honored(spark, sf_correct):
+    """Different corpus (sf0.001) -> different index stats; the scorer
+    must not cache across corpora."""
+    small = _load_docs(spark, "/root/testdata/sf0.001")
+    big = _load_docs(spark, sf_correct)
+    i_small, i_big = build_bm25_index(small), build_bm25_index(big)
+    # both SFs carry 500 documents but different text: the corpus
+    # statistics must reflect the actual input
+    assert i_small.avgdl != pytest.approx(i_big.avgdl)
+
+
+def test_bm25_unknown_and_empty_query(spark, sf_correct):
+    docs = _load_docs(spark, sf_correct)
+    index = build_bm25_index(docs)
+    assert bm25_search(index, "zzzqqqxyzzy").count() == 0
+    assert bm25_search(index, "  ...  ").count() == 0
+
+
+def test_bm25_postings_prune_pushes_down(spark, sf_correct, tmp_path):
+    """On a STORED postings table (the at-scale layout) the query-term
+    filter must reach the parquet scan as a pushed filter, and the only
+    exchange left is the per-document sum."""
+    docs = _load_docs(spark, sf_correct)
+    index = build_bm25_index(docs)
+    path = str(tmp_path / "postings")
+    index.postings.write.parquet(path)
+    stored = BM25Index(
+        postings=spark.read.parquet(path),
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+    )
+    plan = (
+        bm25_search(stored, QUERY, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tokenize_matches_python_reference(spark):
+    import re
+
+    texts = ["Hello, WORLD!  42x", "", "---", "a b  c", "ümlaut mix3d"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(tokenize(F.col("t"))).collect()]
+    want = [[w for w in re.split("[^a-z0-9]+", t.lower()) if w] for t in texts]
+    assert got == want
+
+
+def test_rrf_fusion_matches_python_reference(spark, sf_correct):
+    """Fused ranking == the published formula computed independently in
+    plain Python over the same two bounded rankings."""
+    from go_vectorsearch_spark.queries import _qvec, _t
+    from go_vectorsearch_spark.operators.search import brute_force_topk
+
+    docs = _load_docs(spark, sf_correct)
+    index = build_bm25_index(docs)
+    lexical = bm25_search(index, QUERY, k=20)
+    emb = _t(spark, sf_correct, "embeddings")
+    semantic = brute_force_topk(
+        emb, _qvec(spark, sf_correct), 20, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("vec_id").alias("doc_id"), "score")
+
+    fused = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in rrf_fuse([lexical, semantic], k=10, c=60).collect()
+    ]
+
+    def ranks(df):
+        rows = [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return {d: i + 1 for i, (d, _) in enumerate(rows)}
+
+    acc: dict[int, float] = {}
+    for ranking in (ranks(lexical), ranks(semantic)):
+        for d, rk in ranking.items():
+            acc[d] = acc.get(d, 0.0) + 1.0 / (60 + rk)
+    want = sorted(acc.items(), key=lambda t: (-round(t[1], 6), t[0]))[:10]
+    assert fused == [(d, round(s, 10)) for d, s in want]
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    """The two properties that make BM25 BM25: term-frequency gain
+    saturates (k1), and longer documents are penalized (b)."""
+    rows = [
+        (1, "cat"),  # tf=1, short
+        (2, "cat cat cat cat cat cat cat cat"),  # tf=8, longer
+        (3, "cat " + "dog " * 20),  # tf=1, long
+        (4, "bird only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_bm25_index(df)
+    got = {r["doc_id"]: r["score"] for r in bm25_search(index, "cat", k=4).collect()}
+    assert set(got) == {1, 2, 3}
+    # tf=8 scores higher than tf=1 but FAR less than 8x (saturation)
+    assert got[2] > got[1]
+    assert got[2] < 3 * got[1]
+    # same tf, longer doc scores lower (length normalization)
+    assert got[3] < got[1]
