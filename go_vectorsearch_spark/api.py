@@ -848,12 +848,26 @@ class Engine:
             emb, qvec, count + offset, id_col="embedding_id",
             vec_col="vector", doc_col="document_id",
         )
-        page = topk_paginated(topk, count, offset)
-        docs = self.t["documents"].read().filter(F.col("category_id") == scope)
-        # broadcast the <=20-row PAGE, never the category's document
-        # table (full payloads; unbounded at the 100 TB design point) —
-        # the hydration join then runs map-side over the docs scan
-        hydrated = docs.join(F.broadcast(page), "document_id", "inner").select(
+        # the reference collects the page's ids and hydrates them with a
+        # separate point query (server/search.go:285-308); mirroring
+        # that lets the documents scan prune to the <= count+offset ids'
+        # HASH BUCKETS at the manifest level — hydration never scans the
+        # corpus-sized documents table (its pre-r4 shape: a full scan
+        # joined against the broadcast page)
+        page_rows = topk_paginated(topk, count, offset).collect()
+        if not page_rows:
+            return empty
+        ids = [r["document_id"] for r in page_rows]
+        page = F.broadcast(
+            self.spark.createDataFrame(
+                [(r["document_id"], float(r["score"])) for r in page_rows],
+                "document_id long, score double",
+            )
+        )
+        docs = self.t["documents"].read(
+            partition_values=sorted({i % N_DOC_BUCKETS for i in ids})
+        ).filter(F.col("document_id").isin(ids) & (F.col("category_id") == scope))
+        hydrated = docs.join(page, "document_id", "inner").select(
             "document_id", "name", "external_id", "payload_json", "score"
         )
         # deterministic reference rank order: pagination ranked by
