@@ -121,3 +121,50 @@ def normalize_search_args(count: int, offset: int, nprobe: int) -> tuple[int, in
     elif nprobe < 0:
         nprobe = 2**31 - 1
     return count, offset, nprobe
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int,
+    doc_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (MaxSim) top-k: score(doc) = Σ_q max over the
+    doc's vectors of cos(q, v) — the ColBERT retrieval rule (Khattab &
+    Zaharia, SIGIR 2020), the natural multi-vector generalization of
+    the reference's per-chunk search (its per-document MAX over chunk
+    scores, server/search.go:259-268, is exactly MaxSim with ONE query
+    vector).
+
+    Plan shape: the query set is request-sized, so each query vector
+    folds into codegen as its own literal score column (a narrow map —
+    no join, no explode); ONE groupBy(doc) computes every per-query MAX
+    map-side in the same pass; the sum of maxes is a projection over
+    the aggregated row; top-k is TakeOrdered with the engine's
+    (round-6 desc, id asc) total order. One corpus scan, one shuffle of
+    |docs| x (nq doubles) partial aggregates, regardless of nq.
+    """
+    qs = [list(map(float, q)) for q in query_vecs]
+    if not qs:
+        raise ValueError("maxsim_topk: empty query set")
+    scored = df.select(
+        doc_col,
+        *[
+            cosine_similarity(F.col(vec_col), query_vec_lit(q)).alias(f"_s{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    agg = scored.groupBy(doc_col).agg(
+        *[F.max(f"_s{i}").alias(f"_m{i}") for i in range(len(qs))]
+    )
+    total = None
+    for i in range(len(qs)):
+        c = F.col(f"_m{i}")
+        total = c if total is None else total + c
+    return (
+        agg.select(doc_col, total.alias("score"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc(doc_col))
+        .limit(k)
+    )

@@ -181,3 +181,93 @@ def test_bm25_tf_saturation_and_length_norm(spark):
     assert got[2] < 3 * got[1]
     # same tf, longer doc scores lower (length normalization)
     assert got[3] < got[1]
+
+
+def test_maxsim_duckdb_parity(spark, sf_correct):
+    """Late-interaction MaxSim over (label = document, chunk vectors):
+    DuckDB reproduces the top-k row for row with the same per-query max
+    + sum + (round-6 desc, id asc) order."""
+    from go_vectorsearch_spark.operators.search import maxsim_topk
+    from go_vectorsearch_spark.queries import _t
+
+    emb = _t(spark, sf_correct, "embeddings")
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).orderBy("vec_id").collect()
+    ]
+    sdf = maxsim_topk(emb, qvecs, k=10, doc_col="label")
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) == 10
+
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> e.embedding[i]::DOUBLE * q{j}[i])) "
+        "/ (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+        "* sqrt(list_sum(list_transform(q{j}, x -> x * x))))"
+    )
+    q_cols = ", ".join(
+        f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {v}) AS q{j}"
+        for j, v in enumerate([0, 1, 2])
+    )
+    maxes = ", ".join(f"max({cos.format(j=j)}) AS m{j}" for j in range(3))
+    con = duckdb_conn(sf_correct)
+    try:
+        res = con.execute(f"""
+WITH q AS (SELECT {q_cols}),
+per AS (
+  SELECT e.label, {maxes}
+  FROM embeddings e, q
+  GROUP BY e.label
+)
+SELECT label, m0 + m1 + m2 AS score
+FROM per
+ORDER BY round(score, 6) DESC, label ASC
+LIMIT 10
+""")
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d_rows)
+
+
+def test_maxsim_single_query_equals_grouped_topk(spark, sf_correct):
+    """With ONE query vector MaxSim degenerates to the engine's T2
+    per-document max — the two paths must agree exactly."""
+    from go_vectorsearch_spark.operators.search import brute_force_topk, maxsim_topk
+    from go_vectorsearch_spark.queries import _qvec, _t
+
+    emb = _t(spark, sf_correct, "embeddings")
+    q = _qvec(spark, sf_correct)
+    a = [
+        (r["label"], round(r["score"], 6))
+        for r in maxsim_topk(emb, [q], k=10, doc_col="label").collect()
+    ]
+    b = [
+        (r["label"], round(r["score"], 6))
+        for r in brute_force_topk(
+            emb, q, 10, id_col="vec_id", vec_col="embedding", doc_col="label"
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_maxsim_plan_one_shuffle(spark, sf_correct):
+    """nq query vectors must NOT multiply scans or shuffles: one scan,
+    one aggregate exchange, no join, no Python."""
+    from go_vectorsearch_spark.operators.search import maxsim_topk
+    from go_vectorsearch_spark.queries import _t
+
+    emb = _t(spark, sf_correct, "embeddings")
+    qvecs = [[float(i == j) for i in range(64)] for j in range(4)]
+    plan = (
+        maxsim_topk(emb, qvecs, k=5, doc_col="label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
