@@ -190,3 +190,76 @@ def rrf_fuse(
         .orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_postings(
+    index: BM25Index, path: str, n_buckets: int = 64
+) -> None:
+    """Persist the postings in the at-scale layout: partitionBy a term
+    HASH BUCKET (xxhash64 mod n_buckets) so a query's scan prunes to
+    its terms' buckets at the partition level — the inverted index's
+    seek, expressed as directory pruning. Corpus scalars ride a tiny
+    _stats sidecar. One shuffle co-locates each bucket before the
+    write (one file per bucket per write)."""
+    bucketed = index.postings.withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    (
+        bucketed.repartition(F.col("_tb"))
+        .write.mode("overwrite")
+        .partitionBy("_tb")
+        .parquet(f"{path}/postings")
+    )
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, float(index.avgdl), int(n_buckets))],
+        "n_docs long, avgdl double, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_postings(spark, path: str) -> tuple[BM25Index, int]:
+    """(index over the stored layout, n_buckets). The returned postings
+    frame carries the ``_tb`` partition column; :func:`bm25_search_stored`
+    adds the bucket filter that makes the probe a partition-pruned scan."""
+    stats = spark.read.parquet(f"{path}/stats").head()
+    return (
+        BM25Index(
+            postings=spark.read.parquet(f"{path}/postings"),
+            n_docs=int(stats["n_docs"]),
+            avgdl=float(stats["avgdl"]),
+        ),
+        int(stats["n_buckets"]),
+    )
+
+
+def bm25_search_stored(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the stored bucketed layout: the query terms' hash
+    buckets are computed with ONE tiny Spark-side xxhash64 job (the
+    bucket function must be Spark's, not a Python reimplementation that
+    could drift), the postings scan gets `_tb isin (...)` — partition
+    pruning, unlisted buckets are never touched — and the term filter
+    still pushes into the surviving buckets' row groups."""
+    index, n_buckets = read_postings(spark, path)
+    terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    buckets = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    pruned = BM25Index(
+        postings=index.postings.filter(F.col("_tb").isin(buckets)).drop("_tb"),
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+    )
+    return bm25_search(pruned, query, k=k, k1=k1, b=b)

@@ -271,3 +271,32 @@ def test_maxsim_plan_one_shuffle(spark, sf_correct):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_stored_layout_partition_prunes(spark, sf_correct, tmp_path):
+    """The at-scale layout: postings partitioned by term hash bucket;
+    a query scans ONLY its terms' buckets (PartitionFilters on _tb) and
+    returns exactly the in-memory index's result."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        write_postings,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    index = build_bm25_index(docs)
+    path = str(tmp_path / "bm25")
+    write_postings(index, path, n_buckets=16)
+
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_search(index, QUERY, k=10).collect()
+    ]
+    got_df = bm25_search_stored(spark, path, QUERY, k=10)
+    got = [(r["doc_id"], round(r["score"], 6)) for r in got_df.collect()]
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_tb" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert "In(term" in plan  # term filter still pushed into row groups
