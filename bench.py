@@ -145,6 +145,16 @@ def main() -> None:
     registry._pq_cached(spark, sf_dir)
     timings["ann_pq_encode_build"] = round(time.perf_counter() - t0, 3)
 
+    # BM25 inverted-index build (postings materialized once per corpus)
+    # and the one-time bucketed postings store write — both amortized
+    # background work, billed like ivf_build / ivf_store_build
+    t0 = time.perf_counter()
+    registry._bm25_cached(spark, sf_dir)
+    timings["bm25_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    registry._bm25_store_path(spark, sf_dir)
+    timings["bm25_store_build"] = round(time.perf_counter() - t0, 3)
+
     # per-job scheduling floor: the cost of an EMPTY Spark job on this
     # box right now (median of 5) — the data-independent latency every
     # one of the ~58 measured collects pays at least once; 0 % of the

@@ -165,21 +165,35 @@ def rrf_fuse(
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     fused(d) = Σ_r 1/(c + rank_r(d)), ranks from each input's
     (round-6 score desc, id asc) total order; documents absent from a
-    ranking contribute nothing. Inputs are top-n frames (bounded), so
-    the union + window is driver-scale work kept declarative."""
-    from pyspark.sql import Window
+    ranking contribute nothing.
 
-    # the unpartitioned window is justified by the BOUNDED-INPUT
-    # contract: every input is a .limit(n) search result, so ranking it
-    # is a single-task sort of <= n rows — the same merge step
-    # TakeOrdered runs; corpus-sized frames must never be passed here
+    Inputs are top-n frames (bounded by contract: every input is a
+    ``.limit(n)`` search result), so each ranking collapses to ONE
+    aggregated array — collect_list + array_sort on a
+    (-round(score,6), id) sort key, then posexplode so rank = pos+1.
+    No Window at all: an unpartitioned ``row_number`` would be a
+    single-task sort of the whole input if a corpus-sized frame ever
+    slipped in, while collect_list over an unbounded frame fails fast
+    on the single-row aggregate instead of silently serializing the
+    corpus through one task. Corpus-sized frames must never be passed
+    here."""
     tagged = []
-    for i, r in enumerate(rankings):
-        w = Window.orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
+    for r in rankings:
+        ordered = r.select(id_col, "score").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.round("score", 6)).alias("_nk"),
+                        F.col(id_col).alias("_id"),
+                    )
+                )
+            ).alias("_arr")
+        )
         tagged.append(
-            r.select(id_col, "score")
-            .withColumn("_rank", F.row_number().over(w))
-            .select(id_col, (1.0 / (F.lit(c) + F.col("_rank"))).alias("_rrf"))
+            ordered.select(F.posexplode("_arr").alias("_pos", "_s")).select(
+                F.col("_s._id").alias(id_col),
+                (1.0 / (F.lit(c) + F.col("_pos") + 1)).alias("_rrf"),
+            )
         )
     allr = tagged[0]
     for t in tagged[1:]:

@@ -2801,6 +2801,262 @@ def q_ann_ivfpq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# ---------------------------------------------------------------------------
+# Full-text + hybrid retrieval (SURVEY §8 r4): BM25 over the documents
+# table, the bucketed stored-postings probe, late-interaction MaxSim,
+# and reciprocal-rank-fusion hybrid search. The reference is
+# vector-only; these are the retrieval modes a user of a 100 TB corpus
+# needs next to it (lexical recall, multi-vector rerank, fusion).
+# Registered AFTER the 50-entry driver correctness window — the first
+# 50 entries must stay the original 50 oracle ones — but each carries
+# a full DuckDB oracle anyway and is pinned at the same parity bar by
+# tests/test_fulltext.py.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = "spark shuffle hash table"
+_BM25_STORE_CACHE: dict[str, str] = {}
+_QVECS_CACHE: dict[tuple, list] = {}
+
+# the BM25 cosine/idf constants used by every fulltext entry (k1=1.2,
+# b=0.75 — the Robertson/Sparck-Jones defaults the operators also use)
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+), posts AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM posts WHERE term IN ('hash', 'shuffle', 'spark', 'table')
+  GROUP BY term, doc_id, dl
+), idf AS (
+  SELECT term,
+         ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5))
+           AS idf
+  FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       round(sum(idf.idf * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                   / (SELECT avgdl FROM stats)))), 6) AS score
+FROM tf JOIN idf USING (term)
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+
+def _bm25_cached(spark, sf_dir: str):
+    """Session-cached BM25 index with materialized postings — the
+    serving analog of the reference's cached centroid set
+    (cache/middleware.go:18-163): the index is built once per corpus,
+    every query is then a pruned probe. At 100 TB the postings live in
+    the stored bucketed layout instead (see _bm25_store_path)."""
+    cache = _session_cache(spark, "_gvs_bm25_cache")
+    if sf_dir not in cache:
+        from go_vectorsearch_spark.operators.fulltext import build_bm25_index
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        index = build_bm25_index(docs)
+        index.postings.persist().count()
+        cache[sf_dir] = index
+    return cache[sf_dir]
+
+
+def _bm25_store_path(spark, sf_dir: str) -> str:
+    """One-time bucketed postings write (term-hash partitionBy), the
+    at-scale layout; billed to its own bench entry like the IVF store."""
+    if sf_dir not in _BM25_STORE_CACHE:
+        import tempfile
+
+        from go_vectorsearch_spark.operators.fulltext import write_postings
+
+        path = tempfile.mkdtemp(prefix="spark_graft_bm25_store_")
+        write_postings(_bm25_cached(spark, sf_dir), path, n_buckets=16)
+        _BM25_STORE_CACHE[sf_dir] = path
+    return _BM25_STORE_CACHE[sf_dir]
+
+
+def _qvecs(spark, sf_dir: str, ids: tuple = (0, 1, 2)) -> list:
+    """The multi-vector query set (stored embeddings of the given
+    vec_ids) — one bounded driver collect per (sf_dir, ids)."""
+    key = (sf_dir, ids)
+    if key not in _QVECS_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _QVECS_CACHE[key] = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id").isin(list(ids)))
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    return _QVECS_CACHE[key]
+
+
+@register(
+    "fulltext_bm25",
+    oracle=_BM25_ORACLE,
+    doc="BM25 top-k over the documents table (operators/fulltext.py): "
+    "postings = one explode + groupBy pass with dl denormalized onto "
+    "every row, query path = one term-pruned scan + groupBy(doc).sum + "
+    "TakeOrdered — no join. Okapi k1=1.2 b=0.75, (round-6 desc, id asc) "
+    "total order matching the engine's search rule",
+)
+def q_fulltext_bm25(spark, sf_dir):
+    from go_vectorsearch_spark.operators.fulltext import bm25_search
+
+    index = _bm25_cached(spark, sf_dir)
+    res = bm25_search(index, _BM25_QUERY, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "fulltext_bm25_stored",
+    oracle=_BM25_ORACLE,
+    doc="BM25 over the STORED bucketed postings layout "
+    "(fulltext.bm25_search_stored): term-hash partitionBy, the query "
+    "scans only its terms' buckets (PartitionFilters on _tb, "
+    "tests/test_fulltext.py pins the pruned plan) — the inverted "
+    "index's seek as directory pruning; must equal fulltext_bm25",
+)
+def q_fulltext_bm25_stored(spark, sf_dir):
+    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+
+    res = bm25_search_stored(
+        spark, _bm25_store_path(spark, sf_dir), _BM25_QUERY, k=10
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "fulltext_maxsim",
+    oracle="""
+WITH q AS (SELECT
+  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0) AS q0,
+  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1) AS q1,
+  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 2) AS q2),
+per AS (
+  SELECT e.label,
+         max(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * q.q0[i]))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.q0, x -> x * x))))) AS m0,
+         max(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * q.q1[i]))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.q1, x -> x * x))))) AS m1,
+         max(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * q.q2[i]))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.q2, x -> x * x))))) AS m2
+  FROM embeddings e, q
+  GROUP BY e.label
+)
+SELECT label, round(m0 + m1 + m2, 6) AS score
+FROM per
+ORDER BY score DESC, label ASC
+LIMIT 10
+""",
+    doc="Late-interaction MaxSim (ColBERT rule, Khattab & Zaharia 2020) "
+    "over (label = document, chunk vectors): each request-sized query "
+    "vector folds into codegen as a literal score column, ONE "
+    "groupBy(doc) computes every per-query max map-side — one scan, one "
+    "shuffle regardless of nq (plan pinned by tests/test_fulltext.py). "
+    "The reference's per-document max over chunk scores "
+    "(server/search.go:259-268) is MaxSim with one query vector",
+)
+def q_fulltext_maxsim(spark, sf_dir):
+    from go_vectorsearch_spark.operators.search import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = maxsim_topk(emb, _qvecs(spark, sf_dir), k=10, doc_col="label")
+    return res.select("label", F.round("score", 6).alias("score"))
+
+
+@register(
+    "fulltext_hybrid_rrf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+), posts AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM posts WHERE term IN ('hash', 'shuffle', 'spark', 'table')
+  GROUP BY term, doc_id, dl
+), idf AS (
+  SELECT term,
+         ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5))
+           AS idf
+  FROM tf GROUP BY term
+), lex AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                     / (SELECT avgdl FROM stats)))), 6)
+           AS score
+  FROM tf JOIN idf USING (term)
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id ASC
+  LIMIT 20
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT 20
+), ranked AS (
+  SELECT doc_id,
+         1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC))
+           AS rrf
+  FROM lex
+  UNION ALL
+  SELECT doc_id,
+         1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC))
+           AS rrf
+  FROM sem
+)
+SELECT doc_id, round(sum(rrf), 6) AS score
+FROM ranked
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Hybrid retrieval: BM25 top-20 + cosine top-20 fused by "
+    "reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR 2009, "
+    "fulltext.rrf_fuse) — each bounded ranking collapses to one "
+    "array_sort aggregate (rank = position, no Window), fused score = "
+    "sum of 1/(60+rank). The lexical-recall complement the "
+    "vector-only reference lacks",
+)
+def q_fulltext_hybrid_rrf(spark, sf_dir):
+    from go_vectorsearch_spark.operators.fulltext import bm25_search, rrf_fuse
+    from go_vectorsearch_spark.operators.search import brute_force_topk
+
+    index = _bm25_cached(spark, sf_dir)
+    lexical = bm25_search(index, _BM25_QUERY, k=20)
+    emb = _t(spark, sf_dir, "embeddings")
+    semantic = brute_force_topk(emb, _qvec(spark, sf_dir), 20).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    fused = rrf_fuse([lexical, semantic], k=10, c=60)
+    return fused.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

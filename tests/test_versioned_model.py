@@ -1,0 +1,108 @@
+"""Model-based randomized check of the manifest-versioned table.
+
+The storage layer is the round's riskiest code path: a seeded random
+sequence of append / overwrite_partitions / upsert / compact is applied
+both to a `_VersionedTable` and to a plain in-memory dict model; after
+every operation the table must equal the model exactly, and at the end
+every surviving snapshot must replay its recorded historical state
+(time travel) while partitions untouched since the previous version
+keep their directories by reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+N_PARTS = 4  # partition_expr = pmod(id, 4)
+
+
+def _model_apply(model: dict, op: str, rows: list, parts: list | None) -> None:
+    if op == "append":
+        for rid, part, x in rows:
+            model[rid] = (part, x)
+    elif op == "overwrite":
+        keep = {k: v for k, v in model.items() if v[0] not in set(parts)}
+        model.clear()
+        model.update(keep)
+        for rid, part, x in rows:
+            if part in set(parts):
+                model[rid] = (part, x)
+    elif op == "upsert":
+        for rid, part, x in rows:
+            model[rid] = (part, x)
+
+
+@pytest.mark.parametrize("seed", [7, 2024])
+def test_versioned_table_matches_dict_model(spark, tmp_path, seed):
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    rng = random.Random(seed)
+    t = _VersionedTable(
+        spark,
+        str(tmp_path / f"m{seed}"),
+        "model",
+        "id long, part long, x string",
+        partition_expr="part",
+    )
+    model: dict[int, tuple[int, str]] = {}
+    history: dict[int, dict] = {}  # actual version number -> model snapshot
+    next_id = 0
+
+    def fresh_rows(n: int, parts: list | None = None) -> list:
+        nonlocal next_id
+        out = []
+        for _ in range(n):
+            rid = rng.choice([next_id, rng.randrange(max(1, next_id + 1))])
+            next_id = max(next_id, rid) + 1
+            part = rng.choice(parts) if parts else rng.randrange(N_PARTS)
+            out.append((rid, part, f"s{seed}-{rid}-{rng.randrange(1000)}"))
+        # unique ids within one batch (the tables' key contract)
+        seen, uniq = set(), []
+        for r in out:
+            if r[0] not in seen:
+                seen.add(r[0])
+                uniq.append(r)
+        return uniq
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, t.schema)
+
+    for step in range(10):
+        op = rng.choice(["append", "overwrite", "upsert", "compact"])
+        if op == "append":
+            rows = [
+                r for r in fresh_rows(rng.randrange(1, 4)) if r[0] not in model
+            ]
+            if not rows:
+                continue
+            t.append(df_of(rows), keep_versions=50)
+            _model_apply(model, "append", rows, None)
+        elif op == "overwrite":
+            parts = rng.sample(range(N_PARTS), rng.randrange(1, 3))
+            rows = fresh_rows(rng.randrange(0, 4), parts)
+            survivors = [
+                (rid, p, x)
+                for rid, (p, x) in model.items()
+                if p in parts and rid not in {r[0] for r in rows}
+            ] + [r for r in rows if r[1] in parts]
+            t.overwrite_partitions(df_of(survivors), parts, keep_versions=50)
+            _model_apply(model, "overwrite", survivors, parts)
+        elif op == "upsert":
+            rows = fresh_rows(rng.randrange(1, 4))
+            t.upsert(df_of(rows), key="id", keep_versions=50)
+            _model_apply(model, "upsert", rows, None)
+        else:
+            t.compact(min_dirs=2, keep_versions=50)
+            # data unchanged
+        got = {r["id"]: (r["part"], r["x"]) for r in t.read().collect()}
+        assert got == model, f"step {step} op {op}: table diverged from model"
+        if t._version() >= 0:
+            history[t._version()] = dict(model)
+
+    # time travel: every surviving version replays its recorded state
+    versions = t.versions()
+    assert versions, "no versions written"
+    for v in versions:
+        got = {r["id"]: (r["part"], r["x"]) for r in t.read(version=v).collect()}
+        assert got == history[v], f"time travel to v{v} diverged"

@@ -43,6 +43,14 @@ PICKS = [
     ("dedup_semantic", "Semantic dedup (SemDeDup): one hash-partition exchange on the IVF "
      "cluster id feeding FlatMapGroupsInPandas — per-cluster chunked GEMM with task memory "
      "bounded by max_leaf; no corpus-squared similarity buffer anywhere."),
+    ("fulltext_bm25_stored", "BM25 probe over the stored term-hash-bucketed postings: the "
+     "query terms' buckets arrive as PartitionFilters on _tb (non-matching buckets never "
+     "read — the inverted index's seek as directory pruning), the term IN-list still pushes "
+     "into surviving row groups, and the only exchange is the per-document score sum."),
+    ("fulltext_maxsim", "Late-interaction MaxSim: every query vector is a literal codegen "
+     "score column over ONE corpus scan; a single groupBy(doc) computes all per-query maxes "
+     "map-side, so the lone exchange carries |docs| x nq partial aggregates regardless of "
+     "query-set size."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
