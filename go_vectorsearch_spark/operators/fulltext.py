@@ -13,10 +13,11 @@ is the Spark-first version of an inverted-index BM25 engine:
     token once, the classic inverted-index construction);
   * a query scores ONLY its own terms' postings: the postings scan gets
     an `isin(query terms)` filter (pushed to parquet on a stored
-    index), looks idf up in a driver-computed literal map folded into
-    codegen (query terms are request-sized), computes the BM25 term
-    contribution, and groupBy(doc).sum → TakeOrdered top-k. Work per
-    query = Σ postings of the query's terms, never the corpus.
+    index), joins the per-term idf — an aggregate over the SAME pruned
+    scan, broadcast because a query has a handful of terms — computes
+    the BM25 term contribution, and groupBy(doc).sum → TakeOrdered
+    top-k, all ONE Spark job with no driver round-trip. Work per query
+    = Σ postings of the query's terms, never the corpus.
   * hybrid retrieval = reciprocal-rank fusion of the lexical ranking
     with the engine's cosine ANN ranking (two bounded top-n frames;
     the fusion itself is driver-sized arithmetic kept declarative).
@@ -34,7 +35,7 @@ exactly (tests/test_fulltext.py).
 
 from __future__ import annotations
 
-import math
+import os
 import re
 from dataclasses import dataclass
 
@@ -68,14 +69,25 @@ class BM25Index:
 
 
 def build_bm25_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = False,
 ) -> BM25Index:
     """One explode + one groupBy(term, doc) pass — each token shuffles
     once, the standard distributed inverted-index build; dl rides every
     posting row (grouping on it is free: dl is functionally dependent
     on doc_id). The two corpus scalars are ONE driver row. At scale the
     postings frame is written once (bucketed by term hash) and reused
-    per query, exactly like the IVF assignment column."""
+    per query, exactly like the IVF assignment column.
+
+    ``persist=True`` materializes the postings (the serving shape) and
+    then derives the corpus scalars FROM the cached postings — n_docs
+    is a count over the input (parquet count-star is metadata work),
+    avgdl is sum(dl over distinct docs)/n_docs, identical to
+    avg(len(tokens)) over all docs because token-less documents carry
+    dl=0 in both formulations — so the corpus is tokenized exactly
+    once instead of once for stats and once for the postings."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
@@ -84,6 +96,20 @@ def build_bm25_index(
         .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
     )
+    if persist:
+        postings.persist().count()
+        n = docs.count()
+        dl_sum = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(F.sum("dl").alias("s"))
+            .head()["s"]
+        )
+        return BM25Index(
+            postings=postings,
+            n_docs=int(n),
+            avgdl=(float(dl_sum) / n if n and dl_sum is not None else 0.0),
+        )
     stats = toks.agg(
         F.count("*").alias("n"), F.avg(F.size("_toks")).alias("avgdl")
     ).head()
@@ -102,11 +128,11 @@ def bm25_search(
     b: float = 0.75,
 ) -> DataFrame:
     """Top-k documents for ``query``: postings pruned to the query's
-    terms, idf computed from a ONE-ROW-PER-TERM df aggregate (a driver
-    dict folded into the plan as a literal map — query terms are
-    request-sized, the same bounded-broadcast rule as the centroid
-    set), BM25 contribution in codegen, groupBy(doc).sum, TakeOrdered
-    with the engine's (round-6 desc, id asc) total order."""
+    terms; idf joins in from a per-term document-frequency aggregate
+    over the SAME pruned scan — broadcast, because a query has a
+    handful of terms — so the whole search is ONE Spark job with no
+    driver round-trip; BM25 contribution in codegen, groupBy(doc).sum,
+    TakeOrdered with the engine's (round-6 desc, id asc) total order."""
     terms = sorted(
         {t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t}
     )
@@ -115,31 +141,23 @@ def bm25_search(
     )
     if not terms or index.n_docs == 0:
         return empty
-    # per-term document frequency: one tiny agg over the pruned postings
-    df_rows = (
-        index.postings.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .collect()
-    )
-    if not df_rows:
-        return empty
-    n = index.n_docs
-    idf = {
-        r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in df_rows
-    }
-    idf_map = F.create_map(
-        *[F.lit(x) for t, v in sorted(idf.items()) for x in (t, float(v))]
-    )
+    n = float(index.n_docs)
     avgdl = index.avgdl if index.avgdl > 0 else 1.0
-    # the query path is ONE pruned scan — dl rides each posting row, so
-    # there is no join at all; work = Σ postings(query terms)
-    pruned = index.postings.filter(F.col("term").isin(list(idf)))
-    scored = pruned.select(
+    # the query path is one pruned scan scored, one pruned scan
+    # aggregated for df — both Σ postings(query terms), never the
+    # corpus; dl rides each posting row, so there is no corpus-sized
+    # join side anywhere
+    pruned = index.postings.filter(F.col("term").isin(terms))
+    idf = pruned.groupBy("term").agg(
+        F.log(
+            1.0
+            + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
+        ).alias("_idf")
+    )
+    scored = pruned.join(F.broadcast(idf), "term").select(
         "doc_id",
         (
-            idf_map[F.col("term")]
+            F.col("_idf")
             * (F.col("tf") * (k1 + 1.0))
             / (
                 F.col("tf")
@@ -224,18 +242,33 @@ def write_postings(
         .partitionBy("_tb")
         .parquet(f"{path}/postings")
     )
-    spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(index.n_docs, float(index.avgdl), int(n_buckets))],
-        "n_docs long, avgdl double, n_buckets int",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    # the stats sidecar is ONE row of corpus scalars — driver-side
+    # pyarrow write/read (no Spark job on either side; a Spark job for
+    # one row is pure scheduling latency on the serving path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(f"{path}/stats", exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([index.n_docs], pa.int64()),
+                "avgdl": pa.array([float(index.avgdl)], pa.float64()),
+                "n_buckets": pa.array([int(n_buckets)], pa.int32()),
+            }
+        ),
+        f"{path}/stats/stats.parquet",
+    )
 
 
 def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     """(index over the stored layout, n_buckets). The returned postings
     frame carries the ``_tb`` partition column; :func:`bm25_search_stored`
-    adds the bucket filter that makes the probe a partition-pruned scan."""
-    stats = spark.read.parquet(f"{path}/stats").head()
+    adds the bucket filter that makes the probe a partition-pruned scan.
+    The one-row stats sidecar is read driver-side (pyarrow, no job)."""
+    import pyarrow.parquet as pq_
+
+    stats = pq_.read_table(f"{path}/stats/stats.parquet").to_pylist()[0]
     return (
         BM25Index(
             postings=spark.read.parquet(f"{path}/postings"),
@@ -254,25 +287,25 @@ def bm25_search_stored(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 over the stored bucketed layout: the query terms' hash
-    buckets are computed with ONE tiny Spark-side xxhash64 job (the
-    bucket function must be Spark's, not a Python reimplementation that
-    could drift), the postings scan gets `_tb isin (...)` — partition
-    pruning, unlisted buckets are never touched — and the term filter
-    still pushes into the surviving buckets' row groups."""
+    """BM25 over the stored bucketed layout: each query term's hash
+    bucket rides the filter as a FOLDABLE Spark expression —
+    ``pmod(xxhash64('term'), n)`` over literals, constant-folded by
+    Catalyst before partition pruning, so the bucket function is
+    exactly Spark's own (no Python reimplementation that could drift)
+    AND no job runs to evaluate it. Unlisted buckets are never
+    touched; the term filter still pushes into the surviving buckets'
+    row groups."""
     index, n_buckets = read_postings(spark, path)
     terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    buckets = [
-        r[0]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    bucket_exprs = ", ".join(
+        f"pmod(xxhash64('{t}'), {n_buckets})" for t in terms
+    )
     pruned = BM25Index(
-        postings=index.postings.filter(F.col("_tb").isin(buckets)).drop("_tb"),
+        postings=index.postings.filter(
+            F.expr(f"_tb IN ({bucket_exprs})")
+        ).drop("_tb"),
         n_docs=index.n_docs,
         avgdl=index.avgdl,
     )

@@ -2861,9 +2861,7 @@ def _bm25_cached(spark, sf_dir: str):
         from go_vectorsearch_spark.operators.fulltext import build_bm25_index
 
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        index = build_bm25_index(docs)
-        index.postings.persist().count()
-        cache[sf_dir] = index
+        cache[sf_dir] = build_bm25_index(docs, persist=True)
     return cache[sf_dir]
 
 

@@ -44,9 +44,12 @@ PICKS = [
      "cluster id feeding FlatMapGroupsInPandas — per-cluster chunked GEMM with task memory "
      "bounded by max_leaf; no corpus-squared similarity buffer anywhere."),
     ("fulltext_bm25_stored", "BM25 probe over the stored term-hash-bucketed postings: the "
-     "query terms' buckets arrive as PartitionFilters on _tb (non-matching buckets never "
-     "read — the inverted index's seek as directory pruning), the term IN-list still pushes "
-     "into surviving row groups, and the only exchange is the per-document score sum."),
+     "query terms' buckets arrive as PartitionFilters on _tb (constant-folded "
+     "pmod(xxhash64(term)) literals — non-matching buckets never read, the inverted "
+     "index's seek as directory pruning), the term IN-list pushes into surviving row "
+     "groups on BOTH pruned scans (score side + the tiny per-term idf aggregate that "
+     "broadcasts in), and the whole search is one job: idf exchange is terms-sized, the "
+     "per-document score sum is the only data-bearing shuffle."),
     ("fulltext_maxsim", "Late-interaction MaxSim: every query vector is a literal codegen "
      "score column over ONE corpus scan; a single groupBy(doc) computes all per-query maxes "
      "map-side, so the lone exchange carries |docs| x nq partial aggregates regardless of "
