@@ -743,6 +743,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     doc_col: str | None = None,
+    where=None,
 ) -> DataFrame:
     """Search: prune to the nprobe nearest partitions, then brute-force
     top-k inside them (server/search.go:234-273). nprobe >= |centroids|
@@ -752,9 +753,23 @@ def ivf_search(
     assigned table was written partitionBy("centroid_id") - only the
     probed inverted lists are read, the Spark analog of the
     reference's `centroid_id IN (...)` indexed scan.
+
+    ``where`` (an optional Column predicate over the assigned table's
+    metadata columns) composes a scalar filter with the vector search
+    as a PRE-filter: the predicate applies to the probed lists BEFORE
+    scoring, so the top-k always holds k matching rows (a post-filter
+    over an unfiltered top-k can silently return fewer). Both the probe
+    isin and the predicate reach the stored layout's parquet scan
+    (partition pruning + row-group pushdown); at nprobe=all this is
+    exact filtered search — the oracle-checked case — and at nprobe<all
+    recall is the usual IVF trade within matching rows. The reference's
+    own category scoping (search.go:229-233) is exactly this shape with
+    `where = (category_id = ?)`.
     """
     probe_ids = nearest_centroids(index.centroids, query_vec, nprobe)
     pruned = index.assigned.filter(F.col("centroid_id").isin(probe_ids))
+    if where is not None:
+        pruned = pruned.filter(where)
     return brute_force_topk(
         pruned, query_vec, k, id_col=id_col, vec_col=vec_col, doc_col=doc_col
     )

@@ -3055,6 +3055,43 @@ def q_fulltext_hybrid_rrf(spark, sf_dir):
     return fused.select("doc_id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "ivf_search_filtered",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS score
+FROM embeddings e, q
+WHERE e.label % 7 = 3
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOPK_K}
+""",
+    doc="Filtered vector search: a scalar metadata predicate composed "
+    "with the IVF probe as a PRE-filter (plans/ivf.ivf_search where=...) "
+    "— the predicate applies to the probed lists before scoring so the "
+    "top-k always holds k matching rows; probe isin AND predicate both "
+    "reach the stored layout's parquet scan. nprobe=all here, so the "
+    "result is exact filtered search (the oracle case). The reference's "
+    "category scoping (server/search.go:229-233) is this shape with "
+    "where = (category_id = ?)",
+)
+def q_ivf_search_filtered(spark, sf_dir):
+    from go_vectorsearch_spark.plans.ivf import ivf_search
+
+    qvec = _qvec(spark, sf_dir)
+    index = _ivf_index(spark, sf_dir)
+    nprobe = index.centroids.count()
+    res = ivf_search(
+        index, qvec, k=TOPK_K, nprobe=nprobe, where=(F.col("label") % 7 == 3)
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

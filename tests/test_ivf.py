@@ -312,3 +312,41 @@ def test_local_build_is_deterministic_and_schema_stable(spark, emb):
     ca = sorted(map(repr, a.centroids.collect()))
     cb = sorted(map(repr, b.centroids.collect()))
     assert ca == cb
+
+
+def test_filtered_search_prefilter_semantics(index, emb, query_vec):
+    """where= composes a scalar predicate with the probe as a
+    PRE-filter: every hit satisfies the predicate, nprobe=all equals
+    filtered brute force, and the top-k is full whenever >= k rows
+    match — the guarantee a post-filter over an unfiltered top-k
+    breaks (it would return fewer than k rows here: label%7==3 keeps
+    only ~1/7 of the corpus, so an unfiltered top-10 rarely holds 10
+    matching rows)."""
+    pred = F.col("label") % 7 == 3
+    n_cents = index.centroids.count()
+
+    filtered = ivf_search(index, query_vec, k=10, nprobe=n_cents, where=pred)
+    got = filtered.collect()
+    n_matching = emb.filter(pred).count()
+    assert len(got) == min(10, n_matching)
+
+    bf = brute_force_topk(emb.filter(pred), query_vec, 10)
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in bf.collect()
+    ]
+
+    # post-filtering an unfiltered top-10 demonstrably under-fills
+    post = (
+        brute_force_topk(emb, query_vec, 10)
+        .join(emb.filter(pred).select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    )
+    assert len(post) < len(got)
+
+    # partial probes still honor the predicate on every hit
+    partial = (
+        ivf_search(index, query_vec, k=10, nprobe=1, where=pred)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .collect()
+    )
+    assert partial and all(row["label"] % 7 == 3 for row in partial)
