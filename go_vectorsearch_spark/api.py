@@ -621,6 +621,7 @@ class Engine:
         )
 
         self.spark = spark
+        self.root = root
         self.embed_dim = embed_dim
         self.embed_model = embed_model
         if providers:
@@ -817,24 +818,37 @@ class Engine:
     ) -> DataFrame:
         count, offset, nprobe = normalize_search_args(count, offset, nprobe)
         scope = self._category_id(owner, category)
-        empty = self.spark.createDataFrame(
+        if scope is None:  # missing owner/category -> empty result
+            return self._empty_search_result()  # (server/search.go:156-177)
+        qtext = f"{SEARCH_QUERY_PREFIX}{text}"
+        qvec = self._embed_query(qtext)
+        topk = self._vector_topk(scope, qvec, count + offset, nprobe)
+        if topk is None:
+            return self._empty_search_result()
+        page_rows = topk_paginated(topk, count, offset).collect()
+        return self._hydrate_page(page_rows, scope)
+
+    def _empty_search_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
             [],
             "document_id long, name string, external_id string, "
             "payload_json string, score double",
         )
-        if scope is None:  # missing owner/category -> empty result
-            return empty  # (server/search.go:156-177)
-        qtext = f"{SEARCH_QUERY_PREFIX}{text}"
-        qvec = self._embed_query(qtext)
 
-        # T1 centroid pruning runs DRIVER-SIDE over the TTL-cached
-        # centroid set — exactly the reference's in-process V2 cosine
-        # over cached centroids (server/search.go:202-227): a repeat
-        # search launches zero Spark jobs before the probed scan.
+    def _vector_topk(
+        self, scope: int, qvec: list, n: int, nprobe: int
+    ) -> DataFrame | None:
+        """Document-level vector top-n for a category, or None when no
+        centroid probes (empty category).
+
+        T1 centroid pruning runs DRIVER-SIDE over the TTL-cached
+        centroid set — exactly the reference's in-process V2 cosine
+        over cached centroids (server/search.go:202-227): a repeat
+        search launches zero Spark jobs before the probed scan.
+        """
         probe_ids = _rank_probe_ids(self._category_centroids(scope), qvec, nprobe)
         if not probe_ids:
-            return empty
-
+            return None
         # probed partitions only — pruned at the MANIFEST level, so the
         # unprobed inverted lists are never even listed; scoring
         # dequantizes the stored codes inside the cosine expression
@@ -844,19 +858,23 @@ class Engine:
             .read(partition_values=probe_ids)
             .filter(F.col("centroid_id").isin(probe_ids))  # belt-and-braces
         )
-        topk = brute_force_topk(
-            emb, qvec, count + offset, id_col="embedding_id",
+        return brute_force_topk(
+            emb, qvec, n, id_col="embedding_id",
             vec_col="vector", doc_col="document_id",
         )
-        # the reference collects the page's ids and hydrates them with a
-        # separate point query (server/search.go:285-308); mirroring
-        # that lets the documents scan prune to the <= count+offset ids'
-        # HASH BUCKETS at the manifest level — hydration never scans the
-        # corpus-sized documents table (its pre-r4 shape: a full scan
-        # joined against the broadcast page)
-        page_rows = topk_paginated(topk, count, offset).collect()
+
+    def _hydrate_page(self, page_rows: list, scope: int) -> DataFrame:
+        """Hydrate a collected (document_id, score) page.
+
+        The reference collects the page's ids and hydrates them with a
+        separate point query (server/search.go:285-308); mirroring
+        that lets the documents scan prune to the <= page-size ids'
+        HASH BUCKETS at the manifest level — hydration never scans the
+        corpus-sized documents table (its pre-r4 shape: a full scan
+        joined against the broadcast page).
+        """
         if not page_rows:
-            return empty
+            return self._empty_search_result()
         ids = [r["document_id"] for r in page_rows]
         page = F.broadcast(
             self.spark.createDataFrame(
@@ -878,6 +896,88 @@ class Engine:
         return hydrated.orderBy(
             F.desc(F.round("score", 6)), F.asc("document_id")
         )
+
+    # -- hybrid retrieval (engine extension beyond the reference) ----------
+    def _text_index_path(self, cid: int) -> str:
+        return f"{self.root}/text_index/{cid}"
+
+    def build_text_index(
+        self, owner: str, category: str, n_buckets: int = 64
+    ) -> int:
+        """Build (or rebuild) the category's BM25 postings store over
+        the documents' flattened payload text — the lexical twin of
+        refresh_index: explicit, amortized, background-shaped. Returns
+        the number of indexed documents.
+
+        The indexed text is the SAME flatten(payload_json) the chunker
+        embeds (operators/documents.flatten, upload.go:174-186), so
+        lexical and vector retrieval see one view of the document."""
+        from go_vectorsearch_spark.operators.documents import flatten_json_udf
+        from go_vectorsearch_spark.operators.fulltext import (
+            build_bm25_index,
+            write_postings,
+        )
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"build_text_index: unknown {owner}/{category}")
+        docs = (
+            self.t["documents"]
+            .read()
+            .filter(F.col("category_id") == cid)
+            .select(
+                "document_id",
+                flatten_json_udf(F.col("payload_json")).alias("_text"),
+            )
+        )
+        index = build_bm25_index(docs, id_col="document_id", text_col="_text")
+        write_postings(index, self._text_index_path(cid), n_buckets=n_buckets)
+        return index.n_docs
+
+    def search_hybrid(
+        self,
+        owner: str,
+        category: str,
+        text: str,
+        count: int = 10,
+        offset: int = 0,
+        nprobe: int = 0,
+        fuse_depth: int = 60,
+        rrf_c: int = 60,
+    ) -> DataFrame:
+        """Hybrid search: vector top-``fuse_depth`` and BM25
+        top-``fuse_depth`` fused by reciprocal-rank fusion, then paged
+        and hydrated exactly like :meth:`search`. Requires
+        :meth:`build_text_index` to have run for the category (the same
+        explicit-build contract as the centroid index). Lexical-only
+        and vector-only corner cases degrade gracefully: a ranking with
+        no hits simply contributes nothing to the fusion."""
+        from go_vectorsearch_spark.operators.fulltext import (
+            bm25_search_stored,
+            rrf_fuse,
+        )
+
+        count, offset, nprobe = normalize_search_args(count, offset, nprobe)
+        scope = self._category_id(owner, category)
+        if scope is None:
+            return self._empty_search_result()
+        path = self._text_index_path(scope)
+        if not os.path.isdir(f"{path}/stats"):
+            raise ValueError(
+                f"search_hybrid: no text index for {owner}/{category}; "
+                "run build_text_index first"
+            )
+        lexical = bm25_search_stored(
+            self.spark, path, text, k=fuse_depth
+        ).withColumnRenamed("doc_id", "document_id")
+        qvec = self._embed_query(f"{SEARCH_QUERY_PREFIX}{text}")
+        vector = self._vector_topk(scope, qvec, fuse_depth, nprobe)
+        rankings = [lexical] + ([vector] if vector is not None else [])
+        fused = rrf_fuse(
+            rankings, k=count + offset, c=rrf_c, id_col="document_id"
+        )
+        page_rows = fused.collect()[offset:]
+        return self._hydrate_page(page_rows, scope)
 
     # -- chat (server/chat.go:109-181, minus the LLM call) -------------------
     def chat_messages(

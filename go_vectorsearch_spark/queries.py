@@ -1232,9 +1232,19 @@ def _ivf_index(spark, sf_dir):
         cache[sf_dir].assigned.persist(StorageLevel.MEMORY_AND_DISK_DESER).count()
         # centroids are k tiny rows but a LAZY recenter plan: every
         # search collects them (nearest_centroids), so materialize once
-        # here — unpersisted, each consumer re-runs the recenter job
-        cache[sf_dir].centroids.persist().count()
+        # here — unpersisted, each consumer re-runs the recenter job;
+        # the count doubles as the cached nprobe=all value (below)
+        cache[("n", sf_dir)] = cache[sf_dir].centroids.persist().count()
     return cache[sf_dir]
+
+
+def _ivf_nprobe_all(spark, sf_dir) -> int:
+    """|centroids| for the nprobe=all parity searches — cached at index
+    build; a count() job per search for a number the build already knew
+    was pure scheduling latency."""
+    cache = _session_cache(spark, "_gvs_ivf_cache")
+    _ivf_index(spark, sf_dir)
+    return cache[("n", sf_dir)]
 
 
 @register(
@@ -1262,7 +1272,7 @@ def q_ivf_search_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
     index = _ivf_index(spark, sf_dir)
-    nprobe = index.centroids.count()
+    nprobe = _ivf_nprobe_all(spark, sf_dir)
     res = ivf_search(index, qvec, k=TOPK_K, nprobe=nprobe)
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
@@ -2748,7 +2758,7 @@ def q_ivf_batch_probe_all(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     ]
-    nprobe = index.centroids.count()
+    nprobe = _ivf_nprobe_all(spark, sf_dir)
     res = ivf_search_batch(index, qs, k=3, nprobe=nprobe)
     return res.select("q_id", "vec_id", F.round("score", 6).alias("score"))
 
@@ -3085,7 +3095,7 @@ def q_ivf_search_filtered(spark, sf_dir):
 
     qvec = _qvec(spark, sf_dir)
     index = _ivf_index(spark, sf_dir)
-    nprobe = index.centroids.count()
+    nprobe = _ivf_nprobe_all(spark, sf_dir)
     res = ivf_search(
         index, qvec, k=TOPK_K, nprobe=nprobe, where=(F.col("label") % 7 == 3)
     )

@@ -1,0 +1,123 @@
+"""Engine-level hybrid retrieval: per-category BM25 text index + RRF
+fusion with the vector path (engine extension beyond the reference's
+vector-only search)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from go_vectorsearch_spark.api import Engine
+
+DOCS = [
+    {"name": "D0", "external_id": "d0", "document": json.dumps(
+        {"title": "spark shuffle", "body": "spark shuffles data between stages"})},
+    {"name": "D1", "external_id": "d1", "document": json.dumps(
+        {"title": "catalyst", "body": "catalyst optimizes logical plans"})},
+    {"name": "D2", "external_id": "d2", "document": json.dumps(
+        {"title": "hash table", "body": "a hash table backs the shuffle join"})},
+    {"name": "D3", "external_id": "d3", "document": json.dumps(
+        {"title": "gardening", "body": "tomatoes need sun and water"})},
+    {"name": "D4", "external_id": "d4", "document": json.dumps(
+        {"title": "spark again", "body": "spark spark spark shuffle shuffle"})},
+]
+
+
+@pytest.fixture(scope="module")
+def hybrid_engine(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("hybrid_root")))
+    ids = eng.upload("acme", "wiki", DOCS)
+    eng.upload("intruder", "wiki", [
+        {"name": "X", "external_id": "x", "document": json.dumps(
+            {"title": "spark shuffle", "body": "same words, other tenant"})},
+    ])
+    n = eng.build_text_index("acme", "wiki")
+    return eng, ids, n
+
+
+def test_build_text_index_counts_category_docs(hybrid_engine):
+    _eng, ids, n = hybrid_engine
+    assert n == len(DOCS)
+
+
+def test_hybrid_schema_and_tenant_isolation(hybrid_engine):
+    eng, ids, _n = hybrid_engine
+    res = eng.search_hybrid("acme", "wiki", "spark shuffle", count=5)
+    rows = res.collect()
+    assert res.columns == [
+        "document_id", "name", "external_id", "payload_json", "score"
+    ]
+    assert rows, "hybrid search returned nothing"
+    assert {r["document_id"] for r in rows} <= set(ids)
+
+
+def test_hybrid_matches_independent_python_fusion(hybrid_engine, spark):
+    """Fused page == RRF computed in plain Python over the two
+    rankings the engine fuses (stored BM25 + vector top-n)."""
+    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+
+    eng, ids, _n = hybrid_engine
+    query, depth, c = "spark shuffle", 60, 60
+
+    cid = eng._category_id("acme", "wiki")
+    lex = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_search_stored(
+            spark, eng._text_index_path(cid), query, k=depth
+        ).collect()
+    ]
+    from go_vectorsearch_spark.api import SEARCH_QUERY_PREFIX
+    from go_vectorsearch_spark.operators.search import normalize_search_args
+
+    _c, _o, nprobe = normalize_search_args(depth, 0, 0)
+    qvec = eng._embed_query(SEARCH_QUERY_PREFIX + query)
+    vec = [
+        (r["document_id"], round(r["score"], 6))
+        for r in eng._vector_topk(cid, qvec, depth, nprobe).collect()
+    ]
+
+    acc: dict[int, float] = {}
+    for ranking in (lex, vec):
+        ordered = sorted(ranking, key=lambda t: (-t[1], t[0]))
+        for rank, (d, _s) in enumerate(ordered, start=1):
+            acc[d] = acc.get(d, 0.0) + 1.0 / (c + rank)
+    want = [d for d, _ in sorted(acc.items(), key=lambda t: (-round(t[1], 6), t[0]))][:4]
+
+    got = [
+        r["document_id"]
+        for r in eng.search_hybrid("acme", "wiki", query, count=4).collect()
+    ]
+    assert got == want
+
+
+def test_hybrid_offset_pages_like_search(hybrid_engine):
+    eng, _ids, _n = hybrid_engine
+    full = [r["document_id"] for r in
+            eng.search_hybrid("acme", "wiki", "spark shuffle", count=4).collect()]
+    page2 = [r["document_id"] for r in
+             eng.search_hybrid("acme", "wiki", "spark shuffle", count=2, offset=2).collect()]
+    assert page2 == full[2:4]
+
+
+def test_hybrid_requires_text_index(hybrid_engine):
+    eng, _ids, _n = hybrid_engine
+    eng.upload("acme", "noindex", [
+        {"name": "N", "external_id": "n", "document": json.dumps("no index yet")},
+    ])
+    with pytest.raises(ValueError, match="build_text_index"):
+        eng.search_hybrid("acme", "noindex", "anything")
+
+
+def test_hybrid_unknown_category_empty(hybrid_engine):
+    eng, _ids, _n = hybrid_engine
+    assert eng.search_hybrid("acme", "ghost", "spark").count() == 0
+
+
+def test_hybrid_lexical_reaches_docs_vector_misses(hybrid_engine):
+    """A purely lexical match must still surface: gardening terms
+    appear in exactly one document, and fusion must rank it first even
+    if the (noop-hash) vector ranking scatters."""
+    eng, ids, _n = hybrid_engine
+    rows = eng.search_hybrid("acme", "wiki", "tomatoes sun water", count=3).collect()
+    assert rows and rows[0]["name"] == "D3"
