@@ -9,6 +9,14 @@ counterpart (main.go:128-178):
   POST|GET /api/categories   → Engine.fetch_category_names (server/fetch.go)
   POST|DELETE /api/delete/owner|category|document     (server/delete.go)
 
+Extension routes beyond the reference (additive; reference routes keep
+their exact shape):
+
+  POST|GET /api/search_hybrid → Engine.search_hybrid (BM25+vector RRF;
+                                response shape identical to /api/search)
+  POST /api/admin/refresh     → refresh_index / refresh_all sweep
+                                (server/centroids.go:17-83 on demand)
+
 Request/response JSON field names match the reference structs exactly
 (UploadRequest/SearchRequest/ChatRequest/... in server/*.go), so a client
 of the reference talks to this service unchanged.
@@ -40,6 +48,7 @@ each request snapshot isolation, so replicas need no coordination.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from collections.abc import Iterator
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -205,6 +214,56 @@ class Service:
         )
         return {}
 
+    # -- extension routes (not in the reference; see module docstring) -----
+    def search_hybrid(self, req: dict) -> dict:
+        """Vector+BM25 RRF fusion (Engine.search_hybrid). Response shape
+        matches /api/search so existing clients can switch by path; the
+        score field carries the fused RRF score."""
+        rows = self.engine.search_hybrid(
+            req.get("owner", ""),
+            req.get("category", ""),
+            req.get("text", ""),
+            count=int(req.get("count") or 0),
+            offset=int(req.get("offset") or 0),
+            nprobe=int(req.get("centroids") or 0),
+        ).collect()
+        return {
+            "documents": [
+                {
+                    "name": r["name"],
+                    "external_id": r["external_id"],
+                    "document": json.loads(r["payload_json"]),
+                    "document_id": r["document_id"],
+                    "document_similarity": r["score"],
+                }
+                for r in rows
+            ]
+        }
+
+    def admin_refresh(self, req: dict) -> dict:
+        """Centroid-index refresh: per (owner, category) when given,
+        else the full RefreshCentroids-style sweep over every category
+        (server/centroids.go:17-83 exposed on demand rather than only
+        at boot). Also rebuilds the category text index when one
+        exists, keeping hybrid search consistent after re-clustering."""
+        owner, category = req.get("owner"), req.get("category")
+        if owner and category:
+            n = self.engine.refresh_index(owner, category)
+            refreshed = {f"{owner}/{category}": n}
+        else:
+            refreshed = {
+                f"{o}/{c}": n
+                for (o, c), n in self.engine.refresh_all().items()
+            }
+        for key in refreshed:
+            o, c = key.split("/", 1)
+            cid = self.engine._category_id(o, c)
+            if cid is not None and os.path.isdir(
+                f"{self.engine._text_index_path(cid)}/stats"
+            ):
+                self.engine.build_text_index(o, c)
+        return {"centroids": refreshed}
+
     def chat(self, req: dict) -> Iterator[str]:
         """ChatRequest → content-fragment stream (server/chat.go:109-181).
 
@@ -236,6 +295,10 @@ _ROUTES = {
     "/api/delete/owner": ("delete_owner", ("POST", "DELETE"), False, True),
     "/api/delete/category": ("delete_category", ("POST", "DELETE"), False, True),
     "/api/delete/document": ("delete_document", ("POST", "DELETE"), False, True),
+    # extension routes beyond the reference's surface (clearly additive:
+    # every reference route above keeps its exact shape)
+    "/api/search_hybrid": ("search_hybrid", ("POST", "GET"), True, False),
+    "/api/admin/refresh": ("admin_refresh", ("POST",), False, True),
 }
 
 

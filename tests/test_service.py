@@ -352,3 +352,39 @@ def test_chat_accepts_zstd_request_body(served):
     assert resp.status == 200
     assert resp.getheader("Content-Encoding") is None  # stream uncompressed
     assert data.decode() == "Hello (1 msgs)"
+
+
+def test_hybrid_route_and_admin_refresh(served):
+    """Extension routes: /api/admin/refresh (re)builds indexes for the
+    category, /api/search_hybrid then serves the fused ranking with the
+    exact /api/search response shape and Engine-direct parity."""
+    eng, port, _ = served
+    _call(port, "/api/upload", {"owner": "hyb", "category": "docs", "documents": DOCS})
+
+    # hybrid before a text index exists -> 500 with a clear error
+    resp, data = _call(port, "/api/search_hybrid", {"owner": "hyb", "category": "docs", "text": "spark"})
+    assert resp.status == 500 and b"build_text_index" in data
+
+    eng.build_text_index("hyb", "docs")
+    resp, data = _call(port, "/api/search_hybrid", {"owner": "hyb", "category": "docs", "text": "spark shuffles", "count": 3, "centroids": -1})
+    assert resp.status == 200
+    docs = json.loads(data)["documents"]
+    assert docs, "hybrid returned no documents"
+    for d in docs:
+        assert set(d) == {"name", "external_id", "document", "document_id", "document_similarity"}
+    direct = eng.search_hybrid("hyb", "docs", "spark shuffles", count=3, nprobe=-1).collect()
+    assert [d["document_id"] for d in docs] == [r["document_id"] for r in direct]
+
+    # admin refresh: scoped form refreshes this category's centroids AND
+    # rebuilds its existing text index; hybrid still answers afterwards
+    resp, data = _call(port, "/api/admin/refresh", {"owner": "hyb", "category": "docs"})
+    assert resp.status == 200
+    body = json.loads(data)
+    assert "hyb/docs" in body["centroids"]
+    resp, data = _call(port, "/api/search_hybrid", {"owner": "hyb", "category": "docs", "text": "spark shuffles", "count": 3, "centroids": -1})
+    assert resp.status == 200 and json.loads(data)["documents"]
+
+    # sweep form touches every category (>= the ones this test made)
+    resp, data = _call(port, "/api/admin/refresh", {})
+    assert resp.status == 200
+    assert "hyb/docs" in json.loads(data)["centroids"]
