@@ -222,6 +222,12 @@ def main() -> None:
                 "unit": "sec",
                 "oracle_queries_sec": oracle_total,
                 "diagnostics_and_builds_sec": round(total - oracle_total, 3),
+                # decomposition counts: the oracle subset is what the
+                # DuckDB baseline actually executes; everything else is
+                # no-oracle diagnostics + one-time builds (amortized
+                # background work in deployment) with no DuckDB twin
+                "n_timed_entries": len(timings),
+                "n_oracle_entries": sum(1 for n in timings if n in oracle_names),
                 # environment context (see BASELINE.md's measurement
                 # caveat): single-thread md5 iters/ms before/after, and
                 # the median empty-job latency on this box during the run

@@ -934,6 +934,53 @@ class Engine:
         write_postings(index, self._text_index_path(cid), n_buckets=n_buckets)
         return index.n_docs
 
+    def append_text_index(
+        self, owner: str, category: str, document_ids: list[int]
+    ) -> int:
+        """Incrementally index newly uploaded documents: their postings
+        APPEND into the existing bucketed store (untouched bucket files
+        carry as-is) and the corpus scalars merge exactly, so the grown
+        store scores bit-identically to a full rebuild — the upload
+        path's partition-scoped-append discipline applied to the text
+        index. The documents read prunes to the ids' hash buckets at
+        the manifest level, like search hydration."""
+        from go_vectorsearch_spark.operators.documents import flatten_json_udf
+        from go_vectorsearch_spark.operators.fulltext import (
+            append_postings,
+            build_bm25_index,
+        )
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"append_text_index: unknown {owner}/{category}")
+        path = self._text_index_path(cid)
+        if not os.path.isdir(f"{path}/stats"):
+            raise ValueError(
+                f"append_text_index: no text index for {owner}/{category}; "
+                "run build_text_index first"
+            )
+        if not document_ids:
+            return 0
+        docs = (
+            self.t["documents"]
+            .read(
+                partition_values=sorted(
+                    {i % N_DOC_BUCKETS for i in document_ids}
+                )
+            )
+            .filter(
+                F.col("document_id").isin(list(document_ids))
+                & (F.col("category_id") == cid)
+            )
+            .select(
+                "document_id",
+                flatten_json_udf(F.col("payload_json")).alias("_text"),
+            )
+        )
+        delta = build_bm25_index(docs, id_col="document_id", text_col="_text")
+        append_postings(delta, path)
+        return delta.n_docs
+
     def search_hybrid(
         self,
         owner: str,

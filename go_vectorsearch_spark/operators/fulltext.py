@@ -66,6 +66,11 @@ class BM25Index:
     postings: DataFrame
     n_docs: int
     avgdl: float
+    # total token count (Σ dl over docs) — an INTEGER, so incremental
+    # appends merge corpus stats exactly: avgdl = sum_dl / n_docs gives
+    # bit-identical scores whether the store was built whole or grown
+    # by append_postings. None only for hand-built legacy instances.
+    sum_dl: int | None = None
 
 
 def build_bm25_index(
@@ -105,18 +110,22 @@ def build_bm25_index(
             .agg(F.sum("dl").alias("s"))
             .head()["s"]
         )
+        dl_sum = int(dl_sum or 0)
         return BM25Index(
             postings=postings,
             n_docs=int(n),
-            avgdl=(float(dl_sum) / n if n and dl_sum is not None else 0.0),
+            avgdl=(dl_sum / n if n else 0.0),
+            sum_dl=dl_sum,
         )
     stats = toks.agg(
-        F.count("*").alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+        F.count("*").alias("n"), F.sum(F.size("_toks")).alias("s")
     ).head()
+    n, dl_sum = int(stats["n"]), int(stats["s"] or 0)
     return BM25Index(
         postings=postings,
-        n_docs=int(stats["n"]),
-        avgdl=float(stats["avgdl"] or 0.0),
+        n_docs=n,
+        avgdl=(dl_sum / n if n else 0.0),
+        sum_dl=dl_sum,
     )
 
 
@@ -249,10 +258,16 @@ def write_postings(
     import pyarrow.parquet as pq_
 
     os.makedirs(f"{path}/stats", exist_ok=True)
+    sum_dl = (
+        index.sum_dl
+        if index.sum_dl is not None
+        else int(round(index.avgdl * index.n_docs))
+    )
     pq_.write_table(
         pa.table(
             {
                 "n_docs": pa.array([index.n_docs], pa.int64()),
+                "sum_dl": pa.array([sum_dl], pa.int64()),
                 "avgdl": pa.array([float(index.avgdl)], pa.float64()),
                 "n_buckets": pa.array([int(n_buckets)], pa.int32()),
             }
@@ -269,13 +284,64 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     import pyarrow.parquet as pq_
 
     stats = pq_.read_table(f"{path}/stats/stats.parquet").to_pylist()[0]
+    n = int(stats["n_docs"])
+    sum_dl = int(stats.get("sum_dl") or round(stats["avgdl"] * n))
     return (
         BM25Index(
             postings=spark.read.parquet(f"{path}/postings"),
-            n_docs=int(stats["n_docs"]),
-            avgdl=float(stats["avgdl"]),
+            n_docs=n,
+            avgdl=(sum_dl / n if n else 0.0),
+            sum_dl=sum_dl,
         ),
         int(stats["n_buckets"]),
+    )
+
+
+def append_postings(delta: BM25Index, path: str) -> None:
+    """Grow a stored postings layout incrementally: the delta corpus's
+    postings append into their term-hash buckets (existing bucket files
+    are untouched — parquet append adds files, the bucketed analog of
+    the versioned tables' partition-scoped appends) and the corpus
+    scalars merge EXACTLY (integer n_docs / sum_dl addition), so a
+    store grown by appends scores bit-identically to one rebuilt from
+    scratch over the union corpus.
+
+    Caller contract: the delta must contain only documents not already
+    in the store (re-appending a doc_id would double its postings).
+    Deleted documents leave stale postings until the next full
+    build — they can waste rank slots but never surface, because the
+    serving layer's hydration re-checks document existence."""
+    import pyarrow.parquet as pq_
+
+    stats = pq_.read_table(f"{path}/stats/stats.parquet").to_pylist()[0]
+    n_buckets = int(stats["n_buckets"])
+    bucketed = delta.postings.withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    (
+        bucketed.repartition(F.col("_tb"))
+        .write.mode("append")
+        .partitionBy("_tb")
+        .parquet(f"{path}/postings")
+    )
+    if delta.sum_dl is None:
+        raise ValueError("append_postings: delta index lacks sum_dl")
+    merged_n = int(stats["n_docs"]) + delta.n_docs
+    merged_sum = int(stats.get("sum_dl") or 0) + delta.sum_dl
+    import pyarrow as pa
+
+    pq_.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([merged_n], pa.int64()),
+                "sum_dl": pa.array([merged_sum], pa.int64()),
+                "avgdl": pa.array(
+                    [merged_sum / merged_n if merged_n else 0.0], pa.float64()
+                ),
+                "n_buckets": pa.array([n_buckets], pa.int32()),
+            }
+        ),
+        f"{path}/stats/stats.parquet",
     )
 
 

@@ -300,3 +300,79 @@ def test_bm25_stored_layout_partition_prunes(spark, sf_correct, tmp_path):
         "PartitionFilters"
     )[1][:120]
     assert "In(term" in plan  # term filter still pushed into row groups
+
+
+def test_append_postings_equals_rebuild(spark, sf_correct, tmp_path):
+    """A store grown by append scores BIT-identically to one rebuilt
+    from scratch over the union corpus (integer stats merge), and the
+    append leaves every pre-existing bucket file untouched."""
+    import os
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings,
+        bm25_search_stored,
+        write_postings,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    first = docs.filter(F.col("doc_id") < 400)
+    rest = docs.filter(F.col("doc_id") >= 400)
+
+    grown = str(tmp_path / "grown")
+    write_postings(build_bm25_index(first), grown, n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        base = f"{grown}/postings"
+        for d in os.listdir(base):
+            if d.startswith("_tb="):
+                p = f"{base}/{d}"
+                out[d] = {
+                    f: os.path.getmtime(f"{p}/{f}")
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files()
+    append_postings(build_bm25_index(rest), grown)
+    after = bucket_files()
+    for d, files in before.items():
+        for f, mtime in files.items():
+            assert after[d][f] == mtime, f"pre-existing file rewritten: {d}/{f}"
+    assert sum(len(v) for v in after.values()) > sum(len(v) for v in before.values())
+
+    whole = str(tmp_path / "whole")
+    write_postings(build_bm25_index(docs), whole, n_buckets=8)
+
+    for q in (QUERY, "catalyst", "data table"):
+        g = [tuple(r) for r in bm25_search_stored(spark, grown, q, k=10).collect()]
+        w = [tuple(r) for r in bm25_search_stored(spark, whole, q, k=10).collect()]
+        assert g == w, f"append/rebuild divergence for {q!r}"
+
+
+def test_engine_append_text_index(spark, tmp_path):
+    """Engine path: upload → build → upload more → append; hybrid
+    lexical retrieval sees the new documents without a rebuild."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    eng.upload("o", "c", [
+        {"name": "A", "external_id": "a", "document": _json.dumps({"body": "alpha bravo"})},
+    ])
+    assert eng.build_text_index("o", "c") == 1
+    ids2 = eng.upload("o", "c", [
+        {"name": "B", "external_id": "b", "document": _json.dumps({"body": "zygote xylophone"})},
+    ])
+    assert eng.append_text_index("o", "c", ids2) == 1
+
+    cid = eng._category_id("o", "c")
+    hits = bm25_search_stored(
+        spark, eng._text_index_path(cid), "zygote", k=5
+    ).collect()
+    assert [r["doc_id"] for r in hits] == ids2
+    rows = eng.search_hybrid("o", "c", "zygote xylophone", count=2).collect()
+    assert rows and rows[0]["name"] == "B"
