@@ -775,6 +775,49 @@ def ivf_search(
     )
 
 
+def ivf_search_adaptive(
+    index: IVFIndex,
+    query_vec,
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_col: str | None = None,
+    where=None,
+    max_rounds: int = 8,
+):
+    """Filtered search with automatic probe widening: run at ``nprobe``,
+    and while fewer than k rows come back AND unprobed partitions
+    remain, double nprobe and retry — the production answer to a
+    SELECTIVE predicate (a where= keeping 1/1000 of rows leaves a
+    1-probe search underfilled; a fixed large nprobe makes every
+    unselective query pay for the selective ones). Each round is one
+    partition-pruned job; rounds grow geometrically, so the worst case
+    (predicate matches < k rows in the whole corpus) costs
+    log2(|centroids|) rounds ≈ one exact filtered search, and the
+    common case stays one cheap probe. Returns (result, nprobe_used).
+
+    Qdrant/pgvector planners make the same selectivity-driven choice
+    with cardinality estimates; doubling-on-underfill needs no
+    estimator and never returns fewer rows than an exact filtered
+    search would at the widened probe set."""
+    n_cents = index.centroids.count()
+    nprobe = max(1, min(nprobe, n_cents))
+    rounds = 0
+    while True:
+        res = ivf_search(
+            index, query_vec, k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, doc_col=doc_col, where=where,
+        )
+        rows = res.collect()
+        rounds += 1
+        if len(rows) >= k or nprobe >= n_cents or rounds >= max_rounds:
+            spark = index.assigned.sparkSession
+            out = spark.createDataFrame(rows, res.schema) if rows else res
+            return out, nprobe
+        nprobe = min(nprobe * 2, n_cents)
+
+
 def ivf_search_batch(
     index: IVFIndex,
     queries: list[tuple[int, list]],

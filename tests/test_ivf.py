@@ -350,3 +350,37 @@ def test_filtered_search_prefilter_semantics(index, emb, query_vec):
         .collect()
     )
     assert partial and all(row["label"] % 7 == 3 for row in partial)
+
+
+def test_adaptive_filtered_search_widens_probes(index, emb, query_vec):
+    """A selective predicate underfills at nprobe=1; the adaptive
+    search widens geometrically until the page fills (or the corpus is
+    exhausted), and the final result equals the exact filtered search
+    at the widened probe set."""
+    from go_vectorsearch_spark.plans.ivf import ivf_search_adaptive
+
+    pred = F.col("label") % 50 == 7  # ~1/50 of rows: forces widening
+    n_matching = emb.filter(pred).count()
+    k = min(8, n_matching)
+    res, used = ivf_search_adaptive(index, query_vec, k=k, nprobe=1, where=pred)
+    rows = res.collect()
+    assert len(rows) == k
+    assert used >= 1
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf_search(index, query_vec, k=k, nprobe=used, where=pred).collect()
+    ]
+    assert [(r["vec_id"], round(r["score"], 9)) for r in rows] == want
+
+    # unselective predicate: no widening beyond the initial probe
+    res2, used2 = ivf_search_adaptive(
+        index, query_vec, k=1, nprobe=1, where=F.col("vec_id") >= 0
+    )
+    assert used2 == 1 and res2.count() == 1
+
+    # predicate matching fewer than k rows: exhausts probes, returns all
+    rare = F.col("vec_id") == 3
+    res3, used3 = ivf_search_adaptive(index, query_vec, k=5, nprobe=1, where=rare)
+    got3 = res3.collect()
+    assert len(got3) == 1 and got3[0]["vec_id"] == 3
+    assert used3 == index.centroids.count()
