@@ -376,3 +376,49 @@ def test_engine_append_text_index(spark, tmp_path):
     assert [r["doc_id"] for r in hits] == ids2
     rows = eng.search_hybrid("o", "c", "zygote xylophone", count=2).collect()
     assert rows and rows[0]["name"] == "B"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_append_postings_random_splits_equal_rebuild(spark, sf_correct, tmp_path, seed):
+    """Invariant, randomized: for ANY partition of the corpus into
+    batches, building on the first and appending the rest yields a
+    store that answers every probe identically to a single build over
+    the whole corpus (exact integer stats merge + append-only bucket
+    growth)."""
+    import random
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings,
+        bm25_search_stored,
+        write_postings,
+    )
+
+    rng = random.Random(seed)
+    docs = _load_docs(spark, sf_correct)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rng.shuffle(ids)
+    cut1, cut2 = len(ids) // 3, 2 * len(ids) // 3
+    batches = [set(ids[:cut1]), set(ids[cut1:cut2]), set(ids[cut2:])]
+
+    grown = str(tmp_path / f"grown{seed}")
+    write_postings(
+        build_bm25_index(docs.filter(F.col("doc_id").isin(list(batches[0])))),
+        grown,
+        n_buckets=8,
+    )
+    for b in batches[1:]:
+        append_postings(
+            build_bm25_index(docs.filter(F.col("doc_id").isin(list(b)))), grown
+        )
+
+    whole = str(tmp_path / f"whole{seed}")
+    write_postings(build_bm25_index(docs), whole, n_buckets=8)
+
+    some_text = [r["text"] for r in docs.limit(20).collect()]
+    queries = [QUERY] + [
+        " ".join(rng.sample(t.split(), min(3, len(t.split())))) for t in some_text[:4]
+    ]
+    for q in queries:
+        g = [tuple(r) for r in bm25_search_stored(spark, grown, q, k=10).collect()]
+        w = [tuple(r) for r in bm25_search_stored(spark, whole, q, k=10).collect()]
+        assert g == w, f"divergence for {q!r}"
