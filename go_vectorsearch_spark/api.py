@@ -1328,6 +1328,67 @@ class Engine:
         self._invalidate_cache()
         return out
 
+    def stats(self) -> dict:
+        """Operational snapshot: per-table row counts + current version,
+        and per-(owner, category) document/embedding/centroid counts +
+        text-index presence. Per-category embedding counts come from
+        groupBy(centroid_id) joined to the TINY centroids table — never
+        a corpus-sized embeddings⋈documents join; every collect here is
+        bounded by the number of tables/categories (metadata-scale)."""
+        tables = {
+            name: {"rows": t.read().count(), "version": t._version()}
+            for name, t in self.t.items()
+        }
+        owners = self.t["owners"].read().select(
+            "owner_id", F.col("name").alias("_owner")
+        )
+        cats = (
+            self.t["categories"]
+            .read()
+            .join(owners, "owner_id")
+            .select("category_id", "_owner", F.col("name").alias("_cat"))
+        )
+        doc_counts = {
+            r["category_id"]: r["n"]
+            for r in self.t["documents"]
+            .read()
+            .groupBy("category_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cent = self.t["centroids"].read().select("centroid_id", "category_id")
+        emb_counts = {
+            r["category_id"]: r["n"]
+            for r in self.t["embeddings"]
+            .read()
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("_c"))
+            .join(F.broadcast(cent), "centroid_id")
+            .groupBy("category_id")
+            .agg(F.sum("_c").alias("n"))
+            .collect()
+        }
+        cent_counts = {
+            r["category_id"]: r["n"]
+            for r in cent.groupBy("category_id").agg(F.count("*").alias("n")).collect()
+        }
+        categories = [
+            {
+                "owner": r["_owner"],
+                "category": r["_cat"],
+                "documents": int(doc_counts.get(r["category_id"], 0)),
+                "embeddings": int(emb_counts.get(r["category_id"], 0)),
+                "centroids": int(cent_counts.get(r["category_id"], 0)),
+                "text_index": os.path.isdir(
+                    f"{self._text_index_path(r['category_id'])}/stats"
+                ),
+            }
+            for r in sorted(
+                cats.collect(), key=lambda r: (r["_owner"], r["_cat"])
+            )
+        ]
+        return {"tables": tables, "categories": categories}
+
     def refresh_all(self, max_leaf: int = 10_000) -> dict[tuple[str, str], int]:
         """RefreshCentroids parity (server/centroids.go:17-83, run once
         at startup, main.go:92): rebuild the IVF index of EVERY category

@@ -264,6 +264,11 @@ class Service:
                 self.engine.build_text_index(o, c)
         return {"centroids": refreshed}
 
+    def admin_stats(self, req: dict) -> dict:
+        """Read-only operational snapshot (Engine.stats): table
+        rows/versions + per-category counts and index presence."""
+        return self.engine.stats()
+
     def chat(self, req: dict) -> Iterator[str]:
         """ChatRequest → content-fragment stream (server/chat.go:109-181).
 
@@ -299,6 +304,7 @@ _ROUTES = {
     # every reference route above keeps its exact shape)
     "/api/search_hybrid": ("search_hybrid", ("POST", "GET"), True, False),
     "/api/admin/refresh": ("admin_refresh", ("POST",), False, True),
+    "/api/admin/stats": ("admin_stats", ("POST", "GET"), False, False),
 }
 
 

@@ -121,3 +121,23 @@ def test_hybrid_lexical_reaches_docs_vector_misses(hybrid_engine):
     eng, ids, _n = hybrid_engine
     rows = eng.search_hybrid("acme", "wiki", "tomatoes sun water", count=3).collect()
     assert rows and rows[0]["name"] == "D3"
+
+
+def test_engine_stats_counts(hybrid_engine):
+    eng, ids, _n = hybrid_engine
+    s = eng.stats()
+    assert set(s["tables"]) == {"owners", "categories", "documents", "embeddings", "centroids"}
+    for t, info in s["tables"].items():
+        assert info["rows"] >= 1 and info["version"] >= 1
+    by_key = {(c["owner"], c["category"]): c for c in s["categories"]}
+    wiki = by_key[("acme", "wiki")]
+    assert wiki["documents"] >= len(DOCS)
+    assert wiki["embeddings"] >= wiki["documents"]  # >=1 chunk per doc
+    assert wiki["centroids"] >= 1
+    assert wiki["text_index"] is True
+    intruder = by_key[("intruder", "wiki")]
+    assert intruder["documents"] == 1 and intruder["text_index"] is False
+    # documents table total equals the sum over categories
+    assert s["tables"]["documents"]["rows"] == sum(
+        c["documents"] for c in s["categories"]
+    )

@@ -388,3 +388,14 @@ def test_hybrid_route_and_admin_refresh(served):
     resp, data = _call(port, "/api/admin/refresh", {})
     assert resp.status == 200
     assert "hyb/docs" in json.loads(data)["centroids"]
+
+
+def test_admin_stats_route(served):
+    eng, port, _ = served
+    resp, data = _call(port, "/api/admin/stats", method="GET")
+    assert resp.status == 200
+    body = json.loads(data)
+    assert set(body) == {"tables", "categories"}
+    assert body["tables"]["documents"]["rows"] == sum(
+        c["documents"] for c in body["categories"]
+    )
