@@ -825,6 +825,7 @@ def ivf_search_batch(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where=None,
 ) -> DataFrame:
     """Batched IVF search: N queries share ONE plan.
 
@@ -841,6 +842,10 @@ def ivf_search_batch(
 
     Tie-break matches :func:`brute_force_topk` exactly (round(score, 6)
     desc, id asc), so nprobe = all reproduces the per-query brute force.
+
+    ``where`` pre-filters the assigned table before the probe join —
+    the batch twin of :func:`ivf_search`'s predicate composition, same
+    every-hit-matches guarantee.
     """
     from pyspark.sql import Window
 
@@ -856,7 +861,8 @@ def ivf_search_batch(
     probe = spark.createDataFrame(
         probe_rows, "q_id long, _qvec array<double>, centroid_id long"
     )
-    cand = index.assigned.join(F.broadcast(probe), "centroid_id")
+    pool = index.assigned if where is None else index.assigned.filter(where)
+    cand = pool.join(F.broadcast(probe), "centroid_id")
     # dot() casts element-wise to double with the same fold order as the
     # literal-query path, so scores are bit-identical to ivf_search's
     scored = cand.withColumn(

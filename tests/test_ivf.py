@@ -384,3 +384,26 @@ def test_adaptive_filtered_search_widens_probes(index, emb, query_vec):
     got3 = res3.collect()
     assert len(got3) == 1 and got3[0]["vec_id"] == 3
     assert used3 == index.centroids.count()
+
+
+def test_ivf_search_batch_where_matches_per_query(spark, index, emb):
+    """Batch where= reproduces ivf_search(where=) per query at
+    nprobe=all (both equal filtered brute force)."""
+    from go_vectorsearch_spark.plans.ivf import ivf_search_batch
+
+    pred = F.col("label") % 7 == 3
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin([0, 1])).collect()
+    ]
+    n = index.centroids.count()
+    batch = ivf_search_batch(index, queries, k=5, nprobe=n, where=pred)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for qid, qv in queries:
+        single = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in ivf_search(index, qv, k=5, nprobe=n, where=pred).collect()
+        ]
+        assert got[qid] == single

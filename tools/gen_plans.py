@@ -54,6 +54,11 @@ PICKS = [
      "score column over ONE corpus scan; a single groupBy(doc) computes all per-query maxes "
      "map-side, so the lone exchange carries |docs| x nq partial aggregates regardless of "
      "query-set size."),
+    ("ivf_search_filtered", "Filtered vector search: the scalar predicate composes with the "
+     "probe's centroid_id IN (...) as a PRE-filter — on the stored layout the probe is a "
+     "PartitionFilter and the predicate pushes into the surviving row groups, so the scan "
+     "reads only matching rows of probed lists; top-k is TakeOrdered over the filtered "
+     "candidates (always k matching rows when k exist)."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
