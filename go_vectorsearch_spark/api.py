@@ -227,7 +227,15 @@ class _VersionedTable:
         self._vacuum(v, keep)
 
     def _write_batch(self, df: DataFrame, v: int) -> dict[str, list[str]]:
-        """Write df as immutable batch w{v}; return its parts mapping."""
+        """Write df as immutable batch w{v}; return its parts mapping.
+
+        mode("overwrite"): a FAILED prior attempt at this version (write
+        job died after creating the directory, before _commit moved the
+        VERSION pointer) leaves an orphan w{v} no manifest references;
+        the next mutation recomputes the same v and must be able to
+        reclaim the path, or the table wedges on error-if-exists
+        forever. Committed batches are never at risk — the pointer
+        advance makes v unreachable for later writers."""
         rel = os.path.join("_data", f"w{v}")
         path = os.path.join(self.dir, rel)
         if self.partition_expr:
@@ -237,7 +245,13 @@ class _VersionedTable:
             (
                 df.withColumn("_p", F.expr(self.partition_expr).cast("string"))
                 .repartition(F.col("_p"))
-                .write.partitionBy("_p")
+                .write.mode("overwrite")
+                # static overwrite: reclaim the WHOLE orphan dir — under
+                # a session-level dynamic partitionOverwriteMode the
+                # orphan's unmatched _p dirs would survive and corrupt
+                # the listdir-derived parts mapping below
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("_p")
                 .parquet(path)
             )
             return {
@@ -245,7 +259,7 @@ class _VersionedTable:
                 for d in os.listdir(path)
                 if d.startswith("_p=")
             }
-        df.write.parquet(path)
+        df.write.mode("overwrite").parquet(path)
         return {"": [rel]}
 
     def read(
@@ -512,22 +526,21 @@ def _rank_probe_ids(
     query_vec: Sequence[float],
     nprobe: int,
 ) -> list[int]:
-    """T1: top-nprobe centroid ids by cosine, driver-side numpy over a
-    bounded centroid set — the same total order as brute_force_topk
-    (round(score, 6) desc, id asc) so the probe set is identical to the
-    Spark-ranked path; zero-norm sides score 0.0 like
-    functions.vector.cosine_similarity."""
+    """T1: top-nprobe centroid ids by cosine over the TTL-cached rows —
+    a thin adapter over the one probe-ranker implementation
+    (plans/ivf._rank_centroids), passing the engine's 6-decimal edge
+    rounding so the probe set matches brute_force_topk's
+    (round(score, 6) desc, id asc) total order; zero-norm sides score
+    0.0 in the shared kernel."""
     import numpy as np
+
+    from go_vectorsearch_spark.plans.ivf import _rank_centroids
 
     if not cent_rows:
         return []
     ids = np.array([c[0] for c in cent_rows], dtype=np.int64)
     mat = np.array([c[1] for c in cent_rows], dtype=np.float64)
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    denom = np.linalg.norm(mat, axis=1) * float(np.linalg.norm(q))
-    sims = np.where(denom == 0.0, 0.0, (mat @ q) / np.where(denom == 0.0, 1.0, denom))
-    order = np.lexsort((ids, -np.round(sims, 6)))
-    return [int(x) for x in ids[order[: min(nprobe, len(ids))]]]
+    return _rank_centroids(ids, mat, list(query_vec), nprobe, round_decimals=6)
 
 
 class _TTLCache:
@@ -954,7 +967,7 @@ class Engine:
         if cid is None:
             raise ValueError(f"append_text_index: unknown {owner}/{category}")
         path = self._text_index_path(cid)
-        if not os.path.isdir(f"{path}/stats"):
+        if not os.path.exists(f"{path}/VERSION"):
             raise ValueError(
                 f"append_text_index: no text index for {owner}/{category}; "
                 "run build_text_index first"
@@ -1009,7 +1022,7 @@ class Engine:
         if scope is None:
             return self._empty_search_result()
         path = self._text_index_path(scope)
-        if not os.path.isdir(f"{path}/stats"):
+        if not os.path.exists(f"{path}/VERSION"):
             raise ValueError(
                 f"search_hybrid: no text index for {owner}/{category}; "
                 "run build_text_index first"
@@ -1194,13 +1207,24 @@ class Engine:
             .distinct()
             .collect()
         ]
+        # survivor frames for the WRITES re-read only the touched
+        # partitions (manifest pruning) — the full-table reads above
+        # exist to IDENTIFY victims, and must not be what the rewrite
+        # jobs scan (O(touched) read side at the 100 TB design point)
+        vc = F.broadcast(victim_cats.select("category_id"))
         if touched_cents:
             self.t["embeddings"].overwrite_partitions(
-                plans["embeddings"], touched_cents
+                self.t["embeddings"]
+                .read(partition_values=touched_cents)
+                .join(plans["victim_docs"], "document_id", "left_anti"),
+                touched_cents,
             )
         if touched_buckets:
             self.t["documents"].overwrite_partitions(
-                plans["documents"], touched_buckets
+                self.t["documents"]
+                .read(partition_values=touched_buckets)
+                .join(vc, "category_id", "left_anti"),
+                touched_buckets,
             )
         self.t["centroids"].write(plans["centroids"])
 
@@ -1257,12 +1281,21 @@ class Engine:
             .distinct()
             .collect()
         ]
+        # SURVIVOR frames read only the touched partitions (manifest-
+        # level pruning): identifying victims costs one column scan, but
+        # the rewrite job must not list/scan the whole table again —
+        # O(touched) on the read side matches O(touched) on the write
         if touched_cents:
             self.t["embeddings"].overwrite_partitions(
-                emb.filter(F.col("document_id") != document_id), touched_cents
+                self.t["embeddings"]
+                .read(partition_values=touched_cents)
+                .filter(F.col("document_id") != document_id),
+                touched_cents,
             )
+        bucket = document_id % N_DOC_BUCKETS
         self.t["documents"].overwrite_partitions(
-            docs.filter(~victim), [document_id % N_DOC_BUCKETS]
+            self.t["documents"].read(partition_values=[bucket]).filter(~victim),
+            [bucket],
         )
         self._invalidate_cache()
 
@@ -1379,8 +1412,8 @@ class Engine:
                 "documents": int(doc_counts.get(r["category_id"], 0)),
                 "embeddings": int(emb_counts.get(r["category_id"], 0)),
                 "centroids": int(cent_counts.get(r["category_id"], 0)),
-                "text_index": os.path.isdir(
-                    f"{self._text_index_path(r['category_id'])}/stats"
+                "text_index": os.path.exists(
+                    f"{self._text_index_path(r['category_id'])}/VERSION"
                 ),
             }
             for r in sorted(

@@ -233,116 +233,175 @@ def rrf_fuse(
     )
 
 
-def write_postings(
-    index: BM25Index, path: str, n_buckets: int = 64
-) -> None:
-    """Persist the postings in the at-scale layout: partitionBy a term
-    HASH BUCKET (xxhash64 mod n_buckets) so a query's scan prunes to
-    its terms' buckets at the partition level — the inverted index's
-    seek, expressed as directory pruning. Corpus scalars ride a tiny
-    _stats sidecar. One shuffle co-locates each bucket before the
-    write (one file per bucket per write)."""
-    bucketed = index.postings.withColumn(
+def _store_version(path: str) -> int:
+    vfile = f"{path}/VERSION"
+    if not os.path.exists(vfile):
+        return -1
+    with open(vfile) as f:
+        return int(f.read().strip())
+
+
+def _store_manifest(path: str, v: int) -> dict:
+    import json as _json
+
+    with open(f"{path}/v{v}.json") as f:
+        return _json.load(f)
+
+
+def _store_commit(path: str, v: int, manifest: dict) -> None:
+    import json as _json
+
+    with open(f"{path}/v{v}.json", "w") as f:
+        _json.dump(manifest, f)
+    with open(f"{path}/VERSION", "w") as f:
+        f.write(str(v))
+
+
+def _write_batch_dir(postings: DataFrame, path: str, batch: int, n_buckets: int) -> str:
+    rel = f"batches/b{batch}"
+    bucketed = postings.withColumn(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     (
         bucketed.repartition(F.col("_tb"))
+        # overwrite reclaims a batch dir orphaned by a failed earlier
+        # attempt at this same version (pointer never moved), mirroring
+        # the versioned tables' _write_batch
         .write.mode("overwrite")
         .partitionBy("_tb")
-        .parquet(f"{path}/postings")
+        .parquet(f"{path}/{rel}")
     )
-    # the stats sidecar is ONE row of corpus scalars — driver-side
-    # pyarrow write/read (no Spark job on either side; a Spark job for
-    # one row is pure scheduling latency on the serving path)
-    import pyarrow as pa
-    import pyarrow.parquet as pq_
+    return rel
 
-    os.makedirs(f"{path}/stats", exist_ok=True)
+
+def write_postings(
+    index: BM25Index, path: str, n_buckets: int = 64
+) -> None:
+    """Persist the postings in the at-scale layout: an IMMUTABLE batch
+    directory partitioned by term HASH BUCKET (xxhash64 mod n_buckets)
+    — a query's scan prunes to its terms' buckets, the inverted
+    index's seek as directory pruning — referenced by a tiny JSON
+    manifest (batch list + corpus scalars) behind a VERSION pointer.
+    Readers resolve the pointer once per request, so a concurrent
+    rebuild or append NEVER mutates directories under an in-flight
+    scan: a rebuild writes a NEW batch and points a NEW manifest at it,
+    leaving every old version's files in place (snapshot isolation,
+    the same manifest-over-immutable-data contract as the engine's
+    versioned tables). One shuffle co-locates each bucket before the
+    write (one file per bucket per batch)."""
+    v = _store_version(path) + 1
+    os.makedirs(path, exist_ok=True)
+    rel = _write_batch_dir(index.postings, path, v, n_buckets)
     sum_dl = (
         index.sum_dl
         if index.sum_dl is not None
         else int(round(index.avgdl * index.n_docs))
     )
-    pq_.write_table(
-        pa.table(
-            {
-                "n_docs": pa.array([index.n_docs], pa.int64()),
-                "sum_dl": pa.array([sum_dl], pa.int64()),
-                "avgdl": pa.array([float(index.avgdl)], pa.float64()),
-                "n_buckets": pa.array([int(n_buckets)], pa.int32()),
-            }
-        ),
-        f"{path}/stats/stats.parquet",
+    _store_commit(
+        path,
+        v,
+        {
+            "batches": [rel],
+            "n_docs": index.n_docs,
+            "sum_dl": sum_dl,
+            "n_buckets": int(n_buckets),
+        },
     )
 
 
 def read_postings(spark, path: str) -> tuple[BM25Index, int]:
-    """(index over the stored layout, n_buckets). The returned postings
-    frame carries the ``_tb`` partition column; :func:`bm25_search_stored`
-    adds the bucket filter that makes the probe a partition-pruned scan.
-    The one-row stats sidecar is read driver-side (pyarrow, no job)."""
-    import pyarrow.parquet as pq_
-
-    stats = pq_.read_table(f"{path}/stats/stats.parquet").to_pylist()[0]
-    n = int(stats["n_docs"])
-    sum_dl = int(stats.get("sum_dl") or round(stats["avgdl"] * n))
+    """(index over the stored layout, n_buckets) at the CURRENT version
+    — the pointer and manifest are driver-side file reads (no Spark
+    job). The postings frame unions the manifest's batch directories
+    (each scan keeps its own ``_tb`` partition pruning);
+    :func:`bm25_search_stored` adds the bucket filter."""
+    v = _store_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"read_postings: no VERSION at {path}")
+    m = _store_manifest(path, v)
+    frames = [spark.read.parquet(f"{path}/{rel}") for rel in m["batches"]]
+    postings = frames[0]
+    for f in frames[1:]:
+        postings = postings.unionByName(f)
+    n = int(m["n_docs"])
+    sum_dl = int(m["sum_dl"])
     return (
         BM25Index(
-            postings=spark.read.parquet(f"{path}/postings"),
+            postings=postings,
             n_docs=n,
             avgdl=(sum_dl / n if n else 0.0),
             sum_dl=sum_dl,
         ),
-        int(stats["n_buckets"]),
+        int(m["n_buckets"]),
     )
 
 
 def append_postings(delta: BM25Index, path: str) -> None:
     """Grow a stored postings layout incrementally: the delta corpus's
-    postings append into their term-hash buckets (existing bucket files
-    are untouched — parquet append adds files, the bucketed analog of
-    the versioned tables' partition-scoped appends) and the corpus
-    scalars merge EXACTLY (integer n_docs / sum_dl addition), so a
-    store grown by appends scores bit-identically to one rebuilt from
-    scratch over the union corpus.
+    postings become a NEW immutable batch, the next manifest references
+    old batches + the new one, and the corpus scalars merge EXACTLY
+    (integer n_docs / sum_dl addition) — so a store grown by appends
+    scores bit-identically to one rebuilt from scratch over the union
+    corpus, and a reader that resolved the previous version mid-append
+    sees a complete, consistent old snapshot (postings AND stats move
+    together with the pointer).
 
     Caller contract: the delta must contain only documents not already
     in the store (re-appending a doc_id would double its postings).
     Deleted documents leave stale postings until the next full
     build — they can waste rank slots but never surface, because the
     serving layer's hydration re-checks document existence."""
-    import pyarrow.parquet as pq_
-
-    stats = pq_.read_table(f"{path}/stats/stats.parquet").to_pylist()[0]
-    n_buckets = int(stats["n_buckets"])
-    bucketed = delta.postings.withColumn(
-        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    )
-    (
-        bucketed.repartition(F.col("_tb"))
-        .write.mode("append")
-        .partitionBy("_tb")
-        .parquet(f"{path}/postings")
-    )
     if delta.sum_dl is None:
         raise ValueError("append_postings: delta index lacks sum_dl")
-    merged_n = int(stats["n_docs"]) + delta.n_docs
-    merged_sum = int(stats.get("sum_dl") or 0) + delta.sum_dl
-    import pyarrow as pa
-
-    pq_.write_table(
-        pa.table(
-            {
-                "n_docs": pa.array([merged_n], pa.int64()),
-                "sum_dl": pa.array([merged_sum], pa.int64()),
-                "avgdl": pa.array(
-                    [merged_sum / merged_n if merged_n else 0.0], pa.float64()
-                ),
-                "n_buckets": pa.array([n_buckets], pa.int32()),
-            }
-        ),
-        f"{path}/stats/stats.parquet",
+    v = _store_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"append_postings: no VERSION at {path}")
+    m = _store_manifest(path, v)
+    rel = _write_batch_dir(delta.postings, path, v + 1, int(m["n_buckets"]))
+    _store_commit(
+        path,
+        v + 1,
+        {
+            "batches": m["batches"] + [rel],
+            "n_docs": int(m["n_docs"]) + delta.n_docs,
+            "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
+            "n_buckets": int(m["n_buckets"]),
+        },
     )
+
+
+def vacuum_postings(path: str, keep_versions: int = 2) -> list[str]:
+    """Drop manifests older than the ``keep_versions`` newest and
+    delete batch directories no kept manifest references. Rebuilds
+    leave their predecessors' batches on disk by design (snapshot
+    isolation for lock-free readers); this is the explicit reclaim,
+    shaped like the versioned tables' vacuum. Returns removed paths."""
+    import shutil
+
+    v = _store_version(path)
+    if v < 0:
+        return []
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(path)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+    kept = [x for x in versions if x > v - keep_versions]
+    referenced = {
+        rel for x in kept for rel in _store_manifest(path, x)["batches"]
+    }
+    removed = []
+    for x in versions:
+        if x not in kept:
+            os.remove(f"{path}/v{x}.json")
+            removed.append(f"v{x}.json")
+    bdir = f"{path}/batches"
+    for d in os.listdir(bdir) if os.path.isdir(bdir) else []:
+        rel = f"batches/{d}"
+        if rel not in referenced:
+            shutil.rmtree(f"{path}/{rel}")
+            removed.append(rel)
+    return removed
 
 
 def bm25_search_stored(

@@ -709,7 +709,17 @@ def _centroid_matrix(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-def _rank_centroids(ids: np.ndarray, mat: np.ndarray, query_vec, nprobe: int) -> list[int]:
+def _rank_centroids(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    query_vec,
+    nprobe: int,
+    round_decimals: int | None = None,
+) -> list[int]:
+    """THE driver-side probe ranker (also behind api._rank_probe_ids —
+    one implementation, so zero-norm and tie handling can't drift).
+    ``round_decimals`` ranks on a rounded score (the engine's 6-decimal
+    edge convention) instead of the raw double."""
     if len(ids) == 0:
         return []
     q = np.array(query_vec, dtype=np.float64)
@@ -718,7 +728,8 @@ def _rank_centroids(ids: np.ndarray, mat: np.ndarray, query_vec, nprobe: int) ->
     # design point k reaches ~10^6 driver-side rows
     denom = qn * np.linalg.norm(mat, axis=1)
     sims = np.divide(mat @ q, denom, out=np.zeros(len(ids)), where=denom != 0.0)
-    order = np.lexsort((ids, -sims))  # score desc, id asc tie-break
+    key = sims if round_decimals is None else np.round(sims, round_decimals)
+    order = np.lexsort((ids, -key))  # score desc, id asc tie-break
     return [int(ids[i]) for i in order[:nprobe]]
 
 
@@ -784,7 +795,6 @@ def ivf_search_adaptive(
     vec_col: str = "embedding",
     doc_col: str | None = None,
     where=None,
-    max_rounds: int = 8,
 ):
     """Filtered search with automatic probe widening: run at ``nprobe``,
     and while fewer than k rows come back AND unprobed partitions
@@ -795,7 +805,10 @@ def ivf_search_adaptive(
     partition-pruned job; rounds grow geometrically, so the worst case
     (predicate matches < k rows in the whole corpus) costs
     log2(|centroids|) rounds ≈ one exact filtered search, and the
-    common case stays one cheap probe. Returns (result, nprobe_used).
+    common case stays one cheap probe — the doubling reaches
+    nprobe=|centroids| unconditionally, so a widened search NEVER
+    returns fewer rows than the exact filtered search would. Returns
+    (result, nprobe_used).
 
     Qdrant/pgvector planners make the same selectivity-driven choice
     with cardinality estimates; doubling-on-underfill needs no
@@ -803,15 +816,17 @@ def ivf_search_adaptive(
     search would at the widened probe set."""
     n_cents = index.centroids.count()
     nprobe = max(1, min(nprobe, n_cents))
-    rounds = 0
     while True:
         res = ivf_search(
             index, query_vec, k, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col, doc_col=doc_col, where=where,
         )
         rows = res.collect()
-        rounds += 1
-        if len(rows) >= k or nprobe >= n_cents or rounds >= max_rounds:
+        # termination: nprobe strictly doubles toward n_cents, so the
+        # loop runs at most log2(n_cents)+1 rounds before the exact
+        # filtered search decides — no round cap that could silently
+        # truncate widening below the corpus
+        if len(rows) >= k or nprobe >= n_cents:
             spark = index.assigned.sparkSession
             out = spark.createDataFrame(rows, res.schema) if rows else res
             return out, nprobe

@@ -248,21 +248,23 @@ class Service:
         exists, keeping hybrid search consistent after re-clustering."""
         owner, category = req.get("owner"), req.get("category")
         if owner and category:
-            n = self.engine.refresh_index(owner, category)
-            refreshed = {f"{owner}/{category}": n}
+            pairs = {(owner, category): self.engine.refresh_index(owner, category)}
         else:
-            refreshed = {
-                f"{o}/{c}": n
-                for (o, c), n in self.engine.refresh_all().items()
-            }
-        for key in refreshed:
-            o, c = key.split("/", 1)
+            pairs = self.engine.refresh_all()
+        # iterate the (owner, category) TUPLES — names are arbitrary
+        # strings (a '/' in an owner name must not split a composed key)
+        for o, c in pairs:
             cid = self.engine._category_id(o, c)
-            if cid is not None and os.path.isdir(
-                f"{self.engine._text_index_path(cid)}/stats"
+            if cid is not None and os.path.exists(
+                f"{self.engine._text_index_path(cid)}/VERSION"
             ):
                 self.engine.build_text_index(o, c)
-        return {"centroids": refreshed}
+        return {
+            "centroids": [
+                {"owner": o, "category": c, "centroids": n}
+                for (o, c), n in sorted(pairs.items())
+            ]
+        }
 
     def admin_stats(self, req: dict) -> dict:
         """Read-only operational snapshot (Engine.stats): table

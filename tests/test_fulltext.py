@@ -323,15 +323,16 @@ def test_append_postings_equals_rebuild(spark, sf_correct, tmp_path):
 
     def bucket_files():
         out = {}
-        base = f"{grown}/postings"
-        for d in os.listdir(base):
-            if d.startswith("_tb="):
-                p = f"{base}/{d}"
-                out[d] = {
-                    f: os.path.getmtime(f"{p}/{f}")
-                    for f in os.listdir(p)
-                    if f.endswith(".parquet")
-                }
+        base = f"{grown}/batches"
+        for b in os.listdir(base):
+            for d in os.listdir(f"{base}/{b}"):
+                if d.startswith("_tb="):
+                    p = f"{base}/{b}/{d}"
+                    out[f"{b}/{d}"] = {
+                        f: os.path.getmtime(f"{p}/{f}")
+                        for f in os.listdir(p)
+                        if f.endswith(".parquet")
+                    }
         return out
 
     before = bucket_files()
@@ -422,3 +423,39 @@ def test_append_postings_random_splits_equal_rebuild(spark, sf_correct, tmp_path
         g = [tuple(r) for r in bm25_search_stored(spark, grown, q, k=10).collect()]
         w = [tuple(r) for r in bm25_search_stored(spark, whole, q, k=10).collect()]
         assert g == w, f"divergence for {q!r}"
+
+
+def test_stored_rebuild_preserves_reader_snapshot(spark, sf_correct, tmp_path):
+    """Snapshot isolation for lock-free readers: a frame resolved
+    BEFORE a rebuild still scans its own (immutable) version's files
+    after the rebuild commits; a fresh resolve sees the new corpus.
+    vacuum_postings then reclaims exactly the unreferenced batches."""
+    import os
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        read_postings,
+        vacuum_postings,
+        write_postings,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    path = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs.filter(F.col("doc_id") < 100)), path, n_buckets=8)
+    old_index, _ = read_postings(spark, path)  # resolves v0's manifest
+
+    # rebuild over a DIFFERENT corpus slice -> new batch, new manifest
+    write_postings(build_bm25_index(docs.filter(F.col("doc_id") >= 100)), path, n_buckets=8)
+
+    # the pre-rebuild frame still answers from its own snapshot
+    assert old_index.postings.select("doc_id").distinct().count() == 100
+    new_index, _ = read_postings(spark, path)
+    assert new_index.postings.filter(F.col("doc_id") < 100).count() == 0
+
+    # keep_versions=2 keeps both versions' batches...
+    assert vacuum_postings(path, keep_versions=2) == []
+    # ...keep_versions=1 drops v0's manifest and its now-unreferenced batch
+    removed = vacuum_postings(path, keep_versions=1)
+    assert any(r.startswith("batches/") for r in removed)
+    assert not os.path.exists(f"{path}/v0.json")
+    still, _ = read_postings(spark, path)
+    assert still.postings.select("doc_id").distinct().count() == 400

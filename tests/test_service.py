@@ -380,14 +380,16 @@ def test_hybrid_route_and_admin_refresh(served):
     resp, data = _call(port, "/api/admin/refresh", {"owner": "hyb", "category": "docs"})
     assert resp.status == 200
     body = json.loads(data)
-    assert "hyb/docs" in body["centroids"]
+    assert [(e["owner"], e["category"]) for e in body["centroids"]] == [("hyb", "docs")]
+    assert body["centroids"][0]["centroids"] >= 1
     resp, data = _call(port, "/api/search_hybrid", {"owner": "hyb", "category": "docs", "text": "spark shuffles", "count": 3, "centroids": -1})
     assert resp.status == 200 and json.loads(data)["documents"]
 
     # sweep form touches every category (>= the ones this test made)
     resp, data = _call(port, "/api/admin/refresh", {})
     assert resp.status == 200
-    assert "hyb/docs" in json.loads(data)["centroids"]
+    swept = {(e["owner"], e["category"]) for e in json.loads(data)["centroids"]}
+    assert ("hyb", "docs") in swept
 
 
 def test_admin_stats_route(served):

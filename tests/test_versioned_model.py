@@ -106,3 +106,32 @@ def test_versioned_table_matches_dict_model(spark, tmp_path, seed):
     for v in versions:
         got = {r["id"]: (r["part"], r["x"]) for r in t.read(version=v).collect()}
         assert got == history[v], f"time travel to v{v} diverged"
+
+
+def test_orphan_batch_from_failed_write_is_reclaimed(spark, tmp_path):
+    """A write that died after creating _data/w{N+1} but before the
+    VERSION pointer moved must not wedge the table: the next mutation
+    recomputes the same version and overwrites the orphan."""
+    import os
+
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(
+        spark, str(tmp_path / "t"), "t", "id long, part long, x string",
+        partition_expr="part",
+    )
+    t.append(spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], t.schema))
+    v = t._version()
+    # simulate the failed attempt: orphan batch dir for v+1, pointer at v
+    orphan = os.path.join(t.dir, "_data", f"w{v + 1}")
+    os.makedirs(os.path.join(orphan, "_p=9"), exist_ok=True)
+    with open(os.path.join(orphan, "_p=9", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    t.append(spark.createDataFrame([(3, 2, "c")], t.schema))
+    assert t._version() == v + 1
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]
+    # the orphan's stale partition dir must not have leaked into the
+    # committed manifest
+    assert "9" not in t._manifest(v + 1)
