@@ -401,3 +401,42 @@ def test_admin_stats_route(served):
     assert body["tables"]["documents"]["rows"] == sum(
         c["documents"] for c in body["categories"]
     )
+
+
+def test_hybrid_searches_survive_concurrent_rebuild(served):
+    """Snapshot isolation end-to-end: lock-free /api/search_hybrid
+    requests racing an /api/admin/refresh (which rebuilds the text
+    index in place) must all succeed and return documents — no reader
+    ever sees a half-written postings layout."""
+    import threading as _t
+
+    eng, port, _ = served
+    _call(port, "/api/upload", {"owner": "race", "category": "c", "documents": DOCS})
+    eng.build_text_index("race", "c")
+
+    errors, oks = [], []
+
+    def searcher():
+        for _ in range(6):
+            resp, data = _call(port, "/api/search_hybrid", {
+                "owner": "race", "category": "c",
+                "text": "spark shuffles plans", "count": 3, "centroids": -1,
+            })
+            if resp.status != 200:
+                errors.append(data[:200])
+            else:
+                oks.append(len(json.loads(data)["documents"]))
+
+    def refresher():
+        for _ in range(2):
+            resp, data = _call(port, "/api/admin/refresh", {"owner": "race", "category": "c"})
+            if resp.status != 200:
+                errors.append(data[:200])
+
+    threads = [_t.Thread(target=searcher) for _ in range(3)] + [_t.Thread(target=refresher)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    assert oks and all(n >= 1 for n in oks)
