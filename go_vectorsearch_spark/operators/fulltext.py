@@ -233,6 +233,11 @@ def rrf_fuse(
     )
 
 
+# the stored layout's on-disk schema (postings + the _tb partition
+# column) — declared so empty batches read back without inference
+STORED_POSTINGS_SCHEMA = "term string, doc_id long, dl int, tf long, _tb long"
+
+
 def _store_version(path: str) -> int:
     vfile = f"{path}/VERSION"
     if not os.path.exists(vfile):
@@ -319,7 +324,12 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     if v < 0:
         raise FileNotFoundError(f"read_postings: no VERSION at {path}")
     m = _store_manifest(path, v)
-    frames = [spark.read.parquet(f"{path}/{rel}") for rel in m["batches"]]
+    # explicit schema: an EMPTY batch (a store seeded before streaming
+    # ingest, or a delta with zero postings) has no files to infer from
+    frames = [
+        spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(f"{path}/{rel}")
+        for rel in m["batches"]
+    ]
     postings = frames[0]
     for f in frames[1:]:
         postings = postings.unionByName(f)
@@ -368,6 +378,48 @@ def append_postings(delta: BM25Index, path: str) -> None:
             "n_buckets": int(m["n_buckets"]),
         },
     )
+
+
+def append_postings_epoch(delta: BM25Index, path: str, epoch_id: int) -> bool:
+    """Exactly-once streaming append: the delta batch writes to an
+    EPOCH-KEYED directory (``batches/e{epoch_id}``) and commits a new
+    manifest referencing it — a replayed epoch (foreachBatch re-runs
+    after failure) finds its directory already referenced and SKIPS,
+    so postings and stats are added exactly once per epoch; a crash
+    between the dir write and the commit is healed by the replay's
+    overwrite of the unreferenced dir. Returns True if the epoch was
+    applied, False if it was a replay of a committed epoch. The same
+    idempotent-epoch contract as streaming/ingest's embeddings sink."""
+    if delta.sum_dl is None:
+        raise ValueError("append_postings_epoch: delta index lacks sum_dl")
+    v = _store_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"append_postings_epoch: no VERSION at {path}")
+    m = _store_manifest(path, v)
+    rel = f"batches/e{epoch_id}"
+    if rel in m["batches"]:
+        return False
+    n_buckets = int(m["n_buckets"])
+    bucketed = delta.postings.withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    (
+        bucketed.repartition(F.col("_tb"))
+        .write.mode("overwrite")
+        .partitionBy("_tb")
+        .parquet(f"{path}/{rel}")
+    )
+    _store_commit(
+        path,
+        v + 1,
+        {
+            "batches": m["batches"] + [rel],
+            "n_docs": int(m["n_docs"]) + delta.n_docs,
+            "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
+            "n_buckets": n_buckets,
+        },
+    )
+    return True
 
 
 def vacuum_postings(path: str, keep_versions: int = 2) -> list[str]:

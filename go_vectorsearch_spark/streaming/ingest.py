@@ -124,3 +124,54 @@ def compact_partitioned(
         .partitionBy(partition_col)
         .parquet(dst_path)
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over the documents table (same harness
+    stand-in for a message bus as :func:`read_embeddings_stream`)."""
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/documents.parque[t]")
+    )
+
+
+def ingest_documents_text_index(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous text-index maintenance: each micro-batch of documents
+    becomes a delta BM25 index appended into the stored postings layout
+    through :func:`~go_vectorsearch_spark.operators.fulltext.
+    append_postings_epoch` — epoch-keyed batch directories give
+    exactly-once growth under foreachBatch's at-least-once replay, and
+    the versioned manifest keeps concurrent lock-free searchers on
+    complete snapshots while the stream appends. The store must exist
+    (write_postings) before the stream starts, mirroring
+    Engine.append_text_index's build-first contract. Returns the
+    started StreamingQuery (AvailableNow trigger: drains what exists,
+    then stops — tests and batch-backfill shape)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings_epoch,
+        build_bm25_index,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = build_bm25_index(batch_df, id_col=id_col, text_col=text_col)
+        append_postings_epoch(delta, store_path, int(epoch_id))
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -101,3 +101,46 @@ def test_compaction_preserves_rows_and_collapses_files(
             continue
         files = [f for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_streaming_text_index_ingest_equals_batch_build(spark, sf_smoke, tmp_path):
+    """Stream-grown postings == a batch build over the same corpus
+    (seeded with an empty store, drained with AvailableNow), and a
+    REPLAYED epoch is a no-op (exactly-once growth)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings_epoch,
+        bm25_search_stored,
+        build_bm25_index,
+        read_postings,
+        write_postings,
+    )
+    from go_vectorsearch_spark.sources.tables import load_table
+    from go_vectorsearch_spark.streaming.ingest import (
+        ingest_documents_text_index,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    # seed: an EMPTY store (the build-first contract) — index over zero docs
+    write_postings(build_bm25_index(docs.filter(F.lit(False))), store, n_buckets=8)
+
+    q = ingest_documents_text_index(
+        read_documents_stream(spark, sf_smoke),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    whole = str(tmp_path / "whole")
+    write_postings(build_bm25_index(docs), whole, n_buckets=8)
+    for qq in ("spark shuffle hash table", "catalyst"):
+        g = [tuple(r) for r in bm25_search_stored(spark, store, qq, k=10).collect()]
+        w = [tuple(r) for r in bm25_search_stored(spark, whole, qq, k=10).collect()]
+        assert g == w, f"stream/batch divergence for {qq!r}"
+
+    # replaying the drained epoch must change nothing
+    n_before = read_postings(spark, store)[0].n_docs
+    applied = append_postings_epoch(build_bm25_index(docs), store, epoch_id=0)
+    assert applied is False
+    assert read_postings(spark, store)[0].n_docs == n_before
