@@ -944,7 +944,14 @@ class Engine:
             )
         )
         index = build_bm25_index(docs, id_col="document_id", text_col="_text")
-        write_postings(index, self._text_index_path(cid), n_buckets=n_buckets)
+        path = self._text_index_path(cid)
+        write_postings(index, path, n_buckets=n_buckets)
+        # retention mirrors the versioned tables: keep the previous
+        # version's batches for in-flight lock-free readers, reclaim
+        # anything older
+        from go_vectorsearch_spark.operators.fulltext import vacuum_postings
+
+        vacuum_postings(path, keep_versions=2)
         return index.n_docs
 
     def append_text_index(

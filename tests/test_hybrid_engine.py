@@ -141,3 +141,24 @@ def test_engine_stats_counts(hybrid_engine):
     assert s["tables"]["documents"]["rows"] == sum(
         c["documents"] for c in s["categories"]
     )
+
+
+def test_rebuilds_reclaim_old_batches(spark, tmp_path):
+    """Repeated build_text_index calls keep disk bounded: only the
+    newest two versions' batches survive (previous version retained for
+    in-flight readers)."""
+    import json as _json
+    import os
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    eng.upload("o", "c", [
+        {"name": "A", "external_id": "a", "document": _json.dumps("alpha bravo words")},
+    ])
+    for _ in range(4):
+        eng.build_text_index("o", "c")
+    cid = eng._category_id("o", "c")
+    path = eng._text_index_path(cid)
+    batches = os.listdir(f"{path}/batches")
+    manifests = [f for f in os.listdir(path) if f.endswith(".json")]
+    assert len(batches) == 2 and len(manifests) == 2
+    assert eng.search_hybrid("o", "c", "alpha", count=1).count() == 1
