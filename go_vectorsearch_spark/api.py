@@ -1169,7 +1169,11 @@ class Engine:
     def _cascade_plans(self, victim_cats: DataFrame) -> dict[str, DataFrame]:
         """Pure plan builder for a category cascade: survivor frames for
         embeddings/documents/centroids given victim categories. Split
-        from the writes so tests can assert on the plans directly.
+        from the writes so tests can assert on the plans directly; the
+        WRITE path (_cascade_categories) re-derives its survivor frames
+        from partition-pruned reads once the touched sets are known —
+        these full-read plans define the semantics the pruned writes
+        must match.
 
         Only the victim CATEGORY-ID set is broadcast-hinted (ids only,
         bounded by categories-per-owner). victim_docs = ALL document ids
