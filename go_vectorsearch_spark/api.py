@@ -817,7 +817,14 @@ class Engine:
         self.t["documents"].append(new_docs)
         chunks.unpersist()
         self._invalidate_cache()  # owner/category/centroids may have changed
-        return [base_doc + i for i in range(len(documents))]
+        ids = [base_doc + i for i in range(len(documents))]
+        # a category WITH a text index stays hybrid-consistent without
+        # manual maintenance: the new documents' postings append
+        # incrementally (the lexical twin of the upload's incremental
+        # centroid assignment); categories without one pay nothing
+        if os.path.exists(f"{self._text_index_path(category_id)}/VERSION"):
+            self.append_text_index(owner, category, ids)
+        return ids
 
     # -- search (server/search.go:115-334) ---------------------------------
     def search(
@@ -963,7 +970,9 @@ class Engine:
         store scores bit-identically to a full rebuild — the upload
         path's partition-scoped-append discipline applied to the text
         index. The documents read prunes to the ids' hash buckets at
-        the manifest level, like search hydration."""
+        the manifest level, like search hydration. :meth:`upload` calls
+        this automatically for categories whose index exists — callers
+        only need it when indexing pre-existing data."""
         from go_vectorsearch_spark.operators.documents import flatten_json_udf
         from go_vectorsearch_spark.operators.fulltext import (
             append_postings,

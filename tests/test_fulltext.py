@@ -353,12 +353,16 @@ def test_append_postings_equals_rebuild(spark, sf_correct, tmp_path):
 
 
 def test_engine_append_text_index(spark, tmp_path):
-    """Engine path: upload → build → upload more → append; hybrid
+    """Engine path: upload → build → upload more; the second upload
+    AUTO-appends its postings (no manual maintenance call), and hybrid
     lexical retrieval sees the new documents without a rebuild."""
     import json as _json
 
     from go_vectorsearch_spark.api import Engine
-    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        read_postings,
+    )
 
     eng = Engine(spark, str(tmp_path / "root"))
     eng.upload("o", "c", [
@@ -368,9 +372,10 @@ def test_engine_append_text_index(spark, tmp_path):
     ids2 = eng.upload("o", "c", [
         {"name": "B", "external_id": "b", "document": _json.dumps({"body": "zygote xylophone"})},
     ])
-    assert eng.append_text_index("o", "c", ids2) == 1
 
     cid = eng._category_id("o", "c")
+    # upload already appended: exactly 2 docs indexed, no double-count
+    assert read_postings(spark, eng._text_index_path(cid))[0].n_docs == 2
     hits = bm25_search_stored(
         spark, eng._text_index_path(cid), "zygote", k=5
     ).collect()
