@@ -955,10 +955,13 @@ class Engine:
         write_postings(index, path, n_buckets=n_buckets)
         # retention mirrors the versioned tables: keep the previous
         # version's batches for in-flight lock-free readers, reclaim
-        # anything older
+        # anything older — with the SAME 5-minute serving grace the
+        # tables use (vacuum_min_age_s), so even several back-to-back
+        # rebuilds never delete files under a reader that resolved its
+        # manifest and is still mid-scan
         from go_vectorsearch_spark.operators.fulltext import vacuum_postings
 
-        vacuum_postings(path, keep_versions=2)
+        vacuum_postings(path, keep_versions=2, min_age_s=300.0)
         return index.n_docs
 
     def append_text_index(

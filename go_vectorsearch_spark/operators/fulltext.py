@@ -262,8 +262,33 @@ def _store_commit(path: str, v: int, manifest: dict) -> None:
         f.write(str(v))
 
 
-def _write_batch_dir(postings: DataFrame, path: str, batch: int, n_buckets: int) -> str:
-    rel = f"batches/b{batch}"
+# one writer at a time per store path (same process): every commit is a
+# read-manifest -> write-manifest critical section, so an upload's
+# auto-append racing a streaming epoch (or two direct appenders) must
+# serialize or the loser's manifest write silently orphans the winner's
+# batch. Cross-PROCESS writers need external coordination (the service
+# write lock / a scheduler), exactly like the reference serializes its
+# writes in the database.
+import threading as _threading
+
+_STORE_LOCKS: dict[str, _threading.Lock] = {}
+_STORE_LOCKS_GUARD = _threading.Lock()
+
+
+def _store_lock(path: str) -> _threading.Lock:
+    key = os.path.abspath(path)
+    with _STORE_LOCKS_GUARD:
+        if key not in _STORE_LOCKS:
+            _STORE_LOCKS[key] = _threading.Lock()
+        return _STORE_LOCKS[key]
+
+
+def _write_batch_dir(
+    postings: DataFrame, path: str, rel: str, n_buckets: int
+) -> str:
+    """THE batch writer (rebuilds, appends, and streaming epochs all
+    route here, so the bucketing function cannot diverge between
+    paths)."""
     bucketed = postings.withColumn(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
@@ -277,6 +302,14 @@ def _write_batch_dir(postings: DataFrame, path: str, batch: int, n_buckets: int)
         .parquet(f"{path}/{rel}")
     )
     return rel
+
+
+def _index_sum_dl(index: BM25Index) -> int:
+    return (
+        index.sum_dl
+        if index.sum_dl is not None
+        else int(round(index.avgdl * index.n_docs))
+    )
 
 
 def write_postings(
@@ -293,25 +326,28 @@ def write_postings(
     leaving every old version's files in place (snapshot isolation,
     the same manifest-over-immutable-data contract as the engine's
     versioned tables). One shuffle co-locates each bucket before the
-    write (one file per bucket per batch)."""
-    v = _store_version(path) + 1
-    os.makedirs(path, exist_ok=True)
-    rel = _write_batch_dir(index.postings, path, v, n_buckets)
-    sum_dl = (
-        index.sum_dl
-        if index.sum_dl is not None
-        else int(round(index.avgdl * index.n_docs))
-    )
-    _store_commit(
-        path,
-        v,
-        {
-            "batches": [rel],
-            "n_docs": index.n_docs,
-            "sum_dl": sum_dl,
-            "n_buckets": int(n_buckets),
-        },
-    )
+    write (one file per bucket per batch).
+
+    A rebuild CARRIES FORWARD the applied-epoch memory of the store it
+    replaces: a streaming epoch committed before the rebuild is inside
+    the rebuilt corpus, so its at-least-once replay must keep being
+    recognized and skipped afterwards."""
+    with _store_lock(path):
+        v = _store_version(path) + 1
+        applied = _store_manifest(path, v - 1).get("applied", []) if v > 0 else []
+        os.makedirs(path, exist_ok=True)
+        rel = _write_batch_dir(index.postings, path, f"batches/b{v}", n_buckets)
+        _store_commit(
+            path,
+            v,
+            {
+                "batches": [rel],
+                "applied": applied,
+                "n_docs": index.n_docs,
+                "sum_dl": _index_sum_dl(index),
+                "n_buckets": int(n_buckets),
+            },
+        )
 
 
 def read_postings(spark, path: str) -> tuple[BM25Index, int]:
@@ -346,6 +382,8 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     )
 
 
+
+
 def append_postings(delta: BM25Index, path: str) -> None:
     """Grow a stored postings layout incrementally: the delta corpus's
     postings become a NEW immutable batch, the next manifest references
@@ -363,97 +401,116 @@ def append_postings(delta: BM25Index, path: str) -> None:
     serving layer's hydration re-checks document existence."""
     if delta.sum_dl is None:
         raise ValueError("append_postings: delta index lacks sum_dl")
-    v = _store_version(path)
-    if v < 0:
-        raise FileNotFoundError(f"append_postings: no VERSION at {path}")
-    m = _store_manifest(path, v)
-    rel = _write_batch_dir(delta.postings, path, v + 1, int(m["n_buckets"]))
-    _store_commit(
-        path,
-        v + 1,
-        {
-            "batches": m["batches"] + [rel],
-            "n_docs": int(m["n_docs"]) + delta.n_docs,
-            "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
-            "n_buckets": int(m["n_buckets"]),
-        },
-    )
+    with _store_lock(path):
+        v = _store_version(path)
+        if v < 0:
+            raise FileNotFoundError(f"append_postings: no VERSION at {path}")
+        m = _store_manifest(path, v)
+        rel = _write_batch_dir(
+            delta.postings, path, f"batches/b{v + 1}", int(m["n_buckets"])
+        )
+        _store_commit(
+            path,
+            v + 1,
+            {
+                "batches": m["batches"] + [rel],
+                "applied": m.get("applied", []),
+                "n_docs": int(m["n_docs"]) + delta.n_docs,
+                "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
+                "n_buckets": int(m["n_buckets"]),
+            },
+        )
 
 
-def append_postings_epoch(delta: BM25Index, path: str, epoch_id: int) -> bool:
-    """Exactly-once streaming append: the delta batch writes to an
-    EPOCH-KEYED directory (``batches/e{epoch_id}``) and commits a new
-    manifest referencing it — a replayed epoch (foreachBatch re-runs
-    after failure) finds its directory already referenced and SKIPS,
-    so postings and stats are added exactly once per epoch; a crash
-    between the dir write and the commit is healed by the replay's
-    overwrite of the unreferenced dir. Returns True if the epoch was
-    applied, False if it was a replay of a committed epoch. The same
-    idempotent-epoch contract as streaming/ingest's embeddings sink."""
+def append_postings_epoch(
+    delta: BM25Index, path: str, epoch_id: int, stream_id: str = "default"
+) -> bool:
+    """Exactly-once streaming append: the delta batch writes to a
+    directory keyed by (stream_id, epoch_id) and the manifest records
+    the key in its ``applied`` list — a replayed epoch (foreachBatch
+    re-runs after failure) finds its key applied and SKIPS, so postings
+    and stats are added exactly once per epoch; a crash between the dir
+    write and the commit is healed by the replay's overwrite of the
+    unreferenced dir. ``applied`` memory survives rebuilds (a committed
+    epoch's documents are inside the rebuilt corpus, so its replay must
+    stay recognized), and ``stream_id`` — derive it from the checkpoint
+    location — keeps a FRESH checkpoint's restarted epoch numbering
+    from colliding with a previous stream's keys. Returns True if the
+    epoch was applied, False for a recognized replay."""
     if delta.sum_dl is None:
         raise ValueError("append_postings_epoch: delta index lacks sum_dl")
-    v = _store_version(path)
-    if v < 0:
-        raise FileNotFoundError(f"append_postings_epoch: no VERSION at {path}")
-    m = _store_manifest(path, v)
-    rel = f"batches/e{epoch_id}"
-    if rel in m["batches"]:
-        return False
-    n_buckets = int(m["n_buckets"])
-    bucketed = delta.postings.withColumn(
-        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    )
-    (
-        bucketed.repartition(F.col("_tb"))
-        .write.mode("overwrite")
-        .partitionBy("_tb")
-        .parquet(f"{path}/{rel}")
-    )
-    _store_commit(
-        path,
-        v + 1,
-        {
-            "batches": m["batches"] + [rel],
-            "n_docs": int(m["n_docs"]) + delta.n_docs,
-            "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
-            "n_buckets": n_buckets,
-        },
-    )
-    return True
+    key = f"s{stream_id}-e{epoch_id}"
+    with _store_lock(path):
+        v = _store_version(path)
+        if v < 0:
+            raise FileNotFoundError(
+                f"append_postings_epoch: no VERSION at {path}"
+            )
+        m = _store_manifest(path, v)
+        applied = m.get("applied", [])
+        if key in applied:
+            return False
+        rel = _write_batch_dir(
+            delta.postings, path, f"batches/{key}", int(m["n_buckets"])
+        )
+        _store_commit(
+            path,
+            v + 1,
+            {
+                "batches": m["batches"] + [rel],
+                "applied": applied + [key],
+                "n_docs": int(m["n_docs"]) + delta.n_docs,
+                "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
+                "n_buckets": int(m["n_buckets"]),
+            },
+        )
+        return True
 
 
-def vacuum_postings(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum_postings(
+    path: str, keep_versions: int = 2, min_age_s: float = 0.0
+) -> list[str]:
     """Drop manifests older than the ``keep_versions`` newest and
     delete batch directories no kept manifest references. Rebuilds
     leave their predecessors' batches on disk by design (snapshot
     isolation for lock-free readers); this is the explicit reclaim,
-    shaped like the versioned tables' vacuum. Returns removed paths."""
+    shaped like the versioned tables' vacuum — including the AGE GUARD:
+    nothing younger than ``min_age_s`` is removed, so a reader that
+    resolved its manifest and is still mid-scan keeps its files even
+    if several rebuilds land meanwhile (direct unit-test callers
+    default to 0, the Engine passes its serving grace period). Returns
+    removed paths."""
     import shutil
+    import time as _time
 
-    v = _store_version(path)
-    if v < 0:
-        return []
-    versions = sorted(
-        int(f[1:-5])
-        for f in os.listdir(path)
-        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
-    )
-    kept = [x for x in versions if x > v - keep_versions]
-    referenced = {
-        rel for x in kept for rel in _store_manifest(path, x)["batches"]
-    }
-    removed = []
-    for x in versions:
-        if x not in kept:
-            os.remove(f"{path}/v{x}.json")
-            removed.append(f"v{x}.json")
-    bdir = f"{path}/batches"
-    for d in os.listdir(bdir) if os.path.isdir(bdir) else []:
-        rel = f"batches/{d}"
-        if rel not in referenced:
-            shutil.rmtree(f"{path}/{rel}")
-            removed.append(rel)
-    return removed
+    with _store_lock(path):
+        v = _store_version(path)
+        if v < 0:
+            return []
+        cutoff = _time.time() - min_age_s
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(path)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+        kept = [x for x in versions if x > v - keep_versions]
+        referenced = {
+            rel for x in kept for rel in _store_manifest(path, x)["batches"]
+        }
+        removed = []
+        for x in versions:
+            mf = f"{path}/v{x}.json"
+            if x not in kept and os.path.getmtime(mf) <= cutoff:
+                os.remove(mf)
+                removed.append(f"v{x}.json")
+        bdir = f"{path}/batches"
+        for d in os.listdir(bdir) if os.path.isdir(bdir) else []:
+            rel = f"batches/{d}"
+            full = f"{path}/{rel}"
+            if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full)
+                removed.append(rel)
+        return removed
 
 
 def bm25_search_stored(

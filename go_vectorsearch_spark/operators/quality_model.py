@@ -43,17 +43,32 @@ def quality_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, f_*) feature frame: one scan, tokens staged once (the
-    quality_score discipline), every statistic a codegen'd expression."""
+    quality_score discipline), every statistic a codegen'd expression.
+
+    NULL text coalesces to "" and every ratio is guarded against the
+    empty document — a single bad row must neither crash the
+    VectorAssembler (nulls) nor silently poison the L-BFGS fit with
+    NaNs (0/0 ratios), which NaN-propagate into coefficients and slip
+    past probability range checks (NaN compares false)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     staged = docs.select(
         F.col(id_col),
-        F.col(text_col).alias("_text"),
-        T.ws_tokens(F.col(text_col)).alias("_toks"),
+        txt.alias("_text"),
+        T.ws_tokens(txt).alias("_toks"),
     )
+    empty_text = F.length("_text") == 0
+    no_tokens = F.size("_toks") == 0
     return staged.select(
         id_col,
-        T.alpha_ratio(F.col("_text")).alias("f_alpha_ratio"),
-        T.stopword_ratio(F.col("_toks")).alias("f_stop_ratio"),
-        T.mean_token_len(F.col("_toks")).alias("f_mean_token_len"),
+        F.when(empty_text, 0.0)
+        .otherwise(T.alpha_ratio(F.col("_text")))
+        .alias("f_alpha_ratio"),
+        F.when(no_tokens, 0.0)
+        .otherwise(T.stopword_ratio(F.col("_toks")))
+        .alias("f_stop_ratio"),
+        F.when(no_tokens, 0.0)
+        .otherwise(T.mean_token_len(F.col("_toks")))
+        .alias("f_mean_token_len"),
         F.size("_toks").cast("double").alias("f_n_tokens"),
         F.length("_text").cast("double").alias("f_n_chars"),
         _len_ratio(F.col("_text"), "A-Z").alias("f_upper_ratio"),

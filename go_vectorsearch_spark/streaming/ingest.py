@@ -31,6 +31,8 @@ amortizes upkeep into the background refresh.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,16 +49,7 @@ def read_embeddings_stream(
     """File-source stream over the embeddings table (the test harness's
     stand-in for a message bus; the file source gives the same
     micro-batch semantics)."""
-    if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    # the file-stream source wants a directory; basePath + single-file
-    # glob restricts the stream to the embeddings table (same idiom as
-    # events.read_events_stream)
-    return (
-        spark.readStream.schema(schema)
-        .option("basePath", sf_dir)
-        .parquet(f"{sf_dir}/embeddings.parque[t]")
-    )
+    return _read_table_stream(spark, sf_dir, "embeddings", schema)
 
 
 def assign_stream(
@@ -126,18 +119,27 @@ def compact_partitioned(
     )
 
 
-def read_documents_stream(
-    spark: SparkSession, sf_dir: str, schema=None
+def _read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema=None
 ) -> DataFrame:
-    """File-source stream over the documents table (same harness
-    stand-in for a message bus as :func:`read_embeddings_stream`)."""
+    """File-source stream over one testdata table — the harness's
+    stand-in for a message bus. The file-stream source wants a
+    directory; basePath + the single-file ``[t]`` glob (a one-character
+    class, NOT a typo) restricts the stream to exactly that table's
+    parquet file while keeping the directory-source semantics."""
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     return (
         spark.readStream.schema(schema)
         .option("basePath", sf_dir)
-        .parquet(f"{sf_dir}/documents.parque[t]")
+        .parquet(f"{sf_dir}/{table}.parque[t]")
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, schema=None
+) -> DataFrame:
+    return _read_table_stream(spark, sf_dir, "documents", schema)
 
 
 def ingest_documents_text_index(
@@ -163,11 +165,23 @@ def ingest_documents_text_index(
         build_bm25_index,
     )
 
+    # the stream identity is the checkpoint: resuming the same
+    # checkpoint resumes its epoch numbering (replays dedup), while a
+    # FRESH checkpoint restarting at epoch 0 must not collide with a
+    # previous stream's applied keys
+    import hashlib
+
+    stream_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         delta = build_bm25_index(batch_df, id_col=id_col, text_col=text_col)
-        append_postings_epoch(delta, store_path, int(epoch_id))
+        append_postings_epoch(
+            delta, store_path, int(epoch_id), stream_id=stream_id
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

@@ -144,11 +144,14 @@ def test_engine_stats_counts(hybrid_engine):
 
 
 def test_rebuilds_reclaim_old_batches(spark, tmp_path):
-    """Repeated build_text_index calls keep disk bounded: only the
-    newest two versions' batches survive (previous version retained for
-    in-flight readers)."""
+    """Back-to-back rebuilds must NOT delete young batches (the
+    vacuum's age guard protects in-flight lock-free readers even
+    across several quick rebuilds); an aged explicit vacuum then
+    bounds disk to the newest two versions."""
     import json as _json
     import os
+
+    from go_vectorsearch_spark.operators.fulltext import vacuum_postings
 
     eng = Engine(spark, str(tmp_path / "root"))
     eng.upload("o", "c", [
@@ -158,6 +161,12 @@ def test_rebuilds_reclaim_old_batches(spark, tmp_path):
         eng.build_text_index("o", "c")
     cid = eng._category_id("o", "c")
     path = eng._text_index_path(cid)
+    # age guard: every batch is seconds old -> the automatic vacuum
+    # removed NOTHING, all four versions' files still on disk
+    assert len(os.listdir(f"{path}/batches")) == 4
+    # explicit aged reclaim (age 0 = unit-test mode, the tables' idiom)
+    removed = vacuum_postings(path, keep_versions=2, min_age_s=0)
+    assert removed
     batches = os.listdir(f"{path}/batches")
     manifests = [f for f in os.listdir(path) if f.endswith(".json")]
     assert len(batches) == 2 and len(manifests) == 2

@@ -103,3 +103,28 @@ def test_scores_real_corpus(spark, sf_smoke):
     assert out.filter(
         (F.col("quality_prob") < 0) | (F.col("quality_prob") > 1)
     ).count() == 0
+
+
+def test_degenerate_rows_neither_crash_nor_poison(spark):
+    """Empty and NULL text rows produce finite features, train cleanly,
+    and score with probabilities strictly inside [0, 1] (a NaN would
+    compare false and slip past naive range checks)."""
+    import math
+
+    rng = random.Random(5)
+    rows = (
+        [(i, _good(rng), 1) for i in range(40)]
+        + [(100 + i, _bad(rng), 0) for i in range(40)]
+        + [(900, "", 0), (901, None, 0), (902, "   ", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = quality_features(df).collect()
+    for r in feats:
+        for f in QUALITY_FEATURES:
+            v = r[f]
+            assert v is not None and math.isfinite(v), (r["doc_id"], f, v)
+    model = train_quality_classifier(df)
+    scored = score_quality_model(model, df).collect()
+    assert len(scored) == len(rows)
+    for r in scored:
+        assert math.isfinite(r["quality_prob"]) and 0.0 <= r["quality_prob"] <= 1.0

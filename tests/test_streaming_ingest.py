@@ -139,8 +139,51 @@ def test_streaming_text_index_ingest_equals_batch_build(spark, sf_smoke, tmp_pat
         w = [tuple(r) for r in bm25_search_stored(spark, whole, qq, k=10).collect()]
         assert g == w, f"stream/batch divergence for {qq!r}"
 
-    # replaying the drained epoch must change nothing
+    # replaying the drained epoch (same stream identity = same
+    # checkpoint) must change nothing
+    import hashlib
+    import os
+
+    stream_id = hashlib.md5(
+        os.path.abspath(str(tmp_path / "ckpt")).encode()
+    ).hexdigest()[:8]
     n_before = read_postings(spark, store)[0].n_docs
-    applied = append_postings_epoch(build_bm25_index(docs), store, epoch_id=0)
+    applied = append_postings_epoch(
+        build_bm25_index(docs), store, epoch_id=0, stream_id=stream_id
+    )
     assert applied is False
     assert read_postings(spark, store)[0].n_docs == n_before
+
+
+def test_epoch_memory_survives_rebuild_and_stream_ids_isolate(spark, tmp_path):
+    """(a) A committed epoch replayed AFTER a rebuild is still
+    recognized (the rebuilt corpus already contains its documents);
+    (b) a different stream_id (fresh checkpoint) with the same epoch
+    number is NOT confused with the old stream's epoch."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings_epoch,
+        build_bm25_index,
+        read_postings,
+        write_postings,
+    )
+
+    all_docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta"), (3, "echo foxtrot")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(all_docs.filter("doc_id = 1")), store, n_buckets=4)
+    d2 = build_bm25_index(all_docs.filter("doc_id = 2"))
+    assert append_postings_epoch(d2, store, 0, stream_id="sA") is True
+
+    # rebuild over everything streamed so far (docs 1+2)
+    write_postings(build_bm25_index(all_docs.filter("doc_id <= 2")), store, n_buckets=4)
+
+    # (a) replay of sA epoch 0 after the rebuild: recognized, skipped
+    assert append_postings_epoch(d2, store, 0, stream_id="sA") is False
+    assert read_postings(spark, store)[0].n_docs == 2
+
+    # (b) a NEW stream reusing epoch number 0 applies normally
+    d3 = build_bm25_index(all_docs.filter("doc_id = 3"))
+    assert append_postings_epoch(d3, store, 0, stream_id="sB") is True
+    assert read_postings(spark, store)[0].n_docs == 3
