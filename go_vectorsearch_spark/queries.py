@@ -3102,6 +3102,56 @@ def q_ivf_search_filtered(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "quality_model_features",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         {_SQL_TOKENS} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                  / length(text)::DOUBLE END, 6) AS f_alpha_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, tok -> list_contains([{_SQL_STOPLIST}], tok)))::DOUBLE
+                  / len(toks)::DOUBLE END, 6) AS f_stop_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_sum(list_transform(toks, tok -> length(tok)))::DOUBLE
+                  / len(toks)::DOUBLE END, 6) AS f_mean_token_len,
+       len(toks)::DOUBLE AS f_n_tokens,
+       length(text)::DOUBLE AS f_n_chars,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1)::DOUBLE, 6) AS f_upper_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1)::DOUBLE, 6) AS f_digit_ratio
+FROM t
+""",
+    doc="The trainable quality classifier's feature extraction "
+    "(operators/quality_model.quality_features): 7 per-document "
+    "statistics in one staged-token projection pass — deterministic "
+    "codegen'd expressions, so the model's INPUT is oracle-checkable "
+    "even though the L-BFGS fit itself is pytest-pinned "
+    "(tests/test_quality_model.py)",
+)
+def q_quality_model_features(spark, sf_dir):
+    from go_vectorsearch_spark.operators.quality_model import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(docs)
+    return feats.select(
+        "doc_id",
+        F.round("f_alpha_ratio", 6).alias("f_alpha_ratio"),
+        F.round("f_stop_ratio", 6).alias("f_stop_ratio"),
+        F.round("f_mean_token_len", 6).alias("f_mean_token_len"),
+        "f_n_tokens",
+        "f_n_chars",
+        F.round("f_upper_ratio", 6).alias("f_upper_ratio"),
+        F.round("f_digit_ratio", 6).alias("f_digit_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
