@@ -467,6 +467,18 @@ def append_postings_epoch(
         return True
 
 
+def compact_postings(spark, path: str) -> None:
+    """Collapse a many-batch store into ONE batch: streaming epochs
+    fan the read-side union wide (one scan per batch dir), so a
+    deployment periodically compacts — read the current snapshot,
+    rewrite it as a single bucketed batch, commit (applied-epoch
+    memory and corpus scalars carry through write_postings). The
+    OPTIMIZE analog of the versioned tables' compact(); old batches
+    stay until an aged vacuum reclaims them."""
+    index, n_buckets = read_postings(spark, path)
+    write_postings(index, path, n_buckets=n_buckets)
+
+
 def vacuum_postings(
     path: str, keep_versions: int = 2, min_age_s: float = 0.0
 ) -> list[str]:

@@ -187,3 +187,44 @@ def test_epoch_memory_survives_rebuild_and_stream_ids_isolate(spark, tmp_path):
     d3 = build_bm25_index(all_docs.filter("doc_id = 3"))
     assert append_postings_epoch(d3, store, 0, stream_id="sB") is True
     assert read_postings(spark, store)[0].n_docs == 3
+
+
+def test_compact_postings_collapses_batches_and_keeps_memory(spark, tmp_path):
+    """After several epoch appends, compaction rewrites the snapshot as
+    ONE batch with identical search results, and a replayed old epoch
+    is still recognized (applied memory carries through)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        append_postings_epoch,
+        bm25_search_stored,
+        build_bm25_index,
+        compact_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo doc{i} common words here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs.filter("doc_id < 4")), store, n_buckets=4)
+    for e, lo in ((0, 4), (1, 8)):
+        delta = build_bm25_index(
+            docs.filter(f"doc_id >= {lo} and doc_id < {lo + 4}")
+        )
+        assert append_postings_epoch(delta, store, e, stream_id="s") is True
+
+    before = [tuple(r) for r in bm25_search_stored(spark, store, "alpha common", k=12).collect()]
+    from go_vectorsearch_spark.operators.fulltext import _store_manifest, _store_version
+
+    assert len(_store_manifest(store, _store_version(store))["batches"]) == 3
+    compact_postings(spark, store)
+    m = _store_manifest(store, _store_version(store))
+    assert len(m["batches"]) == 1
+    after = [tuple(r) for r in bm25_search_stored(spark, store, "alpha common", k=12).collect()]
+    assert after == before
+    assert read_postings(spark, store)[0].n_docs == 12
+    # epoch memory survived the compaction
+    assert append_postings_epoch(
+        build_bm25_index(docs.filter("doc_id >= 8")), store, 1, stream_id="s"
+    ) is False
