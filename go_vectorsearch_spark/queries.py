@@ -273,9 +273,11 @@ def q_groupby_count(spark, sf_dir):
     return emb.groupBy("label").agg(F.count("*").alias("n"))
 
 
-@register(
-    "agg_pricing_summary",
-    oracle="""
+# A-extension TPC-H-Q1-style pricing summary: multi-agg with map-side
+# partial aggregation. Demoted (r5) from the driver window to
+# tests/test_demoted_parity.py — same DuckDB-parity bar — to make room
+# for the round-4 fulltext/filtered-search/quality-model entries.
+AGG_PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                   AS sum_qty,
        round(sum(l_extendedprice), 2)                              AS sum_base_price,
@@ -286,10 +288,9 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
-""",
-    doc="A-extension TPC-H-Q1-style pricing summary: multi-agg with "
-    "map-side partial aggregation",
-)
+"""
+
+
 def q_agg_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -379,33 +380,33 @@ def q_cascade_delete_survivors(spark, sf_dir):
     return survivors.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
 
 
-@register(
-    "hash_sample_customers",
-    oracle="""
+# C1/D2 deterministic engine-portable hash-sample replacing the
+# reference's wall-clock Fisher-Yates (dnc/sampling.go:81-96).
+# Demoted (r5) to tests/test_demoted_parity.py.
+HASH_SAMPLE_ORACLE = """
 SELECT c_custkey, c_name FROM customer
 WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'a'
-""",
-    doc="C1/D2 deterministic engine-portable hash-sample replacing the "
-    "reference's wall-clock Fisher-Yates (dnc/sampling.go:81-96)",
-)
+"""
+
+
 def q_hash_sample_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     return hash_sample(cust, "c_custkey", "a").select("c_custkey", "c_name")
 
 
-@register(
-    "window_running_revenue",
-    oracle="""
+# Window extension: per-supplier running revenue (deterministic
+# sequential accumulation, identical order both engines).
+# Demoted (r5) to tests/test_demoted_parity.py.
+WINDOW_RUNNING_REVENUE_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_extendedprice) OVER (
          PARTITION BY l_suppkey
          ORDER BY l_shipdate, l_orderkey, l_linenumber
          ROWS UNBOUNDED PRECEDING), 2) AS running_rev
 FROM lineitem WHERE l_suppkey < 3
-""",
-    doc="Window extension: per-supplier running revenue (deterministic "
-    "sequential accumulation, identical order both engines)",
-)
+"""
+
+
 def q_window_running_revenue(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -423,18 +424,18 @@ def q_window_running_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "events_tumbling_hour",
-    oracle="""
+# Event-time extension: tumbling 1h window aggregate (batch twin of
+# the Structured Streaming operator in streaming/events.py).
+# Demoted (r5) to tests/test_demoted_parity.py.
+EVENTS_TUMBLING_HOUR_ORACLE = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        count(*) AS n,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
-""",
-    doc="Event-time extension: tumbling 1h window aggregate (batch twin of "
-    "the Structured Streaming operator in streaming/events.py)",
-)
+"""
+
+
 def q_events_tumbling_hour(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -649,18 +650,18 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
-@register(
-    "agg_count_distinct",
-    oracle="""
+# Multi-distinct aggregation (expand-based partial aggregation; absent
+# from the reference, SURVEY.md §2.4 note).
+# Demoted (r5) to tests/test_demoted_parity.py.
+AGG_COUNT_DISTINCT_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_suppkey) AS n_suppliers,
        count(DISTINCT l_partkey) AS n_parts,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
-""",
-    doc="Multi-distinct aggregation (expand-based partial aggregation; "
-    "absent from the reference, SURVEY.md §2.4 note)",
-)
+"""
+
+
 def q_agg_count_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -670,9 +671,9 @@ def q_agg_count_distinct(spark, sf_dir):
     )
 
 
-@register(
-    "multi_star_revenue",
-    oracle="""
+# TPC-H-Q5-style star join: broadcast dims, single shuffle on the fact
+# table. Demoted (r5) to tests/test_demoted_parity.py.
+MULTI_STAR_REVENUE_ORACLE = """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -682,10 +683,9 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'EUROPE'
 GROUP BY n_name
-""",
-    doc="TPC-H-Q5-style star join: broadcast dims, single shuffle on the "
-    "fact table",
-)
+"""
+
+
 def q_multi_star_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -3150,6 +3150,18 @@ def q_quality_model_features(spark, sf_dir):
         F.round("f_upper_ratio", 6).alias("f_upper_ratio"),
         F.round("f_digit_ratio", 6).alias("f_digit_ratio"),
     )
+
+
+# The driver's CORRECTNESS gate checks the first 50 registry entries in
+# order. Keep every oracle-bearing entry inside that window by listing
+# the rows-only diagnostics (recall sweeps, lossy-ANN orderings, build
+# stats) last — they carry pytest coverage instead of a hash oracle, so
+# the weaker rows-only check is the right one for them regardless of
+# position.
+REGISTRY = {
+    **{n: s for n, s in REGISTRY.items() if s.oracle is not None},
+    **{n: s for n, s in REGISTRY.items() if s.oracle is None},
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,6 +31,14 @@ DEMOTED = [
     (Q.q_train_val_test_split, Q.TRAIN_VAL_TEST_ORACLE),
     (Q.q_validate_embeddings, Q.VALIDATE_EMBEDDINGS_ORACLE),
     (Q.q_knn_graph_exact, Q.KNN_GRAPH_ORACLE),
+    # r5 demotions — ceded their window slots to the round-4 fulltext /
+    # filtered-search / quality-model oracle entries
+    (Q.q_agg_pricing_summary, Q.AGG_PRICING_ORACLE),
+    (Q.q_hash_sample_customers, Q.HASH_SAMPLE_ORACLE),
+    (Q.q_window_running_revenue, Q.WINDOW_RUNNING_REVENUE_ORACLE),
+    (Q.q_events_tumbling_hour, Q.EVENTS_TUMBLING_HOUR_ORACLE),
+    (Q.q_agg_count_distinct, Q.AGG_COUNT_DISTINCT_ORACLE),
+    (Q.q_multi_star_revenue, Q.MULTI_STAR_REVENUE_ORACLE),
 ]
 
 

@@ -155,9 +155,14 @@ def test_no_forced_broadcast_over_sf_scaling_frames(spark, sf_correct):
     # registry level: no hint subtree may contain an SF-scaling table.
     # The 3 lines after a ResolvedHint node are its subtree (a Relation,
     # optionally under a Filter/Project) in the pre-order tree print.
-    for name in ("cascade_delete_survivors", "join_semi_segment",
-                 "multi_star_revenue"):
-        df = Q.REGISTRY[name].fn(spark, sf_correct)
+    # multi_star_revenue is demoted out of the registry (r5) but keeps
+    # this scale guard — reference it by function.
+    for name, fn in (
+        ("cascade_delete_survivors", Q.REGISTRY["cascade_delete_survivors"].fn),
+        ("join_semi_segment", Q.REGISTRY["join_semi_segment"].fn),
+        ("multi_star_revenue", Q.q_multi_star_revenue),
+    ):
+        df = fn(spark, sf_correct)
         lp = df._jdf.queryExecution().analyzed().toString()
         for seg in lp.split("ResolvedHint")[1:]:
             subtree = "\n".join(seg.splitlines()[:4])
