@@ -938,21 +938,45 @@ class Engine:
             write_postings,
         )
 
+        from go_vectorsearch_spark.operators.fulltext import (
+            ConcurrentWriteError,
+            _store_version,
+        )
+
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"build_text_index: unknown {owner}/{category}")
-        docs = (
-            self.t["documents"]
-            .read()
-            .filter(F.col("category_id") == cid)
-            .select(
-                "document_id",
-                flatten_json_udf(F.col("payload_json")).alias("_text"),
-            )
-        )
-        index = build_bm25_index(docs, id_col="document_id", text_col="_text")
         path = self._text_index_path(cid)
-        write_postings(index, path, n_buckets=n_buckets)
+        # the corpus snapshot is read outside the store lock, so the
+        # commit is version-guarded: a streaming epoch landing between
+        # snapshot and commit would otherwise be erased while its
+        # applied-key survived (silently-skipped replay = permanent
+        # loss). On conflict, re-snapshot — the interleaved epoch's
+        # documents are then inside the corpus — and retry.
+        for _attempt in range(5):
+            base_v = _store_version(path)
+            docs = (
+                self.t["documents"]
+                .read()
+                .filter(F.col("category_id") == cid)
+                .select(
+                    "document_id",
+                    flatten_json_udf(F.col("payload_json")).alias("_text"),
+                )
+            )
+            index = build_bm25_index(docs, id_col="document_id", text_col="_text")
+            try:
+                write_postings(
+                    index, path, n_buckets=n_buckets, base_version=base_v
+                )
+                break
+            except ConcurrentWriteError:
+                continue
+        else:
+            raise RuntimeError(
+                f"build_text_index: could not commit {owner}/{category} "
+                "after 5 attempts (concurrent appends kept landing)"
+            )
         # retention mirrors the versioned tables: keep the previous
         # version's batches for in-flight lock-free readers, reclaim
         # anything older — with the SAME 5-minute serving grace the
@@ -1250,6 +1274,16 @@ class Engine:
                 touched_buckets,
             )
         self.t["centroids"].write(plans["centroids"])
+        # a deleted category's BM25 store would otherwise sit orphaned
+        # on disk forever (and search_hybrid can never reach it — the
+        # category id is gone). The victim-id collect is bounded by
+        # categories-per-owner, like the cascade's other collects.
+        import shutil
+
+        for (cid,) in victim_cats.select("category_id").collect():
+            tpath = self._text_index_path(int(cid))
+            if os.path.isdir(tpath):
+                shutil.rmtree(tpath, ignore_errors=True)
 
     def delete_owner(self, owner: str) -> None:
         owners = self.t["owners"].read()
@@ -1283,12 +1317,30 @@ class Engine:
         cid = self._category_id(owner, category)
         if cid is None:
             return
-        docs = self.t["documents"].read()
         emb = self.t["embeddings"].read()
         victim = (F.col("document_id") == document_id) & (
             F.col("category_id") == cid
         )
-        if docs.filter(victim).isEmpty():
+        # the victim check reads ONE hash-bucket partition (manifest
+        # pruning); the same pruned read yields the victim's token
+        # count so the text-index tombstone below can shrink the corpus
+        # stats exactly without a postings scan
+        from go_vectorsearch_spark.operators.documents import flatten_json_udf
+        from go_vectorsearch_spark.operators.fulltext import tokenize
+
+        bucket = document_id % N_DOC_BUCKETS
+        victim_rows = (
+            self.t["documents"]
+            .read(partition_values=[bucket])
+            .filter(victim)
+            .select(
+                F.size(
+                    tokenize(flatten_json_udf(F.col("payload_json")))
+                ).alias("_dl")
+            )
+            .collect()
+        )
+        if not victim_rows:
             return  # not this tenant's document (or no such id): no-op
         # embeddings carry no category_id — the cascade follows the
         # VERIFIED victim document (FK ON DELETE CASCADE semantics),
@@ -1315,11 +1367,24 @@ class Engine:
                 .filter(F.col("document_id") != document_id),
                 touched_cents,
             )
-        bucket = document_id % N_DOC_BUCKETS
         self.t["documents"].overwrite_partitions(
             self.t["documents"].read(partition_values=[bucket]).filter(~victim),
             [bucket],
         )
+        # the text index must not keep ranking the dead document: its
+        # postings would occupy lexical top-n slots that hydration then
+        # drops, silently underfilling hybrid pages. Tombstone it with
+        # the exact dl recovered above — O(manifest), no bucket rewrite
+        tpath = self._text_index_path(cid)
+        if os.path.exists(f"{tpath}/VERSION"):
+            from go_vectorsearch_spark.operators.fulltext import delete_postings
+
+            delete_postings(
+                self.spark,
+                tpath,
+                [document_id],
+                dl_by_doc={document_id: int(victim_rows[0]["_dl"])},
+            )
         self._invalidate_cache()
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------

@@ -312,8 +312,42 @@ def _index_sum_dl(index: BM25Index) -> int:
     )
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot-based rewrite (rebuild/compact) found the store moved
+    past the version its snapshot was read at — committing would erase
+    the interleaved writer's batch while keeping its epoch key in
+    ``applied`` (a silently-skipped replay = permanent loss). The
+    caller re-reads and retries."""
+
+
+def _write_postings_unlocked(
+    index: BM25Index, path: str, n_buckets: int
+) -> None:
+    """write_postings body without the lock — compact_postings (which
+    must hold the lock across its whole read-snapshot -> commit
+    critical section) calls this directly."""
+    v = _store_version(path) + 1
+    applied = _store_manifest(path, v - 1).get("applied", []) if v > 0 else []
+    os.makedirs(path, exist_ok=True)
+    rel = _write_batch_dir(index.postings, path, f"batches/b{v}", n_buckets)
+    _store_commit(
+        path,
+        v,
+        {
+            "batches": [rel],
+            "applied": applied,
+            "n_docs": index.n_docs,
+            "sum_dl": _index_sum_dl(index),
+            "n_buckets": int(n_buckets),
+        },
+    )
+
+
 def write_postings(
-    index: BM25Index, path: str, n_buckets: int = 64
+    index: BM25Index,
+    path: str,
+    n_buckets: int = 64,
+    base_version: int | None = None,
 ) -> None:
     """Persist the postings in the at-scale layout: an IMMUTABLE batch
     directory partitioned by term HASH BUCKET (xxhash64 mod n_buckets)
@@ -331,23 +365,20 @@ def write_postings(
     A rebuild CARRIES FORWARD the applied-epoch memory of the store it
     replaces: a streaming epoch committed before the rebuild is inside
     the rebuilt corpus, so its at-least-once replay must keep being
-    recognized and skipped afterwards."""
+    recognized and skipped afterwards. Because a rebuild's INDEX is
+    computed from a corpus snapshot taken outside the store lock, a
+    rebuilder passes the store version its snapshot corresponds to as
+    ``base_version`` (-1 for a store that did not exist yet): if an
+    append/epoch committed in between, the commit raises
+    :class:`ConcurrentWriteError` instead of silently erasing it, and
+    the rebuilder re-snapshots and retries."""
     with _store_lock(path):
-        v = _store_version(path) + 1
-        applied = _store_manifest(path, v - 1).get("applied", []) if v > 0 else []
-        os.makedirs(path, exist_ok=True)
-        rel = _write_batch_dir(index.postings, path, f"batches/b{v}", n_buckets)
-        _store_commit(
-            path,
-            v,
-            {
-                "batches": [rel],
-                "applied": applied,
-                "n_docs": index.n_docs,
-                "sum_dl": _index_sum_dl(index),
-                "n_buckets": int(n_buckets),
-            },
-        )
+        if base_version is not None and _store_version(path) != base_version:
+            raise ConcurrentWriteError(
+                f"write_postings: store at {path} moved past "
+                f"v{base_version} (now v{_store_version(path)})"
+            )
+        _write_postings_unlocked(index, path, n_buckets)
 
 
 def read_postings(spark, path: str) -> tuple[BM25Index, int]:
@@ -355,7 +386,14 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     — the pointer and manifest are driver-side file reads (no Spark
     job). The postings frame unions the manifest's batch directories
     (each scan keeps its own ``_tb`` partition pruning);
-    :func:`bm25_search_stored` adds the bucket filter."""
+    :func:`bm25_search_stored` adds the bucket filter.
+
+    Tombstoned doc_ids (point deletes, :func:`delete_postings`) are
+    filtered OUT of the returned frame — a deleted document's physical
+    posting rows stay in their immutable batches until
+    :func:`compact_postings` rewrites them away, but no reader ever
+    sees them, and the manifest's n_docs/sum_dl already exclude them,
+    so idf/avgdl match a from-scratch build over the live corpus."""
     v = _store_version(path)
     if v < 0:
         raise FileNotFoundError(f"read_postings: no VERSION at {path}")
@@ -369,6 +407,11 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     postings = frames[0]
     for f in frames[1:]:
         postings = postings.unionByName(f)
+    tombstones = m.get("tombstones", [])
+    if tombstones:
+        # driver-held list, bounded by deletes-since-last-compaction —
+        # a codegen'd NOT IN over the (already bucket-pruned) scan
+        postings = postings.filter(~F.col("doc_id").isin(tombstones))
     n = int(m["n_docs"])
     sum_dl = int(m["sum_dl"])
     return (
@@ -380,6 +423,70 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
         ),
         int(m["n_buckets"]),
     )
+
+
+def delete_postings(
+    spark,
+    path: str,
+    doc_ids: list[int],
+    dl_by_doc: dict[int, int] | None = None,
+) -> int:
+    """Point-delete documents from a stored postings layout: the next
+    manifest records the ids as TOMBSTONES (batches stay immutable —
+    the delete is O(manifest), no bucket rewrite) and shrinks
+    n_docs/sum_dl exactly, so every later query scores against live-
+    corpus statistics. :func:`read_postings` hides tombstoned rows
+    from all readers; :func:`compact_postings` physically purges them
+    and clears the list.
+
+    ``dl_by_doc`` — the victims' token counts — lets a caller that
+    already has the document text (the engine's delete path reads the
+    victim's row anyway) skip the stats scan; otherwise one columnar
+    (doc_id, dl) scan of the postings recovers them. Caller contract:
+    ids must be documents of THIS store's corpus (the engine verifies
+    the victim row before cascading), and a tombstoned id must not be
+    re-appended before a compaction. Returns the number of newly
+    tombstoned ids."""
+    with _store_lock(path):
+        v = _store_version(path)
+        if v < 0:
+            raise FileNotFoundError(f"delete_postings: no VERSION at {path}")
+        m = _store_manifest(path, v)
+        existing = set(m.get("tombstones", []))
+        new_ids = sorted(set(int(i) for i in doc_ids) - existing)
+        if not new_ids:
+            return 0
+        if dl_by_doc is None:
+            frames = [
+                spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(
+                    f"{path}/{rel}"
+                )
+                for rel in m["batches"]
+            ]
+            postings = frames[0]
+            for f in frames[1:]:
+                postings = postings.unionByName(f)
+            dl_by_doc = {
+                r["doc_id"]: r["dl"]
+                for r in postings.filter(F.col("doc_id").isin(new_ids))
+                .select("doc_id", "dl")
+                .distinct()
+                .collect()
+            }
+        removed_dl = sum(int(dl_by_doc.get(i, 0)) for i in new_ids)
+        _store_commit(
+            path,
+            v + 1,
+            {
+                "batches": m["batches"],
+                "applied": m.get("applied", []),
+                "n_buckets": int(m["n_buckets"]),
+                "n_docs": int(m["n_docs"]) - len(new_ids),
+                "sum_dl": int(m["sum_dl"]) - removed_dl,
+                "tombstones": sorted(existing | set(new_ids)),
+            },
+        )
+        return len(new_ids)
 
 
 
@@ -395,10 +502,10 @@ def append_postings(delta: BM25Index, path: str) -> None:
     together with the pointer).
 
     Caller contract: the delta must contain only documents not already
-    in the store (re-appending a doc_id would double its postings).
-    Deleted documents leave stale postings until the next full
-    build — they can waste rank slots but never surface, because the
-    serving layer's hydration re-checks document existence."""
+    in the store (re-appending a doc_id would double its postings, and
+    a TOMBSTONED id stays hidden until a compaction clears the list).
+    Deleted documents are tombstoned by :func:`delete_postings`, so
+    they neither surface nor waste rank slots."""
     if delta.sum_dl is None:
         raise ValueError("append_postings: delta index lacks sum_dl")
     with _store_lock(path):
@@ -418,6 +525,7 @@ def append_postings(delta: BM25Index, path: str) -> None:
                 "n_docs": int(m["n_docs"]) + delta.n_docs,
                 "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
                 "n_buckets": int(m["n_buckets"]),
+                "tombstones": m.get("tombstones", []),
             },
         )
 
@@ -462,6 +570,7 @@ def append_postings_epoch(
                 "n_docs": int(m["n_docs"]) + delta.n_docs,
                 "sum_dl": int(m["sum_dl"]) + delta.sum_dl,
                 "n_buckets": int(m["n_buckets"]),
+                "tombstones": m.get("tombstones", []),
             },
         )
         return True
@@ -472,11 +581,21 @@ def compact_postings(spark, path: str) -> None:
     fan the read-side union wide (one scan per batch dir), so a
     deployment periodically compacts — read the current snapshot,
     rewrite it as a single bucketed batch, commit (applied-epoch
-    memory and corpus scalars carry through write_postings). The
-    OPTIMIZE analog of the versioned tables' compact(); old batches
-    stay until an aged vacuum reclaims them."""
-    index, n_buckets = read_postings(spark, path)
-    write_postings(index, path, n_buckets=n_buckets)
+    memory and corpus scalars carry through the commit). Tombstoned
+    rows are physically purged here (read_postings filters them) and
+    the tombstone list resets with the fresh manifest. The OPTIMIZE
+    analog of the versioned tables' compact(); old batches stay until
+    an aged vacuum reclaims them.
+
+    The WHOLE read-snapshot -> commit sequence holds the store lock:
+    an append/epoch landing between an unlocked read and the commit
+    would be erased while its epoch key stayed in ``applied`` — a
+    recognized-and-skipped replay, i.e. silent permanent loss. The
+    lock serializes the compaction against writers instead (readers
+    stay lock-free on their resolved snapshots)."""
+    with _store_lock(path):
+        index, n_buckets = read_postings(spark, path)
+        _write_postings_unlocked(index, path, n_buckets)
 
 
 def vacuum_postings(

@@ -56,6 +56,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from go_vectorsearch_spark.api import Engine
 
 CHAT_PATH = "/api/chat"  # LLM-provider side path (ai/ollama/chat.go:114)
+OPENAI_CHAT_PATH = "/v1/chat/completions"  # ai/openai/chat.go:122
 
 
 def _zstd_decompress(data: bytes) -> bytes:
@@ -129,6 +130,71 @@ def chat_stream(
         conn.close()
 
 
+def chat_stream_openai(
+    base: str,
+    messages: list[dict[str, str]],
+    model: str = "chat",
+    token: str = "",
+    num_ctx: int = 2048,
+    timeout: float = 60.0,
+) -> Iterator[str]:
+    """POST a streaming chat request to an OpenAI-shaped endpoint and
+    yield content fragments — the SSE twin of :func:`chat_stream`.
+
+    The provider-side decode of ai/openai/chat.go:101-174: request the
+    same ``{"model", "messages", "stream": true, "options"}`` body to
+    ``<base>/v1/chat/completions``; the response is SSE ``data: {...}``
+    lines. The reference decodes by slicing each line from its first
+    ``{`` (which also skips the ``data: [DONE]`` sentinel and blank
+    keep-alives — no brace, no parse), sorting ``choices`` by index,
+    yielding each ``delta.content``, and stopping at the first
+    non-empty ``finish_reason``; reproduced exactly."""
+    from go_vectorsearch_spark.sources.embed_http import _open_connection
+
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    try:
+        payload = {
+            "model": model,
+            "messages": list(messages),
+            "stream": True,
+            "options": {"num_ctx": num_ctx},
+        }
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        conn.request(
+            "POST", prefix + OPENAI_CHAT_PATH, json.dumps(payload).encode(), headers
+        )
+        resp = conn.getresponse()
+        if resp.status != 200:
+            raise RuntimeError(
+                f"chat endpoint -> {resp.status}: {resp.read()[:200]!r}"
+            )
+        buf = b""
+        while True:
+            chunk = resp.read1(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                start = line.find(b"{")
+                if start == -1:
+                    continue  # blank keep-alive / "data: [DONE]"
+                res = json.loads(line[start:])
+                for choice in sorted(
+                    res.get("choices", []), key=lambda c: c.get("index", 0)
+                ):
+                    yield choice.get("delta", {}).get("content", "") or ""
+                    if choice.get("finish_reason"):
+                        return
+    finally:
+        conn.close()
+
+
+_CHAT_STREAMS = {"ollama": chat_stream, "openai": chat_stream_openai}
+
+
 class Service:
     """The engine + its LLM provider config, shared by all requests."""
 
@@ -138,9 +204,25 @@ class Service:
         llm_base: str | None = None,
         llm_model: str = "chat",
         llm_token: str = "",
+        llm_kind: str = "ollama",
+        llm_providers: list[tuple[str, str]] | None = None,
     ):
+        """``llm_base``/``llm_kind`` configure a single chat provider
+        ("ollama" NDJSON or "openai" SSE — the two wire shapes behind
+        the reference's provider abstraction, ai/ollama/chat.go:92-155
+        vs ai/openai/chat.go:101-174). ``llm_providers`` is the
+        ordered-fallback form mirroring the embed source
+        (ai/methods.go:24-32): a list of (kind, base) pairs tried in
+        order, the FIRST with a non-empty base winning — so a
+        deployment can declare ollama-then-openai and get whichever is
+        configured, exactly like ``select_embed_provider``."""
         self.engine = engine
-        self.llm_base = llm_base
+        if llm_providers is None:
+            llm_providers = [(llm_kind, llm_base or "")]
+        for kind, _base in llm_providers:
+            if kind not in _CHAT_STREAMS:
+                raise ValueError(f"unknown chat provider kind {kind!r}")
+        self.llm_providers = llm_providers
         self.llm_model = llm_model
         self.llm_token = llm_token
         # MUTATIONS serialize: _VersionedTable.write is read-modify-write
@@ -279,7 +361,14 @@ class Service:
         generation never blocks other requests — the reference behaves
         identically (DB fetch, then a pipe off the provider's body).
         """
-        if not self.llm_base:
+        # ordered fallback, ai/methods.go:24-32 shape: first provider
+        # with an endpoint configured wins; none is the CanChat error
+        kind = base = None
+        for k, b in self.llm_providers:
+            if b:
+                kind, base = k, b
+                break
+        if base is None:
             raise LookupError("no chat provider configured")  # ai/methods.go:46-54
         messages = self.engine.chat_messages(
             req.get("text", ""),
@@ -287,8 +376,8 @@ class Service:
             history=req.get("history") or [],
             prefix=req.get("prefix", ""),
         )
-        return chat_stream(
-            self.llm_base, messages, model=self.llm_model, token=self.llm_token
+        return _CHAT_STREAMS[kind](
+            base, messages, model=self.llm_model, token=self.llm_token
         )
 
 
@@ -474,11 +563,20 @@ def make_server(
     llm_base: str | None = None,
     llm_model: str = "chat",
     llm_token: str = "",
+    llm_kind: str = "ollama",
+    llm_providers: list[tuple[str, str]] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` picks a free port.
     Start with ``threading.Thread(target=srv.serve_forever)`` or
     :func:`serve`."""
-    svc = Service(engine, llm_base=llm_base, llm_model=llm_model, llm_token=llm_token)
+    svc = Service(
+        engine,
+        llm_base=llm_base,
+        llm_model=llm_model,
+        llm_token=llm_token,
+        llm_kind=llm_kind,
+        llm_providers=llm_providers,
+    )
     handler = type("BoundHandler", (_Handler,), {"service": svc})
     return ThreadingHTTPServer((host, port), handler)
 

@@ -165,15 +165,24 @@ def ingest_documents_text_index(
         build_bm25_index,
     )
 
-    # the stream identity is the checkpoint: resuming the same
-    # checkpoint resumes its epoch numbering (replays dedup), while a
-    # FRESH checkpoint restarting at epoch 0 must not collide with a
-    # previous stream's applied keys
-    import hashlib
+    # the stream identity is the checkpoint's CONTENT, not its path: a
+    # one-time random token persisted inside the checkpoint directory
+    # on first start. Resuming the same checkpoint resumes its epoch
+    # numbering (replays dedup against the same stream_id); deleting
+    # and recreating the checkpoint at the SAME path (a routine ops
+    # reset) mints a FRESH token, so the restarted stream's epoch 0
+    # does not collide with the old stream's applied keys — a
+    # path-derived id would make every recreated-checkpoint micro-batch
+    # look like a replay and silently drop it.
+    import uuid
 
-    stream_id = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    token_file = os.path.join(checkpoint_dir, "_gvs_stream_id")
+    if not os.path.exists(token_file):
+        with open(token_file, "w") as f:
+            f.write(uuid.uuid4().hex[:16])
+    with open(token_file) as f:
+        stream_id = f.read().strip()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

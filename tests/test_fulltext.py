@@ -464,3 +464,133 @@ def test_stored_rebuild_preserves_reader_snapshot(spark, sf_correct, tmp_path):
     assert not os.path.exists(f"{path}/v0.json")
     still, _ = read_postings(spark, path)
     assert still.postings.select("doc_id").distinct().count() == 400
+
+
+def test_delete_postings_equals_rebuild_over_live_corpus(spark, sf_correct, tmp_path):
+    """Tombstoning documents scores BIT-identically to a store rebuilt
+    from scratch over the surviving corpus: tombstoned rows are hidden
+    from every reader AND the manifest's n_docs/sum_dl shrink exactly,
+    so idf/avgdl match the live-corpus statistics. Exercises the
+    stats-scan path (no dl hint)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        delete_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    victims = [5, 17, 123]
+
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs), store, n_buckets=8)
+    assert delete_postings(spark, store, victims) == len(victims)
+    # idempotent: re-deleting tombstoned ids is a no-op
+    assert delete_postings(spark, store, victims) == 0
+
+    live = str(tmp_path / "live")
+    write_postings(
+        build_bm25_index(docs.filter(~F.col("doc_id").isin(victims))),
+        live,
+        n_buckets=8,
+    )
+
+    gi, _ = read_postings(spark, store)
+    li, _ = read_postings(spark, live)
+    assert (gi.n_docs, gi.sum_dl) == (li.n_docs, li.sum_dl)
+    for q in (QUERY, "catalyst", "data table"):
+        g = [tuple(r) for r in bm25_search_stored(spark, store, q, k=10).collect()]
+        w = [tuple(r) for r in bm25_search_stored(spark, live, q, k=10).collect()]
+        assert g == w, f"delete/rebuild divergence for {q!r}"
+        assert not set(victims) & {d for d, _s in g}
+
+
+def test_delete_postings_dl_hint_compaction_purges_and_append_carries(
+    spark, tmp_path
+):
+    """(a) A caller-supplied dl skips the stats scan and yields the
+    same exact stats; (b) compaction PHYSICALLY purges tombstoned rows
+    and clears the list; (c) an append between delete and compaction
+    carries the tombstones forward (the dead doc stays hidden)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        _store_manifest,
+        _store_version,
+        append_postings,
+        bm25_search_stored,
+        compact_postings,
+        delete_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie"),
+            (2, "alpha alpha delta"),
+            (3, "echo foxtrot alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs), store, n_buckets=4)
+
+    # doc 2 has 3 tokens; dl hint means NO postings scan is needed
+    assert delete_postings(spark, store, [2], dl_by_doc={2: 3}) == 1
+    idx, _ = read_postings(spark, store)
+    assert idx.n_docs == 2 and idx.sum_dl == 6
+    assert idx.postings.filter(F.col("doc_id") == 2).count() == 0
+
+    # (c) append doc 4 — tombstones must survive the append commit
+    extra = spark.createDataFrame([(4, "alpha golf")], "doc_id long, text string")
+    append_postings(build_bm25_index(extra), store)
+    m = _store_manifest(store, _store_version(store))
+    assert m["tombstones"] == [2]
+    hits = {d for d, _s in
+            (tuple(r) for r in bm25_search_stored(spark, store, "alpha", k=10).collect())}
+    assert hits == {1, 3, 4}
+
+    # (b) compaction purges the physical rows and resets the list
+    compact_postings(spark, store)
+    m2 = _store_manifest(store, _store_version(store))
+    assert m2.get("tombstones", []) == []
+    idx2, _ = read_postings(spark, store)
+    assert idx2.postings.filter(F.col("doc_id") == 2).count() == 0
+    assert (idx2.n_docs, idx2.sum_dl) == (3, 8)
+    hits2 = {d for d, _s in
+             (tuple(r) for r in bm25_search_stored(spark, store, "alpha", k=10).collect())}
+    assert hits2 == {1, 3, 4}
+
+
+def test_write_postings_version_guard_detects_interleaved_commit(spark, tmp_path):
+    """A rebuild whose corpus snapshot corresponds to store version V
+    must NOT commit if the store moved past V (the interleaved append's
+    epoch key would stay in `applied` while its data vanished — a
+    silently-skipped replay). write_postings(base_version=V) raises
+    ConcurrentWriteError instead."""
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        ConcurrentWriteError,
+        _store_version,
+        append_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs), store, n_buckets=4)
+    base = _store_version(store)
+
+    # an append lands between the rebuild's snapshot and its commit
+    extra = spark.createDataFrame([(3, "echo")], "doc_id long, text string")
+    append_postings(build_bm25_index(extra), store)
+
+    with _pytest.raises(ConcurrentWriteError):
+        write_postings(build_bm25_index(docs), store, n_buckets=4, base_version=base)
+    # unguarded writes (explicit full rebuild, caller owns coordination)
+    # still work, and a CORRECT base_version commits
+    write_postings(
+        build_bm25_index(docs), store, n_buckets=4, base_version=_store_version(store)
+    )

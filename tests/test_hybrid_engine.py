@@ -171,3 +171,75 @@ def test_rebuilds_reclaim_old_batches(spark, tmp_path):
     manifests = [f for f in os.listdir(path) if f.endswith(".json")]
     assert len(batches) == 2 and len(manifests) == 2
     assert eng.search_hybrid("o", "c", "alpha", count=1).count() == 1
+
+
+def test_delete_document_maintains_text_index(spark, tmp_path):
+    """The round-4 gap: deletes must maintain the BM25 store. After a
+    document delete, (a) the lexical ranking contains no dead ids,
+    (b) a hybrid page stays FULL — count rows returned when >= count
+    live matches exist (stale postings used to occupy top-n slots that
+    hydration then dropped), and (c) corpus stats equal a fresh rebuild
+    over the survivors."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        read_postings,
+    )
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"D{i}", "external_id": f"d{i}", "document": json.dumps(
+            {"title": "spark shuffle", "body": f"spark shuffle notes number{i}"})}
+        for i in range(6)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    eng.build_text_index("acme", "wiki")
+    victim = ids[2]
+
+    eng.delete_document("acme", "wiki", victim)
+
+    cid = eng._category_id("acme", "wiki")
+    lex = [r["doc_id"] for r in bm25_search_stored(
+        spark, eng._text_index_path(cid), "spark shuffle", k=10).collect()]
+    assert victim not in lex
+    assert len(lex) == 5
+
+    page = eng.search_hybrid("acme", "wiki", "spark shuffle", count=5).collect()
+    assert len(page) == 5, "hybrid page underfilled after delete"
+    assert victim not in {r["document_id"] for r in page}
+
+    # stats equal a rebuild over the survivors (exact tombstone dl)
+    idx, _ = read_postings(spark, eng._text_index_path(cid))
+    n2 = eng.build_text_index("acme", "wiki")
+    fresh, _ = read_postings(spark, eng._text_index_path(cid))
+    assert n2 == 5
+    assert (idx.n_docs, idx.sum_dl) == (fresh.n_docs, fresh.sum_dl)
+
+    # tenant-scope: deleting an id that is not this tenant's is a no-op
+    eng.upload("other", "wiki", [docs[0]])
+    before = read_postings(spark, eng._text_index_path(cid))[0].n_docs
+    eng.delete_document("other", "wiki", ids[0])
+    assert read_postings(spark, eng._text_index_path(cid))[0].n_docs == before
+
+
+def test_delete_category_and_owner_remove_text_index_dirs(spark, tmp_path):
+    """Cascade deletes reclaim the category's postings store directory
+    (it was orphaned on disk forever before r5)."""
+    import os
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    eng.upload("acme", "a", [
+        {"name": "A", "external_id": "a", "document": json.dumps("alpha bravo")}])
+    eng.upload("acme", "b", [
+        {"name": "B", "external_id": "b", "document": json.dumps("charlie delta")}])
+    eng.build_text_index("acme", "a")
+    eng.build_text_index("acme", "b")
+    cid_a = eng._category_id("acme", "a")
+    cid_b = eng._category_id("acme", "b")
+    assert os.path.isdir(eng._text_index_path(cid_a))
+
+    eng.delete_category("acme", "a")
+    assert not os.path.exists(eng._text_index_path(cid_a))
+    assert os.path.isdir(eng._text_index_path(cid_b))
+
+    eng.delete_owner("acme")
+    assert not os.path.exists(eng._text_index_path(cid_b))

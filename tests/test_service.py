@@ -440,3 +440,105 @@ def test_hybrid_searches_survive_concurrent_rebuild(served):
         t.join()
     assert not errors, errors[:3]
     assert oks and all(n >= 1 for n in oks)
+
+
+class _StubOpenAILLM(BaseHTTPRequestHandler):
+    """SSE chat stream (ai/openai/chat.go shape): `data: {...}` lines,
+    a blank keep-alive between events, a `data: [DONE]` sentinel, and a
+    final chunk carrying finish_reason."""
+
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        req = json.loads(self.rfile.read(n))
+        self.server.requests.append((self.path, req))
+        chunks = [
+            {"choices": [{"index": 0, "delta": {"content": "Hi "},
+                          "finish_reason": ""}]},
+            {"choices": [{"index": 0,
+                          "delta": {"content": f"({len(req['messages'])} msgs)"},
+                          "finish_reason": ""}]},
+            {"choices": [{"index": 0, "delta": {"content": ""},
+                          "finish_reason": "stop"}]},
+        ]
+        body = b""
+        for c in chunks:
+            body += b"data: " + json.dumps(c).encode() + b"\n\n"
+        body += b"data: [DONE]\n\n"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_chat_streams_openai_sse(spark, tmp_path):
+    """The chat path speaks BOTH provider wire shapes: an OpenAI-shaped
+    endpoint (SSE `data:` lines, [DONE] sentinel, finish_reason stop —
+    ai/openai/chat.go:101-174) streams through /api/chat identically to
+    the Ollama NDJSON shape, and the request goes to
+    /v1/chat/completions."""
+    eng = Engine(spark, str(tmp_path / "sse_root"))
+    llm = ThreadingHTTPServer(("127.0.0.1", 0), _StubOpenAILLM)
+    llm.requests = []
+    threading.Thread(target=llm.serve_forever, daemon=True).start()
+    srv = make_server(
+        eng,
+        llm_base=f"http://127.0.0.1:{llm.server_port}",
+        llm_model="m",
+        llm_kind="openai",
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        resp, data = _call(
+            port := srv.server_port,
+            "/api/chat",
+            {"text": "what is spark?", "history": ["hi", "hello"]},
+        )
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/plain"
+        assert data.decode() == "Hi (3 msgs)"
+        path, sent = llm.requests[-1]
+        assert path == "/v1/chat/completions"
+        assert sent["stream"] is True and sent["model"] == "m"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        llm.shutdown()
+        llm.server_close()
+
+
+def test_chat_provider_ordered_fallback(spark, tmp_path):
+    """llm_providers mirrors the embed source's ordered fallback
+    (ai/methods.go:24-32): ollama listed first but UNCONFIGURED (empty
+    base) falls through to the configured OpenAI provider."""
+    eng = Engine(spark, str(tmp_path / "fb_root"))
+    llm = ThreadingHTTPServer(("127.0.0.1", 0), _StubOpenAILLM)
+    llm.requests = []
+    threading.Thread(target=llm.serve_forever, daemon=True).start()
+    srv = make_server(
+        eng,
+        llm_model="m",
+        llm_providers=[
+            ("ollama", ""),
+            ("openai", f"http://127.0.0.1:{llm.server_port}"),
+        ],
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        resp, data = _call(srv.server_port, "/api/chat", {"text": "q"})
+        assert resp.status == 200
+        assert data.decode().startswith("Hi ")
+        assert llm.requests[-1][0] == "/v1/chat/completions"
+        # unknown kind is rejected at construction
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown chat provider"):
+            make_server(eng, llm_providers=[("grpc", "http://x")])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        llm.shutdown()
+        llm.server_close()

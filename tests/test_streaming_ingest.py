@@ -140,13 +140,11 @@ def test_streaming_text_index_ingest_equals_batch_build(spark, sf_smoke, tmp_pat
         assert g == w, f"stream/batch divergence for {qq!r}"
 
     # replaying the drained epoch (same stream identity = same
-    # checkpoint) must change nothing
-    import hashlib
+    # checkpoint CONTENT — the persisted token) must change nothing
     import os
 
-    stream_id = hashlib.md5(
-        os.path.abspath(str(tmp_path / "ckpt")).encode()
-    ).hexdigest()[:8]
+    with open(os.path.join(str(tmp_path / "ckpt"), "_gvs_stream_id")) as f:
+        stream_id = f.read().strip()
     n_before = read_postings(spark, store)[0].n_docs
     applied = append_postings_epoch(
         build_bm25_index(docs), store, epoch_id=0, stream_id=stream_id
@@ -228,3 +226,48 @@ def test_compact_postings_collapses_batches_and_keeps_memory(spark, tmp_path):
     assert append_postings_epoch(
         build_bm25_index(docs.filter("doc_id >= 8")), store, 1, stream_id="s"
     ) is False
+
+
+def test_recreated_checkpoint_is_a_fresh_stream_identity(spark, tmp_path):
+    """Deleting and recreating a checkpoint at the SAME path (a routine
+    ops reset) must mint a fresh stream identity: the restarted
+    stream's epoch numbering begins at 0 again, and a path-derived
+    stream_id would make every one of its micro-batches collide with
+    the old stream's applied keys and be silently skipped — data loss
+    with no error. The persisted token makes the second run apply."""
+    import shutil
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        build_bm25_index,
+        read_postings,
+        write_postings,
+    )
+    from go_vectorsearch_spark.streaming.ingest import (
+        ingest_documents_text_index,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = lambda: (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_postings(build_bm25_index(empty), store, n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = ingest_documents_text_index(stream(), store, ckpt)
+    q.awaitTermination(120)
+    assert read_postings(spark, store)[0].n_docs == 2
+
+    # ops reset: checkpoint wiped, same path — epochs restart at 0
+    shutil.rmtree(ckpt)
+    q2 = ingest_documents_text_index(stream(), store, ckpt)
+    q2.awaitTermination(120)
+    # the fresh identity APPLIES (old behavior: recognized-as-replay
+    # skip -> still 2). Double docs are the caller's dedup concern;
+    # identity collision must not silently drop them.
+    assert read_postings(spark, store)[0].n_docs == 4
