@@ -69,6 +69,9 @@ class EmbedProvider:
     model: str = "embed"
     token: str = ""
     num_ctx: int = 2048
+    # zstd request bodies (config RequestCompression, off by default
+    # like the Go zero value; ai/ollama/embed.go:33-47)
+    request_compression: bool = False
 
     def __post_init__(self):
         if self.kind not in ("ollama", "openai"):
@@ -139,15 +142,26 @@ def embed_texts_once(
     token: str = "",
     timeout: float = 30.0,
     path: str = EMBED_PATH,
+    request_compression: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One connection, one batch POST, quantize-at-decode. The single
     shared implementation of the request/decode shape — the driver-side
     query embed (api.Engine._embed_query) and any one-shot callers use
-    this so the query path can never drift from the upload path."""
+    this so the query path can never drift from the upload path.
+    ``request_compression`` zstd-compresses the request body (the
+    reference's opt-in RequestCompression flag); an endpoint answering
+    415 Unsupported Media Type gets a plain-JSON resend."""
     conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
     try:
         payload = {"model": model, "input": list(texts), "options": {"num_ctx": num_ctx}}
-        out = _post_json(conn, prefix + path, payload, token)
+        try:
+            out = _post_json(
+                conn, prefix + path, payload, token, compress=request_compression
+            )
+        except _HttpStatusError as e:
+            if not (request_compression and e.status == 415):
+                raise
+            out = _post_json(conn, prefix + path, payload, token)
     finally:
         conn.close()
     mat = np.asarray(out["embeddings"], dtype=np.float64)
@@ -250,11 +264,41 @@ class _HttpStatusError(RuntimeError):
         return 400 <= self.status < 500 and self.status not in (408, 429)
 
 
-def _post_json(conn, path: str, payload: dict, token: str) -> dict:
+def _zstd_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as out:
+        out.write(data)
+    return bytes(sink.getvalue())
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+
+
+def _post_json(
+    conn, path: str, payload: dict, token: str, compress: bool = False
+) -> dict:
+    """One POST + JSON decode. ``compress=True`` zstd-compresses the
+    request body with ``Content-Encoding: zstd`` (the reference's
+    RequestCompression, ai/httpclient/compression.go:31 wired through
+    ai/ollama/embed.go:33-47 — at upload scale the chunk-text payloads
+    dominate bandwidth). ``Accept-Encoding: zstd`` is always advertised
+    and a zstd response is transparently decompressed
+    (ai/ollama/embed.go:49,72), matching the service's own middleware."""
     import json
 
     body = json.dumps(payload).encode()
-    headers = {"Content-Type": "application/json"}
+    headers = {
+        "Content-Type": "application/json",
+        "Accept-Encoding": "zstd",
+    }
+    if compress:
+        body = _zstd_compress(body)
+        headers["Content-Encoding"] = "zstd"
     if token:
         headers["Authorization"] = f"Bearer {token}"
     conn.request("POST", path, body=body, headers=headers)
@@ -264,6 +308,8 @@ def _post_json(conn, path: str, payload: dict, token: str) -> dict:
         raise _HttpStatusError(
             f"embed endpoint {path} -> {resp.status}: {data[:200]!r}", resp.status
         )
+    if (resp.getheader("Content-Encoding") or "").strip().lower() == "zstd":
+        data = _zstd_decompress(data)
     return json.loads(data)
 
 
@@ -279,6 +325,7 @@ def http_embed(
     path: str = EMBED_PATH,
     max_attempts: int | None = None,
     backoff_s: float = 0.2,
+    request_compression: bool = False,
 ) -> DataFrame:
     """Embed ``text_col`` via batched HTTP POSTs; appends (codes, lo, hi).
 
@@ -316,6 +363,10 @@ def http_embed(
             bases, seed=(ctx.partitionId() if ctx is not None else 0)
         )
         conns: dict[str, tuple[object, str]] = {}
+        # per-worker memo of endpoints that answered 415 to a zstd body:
+        # they get plain JSON from then on (one fallback round-trip per
+        # endpoint per worker, not per request)
+        no_zstd: set[str] = set()
 
         def connection(base: str) -> tuple[object, str]:
             if base not in conns:
@@ -343,7 +394,19 @@ def http_embed(
                 tried.add(base)
                 try:
                     conn, prefix = connection(base)
-                    out = _post_json(conn, prefix + path, payload, token)
+                    use_z = request_compression and base not in no_zstd
+                    try:
+                        out = _post_json(
+                            conn, prefix + path, payload, token, compress=use_z
+                        )
+                    except _HttpStatusError as e:
+                        # 415 = endpoint doesn't take zstd bodies: resend
+                        # plain on the same (fully-drained) connection
+                        # and remember for the rest of this worker
+                        if not (use_z and e.status == 415):
+                            raise
+                        no_zstd.add(base)
+                        out = _post_json(conn, prefix + path, payload, token)
                     done()
                     break
                 except Exception as e:  # connection drop, refused, 5xx...
@@ -426,6 +489,9 @@ def embed_chunks(
             token=http_kwargs.pop("token", p.token),
             num_ctx=http_kwargs.pop("num_ctx", p.num_ctx),
             path=http_kwargs.pop("path", p.embed_path),
+            request_compression=http_kwargs.pop(
+                "request_compression", p.request_compression
+            ),
             **http_kwargs,
         )
     if api_bases:

@@ -381,3 +381,116 @@ def test_engine_openai_provider_roundtrip(spark, stub_server, tmp_path):
     assert [r["document_id"] for r in res] == ids
     assert all(r["path"] == "/v1/embeddings" for r in srv.requests)
     assert all(r["model"] == "emb3" for r in srv.requests)
+
+
+class _ZstdHandler(_Handler):
+    """Accepts zstd request bodies (the service-side middleware shape)
+    and answers with a zstd-compressed response — both directions of
+    ai/httpclient/compression.go."""
+
+    def do_POST(self):
+        from go_vectorsearch_spark.sources.embed_http import (
+            _zstd_compress,
+            _zstd_decompress,
+        )
+
+        n = int(self.headers["Content-Length"])
+        raw = self.rfile.read(n)
+        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+        self.server.encodings.append(enc)
+        req = json.loads(_zstd_decompress(raw) if enc == "zstd" else raw)
+        body = json.dumps(
+            {"embeddings": [fake_vec(t) for t in req["input"]]}
+        ).encode()
+        body = _zstd_compress(body)
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Encoding", "zstd")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class _No415Handler(_Handler):
+    """Rejects zstd bodies with 415 Unsupported Media Type."""
+
+    def do_POST(self):
+        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+        self.server.encodings.append(enc)
+        if enc == "zstd":
+            n = int(self.headers["Content-Length"])
+            self.rfile.read(n)  # drain
+            self.send_response(415)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        super().do_POST()
+
+
+def test_zstd_request_bodies_roundtrip(spark):
+    """request_compression=True posts zstd bodies (Content-Encoding:
+    zstd, ai/ollama/embed.go:33-47) and transparently decodes a zstd
+    response — results identical to plain JSON."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ZstdHandler)
+    srv.requests, srv.encodings = [], []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        df = _texts_df(spark, n=8, partitions=1)
+        out = http_embed(
+            df, api_bases=[base], batch_size=4, request_compression=True
+        ).collect()
+        assert len(out) == 8
+        assert srv.encodings and all(e == "zstd" for e in srv.encodings)
+        # values match the plain-JSON path exactly
+        want = {r["id"]: tuple(r["codes"]) for r in http_embed(
+            df, api_bases=[base], batch_size=4, request_compression=False
+        ).collect()}
+        got = {r["id"]: tuple(r["codes"]) for r in out}
+        assert got == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_zstd_fallback_on_415(spark):
+    """An endpoint that rejects zstd with 415 gets ONE plain resend and
+    is remembered: later batches post plain JSON directly."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _No415Handler)
+    srv.requests, srv.encodings = [], []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        df = _texts_df(spark, n=8, partitions=1)
+        out = http_embed(
+            df, api_bases=[base], batch_size=4, request_compression=True
+        ).collect()
+        assert len(out) == 8
+        # 2 batches: [zstd -> 415, plain, plain] — exactly one zstd probe
+        assert srv.encodings[0] == "zstd"
+        assert srv.encodings.count("zstd") == 1
+        assert all(e == "" for e in srv.encodings[1:])
+        assert sum(r["n_texts"] for r in srv.requests) == 8
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_embed_texts_once_zstd_and_fallback(spark):
+    """The one-shot query-embed path shares the compression behavior."""
+    from go_vectorsearch_spark.sources.embed_http import embed_texts_once
+
+    for handler, want_first in ((_ZstdHandler, "zstd"), (_No415Handler, "zstd")):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        srv.requests, srv.encodings = [], []
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_port}"
+            codes, lo, hi = embed_texts_once(
+                base, ["hello"], model="m", request_compression=True
+            )
+            assert codes.shape == (1, DIM)
+            assert srv.encodings[0] == want_first
+        finally:
+            srv.shutdown()
+            srv.server_close()
