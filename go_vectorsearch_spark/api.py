@@ -856,7 +856,12 @@ class Engine:
         )
 
     def _vector_topk(
-        self, scope: int, qvec: list, n: int, nprobe: int
+        self,
+        scope: int,
+        qvec: list,
+        n: int,
+        nprobe: int,
+        allowed: DataFrame | None = None,
     ) -> DataFrame | None:
         """Document-level vector top-n for a category, or None when no
         centroid probes (empty category).
@@ -873,11 +878,20 @@ class Engine:
         # unprobed inverted lists are never even listed; scoring
         # dequantizes the stored codes inside the cosine expression
         # (no float table ever materialized)
-        emb = dequantized_vector(
+        raw = (
             self.t["embeddings"]
             .read(partition_values=probe_ids)
             .filter(F.col("centroid_id").isin(probe_ids))  # belt-and-braces
         )
+        if allowed is not None:
+            # PRE-filter (plans/ivf.ivf_search(where=) semantics): only
+            # allowed documents' chunks are scored, so the top-n holds n
+            # allowed docs. Allowed set is caller-sized — no broadcast
+            # hint, AQE decides.
+            raw = raw.join(
+                allowed.select("document_id"), "document_id", "left_semi"
+            )
+        emb = dequantized_vector(raw)
         return brute_force_topk(
             emb, qvec, n, id_col="embedding_id",
             vec_col="vector", doc_col="document_id",
@@ -1047,6 +1061,7 @@ class Engine:
         nprobe: int = 0,
         fuse_depth: int = 60,
         rrf_c: int = 60,
+        where=None,
     ) -> DataFrame:
         """Hybrid search: vector top-``fuse_depth`` and BM25
         top-``fuse_depth`` fused by reciprocal-rank fusion, then paged
@@ -1054,7 +1069,19 @@ class Engine:
         :meth:`build_text_index` to have run for the category (the same
         explicit-build contract as the centroid index). Lexical-only
         and vector-only corner cases degrade gracefully: a ranking with
-        no hits simply contributes nothing to the fusion."""
+        no hits simply contributes nothing to the fusion.
+
+        ``where`` (an optional Column predicate over the documents
+        table: name/external_id/payload_json/document_id) PRE-filters
+        BOTH legs — the allowed doc-id frame is computed once from the
+        category-scoped documents scan, semi-joined into the probed
+        embeddings before vector scoring and into the term-pruned
+        postings before BM25 ranking — so a filtered page holds
+        ``count`` matching documents whenever that many live matches
+        exist (post-filtering the fused page would underfill). The
+        same generalization of the reference's category scoping
+        (server/search.go:229-233) that plans/ivf.ivf_search(where=)
+        makes for raw stores."""
         from go_vectorsearch_spark.operators.fulltext import (
             bm25_search_stored,
             rrf_fuse,
@@ -1070,11 +1097,20 @@ class Engine:
                 f"search_hybrid: no text index for {owner}/{category}; "
                 "run build_text_index first"
             )
+        allowed = None
+        if where is not None:
+            allowed = (
+                self.t["documents"]
+                .read()
+                .filter(F.col("category_id") == scope)
+                .filter(where)
+                .select("document_id")
+            )
         lexical = bm25_search_stored(
-            self.spark, path, text, k=fuse_depth
+            self.spark, path, text, k=fuse_depth, allowed=allowed
         ).withColumnRenamed("doc_id", "document_id")
         qvec = self._embed_query(f"{SEARCH_QUERY_PREFIX}{text}")
-        vector = self._vector_topk(scope, qvec, fuse_depth, nprobe)
+        vector = self._vector_topk(scope, qvec, fuse_depth, nprobe, allowed=allowed)
         rankings = [lexical] + ([vector] if vector is not None else [])
         fused = rrf_fuse(
             rankings, k=count + offset, c=rrf_c, id_col="document_id"

@@ -135,13 +135,23 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for ``query``: postings pruned to the query's
     terms; idf joins in from a per-term document-frequency aggregate
     over the SAME pruned scan — broadcast, because a query has a
     handful of terms — so the whole search is ONE Spark job with no
     driver round-trip; BM25 contribution in codegen, groupBy(doc).sum,
-    TakeOrdered with the engine's (round-6 desc, id asc) total order."""
+    TakeOrdered with the engine's (round-6 desc, id asc) total order.
+
+    ``allowed`` (a one-column ``doc_id`` frame) PRE-filters the
+    candidate postings, so the top-k holds k allowed documents — the
+    filtered-search contract ivf_search(where=) follows on the vector
+    side. Scoring statistics (idf from df over the pruned scan, the
+    corpus n/avgdl) intentionally stay corpus-wide: the predicate
+    narrows WHICH documents may rank, not what the terms mean — the
+    standard filtered-search semantics (and Lucene's). No broadcast
+    hint: the allowed set is caller-sized; AQE broadcasts iff small."""
     terms = sorted(
         {t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t}
     )
@@ -157,6 +167,12 @@ def bm25_search(
     # corpus; dl rides each posting row, so there is no corpus-sized
     # join side anywhere
     pruned = index.postings.filter(F.col("term").isin(terms))
+    if allowed is not None:
+        pruned = pruned.join(
+            allowed.select(F.col(allowed.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
     idf = pruned.groupBy("term").agg(
         F.log(
             1.0
@@ -651,6 +667,7 @@ def bm25_search_stored(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 over the stored bucketed layout: each query term's hash
     bucket rides the filter as a FOLDABLE Spark expression —
@@ -674,4 +691,4 @@ def bm25_search_stored(
         n_docs=index.n_docs,
         avgdl=index.avgdl,
     )
-    return bm25_search(pruned, query, k=k, k1=k1, b=b)
+    return bm25_search(pruned, query, k=k, k1=k1, b=b, allowed=allowed)

@@ -243,3 +243,60 @@ def test_delete_category_and_owner_remove_text_index_dirs(spark, tmp_path):
 
     eng.delete_owner("acme")
     assert not os.path.exists(eng._text_index_path(cid_b))
+
+
+def test_hybrid_filtered_where_prefilters_both_legs(spark, tmp_path):
+    """search_hybrid(where=) is a PRE-filter on both legs: the page
+    equals RRF over predicate-scoped single-mode searches, holds
+    `count` rows while that many matches exist (post-filtering would
+    underfill), and contains only matching documents."""
+    from pyspark.sql import functions as F
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        rrf_fuse,
+    )
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"{'keep' if i % 2 else 'drop'}-{i}", "external_id": f"d{i}",
+         "document": json.dumps({"body": f"spark shuffle notes number{i}"})}
+        for i in range(8)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    eng.build_text_index("acme", "wiki")
+    pred = F.col("name").startswith("keep")
+    keep_ids = {ids[i] for i in range(8) if i % 2}
+
+    page = eng.search_hybrid(
+        "acme", "wiki", "spark shuffle", count=4, where=pred
+    ).collect()
+    assert len(page) == 4, "filtered page underfilled"
+    assert {r["document_id"] for r in page} <= keep_ids
+
+    # equivalence: fusing predicate-scoped single-mode searches
+    from go_vectorsearch_spark.api import SEARCH_QUERY_PREFIX
+    from go_vectorsearch_spark.operators.search import normalize_search_args
+
+    cid = eng._category_id("acme", "wiki")
+    allowed = (
+        eng.t["documents"].read()
+        .filter((F.col("category_id") == cid) & pred)
+        .select("document_id")
+    )
+    lex = bm25_search_stored(
+        spark, eng._text_index_path(cid), "spark shuffle", k=60, allowed=allowed
+    ).withColumnRenamed("doc_id", "document_id")
+    _c, _o, nprobe = normalize_search_args(4, 0, 0)
+    qvec = eng._embed_query(SEARCH_QUERY_PREFIX + "spark shuffle")
+    vec = eng._vector_topk(cid, qvec, 60, nprobe, allowed=allowed)
+    want = [r["document_id"] for r in rrf_fuse(
+        [lex, vec], k=4, c=60, id_col="document_id").collect()]
+    assert [r["document_id"] for r in page] == want
+
+    # an all-excluding predicate yields an empty page, not an error
+    none = eng.search_hybrid(
+        "acme", "wiki", "spark shuffle", count=4,
+        where=F.col("name").startswith("nothing"),
+    ).collect()
+    assert none == []
