@@ -1413,7 +1413,12 @@ class Engine:
         # the exact dl recovered above — O(manifest), no bucket rewrite
         tpath = self._text_index_path(cid)
         if os.path.exists(f"{tpath}/VERSION"):
-            from go_vectorsearch_spark.operators.fulltext import delete_postings
+            from go_vectorsearch_spark.operators.fulltext import (
+                _store_manifest,
+                _store_version,
+                compact_postings,
+                delete_postings,
+            )
 
             delete_postings(
                 self.spark,
@@ -1421,6 +1426,14 @@ class Engine:
                 [document_id],
                 dl_by_doc={document_id: int(victim_rows[0]["_dl"])},
             )
+            # the tombstone list rides every reader's plan as a NOT-IN
+            # literal; many point deletes without a maintenance pass
+            # would bloat it unboundedly, so past a threshold the
+            # delete itself triggers the compaction that purges them
+            # (bounded amortized cost, like the tables' compact)
+            m = _store_manifest(tpath, _store_version(tpath))
+            if len(m.get("tombstones", [])) >= 1024:
+                compact_postings(self.spark, tpath)
         self._invalidate_cache()
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------

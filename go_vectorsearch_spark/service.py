@@ -300,7 +300,35 @@ class Service:
     def search_hybrid(self, req: dict) -> dict:
         """Vector+BM25 RRF fusion (Engine.search_hybrid). Response shape
         matches /api/search so existing clients can switch by path; the
-        score field carries the fused RRF score."""
+        score field carries the fused RRF score.
+
+        Optional ``"filter"`` object — a JSON-safe subset of the
+        engine's ``where=`` predicate: ``{"name_prefix": str,
+        "external_id": str, "document_ids": [int, ...]}``, AND-combined
+        — pre-filters both retrieval legs (the wire form of
+        search_hybrid(where=); arbitrary Column predicates stay a
+        library-level capability)."""
+        where = None
+        flt = req.get("filter") or {}
+        if flt:
+            from pyspark.sql import functions as F
+
+            preds = []
+            if "name_prefix" in flt:
+                preds.append(F.col("name").startswith(str(flt["name_prefix"])))
+            if "external_id" in flt:
+                preds.append(F.col("external_id") == str(flt["external_id"]))
+            if "document_ids" in flt:
+                preds.append(
+                    F.col("document_id").isin(
+                        [int(x) for x in flt["document_ids"]]
+                    )
+                )
+            unknown = set(flt) - {"name_prefix", "external_id", "document_ids"}
+            if unknown:
+                raise ValueError(f"unknown filter keys: {sorted(unknown)}")
+            for p in preds:
+                where = p if where is None else (where & p)
         rows = self.engine.search_hybrid(
             req.get("owner", ""),
             req.get("category", ""),
@@ -308,6 +336,7 @@ class Service:
             count=int(req.get("count") or 0),
             offset=int(req.get("offset") or 0),
             nprobe=int(req.get("centroids") or 0),
+            where=where,
         ).collect()
         return {
             "documents": [
@@ -556,6 +585,39 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
+def generate_self_signed_cert(
+    out_dir: str, cn: str = "localhost"
+) -> tuple[str, str]:
+    """Generate a self-signed RSA certificate + key under ``out_dir``
+    and return (cert_path, key_path) — the reference's
+    generateMissingCertificates analog (config/config_tls.go:124-174:
+    a deployment with TLS enabled but no certificate configured mints
+    its own, with local DNS/IP SANs). Requires the ``openssl`` CLI;
+    raises RuntimeError when unavailable so callers can supply real
+    certificate paths instead."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        raise RuntimeError(
+            "generate_self_signed_cert needs the openssl CLI; pass "
+            "tls_cert/tls_key paths instead"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    cert, key = f"{out_dir}/cert.pem", f"{out_dir}/key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "365", "-nodes",
+            "-subj", f"/CN={cn}",
+            "-addext", f"subjectAltName=DNS:{cn},IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return cert, key
+
+
 def make_server(
     engine: Engine,
     host: str = "127.0.0.1",
@@ -565,10 +627,22 @@ def make_server(
     llm_token: str = "",
     llm_kind: str = "ollama",
     llm_providers: list[tuple[str, str]] | None = None,
+    tls: bool = False,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` picks a free port.
     Start with ``threading.Thread(target=srv.serve_forever)`` or
-    :func:`serve`."""
+    :func:`serve`.
+
+    ``tls=True`` (or explicit ``tls_cert``/``tls_key`` paths) serves
+    HTTPS — the reference's TLS listener (main.go:101-117,190-196 with
+    config/config_tls.go certificates). With TLS requested but no
+    certificate configured, a self-signed pair is generated under the
+    engine root (``<root>/tls/``), mirroring
+    generateMissingCertificates. The reference's hourly hot-reload
+    loop is a deployment concern left out: certificates load once at
+    construction."""
     svc = Service(
         engine,
         llm_base=llm_base,
@@ -578,7 +652,18 @@ def make_server(
         llm_providers=llm_providers,
     )
     handler = type("BoundHandler", (_Handler,), {"service": svc})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    if tls or tls_cert:
+        import ssl
+
+        if tls_cert is None:
+            tls_cert, tls_key = generate_self_signed_cert(
+                f"{engine.root}/tls"
+            )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(tls_cert, tls_key)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    return srv
 
 
 def serve(

@@ -542,3 +542,99 @@ def test_chat_provider_ordered_fallback(spark, tmp_path):
         srv.server_close()
         llm.shutdown()
         llm.server_close()
+
+
+def test_tls_serving_round_trip(spark, tmp_path):
+    """tls=True serves HTTPS with a self-signed pair auto-generated
+    under the engine root (generateMissingCertificates parity,
+    config/config_tls.go:124-174); a TLS client round-trips the same
+    JSON routes."""
+    import os
+    import ssl
+
+    eng = Engine(spark, str(tmp_path / "tls_root"))
+    try:
+        srv = make_server(eng, tls=True)
+    except RuntimeError as e:
+        import pytest as _pytest
+
+        _pytest.skip(f"no openssl CLI: {e}")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        assert os.path.exists(f"{eng.root}/tls/cert.pem")
+        ctx = ssl._create_unverified_context()  # self-signed
+        conn = http.client.HTTPSConnection(
+            "127.0.0.1", srv.server_port, timeout=120, context=ctx
+        )
+        body = json.dumps(
+            {"owner": "acme", "category": "wiki", "documents": [DOCS[0]]}
+        ).encode()
+        conn.request("POST", "/api/upload", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        ids = json.loads(resp.read())["document_ids"]
+        assert resp.status == 200 and len(ids) == 1
+        conn.request("POST", "/api/categories",
+                     body=json.dumps({"owner": "acme"}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert json.loads(resp.read())["category_names"] == ["wiki"]
+        conn.close()
+        # a plain-HTTP client on the TLS port fails the handshake
+        plain = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_port, timeout=5
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            plain.request("GET", "/api/categories")
+            plain.getresponse()
+        plain.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_hybrid_route_filter_object(served):
+    """The JSON filter object is the wire form of search_hybrid(where=):
+    name_prefix / external_id / document_ids AND-combine and pre-filter
+    both legs; unknown keys error."""
+    from pyspark.sql import functions as F
+
+    eng, port, _ = served
+    docs = [
+        {"name": f"{'keep' if i % 2 else 'drop'}-{i}", "external_id": f"f{i}",
+         "document": json.dumps({"body": f"spark shuffle filter note {i}"})}
+        for i in range(6)
+    ]
+    _call(port, "/api/upload", {"owner": "flt", "category": "docs", "documents": docs})
+    eng.build_text_index("flt", "docs")
+
+    resp, data = _call(port, "/api/search_hybrid", {
+        "owner": "flt", "category": "docs", "text": "spark shuffle",
+        "count": 3, "centroids": -1, "filter": {"name_prefix": "keep"},
+    })
+    assert resp.status == 200
+    got = json.loads(data)["documents"]
+    assert len(got) == 3
+    assert all(d["name"].startswith("keep") for d in got)
+    direct = eng.search_hybrid(
+        "flt", "docs", "spark shuffle", count=3, nprobe=-1,
+        where=F.col("name").startswith("keep"),
+    ).collect()
+    assert [d["document_id"] for d in got] == [r["document_id"] for r in direct]
+
+    # external_id equality narrows to one document
+    resp, data = _call(port, "/api/search_hybrid", {
+        "owner": "flt", "category": "docs", "text": "spark shuffle",
+        "count": 5, "centroids": -1, "filter": {"external_id": "f3"},
+    })
+    got = json.loads(data)["documents"]
+    assert [d["external_id"] for d in got] == ["f3"]
+
+    # unknown filter key errors instead of silently ignoring
+    resp, data = _call(port, "/api/search_hybrid", {
+        "owner": "flt", "category": "docs", "text": "spark",
+        "filter": {"color": "red"},
+    })
+    assert resp.status == 500 and b"unknown filter keys" in data
