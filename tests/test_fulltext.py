@@ -594,3 +594,38 @@ def test_write_postings_version_guard_detects_interleaved_commit(spark, tmp_path
     write_postings(
         build_bm25_index(docs), store, n_buckets=4, base_version=_store_version(store)
     )
+
+
+def test_bm25_stored_prunes_survive_tombstones_and_allowed(spark, sf_correct, tmp_path):
+    """The scale shape must survive the r5 filters: with tombstones
+    present AND an allowed-docs pre-filter, the stored query still
+    partition-prunes to the query terms' buckets (PartitionFilters on
+    _tb) and still pushes the term filter into row groups — the
+    tombstone NOT-IN and the allowed semi-join are extra filters, not
+    a reason to scan the corpus."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        delete_postings,
+        write_postings,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    path = str(tmp_path / "bm25")
+    write_postings(build_bm25_index(docs), path, n_buckets=16)
+    delete_postings(spark, path, [5, 17])
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("document_id")
+    )
+
+    got_df = bm25_search_stored(spark, path, QUERY, k=10, allowed=allowed)
+    rows = got_df.collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    assert ids <= {r["document_id"] for r in allowed.collect()}
+    assert not ids & {5, 17}
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_tb" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert "In(term" in plan
