@@ -59,6 +59,11 @@ PICKS = [
      "PartitionFilter and the predicate pushes into the surviving row groups, so the scan "
      "reads only matching rows of probed lists; top-k is TakeOrdered over the filtered "
      "candidates (always k matching rows when k exist)."),
+    ("fulltext_hybrid_rrf", "Hybrid RRF fusion: the lexical and vector leg are BOUNDED "
+     "top-n frames (each ends in its own TakeOrdered/limit), fused by collect_list + "
+     "array_sort single-row aggregates — rank assignment without any Window, so a "
+     "corpus-sized frame can never serialize through one task (it would fail fast on the "
+     "single-row aggregate); the fused groupBy shuffles at most 2n (id, rrf) rows."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
