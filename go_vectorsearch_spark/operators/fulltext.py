@@ -167,18 +167,22 @@ def bm25_search(
     # corpus; dl rides each posting row, so there is no corpus-sized
     # join side anywhere
     pruned = index.postings.filter(F.col("term").isin(terms))
-    if allowed is not None:
-        pruned = pruned.join(
-            allowed.select(F.col(allowed.columns[0]).alias("doc_id")),
-            "doc_id",
-            "left_semi",
-        )
+    # idf comes from the UNFILTERED pruned scan — corpus-wide df, per
+    # the stats contract above — while only the SCORED side narrows to
+    # the allowed documents (filtering df too would shift the relative
+    # term weights of a multi-term query with the predicate)
     idf = pruned.groupBy("term").agg(
         F.log(
             1.0
             + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
         ).alias("_idf")
     )
+    if allowed is not None:
+        pruned = pruned.join(
+            allowed.select(F.col(allowed.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
     scored = pruned.join(F.broadcast(idf), "term").select(
         "doc_id",
         (

@@ -629,3 +629,39 @@ def test_bm25_stored_prunes_survive_tombstones_and_allowed(spark, sf_correct, tm
         "PartitionFilters"
     )[1][:120]
     assert "In(term" in plan
+
+
+def test_allowed_filter_keeps_corpus_statistics(spark, sf_correct, tmp_path):
+    """The filtered-search stats contract: a predicate narrows WHICH
+    documents may rank, not what the terms mean — a doc's BM25 score
+    under allowed= equals its score in the unfiltered search (idf/df
+    stay corpus-wide; filtering df too would shift relative term
+    weights of multi-term queries)."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        delete_postings,  # noqa: F401  (module import exercised above)
+        write_postings,
+        bm25_search_stored,
+    )
+
+    docs = _load_docs(spark, sf_correct)
+    path = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs), path, n_buckets=8)
+
+    # k larger than any possible match count so BOTH result sets are
+    # exhaustive (a bounded unfiltered top-k would legitimately miss
+    # allowed docs the filtered search ranks deeper)
+    full = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_search_stored(spark, path, QUERY, k=10_000).collect()
+    }
+    allowed = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id")
+    filt = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_search_stored(
+            spark, path, QUERY, k=10_000, allowed=allowed
+        ).collect()
+    }
+    assert filt, "filtered search found nothing"
+    assert set(filt) == {d for d in full if d % 4 == 1}
+    for d, s in filt.items():
+        assert s == full[d], f"doc {d}: filtered score {s} != unfiltered {full[d]}"
