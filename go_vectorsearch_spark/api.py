@@ -1350,44 +1350,58 @@ class Engine:
         ``WHERE category_id = ? AND id = ?`` — a caller can never delete
         another tenant's identically-ID'd document. Missing owner or
         category is a silent no-op (gorm.ErrRecordNotFound -> nil)."""
+        self.delete_documents(owner, category, [document_id])
+
+    def delete_documents(
+        self, owner: str, category: str, document_ids: list[int]
+    ) -> int:
+        """Bulk tenant-scoped document delete — the batch form of
+        :meth:`delete_document` (an engine extension; the reference
+        only deletes one id per request). Every touched partition is
+        rewritten ONCE for the whole batch: per-id deletes of N
+        documents sharing a hash bucket or a centroid list would
+        rewrite that partition N times, the batch rewrites it once —
+        the difference between O(N x touched) and O(touched) write
+        amplification on a retention sweep. Ids not belonging to this
+        tenant (or unknown) are silently skipped, per the reference's
+        not-found semantics. Returns the number of documents deleted."""
         cid = self._category_id(owner, category)
-        if cid is None:
-            return
-        emb = self.t["embeddings"].read()
-        victim = (F.col("document_id") == document_id) & (
-            F.col("category_id") == cid
-        )
-        # the victim check reads ONE hash-bucket partition (manifest
-        # pruning); the same pruned read yields the victim's token
-        # count so the text-index tombstone below can shrink the corpus
-        # stats exactly without a postings scan
+        if cid is None or not document_ids:
+            return 0
+        ids = sorted({int(i) for i in document_ids})
+        # the victim check reads ONLY the ids' hash-bucket partitions
+        # (manifest pruning); the same pruned read yields each victim's
+        # token count so the text-index tombstones below can shrink the
+        # corpus stats exactly without a postings scan
         from go_vectorsearch_spark.operators.documents import flatten_json_udf
         from go_vectorsearch_spark.operators.fulltext import tokenize
 
-        bucket = document_id % N_DOC_BUCKETS
+        buckets = sorted({i % N_DOC_BUCKETS for i in ids})
+        victim = F.col("document_id").isin(ids) & (F.col("category_id") == cid)
         victim_rows = (
             self.t["documents"]
-            .read(partition_values=[bucket])
+            .read(partition_values=buckets)
             .filter(victim)
             .select(
+                "document_id",
                 F.size(
                     tokenize(flatten_json_udf(F.col("payload_json")))
-                ).alias("_dl")
+                ).alias("_dl"),
             )
             .collect()
         )
         if not victim_rows:
-            return  # not this tenant's document (or no such id): no-op
+            return 0  # no verified victims in this tenant: no-op
+        verified = sorted(r["document_id"] for r in victim_rows)
+        dl_by_doc = {r["document_id"]: int(r["_dl"]) for r in victim_rows}
+        victim_buckets = sorted({i % N_DOC_BUCKETS for i in verified})
         # embeddings carry no category_id — the cascade follows the
-        # VERIFIED victim document (FK ON DELETE CASCADE semantics),
+        # VERIFIED victim documents (FK ON DELETE CASCADE semantics),
         # so a bare document_id match can't cross tenants here either.
-        # Rewrite ONLY the partitions holding victim rows: the document
-        # lives in one hash bucket (computable driver-side) and its
-        # chunks in a handful of centroid lists (a chunks-per-doc-
-        # bounded collect) — everything else carries over by reference.
+        emb = self.t["embeddings"].read()
         touched_cents = [
             r[0]
-            for r in emb.filter(F.col("document_id") == document_id)
+            for r in emb.filter(F.col("document_id").isin(verified))
             .select("centroid_id")
             .distinct()
             .collect()
@@ -1400,17 +1414,20 @@ class Engine:
             self.t["embeddings"].overwrite_partitions(
                 self.t["embeddings"]
                 .read(partition_values=touched_cents)
-                .filter(F.col("document_id") != document_id),
+                .filter(~F.col("document_id").isin(verified)),
                 touched_cents,
             )
         self.t["documents"].overwrite_partitions(
-            self.t["documents"].read(partition_values=[bucket]).filter(~victim),
-            [bucket],
+            self.t["documents"]
+            .read(partition_values=victim_buckets)
+            .filter(~victim),
+            victim_buckets,
         )
-        # the text index must not keep ranking the dead document: its
+        # the text index must not keep ranking dead documents: their
         # postings would occupy lexical top-n slots that hydration then
-        # drops, silently underfilling hybrid pages. Tombstone it with
-        # the exact dl recovered above — O(manifest), no bucket rewrite
+        # drops, silently underfilling hybrid pages. One tombstone
+        # commit for the whole batch, with the exact dls recovered
+        # above — O(manifest), no bucket rewrite
         tpath = self._text_index_path(cid)
         if os.path.exists(f"{tpath}/VERSION"):
             from go_vectorsearch_spark.operators.fulltext import (
@@ -1420,12 +1437,7 @@ class Engine:
                 delete_postings,
             )
 
-            delete_postings(
-                self.spark,
-                tpath,
-                [document_id],
-                dl_by_doc={document_id: int(victim_rows[0]["_dl"])},
-            )
+            delete_postings(self.spark, tpath, verified, dl_by_doc=dl_by_doc)
             # the tombstone list rides every reader's plan as a NOT-IN
             # literal; many point deletes without a maintenance pass
             # would bloat it unboundedly, so past a threshold the
@@ -1435,6 +1447,7 @@ class Engine:
             if len(m.get("tombstones", [])) >= 1024:
                 compact_postings(self.spark, tpath)
         self._invalidate_cache()
+        return len(verified)
 
     # -- index refresh (server/centroids.go:17-83 -> plans/ivf) --------------
     def _refresh_scope(self, cid: int) -> DataFrame:

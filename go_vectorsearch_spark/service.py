@@ -288,7 +288,18 @@ class Service:
 
     def delete_document(self, req: dict) -> dict:
         # deleteDocument carries owner+category (server/delete.go:165-175)
-        # so the engine can verify tenant ownership before deleting
+        # so the engine can verify tenant ownership before deleting.
+        # Extension: "document_ids" (a list) batch-deletes in one
+        # partition rewrite per touched partition (Engine.delete_documents)
+        # and reports the count; the reference's single-id shape returns
+        # the reference's empty body.
+        if "document_ids" in req:
+            n = self.engine.delete_documents(
+                req.get("owner", ""),
+                req.get("category", ""),
+                [int(x) for x in req.get("document_ids") or []],
+            )
+            return {"deleted": n}
         self.engine.delete_document(
             req.get("owner", ""),
             req.get("category", ""),

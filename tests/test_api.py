@@ -579,3 +579,65 @@ def test_engine_table_changes_after_delete(spark, tmp_path):
     assert {(r["document_id"], r["_change_type"]) for r in feed} == {
         (ids[0], "delete")
     }
+
+
+def test_delete_documents_bulk_single_rewrite(spark, tmp_path):
+    """Bulk delete: every touched partition rewritten ONCE for the
+    whole batch (per-id deletes would rewrite shared buckets N times),
+    unknown/foreign ids skipped, text index tombstoned in one commit,
+    and the result equals per-id deletes."""
+    import json as _json
+    import os
+
+    from go_vectorsearch_spark.api import Engine
+    from go_vectorsearch_spark.operators.fulltext import read_postings
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"D{i}", "external_id": f"d{i}",
+         "document": _json.dumps({"body": f"bulk delete test doc {i}"})}
+        for i in range(10)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    eng.upload("other", "wiki", [docs[0]])
+    eng.build_text_index("acme", "wiki")
+
+    victims = [ids[1], ids[4], ids[7]]
+    # count document-table data dirs before/after: one batch delete
+    # commits ONE new version regardless of victim count
+    v_before = eng.t["documents"]._version()
+    n = eng.delete_documents(
+        "acme", "wiki", victims + [999_999]  # unknown id skipped
+    )
+    assert n == 3
+    assert eng.t["documents"]._version() == v_before + 1
+
+    live = {
+        r["document_id"]
+        for r in eng.t["documents"].read()
+        .filter(F.col("category_id") == eng._category_id("acme", "wiki"))
+        .select("document_id").collect()
+    }
+    assert live == set(ids) - set(victims)
+    emb_docs = {
+        r["document_id"]
+        for r in eng.t["embeddings"].read().select("document_id").collect()
+    }
+    assert not (set(victims) & emb_docs)
+
+    # one tombstone commit covering the whole batch, stats exact
+    cid = eng._category_id("acme", "wiki")
+    idx, _ = read_postings(spark, eng._text_index_path(cid))
+    assert idx.n_docs == 7
+    eng.build_text_index("acme", "wiki")
+    fresh, _ = read_postings(spark, eng._text_index_path(cid))
+    assert (idx.n_docs, idx.sum_dl) == (fresh.n_docs, fresh.sum_dl)
+
+    # other tenant untouched
+    assert eng.t["documents"].read().filter(
+        F.col("category_id") == eng._category_id("other", "wiki")
+    ).count() == 1
+
+    # empty/foreign-only calls are no-ops returning 0
+    assert eng.delete_documents("acme", "wiki", []) == 0
+    assert eng.delete_documents("ghost", "wiki", [ids[0]]) == 0

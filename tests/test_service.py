@@ -638,3 +638,38 @@ def test_hybrid_route_filter_object(served):
         "filter": {"color": "red"},
     })
     assert resp.status == 500 and b"unknown filter keys" in data
+
+
+def test_delete_route_bulk_extension(served):
+    """/api/delete/document with "document_ids" batch-deletes and
+    reports the count; the single-id reference shape still returns the
+    empty body."""
+    eng, port, _ = served
+    docs = [
+        {"name": f"B{i}", "external_id": f"b{i}",
+         "document": json.dumps({"b": f"bulk route doc {i}"})}
+        for i in range(4)
+    ]
+    _, data = _call(port, "/api/upload",
+                    {"owner": "bulk", "category": "docs", "documents": docs})
+    ids = json.loads(data)["document_ids"]
+
+    resp, data = _call(
+        port, "/api/delete/document",
+        {"owner": "bulk", "category": "docs", "document_ids": ids[:2]},
+        method="DELETE",
+    )
+    assert resp.status == 200 and json.loads(data) == {"deleted": 2}
+
+    resp, data = _call(
+        port, "/api/delete/document",
+        {"owner": "bulk", "category": "docs", "document_id": ids[2]},
+        method="DELETE",
+    )
+    assert resp.status == 200 and json.loads(data) == {}
+    from pyspark.sql import functions as F
+
+    left = eng.t["documents"].read().filter(
+        F.col("category_id") == eng._category_id("bulk", "docs")
+    ).count()
+    assert left == 1
