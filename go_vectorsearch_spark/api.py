@@ -835,14 +835,30 @@ class Engine:
         count: int = 10,
         offset: int = 0,
         nprobe: int = 0,
+        where=None,
     ) -> DataFrame:
+        """Vector search (server/search.go:115-334). ``where`` — an
+        optional Column predicate over the documents table — PRE-filters
+        the probed scan through a doc-id semi-join (same contract as
+        :meth:`search_hybrid` and plans/ivf.ivf_search(where=)): the
+        page holds ``count`` matching documents whenever that many
+        matches exist in the probed lists."""
         count, offset, nprobe = normalize_search_args(count, offset, nprobe)
         scope = self._category_id(owner, category)
         if scope is None:  # missing owner/category -> empty result
             return self._empty_search_result()  # (server/search.go:156-177)
+        allowed = None
+        if where is not None:
+            allowed = (
+                self.t["documents"]
+                .read()
+                .filter(F.col("category_id") == scope)
+                .filter(where)
+                .select("document_id")
+            )
         qtext = f"{SEARCH_QUERY_PREFIX}{text}"
         qvec = self._embed_query(qtext)
-        topk = self._vector_topk(scope, qvec, count + offset, nprobe)
+        topk = self._vector_topk(scope, qvec, count + offset, nprobe, allowed=allowed)
         if topk is None:
             return self._empty_search_result()
         page_rows = topk_paginated(topk, count, offset).collect()

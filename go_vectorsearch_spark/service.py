@@ -249,6 +249,32 @@ class Service:
         ids = self.engine.upload(req.get("owner", ""), req.get("category", ""), docs)
         return {"document_ids": ids}
 
+    @staticmethod
+    def _parse_filter(flt: dict):
+        """JSON filter object -> Column predicate (the wire subset of
+        the engine's where=): name_prefix / external_id / document_ids,
+        AND-combined; unknown keys error instead of silently ignoring."""
+        if not flt:
+            return None
+        from pyspark.sql import functions as F
+
+        unknown = set(flt) - {"name_prefix", "external_id", "document_ids"}
+        if unknown:
+            raise ValueError(f"unknown filter keys: {sorted(unknown)}")
+        preds = []
+        if "name_prefix" in flt:
+            preds.append(F.col("name").startswith(str(flt["name_prefix"])))
+        if "external_id" in flt:
+            preds.append(F.col("external_id") == str(flt["external_id"]))
+        if "document_ids" in flt:
+            preds.append(
+                F.col("document_id").isin([int(x) for x in flt["document_ids"]])
+            )
+        where = None
+        for p in preds:
+            where = p if where is None else (where & p)
+        return where
+
     def search(self, req: dict) -> dict:
         rows = self.engine.search(
             req.get("owner", ""),
@@ -259,6 +285,8 @@ class Service:
             count=int(req.get("count") or 0),
             offset=int(req.get("offset") or 0),
             nprobe=int(req.get("centroids") or 0),
+            # extension: same JSON filter object as /api/search_hybrid
+            where=self._parse_filter(req.get("filter") or {}),
         ).collect()
         return {
             "documents": [
@@ -318,28 +346,8 @@ class Service:
         "external_id": str, "document_ids": [int, ...]}``, AND-combined
         — pre-filters both retrieval legs (the wire form of
         search_hybrid(where=); arbitrary Column predicates stay a
-        library-level capability)."""
-        where = None
-        flt = req.get("filter") or {}
-        if flt:
-            from pyspark.sql import functions as F
-
-            preds = []
-            if "name_prefix" in flt:
-                preds.append(F.col("name").startswith(str(flt["name_prefix"])))
-            if "external_id" in flt:
-                preds.append(F.col("external_id") == str(flt["external_id"]))
-            if "document_ids" in flt:
-                preds.append(
-                    F.col("document_id").isin(
-                        [int(x) for x in flt["document_ids"]]
-                    )
-                )
-            unknown = set(flt) - {"name_prefix", "external_id", "document_ids"}
-            if unknown:
-                raise ValueError(f"unknown filter keys: {sorted(unknown)}")
-            for p in preds:
-                where = p if where is None else (where & p)
+        library-level capability). /api/search accepts the same object."""
+        where = self._parse_filter(req.get("filter") or {})
         rows = self.engine.search_hybrid(
             req.get("owner", ""),
             req.get("category", ""),

@@ -641,3 +641,36 @@ def test_delete_documents_bulk_single_rewrite(spark, tmp_path):
     # empty/foreign-only calls are no-ops returning 0
     assert eng.delete_documents("acme", "wiki", []) == 0
     assert eng.delete_documents("ghost", "wiki", [ids[0]]) == 0
+
+
+def test_search_where_prefilters_probed_scan(spark, tmp_path):
+    """Engine.search(where=) is a PRE-filter: the page holds count
+    matching docs when that many exist, equals the unfiltered ranking
+    restricted to matches, and an all-excluding predicate is empty."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"{'keep' if i % 2 else 'drop'}-{i}", "external_id": f"s{i}",
+         "document": _json.dumps({"body": f"filtered search doc {i}"})}
+        for i in range(8)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    keep = {ids[i] for i in range(8) if i % 2}
+    pred = F.col("name").startswith("keep")
+
+    page = eng.search("acme", "wiki", "filtered search", count=4,
+                      nprobe=-1, where=pred).collect()
+    assert len(page) == 4
+    assert {r["document_id"] for r in page} == keep
+
+    # pre-filter ≡ unfiltered ranking restricted to matching docs
+    full = eng.search("acme", "wiki", "filtered search", count=8,
+                      nprobe=-1).collect()
+    want = [r["document_id"] for r in full if r["document_id"] in keep]
+    assert [r["document_id"] for r in page] == want
+
+    assert eng.search("acme", "wiki", "x", count=4, nprobe=-1,
+                      where=F.col("name") == "nope").collect() == []
