@@ -862,6 +862,21 @@ class Engine:
         if topk is None:
             return self._empty_search_result()
         page_rows = topk_paginated(topk, count, offset).collect()
+        # adaptive probe widening under a predicate (the serving twin of
+        # plans/ivf.ivf_search_adaptive): a selective where= can thin
+        # the probed lists below a full page while matches sit in
+        # unprobed lists — double nprobe until the page fills or the
+        # probe set is exhausted (worst case log2(|centroids|) pruned
+        # re-probes, no cardinality estimator). Without a predicate the
+        # reference semantics (fixed nprobe) stand.
+        if where is not None and len(page_rows) < count:
+            n_cent = len(self._category_centroids(scope))
+            while len(page_rows) < count and nprobe < n_cent:
+                nprobe = min(nprobe * 2, n_cent)
+                topk = self._vector_topk(
+                    scope, qvec, count + offset, nprobe, allowed=allowed
+                )
+                page_rows = topk_paginated(topk, count, offset).collect()
         return self._hydrate_page(page_rows, scope)
 
     def _empty_search_result(self) -> DataFrame:
@@ -1127,6 +1142,17 @@ class Engine:
         ).withColumnRenamed("doc_id", "document_id")
         qvec = self._embed_query(f"{SEARCH_QUERY_PREFIX}{text}")
         vector = self._vector_topk(scope, qvec, fuse_depth, nprobe, allowed=allowed)
+        # same adaptive widening as search(): under a predicate the
+        # vector leg must not cede fused-rank mass just because the
+        # initial probe set was thin (the count is over a <= fuse_depth
+        # frame, not the corpus)
+        if where is not None and vector is not None:
+            n_cent = len(self._category_centroids(scope))
+            while vector.count() < fuse_depth and nprobe < n_cent:
+                nprobe = min(nprobe * 2, n_cent)
+                vector = self._vector_topk(
+                    scope, qvec, fuse_depth, nprobe, allowed=allowed
+                )
         rankings = [lexical] + ([vector] if vector is not None else [])
         fused = rrf_fuse(
             rankings, k=count + offset, c=rrf_c, id_col="document_id"

@@ -674,3 +674,45 @@ def test_search_where_prefilters_probed_scan(spark, tmp_path):
 
     assert eng.search("acme", "wiki", "x", count=4, nprobe=-1,
                       where=F.col("name") == "nope").collect() == []
+
+
+def test_search_where_adaptive_probe_widening(spark, tmp_path):
+    """With a predicate and a thin initial probe set, the engine widens
+    nprobe (doubling, ivf_search_adaptive contract) until the page
+    fills — a filtered nprobe=1 search returns the same full page as
+    nprobe=all, instead of underfilling because the matches sat in
+    unprobed lists. Unfiltered searches keep the reference's fixed
+    nprobe."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"{'keep' if i % 4 == 0 else 'drop'}-{i}", "external_id": f"a{i}",
+         "document": _json.dumps({"body": f"widening test document {i} "
+                                          f"{'alpha' if i < 20 else 'omega'}"})}
+        for i in range(40)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    # several small centroids so nprobe=1 genuinely prunes
+    n_cent = eng.refresh_index("acme", "wiki", max_leaf=8)
+    assert n_cent > 1
+    pred = F.col("name").startswith("keep")
+    keep = {ids[i] for i in range(40) if i % 4 == 0}
+
+    narrow = eng.search("acme", "wiki", "widening test", count=10,
+                        nprobe=1, where=pred).collect()
+    wide = eng.search("acme", "wiki", "widening test", count=10,
+                      nprobe=-1, where=pred).collect()
+    assert len(narrow) == len(wide) == len(keep)
+    assert [r["document_id"] for r in narrow] == [r["document_id"] for r in wide]
+    assert {r["document_id"] for r in narrow} == keep
+
+    # hybrid leg widens too: filtered hybrid at nprobe=1 ≡ nprobe=all
+    eng.build_text_index("acme", "wiki")
+    h1 = [r["document_id"] for r in eng.search_hybrid(
+        "acme", "wiki", "widening test", count=10, nprobe=1, where=pred).collect()]
+    hall = [r["document_id"] for r in eng.search_hybrid(
+        "acme", "wiki", "widening test", count=10, nprobe=-1, where=pred).collect()]
+    assert h1 == hall and set(h1) == keep
