@@ -151,3 +151,34 @@ def test_chunking_plan_is_narrow(spark):
     )
     plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cdc_chunks_stream_equals_batch(spark, tmp_path):
+    """cdc_chunks is a stateless narrow map, so it runs unchanged on a
+    Structured Streaming frame: an AvailableNow drain over the same
+    parquet corpus yields exactly the batch chunk set (the same
+    batch-twin contract as streaming/dedup)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, _mk_text(str(i), 3000)) for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    want = sorted(
+        tuple(r) for r in cdc_chunks(docs).collect()
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        cdc_chunks(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want
