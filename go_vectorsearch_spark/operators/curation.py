@@ -400,3 +400,58 @@ def train_val_test_split(
     for name, threshold in reversed(cases):
         expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling — mixture construction by the
+    unit that actually matters for training ("10B tokens of code, 5B of
+    web"), where :func:`stratified_sample` and :func:`weighted_mix`
+    work in document counts.
+
+    Documents are ordered within their stratum by the content-addressed
+    hash (``md5_int32(seed:id)``, the curation family's addressing — so
+    the selected set is engine/cluster/retry-stable and GROWS
+    monotonically with the budget: raising a stratum's budget only ADDS
+    documents, it never swaps them) and kept while the running token
+    total up to AND INCLUDING the document stays within the stratum's
+    budget. Token counts are non-negative, so the running sum is
+    monotone and the kept set is by construction a PREFIX of the hash
+    order — never exceeding the budget, matching how a dataloader cuts.
+    Strata absent from ``budgets`` use ``default_budget``.
+
+    Shape: token counts are one codegen'd projection; the ONLY shuffle
+    is the hash-partition for the per-stratum running-sum window
+    (partitioned by stratum — plan-lint-legal; skew = a stratum's row
+    count, the same profile as every per-stratum op here). Raw text
+    never moves: the window runs over (id, stratum, n_tokens, addr)."""
+    from pyspark.sql import Window
+
+    budget: Column = F.lit(default_budget)
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum, F.lit(b)).otherwise(budget)
+    narrow = df.select(
+        id_col,
+        strata_col,
+        F.size(ws_tokens(F.col(text_col))).alias("_n_tok"),
+        seeded_hash(id_col, seed).alias("_addr"),
+        budget.alias("_budget"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_addr", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        narrow.withColumn("_cum", F.sum("_n_tok").over(w))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .select(id_col)
+    )
+    return df.join(kept, id_col, "left_semi")

@@ -204,3 +204,68 @@ def test_train_val_test_split_rejects_bad_fractions(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     with _pytest.raises(ValueError, match="sum to"):
         train_val_test_split(docs, {"train": 0.5, "val": 0.1})
+
+
+class TestTokenBudgetSample:
+    def _docs(self, spark):
+        rows = [
+            (i, "code" if i % 3 == 0 else "web",
+             " ".join(f"tok{j}" for j in range((i % 7) + 2)))
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    def test_budget_respected_and_duckdb_parity(self, spark):
+        from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+        df = self._docs(spark)
+        out = token_budget_sample(
+            df, "domain", {"code": 40, "web": 25}, default_budget=0
+        )
+        rows = out.collect()
+        by_dom: dict[str, int] = {}
+        for r in rows:
+            by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + len(r["text"].split())
+        assert by_dom.get("code", 0) <= 40
+        assert by_dom.get("web", 0) <= 25
+        assert rows, "sampler kept nothing"
+
+        # DuckDB twin: same hash addressing, same prefix rule
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.register("docs", df.toPandas())
+            want = {r[0] for r in con.execute("""
+WITH t AS (
+  SELECT doc_id, domain,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS addr,
+         CASE domain WHEN 'code' THEN 40 WHEN 'web' THEN 25 ELSE 0 END AS budget
+  FROM docs
+), c AS (
+  SELECT *, sum(n_tok) OVER (
+    PARTITION BY domain ORDER BY addr, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id FROM c WHERE cum <= budget
+            """).fetchall()}
+        finally:
+            con.close()
+        assert {r["doc_id"] for r in rows} == want
+
+    def test_monotone_growth_with_budget(self, spark):
+        """Raising a budget only ADDS documents (prefix property)."""
+        from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+        df = self._docs(spark)
+        small = {r["doc_id"] for r in token_budget_sample(
+            df, "domain", {}, default_budget=30).collect()}
+        big = {r["doc_id"] for r in token_budget_sample(
+            df, "domain", {}, default_budget=90).collect()}
+        assert small <= big
+        # determinism across partitionings
+        again = {r["doc_id"] for r in token_budget_sample(
+            df.repartition(7), "domain", {}, default_budget=30).collect()}
+        assert again == small
