@@ -150,3 +150,146 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
             F.least(F.col("spc"), F.col("_total") - start).alias("n_samples"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders for library-free formats (r5). The stub boundary above
+# remains for JPEG/PNG/MP3/H.264 — formats that genuinely need PIL/ffmpeg
+# — but netpbm images (PGM P5 / PPM P6) and PCM WAV audio decode with
+# numpy + the stdlib alone, so for THOSE the seam is real end to end.
+# ---------------------------------------------------------------------------
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary PGM (P5)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return f"P5\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_image_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm decode: P5 -> (h, w) uint8, P6 -> (h, w, 3) uint8.
+    Handles whitespace runs and '#' comments in the header per the spec."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    depth = 3 if payload[:2] == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth, offset=i)
+    return raster.reshape((h, w, 3) if depth == 3 else (h, w))
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(int(sample_rate))
+        f.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV -> (sample_rate, int16 samples of channel 0)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        sr = f.getframerate()
+        raw = f.readframes(f.getnframes())
+        a = np.frombuffer(raw, dtype=np.int16)
+        if f.getnchannels() > 1:
+            a = a[:: f.getnchannels()]
+    return sr, a
+
+
+def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract with REAL decoders where the format
+    allows: netpbm images (P5/P6 magic) yield true width/height and
+    pixel mean/std, PCM WAV ('RIFF..WAVE') yields true sample_rate,
+    sample count and RMS — both pure numpy/stdlib, decoded inside the
+    same Arrow-batched map as the stub path. Payloads in formats that
+    need external codec libraries fall through to the documented stub
+    boundary: ``strict=True`` raises ``NotImplementedError`` there,
+    else deterministic byte-level fake features with ``fmt='opaque'``.
+    One output row per media row; columns not applicable to a modality
+    are NULL."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "kind", "fmt", "width", "height",
+                    "px_mean", "px_std", "sample_rate", "n_samples", "rms",
+                )
+            }
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = dict.fromkeys(out)
+                row["media_id"], row["kind"] = media_id, kind
+                p = bytes(payload)
+                if p[:2] in (b"P5", b"P6"):
+                    img = decode_image_netpbm(p)
+                    row["fmt"] = "ppm" if img.ndim == 3 else "pgm"
+                    row["height"], row["width"] = img.shape[0], img.shape[1]
+                    row["px_mean"] = float(img.mean())
+                    row["px_std"] = float(img.std())
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    sr, samples = decode_audio_wav(p)
+                    row["fmt"] = "wav"
+                    row["sample_rate"] = sr
+                    row["n_samples"] = len(samples)
+                    row["rms"] = float(
+                        np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                    ) if len(samples) else 0.0
+                elif strict:
+                    raise NotImplementedError(
+                        "payload format needs an external codec "
+                        "(PIL/ffmpeg, not in container)"
+                    )
+                else:
+                    a = np.frombuffer(p, dtype=np.uint8)
+                    row["fmt"] = "opaque"
+                    row["px_mean"] = float(a.mean()) if len(a) else 0.0
+                    row["n_samples"] = len(a)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        extract,
+        schema="media_id long, kind string, fmt string, width int, "
+        "height int, px_mean double, px_std double, sample_rate int, "
+        "n_samples long, rms double",
+    )

@@ -81,3 +81,76 @@ def test_audio_chunks_cover_duration(media):
         rows.sort(key=lambda r: r["chunk_idx"])
         assert all(r["n_samples"] == 4000 for r in rows[:-1])
         assert 0 < rows[-1]["n_samples"] <= 4000
+
+
+class TestRealDecoders:
+    def test_netpbm_roundtrip_and_wav_roundtrip(self):
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            decode_audio_wav,
+            decode_image_netpbm,
+            encode_pgm,
+            encode_ppm,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        gray = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+        assert (decode_image_netpbm(encode_pgm(gray)) == gray).all()
+        rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        assert (decode_image_netpbm(encode_ppm(rgb)) == rgb).all()
+        # header comments per spec
+        with_comment = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+        assert decode_image_netpbm(with_comment).shape == (2, 3)
+
+        sr, n = 16000, 480
+        samples = (np.sin(np.arange(n) / 10.0) * 20000).astype(np.int16)
+        got_sr, got = decode_audio_wav(encode_wav(sr, samples))
+        assert got_sr == sr and (got == samples).all()
+
+    def test_decode_real_features_end_to_end(self, spark):
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            decode_real_features,
+            encode_pgm,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
+        wav_samples = (np.sin(np.arange(320) / 5.0) * 1000).astype(np.int16)
+        rows = [
+            (1, 1, "image", bytearray(encode_pgm(img)), None),
+            (2, 2, "audio", bytearray(encode_wav(8000, wav_samples)), None),
+            (3, 3, "video", bytearray(b"\x00\x01\x02\x03"), None),  # opaque
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in decode_real_features(media).collect()}
+
+        assert got[1]["fmt"] == "pgm"
+        assert (got[1]["width"], got[1]["height"]) == (12, 8)
+        assert got[1]["px_mean"] == pytest.approx(float(img.mean()))
+        assert got[1]["px_std"] == pytest.approx(float(img.std()))
+
+        assert got[2]["fmt"] == "wav"
+        assert got[2]["sample_rate"] == 8000
+        assert got[2]["n_samples"] == 320
+        assert got[2]["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(wav_samples.astype(np.float64) ** 2)))
+        )
+
+        assert got[3]["fmt"] == "opaque" and got[3]["n_samples"] == 4
+
+        # strict mode raises ONLY at the genuinely-external seam
+        import pytest as _pytest
+
+        real_only = media.filter("media_id < 3")
+        assert decode_real_features(real_only, strict=True).count() == 2
+        with _pytest.raises(Exception, match="NotImplementedError|external codec"):
+            decode_real_features(media, strict=True).collect()
