@@ -313,7 +313,10 @@ def _write_batch_dir(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     (
-        bucketed.repartition(F.col("_tb"))
+        # exactly n_buckets shuffle partitions: the write fans out by
+        # _tb anyway, so the default spark.sql.shuffle.partitions only
+        # adds empty tasks (and empty-file overhead) past n_buckets
+        bucketed.repartition(n_buckets, F.col("_tb"))
         # overwrite reclaims a batch dir orphaned by a failed earlier
         # attempt at this same version (pointer never moved), mirroring
         # the versioned tables' _write_batch
