@@ -886,6 +886,150 @@ class Engine:
             "payload_json string, score double",
         )
 
+    def search_many(
+        self,
+        owner: str,
+        category: str,
+        texts: list[str],
+        count: int = 10,
+        nprobe: int = 0,
+    ) -> DataFrame:
+        """Batched search: N query texts answered with ONE embed call
+        and ONE Spark plan (engine extension; the reference serves one
+        request per HTTP call). Returns (q_ix, document_id, name,
+        external_id, payload_json, score) where ``q_ix`` indexes into
+        ``texts``; per-query pages match :meth:`search` exactly
+        (same probe ranking, scoring, dedup-by-document and (round-6
+        desc, id asc) order — asserted in tests).
+
+        Shape (plans/ivf.ivf_search_batch applied to the managed
+        store): all texts embed in one provider round-trip (the upload
+        path already batches, server/upload.go:134-152); probe ranking
+        runs driver-side per query over the TTL-cached centroid set;
+        the UNION of probed lists is read once (manifest-pruned) and
+        the (q_ix, qvec, centroid) probe frame broadcasts into it, so
+        a chunk is scored once per query probing its list — candidate
+        work = Σ_q |probed lists of q|, never N × corpus. One shuffle:
+        the per-query dedup + top-k."""
+        from pyspark.sql import Window
+
+        count, _off, nprobe = normalize_search_args(count, 0, nprobe)
+        scope = self._category_id(owner, category)
+        if scope is None or not texts:
+            return self.spark.createDataFrame(
+                [],
+                "q_ix long, document_id long, name string, "
+                "external_id string, payload_json string, score double",
+            )
+        qvecs = self._embed_queries(
+            [f"{SEARCH_QUERY_PREFIX}{t}" for t in texts]
+        )
+        cents = self._category_centroids(scope)
+        probe_rows = [
+            (ix, [float(x) for x in qv], int(cid))
+            for ix, qv in enumerate(qvecs)
+            for cid in _rank_probe_ids(cents, qv, nprobe)
+        ]
+        if not probe_rows:
+            return self.spark.createDataFrame(
+                [],
+                "q_ix long, document_id long, name string, "
+                "external_id string, payload_json string, score double",
+            )
+        probe = self.spark.createDataFrame(
+            probe_rows, "q_ix long, _qvec array<double>, centroid_id long"
+        )
+        all_probed = sorted({r[2] for r in probe_rows})
+        from go_vectorsearch_spark.functions.vector import cosine_similarity
+
+        emb = dequantized_vector(
+            self.t["embeddings"]
+            .read(partition_values=all_probed)
+            .filter(F.col("centroid_id").isin(all_probed))
+        )
+        scored = emb.join(F.broadcast(probe), "centroid_id").withColumn(
+            "_s", cosine_similarity(F.col("vector"), F.col("_qvec"))
+        )
+        best = scored.groupBy("q_ix", "document_id").agg(
+            F.max("_s").alias("score")
+        )
+        w = Window.partitionBy("q_ix").orderBy(
+            F.desc(F.round("score", 6)), F.asc("document_id")
+        )
+        page_rows = (
+            best.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= count)
+            .select("q_ix", "document_id", "score")
+            .collect()
+        )
+        if not page_rows:
+            return self.spark.createDataFrame(
+                [],
+                "q_ix long, document_id long, name string, "
+                "external_id string, payload_json string, score double",
+            )
+        ids = sorted({r["document_id"] for r in page_rows})
+        page = F.broadcast(
+            self.spark.createDataFrame(
+                [
+                    (r["q_ix"], r["document_id"], float(r["score"]))
+                    for r in page_rows
+                ],
+                "q_ix long, document_id long, score double",
+            )
+        )
+        docs = (
+            self.t["documents"]
+            .read(partition_values=sorted({i % N_DOC_BUCKETS for i in ids}))
+            .filter(
+                F.col("document_id").isin(ids)
+                & (F.col("category_id") == scope)
+            )
+        )
+        return (
+            docs.join(page, "document_id")
+            .select(
+                "q_ix", "document_id", "name", "external_id",
+                "payload_json", "score",
+            )
+            .orderBy(
+                "q_ix", F.desc(F.round("score", 6)), F.asc("document_id")
+            )
+        )
+
+    def _embed_queries(self, qtexts: list[str]) -> list[list[float]]:
+        """All query vectors in ONE provider round-trip (the batch form
+        of :meth:`_embed_query` — same request shape, same
+        quantize-at-decode round-trip per vector)."""
+        if not self.provider:
+            rows = (
+                self.spark.createDataFrame(
+                    [(i, t) for i, t in enumerate(qtexts)], "i long, t string"
+                )
+                .select("i", noop_embed(F.col("t"), dim=self.embed_dim).alias("v"))
+                .orderBy("i")
+                .collect()
+            )
+            return [list(r["v"]) for r in rows]
+        import numpy as np
+
+        from go_vectorsearch_spark.sources.embed_http import embed_texts_once
+
+        codes, lo, hi = embed_texts_once(
+            self.provider.api_bases[0],
+            qtexts,
+            self.provider.model,
+            num_ctx=self.provider.num_ctx,
+            token=self.provider.token,
+            path=self.provider.embed_path,
+        )
+        span = (hi.astype(np.float32) - lo.astype(np.float32)).astype(np.float32)
+        deq = (
+            lo.astype(np.float32)[:, None]
+            + codes.astype(np.float32) / np.float32(255.0) * span[:, None]
+        )
+        return [row.astype(float).tolist() for row in deq]
+
     def _vector_topk(
         self,
         scope: int,

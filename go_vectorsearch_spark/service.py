@@ -370,6 +370,32 @@ class Service:
             ]
         }
 
+    def search_batch(self, req: dict) -> dict:
+        """N query texts in one request → one embed round-trip + one
+        Spark plan (Engine.search_many). Response: ``results`` holds
+        one /api/search-shaped document list PER input text, in input
+        order (empty list for texts with no hits)."""
+        texts = [str(t) for t in req.get("texts") or []]
+        rows = self.engine.search_many(
+            req.get("owner", ""),
+            req.get("category", ""),
+            texts,
+            count=int(req.get("count") or 0),
+            nprobe=int(req.get("centroids") or 0),
+        ).collect()
+        results: list[list[dict]] = [[] for _ in texts]
+        for r in rows:
+            results[r["q_ix"]].append(
+                {
+                    "name": r["name"],
+                    "external_id": r["external_id"],
+                    "document": json.loads(r["payload_json"]),
+                    "document_id": r["document_id"],
+                    "document_similarity": r["score"],
+                }
+            )
+        return {"results": [{"documents": d} for d in results]}
+
     def admin_refresh(self, req: dict) -> dict:
         """Centroid-index refresh: per (owner, category) when given,
         else the full RefreshCentroids-style sweep over every category
@@ -442,6 +468,7 @@ _ROUTES = {
     # extension routes beyond the reference's surface (clearly additive:
     # every reference route above keeps its exact shape)
     "/api/search_hybrid": ("search_hybrid", ("POST", "GET"), True, False),
+    "/api/search_batch": ("search_batch", ("POST",), True, False),
     "/api/admin/refresh": ("admin_refresh", ("POST",), False, True),
     "/api/admin/stats": ("admin_stats", ("POST", "GET"), False, False),
 }

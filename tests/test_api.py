@@ -716,3 +716,42 @@ def test_search_where_adaptive_probe_widening(spark, tmp_path):
     hall = [r["document_id"] for r in eng.search_hybrid(
         "acme", "wiki", "widening test", count=10, nprobe=-1, where=pred).collect()]
     assert h1 == hall and set(h1) == keep
+
+
+def test_search_many_matches_per_query_search(spark, tmp_path):
+    """Batched search: each query's page in search_many equals the
+    per-query Engine.search result exactly (same probe ranking, dedup,
+    order), at both nprobe=1 and nprobe=all on a multi-centroid index;
+    empty-text and unknown-category degenerate cases are empty."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"D{i}", "external_id": f"m{i}",
+         "document": _json.dumps({"body": f"batched search doc {i} "
+                                          f"{'alpha' if i < 15 else 'beta'}"})}
+        for i in range(30)
+    ]
+    eng.upload("acme", "wiki", docs)
+    assert eng.refresh_index("acme", "wiki", max_leaf=8) > 1
+
+    texts = ["alpha doc", "beta doc", "batched search"]
+    for nprobe in (1, -1):
+        out = eng.search_many("acme", "wiki", texts, count=5, nprobe=nprobe)
+        by_q: dict[int, list] = {}
+        for r in out.collect():
+            by_q.setdefault(r["q_ix"], []).append(r)
+        for ix, t in enumerate(texts):
+            single = eng.search("acme", "wiki", t, count=5, nprobe=nprobe).collect()
+            got = by_q.get(ix, [])
+            assert [r["document_id"] for r in got] == [
+                r["document_id"] for r in single
+            ], f"q{ix} nprobe={nprobe} diverged"
+            for g, s in zip(got, single):
+                assert g["score"] == pytest.approx(s["score"])
+                assert g["name"] == s["name"]
+
+    assert eng.search_many("acme", "wiki", [], count=5).count() == 0
+    assert eng.search_many("ghost", "wiki", ["x"], count=5).count() == 0

@@ -673,3 +673,36 @@ def test_delete_route_bulk_extension(served):
         F.col("category_id") == eng._category_id("bulk", "docs")
     ).count()
     assert left == 1
+
+
+def test_search_batch_route(served):
+    """/api/search_batch answers N texts in one request, each entry
+    /api/search-shaped and equal to the single-query route."""
+    eng, port, _ = served
+    docs = [
+        {"name": f"SB{i}", "external_id": f"sb{i}",
+         "document": json.dumps({"b": f"batch route doc {i} "
+                                      f"{'left' if i < 3 else 'right'}"})}
+        for i in range(6)
+    ]
+    _call(port, "/api/upload", {"owner": "sb", "category": "docs", "documents": docs})
+
+    texts = ["left doc", "right doc"]
+    resp, data = _call(port, "/api/search_batch", {
+        "owner": "sb", "category": "docs", "texts": texts,
+        "count": 3, "centroids": -1,
+    })
+    assert resp.status == 200
+    results = json.loads(data)["results"]
+    assert len(results) == 2
+    for t, entry in zip(texts, results):
+        _, sdata = _call(port, "/api/search", {
+            "owner": "sb", "category": "docs", "text": t,
+            "count": 3, "centroids": -1,
+        })
+        single = json.loads(sdata)["documents"]
+        assert [d["document_id"] for d in entry["documents"]] == [
+            d["document_id"] for d in single
+        ]
+        for a, b in zip(entry["documents"], single):
+            assert a["document_similarity"] == pytest.approx(b["document_similarity"])
