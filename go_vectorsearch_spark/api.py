@@ -893,6 +893,7 @@ class Engine:
         texts: list[str],
         count: int = 10,
         nprobe: int = 0,
+        where=None,
     ) -> DataFrame:
         """Batched search: N query texts answered with ONE embed call
         and ONE Spark plan (engine extension; the reference serves one
@@ -900,7 +901,12 @@ class Engine:
         external_id, payload_json, score) where ``q_ix`` indexes into
         ``texts``; per-query pages match :meth:`search` exactly
         (same probe ranking, scoring, dedup-by-document and (round-6
-        desc, id asc) order — asserted in tests).
+        desc, id asc) order — asserted in tests). ``where`` pre-filters
+        the probed scan exactly like :meth:`search`'s (shared allowed
+        semi-join); the batch form does NOT adaptively widen probes —
+        callers pairing a selective predicate with a small nprobe
+        should pass nprobe=-1 (each query still scores only its own
+        probed lists).
 
         Shape (plans/ivf.ivf_search_batch applied to the managed
         store): all texts embed in one provider round-trip (the upload
@@ -942,11 +948,21 @@ class Engine:
         all_probed = sorted({r[2] for r in probe_rows})
         from go_vectorsearch_spark.functions.vector import cosine_similarity
 
-        emb = dequantized_vector(
+        raw = (
             self.t["embeddings"]
             .read(partition_values=all_probed)
             .filter(F.col("centroid_id").isin(all_probed))
         )
+        if where is not None:
+            allowed = (
+                self.t["documents"]
+                .read()
+                .filter(F.col("category_id") == scope)
+                .filter(where)
+                .select("document_id")
+            )
+            raw = raw.join(allowed, "document_id", "left_semi")
+        emb = dequantized_vector(raw)
         scored = emb.join(F.broadcast(probe), "centroid_id").withColumn(
             "_s", cosine_similarity(F.col("vector"), F.col("_qvec"))
         )

@@ -755,3 +755,32 @@ def test_search_many_matches_per_query_search(spark, tmp_path):
 
     assert eng.search_many("acme", "wiki", [], count=5).count() == 0
     assert eng.search_many("ghost", "wiki", ["x"], count=5).count() == 0
+
+
+def test_search_many_where_prefilters(spark, tmp_path):
+    """search_many(where=) pre-filters the probed scan: per-query pages
+    equal the filtered per-query search at nprobe=all."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"{'keep' if i % 2 else 'drop'}-{i}", "external_id": f"w{i}",
+         "document": _json.dumps({"body": f"many filtered doc {i}"})}
+        for i in range(10)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    keep = {ids[i] for i in range(10) if i % 2}
+    pred = F.col("name").startswith("keep")
+
+    texts = ["many filtered", "doc"]
+    out = eng.search_many("acme", "wiki", texts, count=5, nprobe=-1, where=pred)
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_ix"], []).append(r["document_id"])
+    for ix, t in enumerate(texts):
+        single = [r["document_id"] for r in eng.search(
+            "acme", "wiki", t, count=5, nprobe=-1, where=pred).collect()]
+        assert by_q.get(ix, []) == single
+        assert set(by_q.get(ix, [])) <= keep
