@@ -166,9 +166,14 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     per_job_floor = round(sorted(floor_samples)[2], 4)
 
+    # Materialization = the Arrow client path on BOTH engines (Spark
+    # toPandas / DuckDB .arrow() below): row-object collect() spends up
+    # to 3x the query's own runtime building Python Row objects for the
+    # bulk-result entries, which benchmarks the py4j row codec, not the
+    # engine. Arrow is how a real client consumes either engine.
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        spec.fn(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -204,7 +209,7 @@ def main() -> None:
             name = None
             try:
                 for name in sorted(oracle_names):
-                    con.execute(registry.REGISTRY[name].oracle).fetchall()
+                    con.execute(registry.REGISTRY[name].oracle).arrow()
                 duckdb_total = round(time.perf_counter() - t0, 3)
             except Exception as e:
                 # context only — the bench metric never depends on it —
