@@ -479,6 +479,14 @@ class _Handler(BaseHTTPRequestHandler):
     service: Service  # set by make_server
 
     # -- plumbing ----------------------------------------------------------
+    def send_response(self, code, message=None):
+        super().send_response(code, message)
+        # headers middleware (main.go:119-126): the reference sets the
+        # WASM cross-origin-isolation pair on EVERY response (its demo
+        # UI runs a WASM client needing SharedArrayBuffer)
+        self.send_header("Cross-Origin-Opener-Policy", "same-origin")
+        self.send_header("Cross-Origin-Embedder-Policy", "require-corp")
+
     def _read_body(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n) if n else b"{}"

@@ -706,3 +706,13 @@ def test_search_batch_route(served):
         ]
         for a, b in zip(entry["documents"], single):
             assert a["document_similarity"] == pytest.approx(b["document_similarity"])
+
+
+def test_wasm_isolation_headers_on_every_response(served):
+    """The reference's headers middleware (main.go:119-126) sets the
+    cross-origin-isolation pair on every response; ours must too."""
+    _, port, _ = served
+    for path, method in (("/api/categories", "POST"), ("/api/nope", "POST")):
+        resp, _ = _call(port, path, {"owner": "acme"}, method=method)
+        assert resp.getheader("Cross-Origin-Opener-Policy") == "same-origin"
+        assert resp.getheader("Cross-Origin-Embedder-Policy") == "require-corp"
