@@ -930,6 +930,35 @@ class Engine:
         qvecs = self._embed_queries(
             [f"{SEARCH_QUERY_PREFIX}{t}" for t in texts]
         )
+        best = self._vector_best_many(scope, qvecs, nprobe, where)
+        if best is None:
+            return self._empty_many_result()
+        w = Window.partitionBy("q_ix").orderBy(
+            F.desc(F.round("score", 6)), F.asc("document_id")
+        )
+        page_rows = (
+            best.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= count)
+            .select("q_ix", "document_id", "score")
+            .collect()
+        )
+        return self._hydrate_pages_many(page_rows, scope)
+
+    def _empty_many_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "q_ix long, document_id long, name string, "
+            "external_id string, payload_json string, score double",
+        )
+
+    def _vector_best_many(
+        self, scope: int, qvecs: list, nprobe: int, where=None
+    ) -> DataFrame | None:
+        """Batched vector scoring core: per-query best-chunk-per-
+        document frame (q_ix, document_id, score) over the UNION of
+        probed lists (one manifest-pruned read; the probe frame
+        broadcasts in so a chunk scores once per query probing its
+        list). None when no probes (empty category)."""
         cents = self._category_centroids(scope)
         probe_rows = [
             (ix, [float(x) for x in qv], int(cid))
@@ -937,11 +966,7 @@ class Engine:
             for cid in _rank_probe_ids(cents, qv, nprobe)
         ]
         if not probe_rows:
-            return self.spark.createDataFrame(
-                [],
-                "q_ix long, document_id long, name string, "
-                "external_id string, payload_json string, score double",
-            )
+            return None
         probe = self.spark.createDataFrame(
             probe_rows, "q_ix long, _qvec array<double>, centroid_id long"
         )
@@ -966,24 +991,16 @@ class Engine:
         scored = emb.join(F.broadcast(probe), "centroid_id").withColumn(
             "_s", cosine_similarity(F.col("vector"), F.col("_qvec"))
         )
-        best = scored.groupBy("q_ix", "document_id").agg(
+        return scored.groupBy("q_ix", "document_id").agg(
             F.max("_s").alias("score")
         )
-        w = Window.partitionBy("q_ix").orderBy(
-            F.desc(F.round("score", 6)), F.asc("document_id")
-        )
-        page_rows = (
-            best.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= count)
-            .select("q_ix", "document_id", "score")
-            .collect()
-        )
+
+    def _hydrate_pages_many(self, page_rows: list, scope: int) -> DataFrame:
+        """Hydrate collected (q_ix, document_id, score) pages — the
+        batch form of _hydrate_page: one manifest-pruned documents
+        read for all pages."""
         if not page_rows:
-            return self.spark.createDataFrame(
-                [],
-                "q_ix long, document_id long, name string, "
-                "external_id string, payload_json string, score double",
-            )
+            return self._empty_many_result()
         ids = sorted({r["document_id"] for r in page_rows})
         page = F.broadcast(
             self.spark.createDataFrame(
@@ -1012,6 +1029,151 @@ class Engine:
                 "q_ix", F.desc(F.round("score", 6)), F.asc("document_id")
             )
         )
+
+    def search_many_hybrid(
+        self,
+        owner: str,
+        category: str,
+        texts: list[str],
+        count: int = 10,
+        offset: int = 0,
+        nprobe: int = 0,
+        fuse_depth: int = 60,
+        rrf_c: int = 60,
+    ) -> DataFrame:
+        """Batched hybrid search: N query texts fused (vector + BM25 by
+        RRF) in ONE embed call and one plan per leg — the batch form of
+        :meth:`search_hybrid`, per-query pages identical to it (tested).
+
+        The vector leg reuses the batched probe core
+        (:meth:`_vector_best_many`); the lexical leg scores ALL queries
+        against ONE postings scan pruned to the union of every query's
+        term buckets, with a broadcast (q_ix, term) frame fanning each
+        posting to the queries that contain its term — per-term idf/df
+        and the corpus scalars are identical to the single-query
+        scorer, so scores match bm25_search_stored exactly. Fusion
+        ranks per (leg, q_ix) with partitioned windows over the two
+        bounded top-fuse_depth frames and sums 1/(c + rank)."""
+        import re as _re
+
+        from pyspark.sql import Window
+
+        from go_vectorsearch_spark.operators.fulltext import (
+            TOKEN_SPLIT_RE,
+            read_postings,
+        )
+
+        count, offset, nprobe = normalize_search_args(count, offset, nprobe)
+        scope = self._category_id(owner, category)
+        if scope is None or not texts:
+            return self._empty_many_result()
+        path = self._text_index_path(scope)
+        if not os.path.exists(f"{path}/VERSION"):
+            raise ValueError(
+                f"search_many_hybrid: no text index for {owner}/{category}; "
+                "run build_text_index first"
+            )
+        cut = Window.partitionBy("q_ix").orderBy(
+            F.desc(F.round("score", 6)), F.asc("document_id")
+        )
+
+        # -- lexical leg: one pruned scan for every query ----------------
+        index, n_buckets = read_postings(self.spark, path)
+        q_terms = [
+            sorted({t for t in _re.split(TOKEN_SPLIT_RE, t.lower()) if t})
+            for t in texts
+        ]
+        all_terms = sorted({t for ts in q_terms for t in ts})
+        legs = []
+        if all_terms and index.n_docs:
+            bucket_exprs = ", ".join(
+                f"pmod(xxhash64('{t}'), {n_buckets})" for t in all_terms
+            )
+            pruned = index.postings.filter(
+                F.expr(f"_tb IN ({bucket_exprs})")
+            ).drop("_tb").filter(F.col("term").isin(all_terms))
+            n = float(index.n_docs)
+            avgdl = index.avgdl if index.avgdl > 0 else 1.0
+            k1, b = 1.2, 0.75
+            idf = pruned.groupBy("term").agg(
+                F.log(
+                    1.0 + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
+                ).alias("_idf")
+            )
+            qt = self.spark.createDataFrame(
+                [(ix, t) for ix, ts in enumerate(q_terms) for t in ts],
+                "q_ix long, term string",
+            )
+            contrib = (
+                pruned.join(F.broadcast(idf), "term")
+                .join(F.broadcast(qt), "term")
+                .select(
+                    "q_ix",
+                    F.col("doc_id").alias("document_id"),
+                    (
+                        F.col("_idf")
+                        * (F.col("tf") * (k1 + 1.0))
+                        / (
+                            F.col("tf")
+                            + k1
+                            * (
+                                1.0
+                                - b
+                                + b * F.col("dl").cast("double") / F.lit(float(avgdl))
+                            )
+                        )
+                    ).alias("_c"),
+                )
+            )
+            lex = (
+                contrib.groupBy("q_ix", "document_id")
+                .agg(F.sum("_c").alias("score"))
+                .withColumn("_rn", F.row_number().over(cut))
+                .filter(F.col("_rn") <= fuse_depth)
+                .select("q_ix", "document_id", "score")
+            )
+            legs.append(lex)
+
+        # -- vector leg ---------------------------------------------------
+        qvecs = self._embed_queries(
+            [f"{SEARCH_QUERY_PREFIX}{t}" for t in texts]
+        )
+        best = self._vector_best_many(scope, qvecs, nprobe)
+        if best is not None:
+            legs.append(
+                best.withColumn("_rn", F.row_number().over(cut))
+                .filter(F.col("_rn") <= fuse_depth)
+                .select("q_ix", "document_id", "score")
+            )
+        if not legs:
+            return self._empty_many_result()
+
+        # -- fusion: rank per (leg, q_ix), sum 1/(c + rank) ---------------
+        tagged = []
+        for leg_ix, leg in enumerate(legs):
+            wl = Window.partitionBy("q_ix").orderBy(
+                F.desc(F.round("score", 6)), F.asc("document_id")
+            )
+            tagged.append(
+                leg.withColumn("_rank", F.row_number().over(wl)).select(
+                    "q_ix",
+                    "document_id",
+                    (1.0 / (F.lit(rrf_c) + F.col("_rank"))).alias("_rrf"),
+                )
+            )
+        allr = tagged[0]
+        for t in tagged[1:]:
+            allr = allr.unionByName(t)
+        fused_rows = (
+            allr.groupBy("q_ix", "document_id")
+            .agg(F.sum("_rrf").alias("score"))
+            .withColumn("_rn", F.row_number().over(cut))
+            .filter(F.col("_rn") <= count + offset)
+            .select("q_ix", "document_id", "score", "_rn")
+            .collect()
+        )
+        page_rows = [r for r in fused_rows if r["_rn"] > offset]
+        return self._hydrate_pages_many(page_rows, scope)
 
     def _embed_queries(self, qtexts: list[str]) -> list[list[float]]:
         """All query vectors in ONE provider round-trip (the batch form

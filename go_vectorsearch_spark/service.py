@@ -372,17 +372,28 @@ class Service:
 
     def search_batch(self, req: dict) -> dict:
         """N query texts in one request → one embed round-trip + one
-        Spark plan (Engine.search_many). Response: ``results`` holds
-        one /api/search-shaped document list PER input text, in input
+        Spark plan per leg (Engine.search_many / search_many_hybrid
+        when ``"hybrid": true``). Response: ``results`` holds one
+        /api/search-shaped document list PER input text, in input
         order (empty list for texts with no hits)."""
         texts = [str(t) for t in req.get("texts") or []]
-        rows = self.engine.search_many(
-            req.get("owner", ""),
-            req.get("category", ""),
-            texts,
-            count=int(req.get("count") or 0),
-            nprobe=int(req.get("centroids") or 0),
-        ).collect()
+        if req.get("hybrid"):
+            rows = self.engine.search_many_hybrid(
+                req.get("owner", ""),
+                req.get("category", ""),
+                texts,
+                count=int(req.get("count") or 0),
+                offset=int(req.get("offset") or 0),
+                nprobe=int(req.get("centroids") or 0),
+            ).collect()
+        else:
+            rows = self.engine.search_many(
+                req.get("owner", ""),
+                req.get("category", ""),
+                texts,
+                count=int(req.get("count") or 0),
+                nprobe=int(req.get("centroids") or 0),
+            ).collect()
         results: list[list[dict]] = [[] for _ in texts]
         for r in rows:
             results[r["q_ix"]].append(

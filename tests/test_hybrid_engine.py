@@ -300,3 +300,49 @@ def test_hybrid_filtered_where_prefilters_both_legs(spark, tmp_path):
         where=F.col("name").startswith("nothing"),
     ).collect()
     assert none == []
+
+
+def test_search_many_hybrid_matches_per_query_hybrid(spark, tmp_path):
+    """Batched hybrid: each query's fused page equals the single-query
+    search_hybrid result exactly — same BM25 stats, probe ranking, RRF
+    ranks and page order — including the offset form; degenerate cases
+    (no index, empty texts) behave like the single path."""
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"H{i}", "external_id": f"h{i}", "document": json.dumps(
+            {"body": f"hybrid batch doc {i} "
+                     f"{'spark shuffle' if i % 2 else 'catalyst plans'}"})}
+        for i in range(8)
+    ]
+    eng.upload("acme", "wiki", docs)
+    eng.build_text_index("acme", "wiki")
+
+    texts = ["spark shuffle", "catalyst plans", "hybrid batch"]
+    out = eng.search_many_hybrid("acme", "wiki", texts, count=4, nprobe=-1)
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_ix"], []).append(r)
+    for ix, t in enumerate(texts):
+        single = eng.search_hybrid("acme", "wiki", t, count=4, nprobe=-1).collect()
+        got = by_q.get(ix, [])
+        assert [r["document_id"] for r in got] == [
+            r["document_id"] for r in single
+        ], f"q{ix} diverged"
+        for g, s in zip(got, single):
+            assert g["score"] == pytest.approx(s["score"])
+
+    # offset paging parity
+    paged = eng.search_many_hybrid(
+        "acme", "wiki", ["spark shuffle"], count=2, offset=2, nprobe=-1
+    ).collect()
+    single_paged = eng.search_hybrid(
+        "acme", "wiki", "spark shuffle", count=2, offset=2, nprobe=-1
+    ).collect()
+    assert [r["document_id"] for r in paged] == [
+        r["document_id"] for r in single_paged
+    ]
+
+    assert eng.search_many_hybrid("acme", "wiki", [], count=4).count() == 0
+    with pytest.raises(ValueError, match="build_text_index"):
+        eng.upload("acme", "noidx", [docs[0]])
+        eng.search_many_hybrid("acme", "noidx", ["x"])

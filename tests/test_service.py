@@ -716,3 +716,35 @@ def test_wasm_isolation_headers_on_every_response(served):
         resp, _ = _call(port, path, {"owner": "acme"}, method=method)
         assert resp.getheader("Cross-Origin-Opener-Policy") == "same-origin"
         assert resp.getheader("Cross-Origin-Embedder-Policy") == "require-corp"
+
+
+def test_search_batch_hybrid_mode(served):
+    """search_batch with "hybrid": true fuses both legs per text and
+    matches the single /api/search_hybrid route."""
+    eng, port, _ = served
+    docs = [
+        {"name": f"HB{i}", "external_id": f"hb{i}",
+         "document": json.dumps({"b": f"hybrid batch route doc {i} "
+                                      f"{'spark' if i % 2 else 'plans'}"})}
+        for i in range(4)
+    ]
+    _call(port, "/api/upload", {"owner": "hb", "category": "docs", "documents": docs})
+    eng.build_text_index("hb", "docs")
+
+    texts = ["spark doc", "plans doc"]
+    resp, data = _call(port, "/api/search_batch", {
+        "owner": "hb", "category": "docs", "texts": texts,
+        "count": 3, "centroids": -1, "hybrid": True,
+    })
+    assert resp.status == 200
+    results = json.loads(data)["results"]
+    assert len(results) == 2
+    for t, entry in zip(texts, results):
+        _, sdata = _call(port, "/api/search_hybrid", {
+            "owner": "hb", "category": "docs", "text": t,
+            "count": 3, "centroids": -1,
+        })
+        single = json.loads(sdata)["documents"]
+        assert [d["document_id"] for d in entry["documents"]] == [
+            d["document_id"] for d in single
+        ]
