@@ -447,9 +447,9 @@ def q_events_tumbling_hour(spark, sf_dir):
     )
 
 
-@register(
-    "events_sessionize",
-    oracle="""
+# Demoted (r6) to tests/test_demoted_parity.py — ceded its window slot
+# to the r5 pipeline operators (cdc/bpe/ngram/token-budget).
+EVENTS_SESSIONIZE_ORACLE = """
 WITH gaps AS (
   SELECT user_id, ts,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
@@ -461,10 +461,9 @@ SELECT user_id,
        CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM gaps GROUP BY user_id
-""",
-    doc="Sessionization extension: 30-min-gap sessions via lag + running "
-    "sum (batch twin of session_window in streaming)",
-)
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1407,18 +1406,17 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
-@register(
-    "text_fingerprint",
-    oracle=rf"""
+# Demoted (r6) to tests/test_demoted_parity.py — ceded its window slot
+# to the r5 pipeline operators (cdc/bpe/ngram/token-budget).
+TEXT_FINGERPRINT_ORACLE = rf"""
 SELECT doc_id,
        list_reduce(list_transform({_SQL_TOKENS},
                                   tok -> {_SQL_H32.format(x='tok')}),
                    (acc, h) -> (acc * {T.FP_BASE} + h) % {T.FP_MOD}) AS fp
 FROM documents
-""",
-    doc="Rabin-Karp rolling-hash document fingerprint over tokens "
-    "(functions/text.fingerprint; md5-prefix token hashes)",
-)
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     staged = docs.select(
@@ -1632,12 +1630,11 @@ SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM w
 """
 
 
-@register(
-    "dedup_simhash_docs",
-    oracle=_simhash_docs_oracle(),
-    doc="SimHash 60-bit sketch per document: single-shuffle 60-column "
-    "conditional-sum aggregation (operators/dedup.simhash)",
-)
+# Demoted (r6) to tests/test_demoted_parity.py — ceded its window slot
+# to the r5 pipeline operators (cdc/bpe/ngram/token-budget).
+DEDUP_SIMHASH_DOCS_ORACLE = _simhash_docs_oracle()
+
+
 def q_dedup_simhash_docs(spark, sf_dir):
     return _simhash_cached(spark, sf_dir)
 
@@ -1834,18 +1831,15 @@ def q_decontaminate_docs(spark, sf_dir):
     )
 
 
-@register(
-    "sample_stratified",
-    oracle="""
+# Demoted (r6) to tests/test_demoted_parity.py — ceded its window slot
+# to the r5 pipeline operators (cdc/bpe/ngram/token-budget).
+SAMPLE_STRATIFIED_ORACLE = """
 SELECT doc_id, lang FROM documents
 WHERE (CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) % 100
       < CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 30 ELSE 15 END
-""",
-    doc="Stratified sampling for dataset mixing: deterministic "
-    "content-addressed per-language quotas (en 60% / zh 30% / rest 15%) "
-    "- same row set on any cluster layout, retry, or engine "
-    "(operators/curation.stratified_sample)",
-)
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     samp = CUR.stratified_sample(
@@ -3156,6 +3150,398 @@ def q_quality_model_features(spark, sf_dir):
         F.round("f_upper_ratio", 6).alias("f_upper_ratio"),
         F.round("f_digit_ratio", 6).alias("f_digit_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 rotation: the r5 pipeline operators (content-defined chunking,
+# BPE tokenizer, n-gram LM perplexity, token-budget sampling) enter the
+# driver's 50-entry CORRECTNESS window with full DuckDB oracles; four
+# long-stable extension entries (events_sessionize, sample_stratified,
+# text_fingerprint, dedup_simhash_docs) ceded their slots and keep their
+# identical parity bar in tests/test_demoted_parity.py.
+# ---------------------------------------------------------------------------
+
+# CDC chunk parameters for the registry entry: sized to the sf0.01
+# documents table (48-553 chars) so chunking yields ~6 chunks/doc and a
+# real duplicated-passage signal (69/500 docs share chunks).
+CDC_MIN, CDC_AVG, CDC_MAX = 16, 32, 128
+
+
+def _cdc_oracle() -> str:
+    """DuckDB twin of cdc_chunks + cdc_dup_stats.
+
+    The gear rolling hash looks sequential (h = (h<<1 + gear[b]) mod
+    2^64 with resets at every cut), but the boundary test only reads
+    ``h mod avg_size``: with avg_size=32 the low 5 bits of h depend on
+    the last 5 bytes ONLY (older bytes arrive shifted by >=2^5 ≡ 0 mod
+    32), and eligibility requires >=min_size=16 bytes since the reset,
+    so the reset state never reaches the masked bits. Boundary
+    candidacy is therefore position-local and precomputable as a list
+    expression; the remaining walk (min_size/max_size/forced-cut rules)
+    recurses at CHUNK granularity, not byte granularity. The gear table
+    is embedded mod 32 — the only bits the mask can see.
+
+    The oracle works in characters where the engine works in UTF-8
+    bytes; the sf tables are pure ASCII (verified) so the two coincide,
+    and the multi-byte snap path is covered by tests/test_cdc.py."""
+    from go_vectorsearch_spark.operators.cdc import _GEAR
+
+    g32 = [v % 32 for v in _GEAR]
+    return f"""
+WITH RECURSIVE
+g(t) AS (SELECT {g32}),
+pre AS MATERIALIZED (
+  SELECT doc_id, coalesce(text,'') AS text, length(coalesce(text,'')) AS n,
+         list_transform(range(1, length(coalesce(text,''))+1),
+                        p -> ascii(substring(coalesce(text,''), p::INT, 1))) AS bl
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, text, n,
+         CASE WHEN n >= 5 THEN
+           list_filter(range(5, n+1), e ->
+             (t[bl[e::INT]+1] + 2*t[bl[(e-1)::INT]+1] + 4*t[bl[(e-2)::INT]+1]
+              + 8*t[bl[(e-3)::INT]+1] + 16*t[bl[(e-4)::INT]+1]) % 32 = 31)
+         ELSE [] END AS cuts
+  FROM pre, g
+),
+walk(doc_id, ix, s, e, n) AS (
+  SELECT doc_id, 0, 0,
+         CASE WHEN n = 0 THEN 0 ELSE
+           least(coalesce(list_min(list_filter(cuts, c -> c >= {CDC_MIN})),
+                 1073741824), {CDC_MAX}, n) END,
+         n
+  FROM cand
+  UNION ALL
+  SELECT w.doc_id, w.ix + 1, w.e,
+         least(coalesce(list_min(list_filter(c.cuts, x -> x >= w.e + {CDC_MIN})),
+               1073741824), w.e + {CDC_MAX}, w.n),
+         w.n
+  FROM walk w JOIN cand c ON c.doc_id = w.doc_id
+  WHERE w.e < w.n
+),
+chunks AS MATERIALIZED (
+  SELECT w.doc_id, (w.e - w.s) AS chunk_len,
+         md5(substring(c.text, (w.s+1)::INT, (w.e - w.s)::INT)) AS chunk_hash
+  FROM walk w JOIN cand c ON c.doc_id = w.doc_id
+),
+own AS (
+  SELECT chunk_hash, min(doc_id) AS owner, count(*) AS copies
+  FROM chunks GROUP BY chunk_hash
+),
+tagged AS (
+  SELECT ch.doc_id, ch.chunk_len,
+         CASE WHEN o.copies > 1 AND ch.doc_id <> o.owner THEN 1 ELSE 0 END AS is_dup
+  FROM chunks ch JOIN own o ON o.chunk_hash = ch.chunk_hash
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(chunk_len)::BIGINT AS total_len,
+       sum(is_dup)::BIGINT AS dup_chunks,
+       sum(is_dup * chunk_len)::BIGINT AS dup_len,
+       round(sum(is_dup * chunk_len)::DOUBLE /
+             (CASE WHEN sum(chunk_len) > 0 THEN sum(chunk_len) ELSE 1 END), 6)
+         AS dup_frac
+FROM tagged GROUP BY doc_id
+"""
+
+
+@register(
+    "cdc_dup_stats",
+    oracle=_cdc_oracle(),
+    doc="Sub-document dedup: content-defined chunking (FastCDC-style "
+    "gear hash) + per-document duplicated-passage stats — narrow "
+    "Arrow-batched chunker, two md5-groupBy shuffles of narrow rows "
+    "(operators/cdc.py; the reference's Split is fixed-width, "
+    "server/format.go:91-108, and misses shifted shared passages)",
+)
+def q_cdc_dup_stats(spark, sf_dir):
+    from go_vectorsearch_spark.operators.cdc import cdc_chunks, cdc_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(
+        docs, min_size=CDC_MIN, avg_size=CDC_AVG, max_size=CDC_MAX
+    )
+    return cdc_dup_stats(chunks)
+
+
+BPE_N_MERGES = 60
+EOW_SQL = "</w>"  # operators/bpe.EOW — end-of-word marker
+
+# Greedy left-to-right application of one merge pair to a symbol list,
+# as a pure list expression (no fold): for pair (a,b) with a != b the
+# match positions can never overlap, so every candidate merges; for
+# a == b candidates overlap only inside runs of `a`, where greedy takes
+# every other one — position i merges iff its offset inside the maximal
+# run of `a`s ending at it is even. `e.s` is the symbol list and `bg`
+# the pair, both plain columns of the recursive term's FROM (DuckDB
+# binds lambda captures of same-level columns, but not correlated outer
+# columns — hence the GROUP-BY-shaped recursive term instead of a
+# scalar subquery).
+def _bpe_merge_cond(iv: str) -> str:
+    return f"""(
+  ({iv}) < len(e.s) AND e.s[({iv})::INT] = bg[1] AND e.s[(({iv})+1)::INT] = bg[2]
+  AND (bg[1] <> bg[2]
+       OR (({iv}) - 1 - coalesce(list_max(list_filter(range(1, {iv}),
+             j -> e.s[j::INT] <> bg[1])), 0)) % 2 = 0)
+)"""
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of train_bpe + bpe_encode — training AND encoding in
+    SQL, no constants imported from the Python learner.
+
+    Training: single-row-state recursive CTE; each level picks the
+    most-frequent adjacent pair (ties: lexicographically smallest, the
+    learner's determinism rule) via a scalar subquery over the unnested
+    vocab, then rebuilds the vocab with a GROUP BY over the unnest —
+    aggregate-in-recursive-term is the shape DuckDB accepts where
+    correlated lambdas are not. Encoding: per distinct word, a second
+    recursion applies the lowest-rank applicable merge one at a time at
+    the earliest position — exactly segment_word's loop."""
+    return f"""
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')),
+                 '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+hist AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w ORDER BY c DESC, w LIMIT 50000
+),
+rec(it, vocab, merges) AS (
+  SELECT 0,
+         (SELECT list({{'s': string_split(w, '') || ['{EOW_SQL}'], 'c': c}}) FROM hist),
+         []::VARCHAR[][]
+  UNION ALL
+  SELECT step.it + 1,
+         list({{'s': list_transform(
+                  list_filter(range(1, len(e.s)+1),
+                              i -> i = 1 OR NOT {_bpe_merge_cond("i-1")}),
+                  i -> CASE WHEN {_bpe_merge_cond("i")}
+                       THEN bg[1] || bg[2] ELSE e.s[i::INT] END),
+               'c': e.c}}),
+         any_value(step.merges) || [any_value(step.bg)]
+  FROM (
+    SELECT r.it, r.vocab, r.merges,
+           (SELECT g FROM (
+              SELECT [e2.s[i::INT], e2.s[(i+1)::INT]] AS g, sum(e2.c) AS pc
+              FROM unnest(r.vocab) AS t2(e2), unnest(range(1, len(e2.s))) AS u(i)
+              GROUP BY 1
+            ) ORDER BY pc DESC, g LIMIT 1) AS bg
+    FROM rec r WHERE r.it < {BPE_N_MERGES}
+  ) AS step,
+  unnest(step.vocab) AS t(e)
+  WHERE step.bg IS NOT NULL
+  GROUP BY step.it, step.bg
+),
+mt AS MATERIALIZED (SELECT merges FROM rec ORDER BY it DESC LIMIT 1),
+words AS MATERIALIZED (SELECT DISTINCT unnest(t) AS w FROM toks),
+seg(w, syms, it) AS (
+  SELECT w, string_split(w, '') || ['{EOW_SQL}'], 0 FROM words
+  UNION ALL
+  SELECT s.w,
+         list_slice(s.syms, 1, s.bi - 1)
+           || [s.syms[s.bi::INT] || s.syms[(s.bi + 1)::INT]]
+           || list_slice(s.syms, s.bi + 2, len(s.syms)),
+         s.it + 1
+  FROM (
+    SELECT sg.w, sg.syms, sg.it,
+           CASE WHEN list_min(list_filter(sg.ra, x -> x > 0)) IS NOT NULL
+                THEN list_position(sg.ra, list_min(list_filter(sg.ra, x -> x > 0)))
+           END AS bi
+    FROM (
+      SELECT g.w, g.syms, g.it,
+             list_transform(range(1, len(g.syms)),
+                i -> list_position(m.merges, [g.syms[i::INT], g.syms[(i+1)::INT]])) AS ra
+      FROM seg g, mt m
+    ) sg
+  ) s
+  WHERE s.bi IS NOT NULL
+),
+final AS (SELECT w, arg_max(syms, it) AS syms FROM seg GROUP BY w),
+pos AS (
+  SELECT doc_id, i AS pos, t[i::INT] AS w
+  FROM toks, unnest(range(1, len(t)+1)) AS u(i)
+),
+enc AS (
+  SELECT p.doc_id, flatten(list(f.syms ORDER BY p.pos)) AS tokens
+  FROM pos p JOIN final f ON f.w = p.w
+  GROUP BY p.doc_id
+)
+SELECT tk.doc_id,
+       coalesce(e.tokens, []) AS tokens,
+       coalesce(len(e.tokens), 0)::INT AS n_tokens
+FROM toks tk LEFT JOIN enc e ON e.doc_id = tk.doc_id
+"""
+
+
+def _bpe_merges_cached(spark, sf_dir: str):
+    cache = _session_cache(spark, "_gvs_bpe_cache")
+    if sf_dir not in cache:
+        from go_vectorsearch_spark.operators.bpe import train_bpe
+
+        cache[sf_dir] = train_bpe(
+            _t(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES, max_words=50_000
+        )
+    return cache[sf_dir]
+
+
+@register(
+    "bpe_encode_docs",
+    oracle=_bpe_oracle(),
+    doc="BPE tokenizer train + encode (Sennrich 2016): corpus-scale "
+    "word histogram (one explode+groupBy), driver-side merge learning "
+    "over the bounded histogram, narrow Arrow-batched encode with the "
+    "merge table in the closure (operators/bpe.py); the oracle "
+    "re-derives the merges and re-encodes entirely in SQL",
+)
+def q_bpe_encode_docs(spark, sf_dir):
+    from go_vectorsearch_spark.operators.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, _bpe_merges_cached(spark, sf_dir))
+
+
+NGRAM_ORDER = 3
+NGRAM_MAX_ENTRIES = 200_000  # >> the sf0.01 gram space: the top-k cut
+# is a no-op on BOTH engines, so its tie-break semantics can't diverge
+
+
+def _ngram_ppl_oracle() -> str:
+    """DuckDB twin of train_ngram_lm + perplexity_score: per-order gram
+    count CTEs (the trained model), then per-position stupid-backoff
+    lookups as LEFT JOINs and an ORDER BY pos list_sum so float
+    accumulation order matches the scorer's left-to-right loop."""
+    la = "log2(0.4)"  # BACKOFF_ALPHA
+    return f"""
+WITH
+toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')),
+                 '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT g, count(*)::BIGINT AS c FROM (SELECT [unnest(t)] AS g FROM toks)
+  GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
+),
+bi AS MATERIALIZED (
+  SELECT g, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+                  i -> list_slice(t, i, i+1))) AS g FROM toks)
+  GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
+),
+tri AS MATERIALIZED (
+  SELECT g, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                  i -> list_slice(t, i, i+2))) AS g FROM toks)
+  GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
+),
+consts AS MATERIALIZED (
+  SELECT (SELECT sum(len(t))::BIGINT FROM toks) AS tot,
+         (SELECT count(*)::BIGINT FROM uni) AS nv
+),
+pos AS (
+  SELECT doc_id, i AS pos, least(i, {NGRAM_ORDER}) AS glen,
+         list_slice(t, greatest(i-2, 1), i) AS g3,
+         list_slice(t, greatest(i-1, 1), i) AS g2,
+         [t[i::INT]] AS g1
+  FROM toks, unnest(range(1, len(t)+1)) AS u(i)
+),
+lp AS (
+  SELECT p.doc_id, p.pos,
+    CASE
+      WHEN p.glen >= 3 AND t3.c IS NOT NULL AND d3.c IS NOT NULL
+        THEN log2(t3.c::DOUBLE / d3.c)
+      WHEN p.glen >= 2 AND t2.c IS NOT NULL AND d2.c IS NOT NULL
+        THEN log2(t2.c::DOUBLE / d2.c) + (p.glen - 2) * {la}
+      ELSE log2((coalesce(u1.c, 0) + 1)::DOUBLE / (c.tot + c.nv + 1))
+           + (p.glen - 1) * {la}
+    END AS l
+  FROM pos p
+  CROSS JOIN consts c
+  LEFT JOIN tri t3 ON p.glen >= 3 AND t3.g = p.g3
+  LEFT JOIN bi  d3 ON p.glen >= 3 AND d3.g = list_slice(p.g3, 1, 2)
+  LEFT JOIN bi  t2 ON p.glen >= 2 AND t2.g = p.g2
+  LEFT JOIN uni d2 ON p.glen >= 2 AND d2.g = list_slice(p.g2, 1, 1)
+  LEFT JOIN uni u1 ON u1.g = p.g1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, list_sum(list(l ORDER BY pos)) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       coalesce(a.n, 0)::INT AS n_tokens,
+       round(-a.s / a.n, 6) AS log2ppl
+FROM toks tk LEFT JOIN agg a ON a.doc_id = tk.doc_id
+"""
+
+
+def _ngram_lm_cached(spark, sf_dir: str):
+    cache = _session_cache(spark, "_gvs_ngram_cache")
+    if sf_dir not in cache:
+        from go_vectorsearch_spark.operators.ngram_lm import train_ngram_lm
+
+        cache[sf_dir] = train_ngram_lm(
+            _t(spark, sf_dir, "documents"),
+            order=NGRAM_ORDER,
+            max_entries=NGRAM_MAX_ENTRIES,
+        )
+    return cache[sf_dir]
+
+
+@register(
+    "ngram_perplexity",
+    oracle=_ngram_ppl_oracle(),
+    doc="CCNet-style n-gram LM perplexity: bounded stupid-backoff model "
+    "trained by per-order gram groupBys, scored by a narrow "
+    "Arrow-batched map with the model in the closure "
+    "(operators/ngram_lm.py; Brants et al. 2007)",
+)
+def q_ngram_perplexity(spark, sf_dir):
+    from go_vectorsearch_spark.operators.ngram_lm import perplexity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = perplexity_score(docs, _ngram_lm_cached(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", F.round("log2ppl", 6).alias("log2ppl")
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(concat('0x', substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS addr,
+         CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 1500 ELSE 2500 END AS budget
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tok) OVER (
+    PARTITION BY lang ORDER BY addr, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= budget
+""",
+    doc="Token-budget mixture sampling: per-stratum content-addressed "
+    "prefix under a running token-sum window — the selected set is "
+    "retry/cluster-stable and grows monotonically with the budget "
+    "(operators/curation.token_budget_sample)",
+)
+def q_token_budget_sample(spark, sf_dir):
+    from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs, "lang", {"en": 4000, "zh": 1500}, default_budget=2500
+    )
+    return kept.select("doc_id", "lang", "n_chars")
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries in

@@ -39,6 +39,13 @@ DEMOTED = [
     (Q.q_events_tumbling_hour, Q.EVENTS_TUMBLING_HOUR_ORACLE),
     (Q.q_agg_count_distinct, Q.AGG_COUNT_DISTINCT_ORACLE),
     (Q.q_multi_star_revenue, Q.MULTI_STAR_REVENUE_ORACLE),
+    # r6 demotions — ceded their window slots to the r5 pipeline
+    # operators (cdc_dup_stats, bpe_encode_docs, ngram_perplexity,
+    # token_budget_sample)
+    (Q.q_events_sessionize, Q.EVENTS_SESSIONIZE_ORACLE),
+    (Q.q_sample_stratified, Q.SAMPLE_STRATIFIED_ORACLE),
+    (Q.q_text_fingerprint, Q.TEXT_FINGERPRINT_ORACLE),
+    (Q.q_dedup_simhash_docs, Q.DEDUP_SIMHASH_DOCS_ORACLE),
 ]
 
 
