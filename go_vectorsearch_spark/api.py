@@ -847,15 +847,7 @@ class Engine:
         scope = self._category_id(owner, category)
         if scope is None:  # missing owner/category -> empty result
             return self._empty_search_result()  # (server/search.go:156-177)
-        allowed = None
-        if where is not None:
-            allowed = (
-                self.t["documents"]
-                .read()
-                .filter(F.col("category_id") == scope)
-                .filter(where)
-                .select("document_id")
-            )
+        allowed = None if where is None else self._allowed_docs(scope, where)
         qtext = f"{SEARCH_QUERY_PREFIX}{text}"
         qvec = self._embed_query(qtext)
         topk = self._vector_topk(scope, qvec, count + offset, nprobe, allowed=allowed)
@@ -892,6 +884,7 @@ class Engine:
         category: str,
         texts: list[str],
         count: int = 10,
+        offset: int = 0,
         nprobe: int = 0,
         where=None,
     ) -> DataFrame:
@@ -900,13 +893,17 @@ class Engine:
         request per HTTP call). Returns (q_ix, document_id, name,
         external_id, payload_json, score) where ``q_ix`` indexes into
         ``texts``; per-query pages match :meth:`search` exactly
-        (same probe ranking, scoring, dedup-by-document and (round-6
-        desc, id asc) order — asserted in tests). ``where`` pre-filters
+        (same probe ranking, scoring, dedup-by-document, (round-6
+        desc, id asc) order and ``offset`` pagination — asserted in
+        tests). ``where`` pre-filters
         the probed scan exactly like :meth:`search`'s (shared allowed
-        semi-join); the batch form does NOT adaptively widen probes —
-        callers pairing a selective predicate with a small nprobe
-        should pass nprobe=-1 (each query still scores only its own
-        probed lists).
+        semi-join), including the adaptive probe widening: after the
+        fused pass, ONLY the underfilled queries (page < count rows,
+        with count clamped to |allowed| — a selective predicate may not
+        have count matches in total) re-probe with doubled nprobe, so
+        batched filtered pages match the single form's
+        ``search(where=)`` pages and the extra work stays
+        Σ-probed-lists of the underfilled subset.
 
         Shape (plans/ivf.ivf_search_batch applied to the managed
         store): all texts embed in one provider round-trip (the upload
@@ -919,7 +916,7 @@ class Engine:
         the per-query dedup + top-k."""
         from pyspark.sql import Window
 
-        count, _off, nprobe = normalize_search_args(count, 0, nprobe)
+        count, offset, nprobe = normalize_search_args(count, offset, nprobe)
         scope = self._category_id(owner, category)
         if scope is None or not texts:
             return self.spark.createDataFrame(
@@ -936,12 +933,49 @@ class Engine:
         w = Window.partitionBy("q_ix").orderBy(
             F.desc(F.round("score", 6)), F.asc("document_id")
         )
-        page_rows = (
-            best.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= count)
-            .select("q_ix", "document_id", "score")
-            .collect()
-        )
+
+        def _page(frame: DataFrame) -> list:
+            return (
+                frame.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") > offset) & (F.col("_rn") <= count + offset))
+                .select("q_ix", "document_id", "score")
+                .collect()
+            )
+
+        page_rows = _page(best)
+        if where is not None:
+            # adaptive widening, restricted to the underfilled queries
+            # (the batch twin of search()'s loop at the single-query
+            # path above): target clamped to |allowed| so a predicate
+            # with fewer than count matches in total stops the loop as
+            # soon as every existing match is found, instead of
+            # escalating to probing all centroids
+            from collections import Counter
+
+            n_cent = len(self._category_centroids(scope))
+            allowed_n = self._allowed_docs(scope, where).count()
+            target = min(count, max(0, allowed_n - offset))
+            filled = Counter(r["q_ix"] for r in page_rows)
+            under = [ix for ix in range(len(texts)) if filled[ix] < target]
+            cur = nprobe
+            while under and cur < n_cent:
+                cur = min(cur * 2, n_cent)
+                sub = self._vector_best_many(
+                    scope,
+                    [qvecs[i] for i in under],
+                    cur,
+                    where,
+                    q_ixs=under,
+                )
+                if sub is None:
+                    break
+                sub_rows = _page(sub)
+                under_set = set(under)
+                page_rows = [
+                    r for r in page_rows if r["q_ix"] not in under_set
+                ] + sub_rows
+                filled = Counter(r["q_ix"] for r in sub_rows)
+                under = [ix for ix in under if filled[ix] < target]
         return self._hydrate_pages_many(page_rows, scope)
 
     def _empty_many_result(self) -> DataFrame:
@@ -951,18 +985,39 @@ class Engine:
             "external_id string, payload_json string, score double",
         )
 
+    def _allowed_docs(self, scope: int, where) -> DataFrame:
+        """The category-scoped allowed-document frame for a ``where``
+        predicate — the one definition of the pre-filter every search
+        path semi-joins (document_id only; caller-sized, AQE decides
+        broadcast)."""
+        return (
+            self.t["documents"]
+            .read()
+            .filter(F.col("category_id") == scope)
+            .filter(where)
+            .select("document_id")
+        )
+
     def _vector_best_many(
-        self, scope: int, qvecs: list, nprobe: int, where=None
+        self,
+        scope: int,
+        qvecs: list,
+        nprobe: int,
+        where=None,
+        q_ixs: list[int] | None = None,
     ) -> DataFrame | None:
         """Batched vector scoring core: per-query best-chunk-per-
         document frame (q_ix, document_id, score) over the UNION of
         probed lists (one manifest-pruned read; the probe frame
         broadcasts in so a chunk scores once per query probing its
-        list). None when no probes (empty category)."""
+        list). None when no probes (empty category). ``q_ixs`` relabels
+        the output q_ix values (the widening re-probe passes only the
+        underfilled subset but keeps the original indices)."""
         cents = self._category_centroids(scope)
+        labels = list(range(len(qvecs))) if q_ixs is None else list(q_ixs)
         probe_rows = [
             (ix, [float(x) for x in qv], int(cid))
-            for ix, qv in enumerate(qvecs)
+            for ix, qv in zip(labels, qvecs)
             for cid in _rank_probe_ids(cents, qv, nprobe)
         ]
         if not probe_rows:
@@ -979,14 +1034,9 @@ class Engine:
             .filter(F.col("centroid_id").isin(all_probed))
         )
         if where is not None:
-            allowed = (
-                self.t["documents"]
-                .read()
-                .filter(F.col("category_id") == scope)
-                .filter(where)
-                .select("document_id")
+            raw = raw.join(
+                self._allowed_docs(scope, where), "document_id", "left_semi"
             )
-            raw = raw.join(allowed, "document_id", "left_semi")
         emb = dequantized_vector(raw)
         scored = emb.join(F.broadcast(probe), "centroid_id").withColumn(
             "_s", cosine_similarity(F.col("vector"), F.col("_qvec"))
@@ -1450,15 +1500,7 @@ class Engine:
                 f"search_hybrid: no text index for {owner}/{category}; "
                 "run build_text_index first"
             )
-        allowed = None
-        if where is not None:
-            allowed = (
-                self.t["documents"]
-                .read()
-                .filter(F.col("category_id") == scope)
-                .filter(where)
-                .select("document_id")
-            )
+        allowed = None if where is None else self._allowed_docs(scope, where)
         lexical = bm25_search_stored(
             self.spark, path, text, k=fuse_depth, allowed=allowed
         ).withColumnRenamed("doc_id", "document_id")
@@ -1467,10 +1509,16 @@ class Engine:
         # same adaptive widening as search(): under a predicate the
         # vector leg must not cede fused-rank mass just because the
         # initial probe set was thin (the count is over a <= fuse_depth
-        # frame, not the corpus)
+        # frame, not the corpus). The target is clamped to |allowed| —
+        # one count job up front — because a selective predicate with
+        # fewer than fuse_depth matches IN TOTAL would otherwise force
+        # the full log2(n_cent) escalation to probing every centroid
+        # (plus a count per doubling) even when no further matches
+        # exist anywhere.
         if where is not None and vector is not None:
             n_cent = len(self._category_centroids(scope))
-            while vector.count() < fuse_depth and nprobe < n_cent:
+            target = min(fuse_depth, allowed.count())
+            while vector.count() < target and nprobe < n_cent:
                 nprobe = min(nprobe * 2, n_cent)
                 vector = self._vector_topk(
                     scope, qvec, fuse_depth, nprobe, allowed=allowed

@@ -464,12 +464,17 @@ def delete_postings(
 
     ``dl_by_doc`` — the victims' token counts — lets a caller that
     already has the document text (the engine's delete path reads the
-    victim's row anyway) skip the stats scan; otherwise one columnar
-    (doc_id, dl) scan of the postings recovers them. Caller contract:
-    ids must be documents of THIS store's corpus (the engine verifies
-    the victim row before cascading), and a tombstoned id must not be
-    re-appended before a compaction. Returns the number of newly
-    tombstoned ids."""
+    victim's row anyway) skip the (doc_id, dl) stats scan; otherwise it
+    is recovered from the postings. Either way the requested ids are
+    INTERSECTED with a doc_id scan of the stored postings first: a
+    document uploaded after the last build/append has rows in the
+    documents table but none in this index, and decrementing
+    n_docs/sum_dl for it would corrupt the corpus stats (repeated
+    deletes could drive n_docs negative, turning the idf's log argument
+    negative → NULL → silently zeroed BM25 scores). Ids absent from the
+    store are ignored — not tombstoned, not counted. A tombstoned id
+    must not be re-appended before a compaction. Returns the number of
+    newly tombstoned ids."""
     with _store_lock(path):
         v = _store_version(path)
         if v < 0:
@@ -479,24 +484,29 @@ def delete_postings(
         new_ids = sorted(set(int(i) for i in doc_ids) - existing)
         if not new_ids:
             return 0
+        frames = [
+            spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(f"{path}/{rel}")
+            for rel in m["batches"]
+        ]
+        postings = frames[0]
+        for f in frames[1:]:
+            postings = postings.unionByName(f)
+        # presence scan: doc_id only when the caller supplied the dls
+        # (one pruned column off the parquet), (doc_id, dl) otherwise
+        cols = ["doc_id"] if dl_by_doc is not None else ["doc_id", "dl"]
+        rows = (
+            postings.filter(F.col("doc_id").isin(new_ids))
+            .select(*cols)
+            .distinct()
+            .collect()
+        )
         if dl_by_doc is None:
-            frames = [
-                spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(
-                    f"{path}/{rel}"
-                )
-                for rel in m["batches"]
-            ]
-            postings = frames[0]
-            for f in frames[1:]:
-                postings = postings.unionByName(f)
-            dl_by_doc = {
-                r["doc_id"]: r["dl"]
-                for r in postings.filter(F.col("doc_id").isin(new_ids))
-                .select("doc_id", "dl")
-                .distinct()
-                .collect()
-            }
-        removed_dl = sum(int(dl_by_doc.get(i, 0)) for i in new_ids)
+            dl_by_doc = {r["doc_id"]: r["dl"] for r in rows}
+        present = {int(r["doc_id"]) for r in rows}
+        victims = [i for i in new_ids if i in present]
+        if not victims:
+            return 0
+        removed_dl = sum(int(dl_by_doc.get(i, 0)) for i in victims)
         _store_commit(
             path,
             v + 1,
@@ -504,12 +514,12 @@ def delete_postings(
                 "batches": m["batches"],
                 "applied": m.get("applied", []),
                 "n_buckets": int(m["n_buckets"]),
-                "n_docs": int(m["n_docs"]) - len(new_ids),
+                "n_docs": int(m["n_docs"]) - len(victims),
                 "sum_dl": int(m["sum_dl"]) - removed_dl,
-                "tombstones": sorted(existing | set(new_ids)),
+                "tombstones": sorted(existing | set(victims)),
             },
         )
-        return len(new_ids)
+        return len(victims)
 
 
 

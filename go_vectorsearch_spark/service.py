@@ -59,6 +59,12 @@ CHAT_PATH = "/api/chat"  # LLM-provider side path (ai/ollama/chat.go:114)
 OPENAI_CHAT_PATH = "/v1/chat/completions"  # ai/openai/chat.go:122
 
 
+class BadRequest(ValueError):
+    """Malformed client input (bad filter key, non-integer field):
+    mapped to HTTP 400 by the dispatch, where engine-internal failures
+    keep the blanket 500."""
+
+
 def _zstd_decompress(data: bytes) -> bytes:
     import pyarrow as pa
 
@@ -253,27 +259,43 @@ class Service:
     def _parse_filter(flt: dict):
         """JSON filter object -> Column predicate (the wire subset of
         the engine's where=): name_prefix / external_id / document_ids,
-        AND-combined; unknown keys error instead of silently ignoring."""
+        AND-combined; unknown keys error instead of silently ignoring.
+        Malformed input raises :class:`BadRequest` → HTTP 400 (client
+        error), never the handler's blanket 500."""
         if not flt:
             return None
         from pyspark.sql import functions as F
 
+        if not isinstance(flt, dict):
+            raise BadRequest("filter must be an object")
         unknown = set(flt) - {"name_prefix", "external_id", "document_ids"}
         if unknown:
-            raise ValueError(f"unknown filter keys: {sorted(unknown)}")
+            raise BadRequest(f"unknown filter keys: {sorted(unknown)}")
         preds = []
         if "name_prefix" in flt:
             preds.append(F.col("name").startswith(str(flt["name_prefix"])))
         if "external_id" in flt:
             preds.append(F.col("external_id") == str(flt["external_id"]))
         if "document_ids" in flt:
-            preds.append(
-                F.col("document_id").isin([int(x) for x in flt["document_ids"]])
-            )
+            try:
+                ids = [int(x) for x in flt["document_ids"]]
+            except (TypeError, ValueError):
+                raise BadRequest("document_ids must be a list of integers")
+            preds.append(F.col("document_id").isin(ids))
         where = None
         for p in preds:
             where = p if where is None else (where & p)
         return where
+
+    @staticmethod
+    def _int_field(req: dict, key: str) -> int:
+        """Coerce an optional integer request field; missing ≡ 0 (Go
+        zero-value JSON, server/search.go:116). A non-numeric value is
+        the CLIENT's error → BadRequest → 400."""
+        try:
+            return int(req.get(key) or 0)
+        except (TypeError, ValueError):
+            raise BadRequest(f"{key!r} must be an integer")
 
     def search(self, req: dict) -> dict:
         rows = self.engine.search(
@@ -282,9 +304,9 @@ class Service:
             req.get("text", ""),
             # missing count ≡ 0 in the reference (Go zero-value JSON),
             # and the engine clamp maps 0 → 1 (server/search.go:116)
-            count=int(req.get("count") or 0),
-            offset=int(req.get("offset") or 0),
-            nprobe=int(req.get("centroids") or 0),
+            count=self._int_field(req, "count"),
+            offset=self._int_field(req, "offset"),
+            nprobe=self._int_field(req, "centroids"),
             # extension: same JSON filter object as /api/search_hybrid
             where=self._parse_filter(req.get("filter") or {}),
         ).collect()
@@ -352,9 +374,9 @@ class Service:
             req.get("owner", ""),
             req.get("category", ""),
             req.get("text", ""),
-            count=int(req.get("count") or 0),
-            offset=int(req.get("offset") or 0),
-            nprobe=int(req.get("centroids") or 0),
+            count=self._int_field(req, "count"),
+            offset=self._int_field(req, "offset"),
+            nprobe=self._int_field(req, "centroids"),
             where=where,
         ).collect()
         return {
@@ -382,17 +404,20 @@ class Service:
                 req.get("owner", ""),
                 req.get("category", ""),
                 texts,
-                count=int(req.get("count") or 0),
-                offset=int(req.get("offset") or 0),
-                nprobe=int(req.get("centroids") or 0),
+                count=self._int_field(req, "count"),
+                offset=self._int_field(req, "offset"),
+                nprobe=self._int_field(req, "centroids"),
             ).collect()
         else:
             rows = self.engine.search_many(
                 req.get("owner", ""),
                 req.get("category", ""),
                 texts,
-                count=int(req.get("count") or 0),
-                nprobe=int(req.get("centroids") or 0),
+                count=self._int_field(req, "count"),
+                # "offset" means the same thing on both batch paths
+                # (it was silently ignored here pre-r6)
+                offset=self._int_field(req, "offset"),
+                nprobe=self._int_field(req, "centroids"),
             ).collect()
         results: list[list[dict]] = [[] for _ in texts]
         for r in rows:
@@ -596,6 +621,8 @@ class _Handler(BaseHTTPRequestHandler):
                     out = getattr(self.service, name)(req)
             else:
                 out = getattr(self.service, name)(req)
+        except BadRequest as e:  # malformed client input, not our fault
+            return self._error(400, f"Invalid request: {e}")
         except Exception as e:  # request failed inside the engine
             return self._error(500, f"{type(e).__name__}: {e}")
         self._send_json(out, compress_ok=compress)

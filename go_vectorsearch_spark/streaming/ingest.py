@@ -174,13 +174,40 @@ def ingest_documents_text_index(
     # does not collide with the old stream's applied keys — a
     # path-derived id would make every recreated-checkpoint micro-batch
     # look like a replay and silently drop it.
+    import hashlib
+    import tempfile
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     token_file = os.path.join(checkpoint_dir, "_gvs_stream_id")
     if not os.path.exists(token_file):
-        with open(token_file, "w") as f:
-            f.write(uuid.uuid4().hex[:16])
+        # upgrade path: a checkpoint that already holds Spark state
+        # (offsets/ etc.) predates the token scheme — its epochs were
+        # applied under the old md5(abspath)-derived id, so seed the
+        # token with THAT id; minting a fresh one would let a replayed
+        # in-flight epoch (the at-least-once case the applied-keys
+        # dedup exists for) re-apply under the new id, doubling those
+        # documents' postings and inflating n_docs/sum_dl
+        if any(
+            os.path.exists(os.path.join(checkpoint_dir, p))
+            for p in ("offsets", "commits", "metadata")
+        ):
+            token = hashlib.md5(
+                os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:8]
+        else:
+            token = uuid.uuid4().hex[:16]
+        # atomic write (tmp + rename): a crash mid-write must not leave
+        # a short/empty token that reads back as a different stream id
+        fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, prefix="._gvs_id")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(token)
+            os.replace(tmp, token_file)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     with open(token_file) as f:
         stream_id = f.read().strip()
 

@@ -784,3 +784,83 @@ def test_search_many_where_prefilters(spark, tmp_path):
             "acme", "wiki", t, count=5, nprobe=-1, where=pred).collect()]
         assert by_q.get(ix, []) == single
         assert set(by_q.get(ix, [])) <= keep
+
+
+def test_search_many_where_adaptive_probe_widening(spark, tmp_path):
+    """The batch form widens probes per underfilled query exactly like
+    the single form: filtered search_many at nprobe=1 returns the SAME
+    full pages as the per-query search(where=) at nprobe=1 (which
+    widens) — the r5 contrast case where the first probe underfills
+    because the matches sit in unprobed lists. Pre-r6 the batch form
+    returned short pages here unless the caller knew to pass
+    nprobe=-1."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"{'keep' if i % 4 == 0 else 'drop'}-{i}", "external_id": f"b{i}",
+         "document": _json.dumps({"body": f"widening test document {i} "
+                                          f"{'alpha' if i < 20 else 'omega'}"})}
+        for i in range(40)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    assert eng.refresh_index("acme", "wiki", max_leaf=8) > 1
+    pred = F.col("name").startswith("keep")
+    keep = {ids[i] for i in range(40) if i % 4 == 0}
+
+    texts = ["widening test alpha", "widening test omega"]
+    out = eng.search_many("acme", "wiki", texts, count=10, nprobe=1, where=pred)
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_ix"], []).append(r["document_id"])
+    for ix, t in enumerate(texts):
+        single = [r["document_id"] for r in eng.search(
+            "acme", "wiki", t, count=10, nprobe=1, where=pred).collect()]
+        assert by_q.get(ix, []) == single, f"q{ix} diverged from single form"
+        assert set(by_q.get(ix, [])) == keep  # every existing match found
+
+
+def test_search_many_offset_pagination(spark, tmp_path):
+    """search_many(offset=) pages exactly like consecutive search()
+    pages: page-2 of the batch equals page-2 of each single query, and
+    offset composes with a where= predicate (widening target accounts
+    for the skipped prefix)."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"P{i}", "external_id": f"p{i}",
+         "document": _json.dumps({"body": f"paginated batch doc {i}"})}
+        for i in range(20)
+    ]
+    eng.upload("acme", "wiki", docs)
+    assert eng.refresh_index("acme", "wiki", max_leaf=8) > 1
+
+    texts = ["paginated batch", "doc"]
+    out = eng.search_many(
+        "acme", "wiki", texts, count=5, offset=5, nprobe=-1
+    )
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_ix"], []).append(r["document_id"])
+    for ix, t in enumerate(texts):
+        single = [r["document_id"] for r in eng.search(
+            "acme", "wiki", t, count=5, offset=5, nprobe=-1).collect()]
+        assert by_q.get(ix, []) == single, f"q{ix} page-2 diverged"
+
+    # offset + where: predicate with fewer matches than offset+count
+    pred = F.col("name").isin(["P1", "P2", "P3"])
+    out2 = eng.search_many(
+        "acme", "wiki", texts, count=5, offset=2, nprobe=1, where=pred
+    )
+    by_q2: dict[int, list] = {}
+    for r in out2.collect():
+        by_q2.setdefault(r["q_ix"], []).append(r["document_id"])
+    for ix, t in enumerate(texts):
+        single = [r["document_id"] for r in eng.search(
+            "acme", "wiki", t, count=5, offset=2, nprobe=1, where=pred).collect()]
+        assert by_q2.get(ix, []) == single

@@ -505,6 +505,47 @@ def test_delete_postings_equals_rebuild_over_live_corpus(spark, sf_correct, tmp_
         assert not set(victims) & {d for d, _s in g}
 
 
+def test_delete_postings_ignores_ids_absent_from_the_index(spark, tmp_path):
+    """Deleting a document the index never saw (uploaded after the last
+    build/append) must NOT shrink n_docs/sum_dl or add a tombstone —
+    with or without a caller-supplied dl hint. Before the fix, repeated
+    absent-id deletes could drive n_docs negative, making the idf's log
+    argument negative (NULL in Spark) and silently zeroing every BM25
+    score."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        _store_manifest,
+        _store_version,
+        bm25_search_stored,
+        delete_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "alpha delta echo")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs), store, n_buckets=4)
+
+    # absent id, WITH a dl hint (the engine path: victim verified
+    # against the documents table, not the index)
+    assert delete_postings(spark, store, [99], dl_by_doc={99: 7}) == 0
+    # absent id, stats-scan path
+    assert delete_postings(spark, store, [98]) == 0
+    # mixed batch: only the present id counts
+    assert delete_postings(spark, store, [1, 97], dl_by_doc={1: 3, 97: 5}) == 1
+
+    m = _store_manifest(store, _store_version(store))
+    assert m["tombstones"] == [1]
+    idx, _ = read_postings(spark, store)
+    assert (idx.n_docs, idx.sum_dl) == (1, 3)
+    # scores stay sane (idf argument positive)
+    hits = [tuple(r) for r in bm25_search_stored(spark, store, "alpha", k=5).collect()]
+    assert [d for d, _s in hits] == [2]
+    assert all(s > 0 for _d, s in hits)
+
+
 def test_delete_postings_dl_hint_compaction_purges_and_append_carries(
     spark, tmp_path
 ):
@@ -534,7 +575,8 @@ def test_delete_postings_dl_hint_compaction_purges_and_append_carries(
     store = str(tmp_path / "store")
     write_postings(build_bm25_index(docs), store, n_buckets=4)
 
-    # doc 2 has 3 tokens; dl hint means NO postings scan is needed
+    # doc 2 has 3 tokens; the dl hint means only a doc_id presence scan
+    # runs (no dl column read)
     assert delete_postings(spark, store, [2], dl_by_doc={2: 3}) == 1
     idx, _ = read_postings(spark, store)
     assert idx.n_docs == 2 and idx.sum_dl == 6

@@ -632,12 +632,25 @@ def test_hybrid_route_filter_object(served):
     got = json.loads(data)["documents"]
     assert [d["external_id"] for d in got] == ["f3"]
 
-    # unknown filter key errors instead of silently ignoring
+    # unknown filter key errors instead of silently ignoring — and as a
+    # CLIENT error (400), not the engine's blanket 500
     resp, data = _call(port, "/api/search_hybrid", {
         "owner": "flt", "category": "docs", "text": "spark",
         "filter": {"color": "red"},
     })
-    assert resp.status == 500 and b"unknown filter keys" in data
+    assert resp.status == 400 and b"unknown filter keys" in data
+
+    # malformed document_ids and non-integer fields are 400s too
+    resp, data = _call(port, "/api/search_hybrid", {
+        "owner": "flt", "category": "docs", "text": "spark",
+        "filter": {"document_ids": ["not-a-number"]},
+    })
+    assert resp.status == 400 and b"document_ids" in data
+    resp, data = _call(port, "/api/search", {
+        "owner": "flt", "category": "docs", "text": "spark",
+        "count": "three",
+    })
+    assert resp.status == 400 and b"count" in data
 
 
 def test_delete_route_bulk_extension(served):
@@ -706,6 +719,23 @@ def test_search_batch_route(served):
         ]
         for a, b in zip(entry["documents"], single):
             assert a["document_similarity"] == pytest.approx(b["document_similarity"])
+
+    # "offset" means the same thing on the non-hybrid batch path as on
+    # /api/search (it was silently ignored pre-r6)
+    resp, data = _call(port, "/api/search_batch", {
+        "owner": "sb", "category": "docs", "texts": texts,
+        "count": 2, "offset": 1, "centroids": -1,
+    })
+    assert resp.status == 200
+    for t, entry in zip(texts, json.loads(data)["results"]):
+        _, sdata = _call(port, "/api/search", {
+            "owner": "sb", "category": "docs", "text": t,
+            "count": 2, "offset": 1, "centroids": -1,
+        })
+        single = json.loads(sdata)["documents"]
+        assert [d["document_id"] for d in entry["documents"]] == [
+            d["document_id"] for d in single
+        ]
 
 
 def test_wasm_isolation_headers_on_every_response(served):

@@ -271,3 +271,54 @@ def test_recreated_checkpoint_is_a_fresh_stream_identity(spark, tmp_path):
     # skip -> still 2). Double docs are the caller's dedup concern;
     # identity collision must not silently drop them.
     assert read_postings(spark, store)[0].n_docs == 4
+
+
+def test_pre_token_checkpoint_resumes_under_legacy_stream_id(spark, tmp_path):
+    """A checkpoint created BEFORE the token scheme has Spark state
+    (offsets/) but no _gvs_stream_id. The first post-upgrade resume
+    must seed the token with the legacy md5(abspath)[:8] id its epochs
+    were applied under — minting a fresh random id would let a replayed
+    in-flight epoch re-apply and double those documents' postings."""
+    import hashlib
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        _store_manifest,
+        _store_version,
+        build_bm25_index,
+        read_postings,
+        write_postings,
+    )
+    from go_vectorsearch_spark.streaming.ingest import (
+        ingest_documents_text_index,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = lambda: (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_postings(build_bm25_index(empty), store, n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    legacy_id = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:8]
+
+    # run once to create real checkpoint state, then strip the token —
+    # exactly what a pre-upgrade checkpoint directory looks like
+    q = ingest_documents_text_index(stream(), store, ckpt)
+    q.awaitTermination(120)
+    assert read_postings(spark, store)[0].n_docs == 2
+    os.unlink(os.path.join(ckpt, "_gvs_stream_id"))
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+
+    q2 = ingest_documents_text_index(stream(), store, ckpt)
+    q2.awaitTermination(120)
+    # token seeded with the LEGACY id, not a fresh random one
+    with open(os.path.join(ckpt, "_gvs_stream_id")) as f:
+        assert f.read().strip() == legacy_id
+    # resumed checkpoint, no new source data: nothing re-applies
+    assert read_postings(spark, store)[0].n_docs == 2
+    assert _store_manifest(store, _store_version(store))["n_docs"] == 2
