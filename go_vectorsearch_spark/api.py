@@ -340,6 +340,35 @@ class _VersionedTable:
         parts.update(self._write_batch(scoped, v))
         self._commit(v, parts, keep_versions)
 
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        remove_values: Sequence,
+        keep_versions: int = 2,
+    ) -> None:
+        """One atomic commit that DROPS the named partitions and APPENDS
+        ``df``'s rows to whatever partitions they route to — the
+        cross-partition move primitive (incremental index refresh:
+        a split's members leave the old centroid's partition for new
+        ones; a dissolved leaf's members join surviving partitions).
+        Unlike :meth:`overwrite_partitions`, df is NOT filtered to the
+        removed keys — its rows may land in partitions that also carry
+        existing directories (append semantics there). A reader never
+        sees the in-between state a remove-then-append pair would
+        expose (rows doubled or missing for one version)."""
+        if not self.partition_expr:
+            raise ValueError(f"{self.name}: table is not partitioned")
+        v = self._version() + 1
+        remove = {str(x) for x in remove_values}
+        parts = {
+            k: d
+            for k, d in (self._manifest(v - 1) if v > 0 else {}).items()
+            if k not in remove
+        }
+        for key, dirs in self._write_batch(df, v).items():
+            parts[key] = parts.get(key, []) + dirs
+        self._commit(v, parts, keep_versions)
+
     def changes(
         self,
         from_version: int,
@@ -1913,6 +1942,225 @@ class Engine:
         self.t["embeddings"].write(out)
         self._invalidate_cache()  # new centroid set
         return cents.count()
+
+    def refresh_index_incremental(
+        self,
+        owner: str,
+        category: str,
+        max_leaf: int = 10_000,
+        drift_threshold: float = 0.01,
+    ) -> dict:
+        """Incremental IVF maintenance — touch ONLY the centroids whose
+        state changed, carrying every other embeddings partition by
+        manifest reference:
+
+          * OVERSIZED leaves (> max_leaf) are re-split by a local
+            k-means over just their own partitions (the reference
+            recursing into one subtree, dnc/dnc.go:300-400);
+          * SMALL leaves (< max_leaf/10, dnc/dnc.go:486) are dissolved —
+            members reassigned to the nearest kept centroid;
+          * EMPTY leaves (every member deleted since the last refresh)
+            are dropped;
+          * DRIFTED leaves (cosine distance between the stored centroid
+            and the current member mean > drift_threshold) are
+            re-centered IN PLACE — a centroids-table row update, no
+            embeddings movement at all.
+
+        :meth:`refresh_index` is faithful to the reference's full
+        rebuild (dnc/dnc.go:35-297) but re-scans and re-writes the whole
+        category every time — the inherited scale-killer at 100 TB.
+        This variant costs one stats pass over the category (map-side
+        count+mean, k-row result) plus work proportional to the CHURN:
+        the embeddings commit removes/adds only the split, dissolved,
+        empty and receiving partitions (one atomic
+        :meth:`_VersionedTable.replace_partitions`).
+
+        Returns ``{"split": [...], "dropped": [...], "recentered":
+        [...], "centroids": n}`` (old centroid ids; ``centroids`` is
+        the category's final count)."""
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.assign import assign_nearest_mat
+        from go_vectorsearch_spark.plans.ivf import build_index
+
+        noop = {"split": [], "dropped": [], "recentered": [], "centroids": 0}
+        cid = self._category_id(owner, category)
+        if cid is None:
+            return noop
+        cents = self._category_centroids(cid)
+        if not cents:
+            # nothing indexed yet: the full build IS the increment
+            n = self.refresh_index(owner, category, max_leaf=max_leaf)
+            return {**noop, "centroids": n}
+        cent_ids = sorted(int(c) for c, _ in cents)
+        stored = {int(c): [float(x) for x in v] for c, v in cents}
+
+        # one stats pass: per-centroid member count + elementwise mean
+        # (map-side partial agg; result is k x dim driver rows, the same
+        # boundedness as the centroid cache itself)
+        emb = (
+            self.t["embeddings"]
+            .read(partition_values=cent_ids)
+            .filter(F.col("centroid_id").isin(cent_ids))
+        )
+        per = (
+            dequantized_vector(emb)
+            .select("centroid_id", F.posexplode("vector").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("val"), F.count("*").alias("n"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("mean_vec"),
+                F.max("n").alias("n"),
+            )
+            .collect()
+        )
+        sizes = {int(r["centroid_id"]): int(r["n"]) for r in per}
+        means = {
+            int(r["centroid_id"]): [float(x) for x in r["mean_vec"]] for r in per
+        }
+        min_leaf = max_leaf // 10
+        empty = [c for c in cent_ids if c not in sizes]
+        oversized = sorted(c for c in sizes if sizes[c] > max_leaf)
+        small = sorted(
+            c for c in sizes if sizes[c] < min_leaf and c not in oversized
+        )
+        survivors = [
+            c
+            for c in cent_ids
+            if c not in set(oversized) | set(small) | set(empty)
+        ]
+        drifted = []
+        for c in survivors:
+            m = np.asarray(means[c], dtype=np.float64)
+            s = np.asarray(stored[c], dtype=np.float64)
+            denom = float(np.linalg.norm(m) * np.linalg.norm(s))
+            cos = float(m @ s) / denom if denom else 1.0
+            if 1.0 - cos > drift_threshold:
+                drifted.append(c)
+        if not (empty or oversized or small or drifted):
+            return {**noop, "centroids": len(cent_ids)}  # true no-op: no commit
+
+        # -- splits: local k-means per oversized leaf ---------------------
+        next_id = self._next_id("centroids", "centroid_id")
+        new_cent_rows: list[tuple[int, list[float]]] = []
+        moved_frames: list[DataFrame] = []
+        for c in oversized:
+            part = (
+                self.t["embeddings"]
+                .read(partition_values=[c])
+                .filter(F.col("centroid_id") == c)
+            )
+            sub = build_index(
+                dequantized_vector(part).select(
+                    F.col("embedding_id").alias("vec_id"),
+                    F.col("vector").alias("embedding"),
+                ),
+                max_leaf=max_leaf,
+            )
+            sub_cents = sub.centroids.collect()
+            id_map = {
+                int(r["centroid_id"]): next_id + i
+                for i, r in enumerate(sub_cents)
+            }
+            next_id += len(sub_cents)
+            new_cent_rows.extend(
+                (id_map[int(r["centroid_id"])], [float(x) for x in r["centroid_vec"]])
+                for r in sub_cents
+            )
+            remap = F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for old, new in sorted(id_map.items())
+                        for x in (old, new)
+                    ]
+                ),
+                F.col("_local"),
+            )
+            assigned = sub.assigned.select(
+                F.col("vec_id").alias("embedding_id"),
+                F.col("centroid_id").alias("_local"),
+            ).select("embedding_id", remap.alias("_new_cid"))
+            moved_frames.append(
+                part.drop("centroid_id")
+                .join(assigned, "embedding_id")
+                .select(
+                    "embedding_id",
+                    "document_id",
+                    F.col("_new_cid").alias("centroid_id"),
+                    "codes",
+                    "lo",
+                    "hi",
+                )
+            )
+
+        # -- dissolves: reassign small leaves' members to kept centroids --
+        # targets = survivors (re-centered where drifted) + the new
+        # sub-centroids, exactly the set the final centroid table holds
+        targets = [
+            (c, np.asarray(means[c] if c in drifted else stored[c], dtype=np.float64))
+            for c in survivors
+        ] + [(c, np.asarray(v, dtype=np.float64)) for c, v in new_cent_rows]
+        if small and not targets:
+            small = []  # nowhere to dissolve into — keep the leaves
+        if small:
+            small_rows = (
+                self.t["embeddings"]
+                .read(partition_values=small)
+                .filter(F.col("centroid_id").isin(small))
+            )
+            reassigned = assign_nearest_mat(
+                dequantized_vector(small_rows),
+                targets,
+                vec_col="vector",
+                out_col="_new_cid",
+            )
+            moved_frames.append(
+                reassigned.select(
+                    "embedding_id",
+                    "document_id",
+                    F.col("_new_cid").alias("centroid_id"),
+                    "codes",
+                    "lo",
+                    "hi",
+                )
+            )
+
+        # -- one atomic embeddings commit, one centroids rewrite ----------
+        remove_keys = list(oversized) + list(small) + list(empty)
+        if moved_frames or remove_keys:
+            moved = moved_frames[0] if moved_frames else None
+            for f in moved_frames[1:]:
+                moved = moved.unionByName(f)
+            if moved is None:  # only empties to drop
+                moved = self.spark.createDataFrame([], _SCHEMAS["embeddings"])
+            self.t["embeddings"].replace_partitions(moved, remove_keys)
+        kept_rows = [
+            (
+                c,
+                cid,
+                [float(x) for x in (means[c] if c in drifted else stored[c])],
+            )
+            for c in cent_ids
+            if c not in set(remove_keys)
+        ] + [(c, cid, v) for c, v in new_cent_rows]
+        others = self.t["centroids"].read().filter(F.col("category_id") != cid)
+        self.t["centroids"].write(
+            others.unionByName(
+                self.spark.createDataFrame(kept_rows, _SCHEMAS["centroids"])
+            )
+        )
+        self._invalidate_cache()
+        return {
+            "split": list(oversized),
+            "dropped": sorted(set(small) | set(empty)),
+            "recentered": list(drifted),
+            "centroids": len(kept_rows),
+        }
 
     def compact(self, min_dirs: int = 2) -> dict[str, list[str]]:
         """Compact every engine table's fragmented partitions (see

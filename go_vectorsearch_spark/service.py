@@ -57,6 +57,8 @@ from go_vectorsearch_spark.api import Engine
 
 CHAT_PATH = "/api/chat"  # LLM-provider side path (ai/ollama/chat.go:114)
 OPENAI_CHAT_PATH = "/v1/chat/completions"  # ai/openai/chat.go:122
+GENERATE_PATH = "/api/generate"  # ai/ollama/generate.go:36
+OPENAI_GENERATE_PATH = "/v1/completions"  # ai/openai/generate.go:37
 
 
 class BadRequest(ValueError):
@@ -199,6 +201,118 @@ def chat_stream_openai(
 
 
 _CHAT_STREAMS = {"ollama": chat_stream, "openai": chat_stream_openai}
+
+
+def generate(
+    base: str,
+    prompt: str,
+    model: str = "chat",
+    token: str = "",
+    num_ctx: int = 2048,
+    timeout: float = 60.0,
+    kind: str = "ollama",
+    **extra,
+) -> dict:
+    """One-shot text generation against an LLM provider — the
+    ``Generate`` half of the reference's AI interface
+    (ai/interface.go:16-17; no HTTP route uses it in the reference
+    either, chat covers serving — this completes the provider surface).
+
+    POSTs ``{"model", "prompt", "stream": false, "options":
+    {"num_ctx"}}`` (plus any ``extra`` GenerateRequest fields: suffix,
+    system, template, format, raw — aicomms/generate.go:5-19) to
+    ``/api/generate`` (``kind="ollama"``, ollama/generate.go:19-84) or
+    ``/v1/completions`` (``kind="openai"``, openai/generate.go:19-83)
+    and returns the decoded JSON object. The reference unmarshals BOTH
+    providers' bodies into the same ollama-field GenerateResponse
+    struct ("response", "done", "context", timing counters) — the
+    OpenAI path included — so the decode here is provider-independent
+    and only the route differs, faithfully."""
+    from go_vectorsearch_spark.sources.embed_http import _open_connection
+
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    try:
+        payload = {
+            "model": model,
+            "prompt": prompt,
+            "stream": False,
+            "options": {"num_ctx": num_ctx},
+            **extra,
+        }
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
+        conn.request("POST", prefix + path, json.dumps(payload).encode(), headers)
+        resp = conn.getresponse()
+        body = resp.read()
+        if resp.status != 200:
+            raise RuntimeError(
+                f"generate endpoint -> {resp.status}: {body[:200]!r}"
+            )
+        return json.loads(body)
+    finally:
+        conn.close()
+
+
+def generate_stream(
+    base: str,
+    prompt: str,
+    model: str = "chat",
+    token: str = "",
+    num_ctx: int = 2048,
+    timeout: float = 60.0,
+    kind: str = "ollama",
+    **extra,
+) -> Iterator[str]:
+    """Streaming ``GenerateStream`` (ai/interface.go:19-20): same
+    request with ``"stream": true``; the response is NDJSON lines
+    ``{"response": str, "done": bool}`` — each line's ``response``
+    fragment is yielded until ``done``. The reference decodes the
+    stream with this SAME line shape for BOTH providers
+    (ollama/generate.go:85-160 and openai/generate.go:84-160 run an
+    identical loop — generate, unlike chat, has no SSE branch), so only
+    the route differs here too."""
+    from go_vectorsearch_spark.sources.embed_http import _open_connection
+
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    try:
+        payload = {
+            "model": model,
+            "prompt": prompt,
+            "stream": True,
+            "options": {"num_ctx": num_ctx},
+            **extra,
+        }
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
+        conn.request("POST", prefix + path, json.dumps(payload).encode(), headers)
+        resp = conn.getresponse()
+        if resp.status != 200:
+            raise RuntimeError(
+                f"generate endpoint -> {resp.status}: {resp.read()[:200]!r}"
+            )
+        buf = b""
+        while True:
+            chunk = resp.read1(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if not line.strip():
+                    continue
+                res = json.loads(line)
+                yield res.get("response", "") or ""
+                if res.get("done"):
+                    return
+        if buf.strip():  # final line without trailing newline
+            res = json.loads(buf)
+            yield res.get("response", "") or ""
+    finally:
+        conn.close()
 
 
 class Service:
@@ -440,7 +554,15 @@ class Service:
         exists, keeping hybrid search consistent after re-clustering."""
         owner, category = req.get("owner"), req.get("category")
         if owner and category:
-            pairs = {(owner, category): self.engine.refresh_index(owner, category)}
+            if req.get("incremental"):
+                # churn-proportional maintenance instead of the full
+                # rebuild (Engine.refresh_index_incremental)
+                r = self.engine.refresh_index_incremental(owner, category)
+                pairs = {(owner, category): r["centroids"]}
+            else:
+                pairs = {
+                    (owner, category): self.engine.refresh_index(owner, category)
+                }
         else:
             pairs = self.engine.refresh_all()
         # iterate the (owner, category) TUPLES — names are arbitrary
@@ -722,6 +844,7 @@ def make_server(
     tls: bool = False,
     tls_cert: str | None = None,
     tls_key: str | None = None,
+    tls_reload_s: float = 1.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` picks a free port.
     Start with ``threading.Thread(target=srv.serve_forever)`` or
@@ -732,9 +855,13 @@ def make_server(
     config/config_tls.go certificates). With TLS requested but no
     certificate configured, a self-signed pair is generated under the
     engine root (``<root>/tls/``), mirroring
-    generateMissingCertificates. The reference's hourly hot-reload
-    loop is a deployment concern left out: certificates load once at
-    construction."""
+    generateMissingCertificates. Certificates HOT-RELOAD without a
+    restart (the reference's hourly reload loop,
+    config/config_tls.go:37-47,110-120): every handshake's SNI callback
+    re-stats the cert/key files (throttled to once per
+    ``tls_reload_s``) and swaps in a freshly loaded SSLContext when
+    either mtime moved — a Let's-Encrypt-style 90-day rotation serves
+    the renewed certificate with zero downtime."""
     svc = Service(
         engine,
         llm_base=llm_base,
@@ -746,16 +873,70 @@ def make_server(
     handler = type("BoundHandler", (_Handler,), {"service": svc})
     srv = ThreadingHTTPServer((host, port), handler)
     if tls or tls_cert:
-        import ssl
-
         if tls_cert is None:
             tls_cert, tls_key = generate_self_signed_cert(
                 f"{engine.root}/tls"
             )
-        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-        ctx.load_cert_chain(tls_cert, tls_key)
-        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        reloader = _CertReloader(tls_cert, tls_key, reload_s=tls_reload_s)
+        srv.socket = reloader.ctx.wrap_socket(srv.socket, server_side=True)
+        srv._gvs_cert_reloader = reloader  # test/ops introspection handle
     return srv
+
+
+class _CertReloader:
+    """Certificate hot-reload for the TLS listener.
+
+    The reference re-reads its certificate files on an hourly ticker so
+    a rotated cert serves without restart (config/config_tls.go:37-47);
+    here the per-handshake SNI callback re-stats the cert/key paths
+    (throttled, default once/second — a stat pair, not a parse) and
+    builds a FRESH SSLContext when either mtime moved. The callback
+    assigns the new context onto the in-flight handshake
+    (``sslobj.context = ...``, the standard SNI-vhost mechanism), and
+    the listening context keeps the same callback, so no-SNI clients
+    pick the new chain up on the next reloaded handshake too. A rotated
+    pair that fails to load (half-written file mid-rotation) keeps the
+    previous context serving and retries after the throttle window."""
+
+    def __init__(self, cert_path: str, key_path: str, reload_s: float = 1.0):
+        import ssl
+
+        self.cert_path, self.key_path = cert_path, key_path
+        self.reload_s = reload_s
+        self._lock = threading.Lock()
+        self._next_check = 0.0
+        self._mtimes = self._stat()
+        self.ctx = self._build(ssl)
+
+    def _stat(self) -> tuple[float, float]:
+        return (
+            os.stat(self.cert_path).st_mtime,
+            os.stat(self.key_path).st_mtime,
+        )
+
+    def _build(self, ssl):
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(self.cert_path, self.key_path)
+        ctx.sni_callback = self._sni
+        return ctx
+
+    def _sni(self, sslobj, server_name, ctx) -> None:
+        import ssl
+        import time
+
+        with self._lock:
+            now = time.monotonic()
+            if now >= self._next_check:
+                self._next_check = now + self.reload_s
+                try:
+                    mtimes = self._stat()
+                    if mtimes != self._mtimes:
+                        self.ctx = self._build(ssl)
+                        self._mtimes = mtimes
+                except OSError:
+                    pass  # mid-rotation: keep serving the old chain
+            if sslobj.context is not self.ctx:
+                sslobj.context = self.ctx
 
 
 def serve(

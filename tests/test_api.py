@@ -822,6 +822,133 @@ def test_search_many_where_adaptive_probe_widening(spark, tmp_path):
         assert set(by_q.get(ix, [])) == keep  # every existing match found
 
 
+def test_refresh_index_incremental(spark, tmp_path):
+    """Incremental IVF maintenance touches only the changed centroids:
+
+    (a) a balanced index is a strict no-op (no embeddings commit);
+    (b) shrinking max_leaf splits every oversized leaf locally — leaf
+        bounds match a full rebuild's, every vector lands in a live
+        centroid's partition, untouched partitions carry by reference;
+    (c) deleting a leaf's members drops the empty centroid;
+    (d) small leaves dissolve into survivors (count preserved);
+    (e) a drifted centroid re-centers with NO embeddings commit."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from go_vectorsearch_spark.api import Engine, dequantized_vector
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"I{i}", "external_id": f"i{i}",
+         "document": _json.dumps({"body": f"incremental refresh doc {i} "
+                                          f"{'alpha' if i < 20 else 'omega'}"})}
+        for i in range(40)
+    ]
+    ids = eng.upload("acme", "wiki", docs)
+    assert eng.refresh_index("acme", "wiki", max_leaf=50) >= 1
+    cid = eng._category_id("acme", "wiki")
+    emb_t, cent_t = eng.t["embeddings"], eng.t["centroids"]
+
+    def leaf_sizes() -> dict[int, int]:
+        live = {
+            r["centroid_id"]
+            for r in cent_t.read().filter(F.col("category_id") == cid).collect()
+        }
+        out = {
+            r["centroid_id"]: r["n"]
+            for r in emb_t.read()
+            .filter(F.col("centroid_id").isin(list(live)))
+            .groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+        }
+        return out, live
+
+    # (a) balanced: strict no-op, not even a new table version
+    v0 = emb_t._version()
+    r = eng.refresh_index_incremental("acme", "wiki", max_leaf=50)
+    assert (r["split"], r["dropped"], r["recentered"]) == ([], [], [])
+    assert emb_t._version() == v0
+
+    # (b) shrink max_leaf: every oversized leaf splits locally
+    m_before = dict(emb_t._manifest(emb_t._version()))
+    r = eng.refresh_index_incremental("acme", "wiki", max_leaf=8)
+    assert r["split"], "expected oversized leaves to split"
+    sizes, live = leaf_sizes()
+    assert sum(sizes.values()) == 40          # no vector lost
+    assert set(sizes) <= live                  # every row in a live centroid
+    assert max(sizes.values()) <= 8            # full-rebuild leaf bound
+    m_after = dict(emb_t._manifest(emb_t._version()))
+    for key in set(m_before) & set(m_after):
+        # a partition present on both sides either carried verbatim or
+        # (a dissolve receiver) kept its old dirs as a prefix
+        assert m_after[key][: len(m_before[key])] == m_before[key]
+    for c in r["split"]:
+        assert str(c) not in m_after           # split sources removed
+    # partition key == centroid_id for every row (manifest-pruned reads
+    # stay correct)
+    for c in sorted(sizes):
+        part = emb_t.read(partition_values=[c])
+        assert part.filter(F.col("centroid_id") != c).count() == 0
+
+    # (c) empty a leaf by deleting its documents -> centroid dropped
+    sizes, live = leaf_sizes()
+    victim_cent = min(sizes, key=lambda c: (sizes[c], c))
+    victim_docs = [
+        r["document_id"]
+        for r in emb_t.read(partition_values=[victim_cent])
+        .select("document_id").distinct().collect()
+    ]
+    eng.delete_documents("acme", "wiki", victim_docs)
+    sizes2, live2 = leaf_sizes()
+    if victim_cent not in sizes2:              # fully emptied
+        r = eng.refresh_index_incremental("acme", "wiki", max_leaf=8)
+        assert victim_cent in r["dropped"]
+        _, live3 = leaf_sizes()
+        assert victim_cent not in live3
+
+    # (d) small leaves dissolve into survivors, count preserved
+    total_before = emb_t.read().filter(
+        F.col("centroid_id").isin(list(leaf_sizes()[1]))
+    ).count()
+    r = eng.refresh_index_incremental("acme", "wiki", max_leaf=40)
+    sizes3, live3 = leaf_sizes()
+    assert sum(sizes3.values()) == total_before
+    min_leaf = 40 // 10
+    assert all(n >= min_leaf for n in sizes3.values()) or not r["dropped"]
+
+    # (e) drift: perturb a stored centroid vector, re-center in place
+    sizes3, live3 = leaf_sizes()
+    drift_cent = max(sizes3, key=lambda c: (sizes3[c], c))
+    cents_df = cent_t.read()
+    perturbed = cents_df.withColumn(
+        "vector",
+        F.when(
+            F.col("centroid_id") == drift_cent,
+            F.transform(F.col("vector"), lambda x: (x * 0.5 + F.lit(0.3)).cast("float")),
+        ).otherwise(F.col("vector")),
+    )
+    cent_t.write(perturbed)
+    eng._invalidate_cache()
+    v_emb = emb_t._version()
+    r = eng.refresh_index_incremental("acme", "wiki", max_leaf=40,
+                                      drift_threshold=1e-4)
+    assert drift_cent in r["recentered"]
+    assert emb_t._version() == v_emb           # no embeddings commit
+    # the re-centered vector is the member mean (f32 storage precision)
+    stored = {
+        r2["centroid_id"]: list(r2["vector"])
+        for r2 in cent_t.read().filter(F.col("category_id") == cid).collect()
+    }[drift_cent]
+    mean = (
+        dequantized_vector(emb_t.read(partition_values=[drift_cent]))
+        .select(F.posexplode("vector").alias("pos", "val"))
+        .groupBy("pos").agg(F.avg("val").alias("m"))
+        .orderBy("pos").collect()
+    )
+    for s, m in zip(stored, [r2["m"] for r2 in mean]):
+        assert abs(s - m) < 1e-4
+
+
 def test_search_many_offset_pagination(spark, tmp_path):
     """search_many(offset=) pages exactly like consecutive search()
     pages: page-2 of the batch equals page-2 of each single query, and

@@ -474,6 +474,80 @@ class _StubOpenAILLM(BaseHTTPRequestHandler):
         pass
 
 
+class _StubGenerate(BaseHTTPRequestHandler):
+    """Provider-side /api/generate and /v1/completions stub. Both paths
+    answer with the reference's ollama-field GenerateResponse shape —
+    the reference decodes the OpenAI generate path with the SAME struct
+    and line loop as the ollama one (openai/generate.go:73-77,130-144),
+    so one stub covers both wire kinds; requests are recorded for
+    path/body asserts."""
+
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        req = json.loads(self.rfile.read(n))
+        self.server.requests.append((self.path, req))
+        if req.get("stream"):
+            lines = [
+                {"response": "once ", "done": False},
+                {"response": f"upon {req['model']}", "done": False},
+                {"response": "", "done": True},
+            ]
+            body = b"".join(json.dumps(l).encode() + b"\n" for l in lines)
+            ctype = "application/x-ndjson"
+        else:
+            body = json.dumps({
+                "model": req["model"],
+                "response": f"echo:{req['prompt']}",
+                "done": True,
+                "context": [1, 2, 3],
+                "eval_count": 7,
+            }).encode()
+            ctype = "application/json"
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_generate_one_shot_and_stream_both_provider_kinds():
+    """Generate/GenerateStream provider parity (ai/interface.go:16-20):
+    one-shot returns the decoded GenerateResponse object; the stream
+    yields NDJSON "response" fragments until done; kind switches the
+    route (/api/generate vs /v1/completions) and nothing else — the
+    reference's own decode is provider-independent for generate."""
+    from go_vectorsearch_spark.service import generate, generate_stream
+
+    stub = ThreadingHTTPServer(("127.0.0.1", 0), _StubGenerate)
+    stub.requests = []
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{stub.server_port}"
+    try:
+        for kind, path in (("ollama", "/api/generate"),
+                           ("openai", "/v1/completions")):
+            stub.requests.clear()
+            out = generate(base, "tell me", model="m", kind=kind,
+                           token="tok", system="be brief")
+            assert out["response"] == "echo:tell me" and out["done"]
+            assert out["context"] == [1, 2, 3] and out["eval_count"] == 7
+            got_path, got_req = stub.requests[0]
+            assert got_path == path
+            assert got_req["stream"] is False
+            assert got_req["options"] == {"num_ctx": 2048}
+            assert got_req["system"] == "be brief"  # extra field rides along
+
+            frags = list(generate_stream(base, "story", model="m", kind=kind))
+            assert frags == ["once ", "upon m", ""]
+            got_path, got_req = stub.requests[1]
+            assert got_path == path and got_req["stream"] is True
+    finally:
+        stub.shutdown()
+        stub.server_close()
+
+
 def test_chat_streams_openai_sse(spark, tmp_path):
     """The chat path speaks BOTH provider wire shapes: an OpenAI-shaped
     endpoint (SSE `data:` lines, [DONE] sentinel, finish_reason stop —
@@ -590,6 +664,76 @@ def test_tls_serving_round_trip(spark, tmp_path):
             plain.request("GET", "/api/categories")
             plain.getresponse()
         plain.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tls_certificate_hot_reload(spark, tmp_path):
+    """Rotating the certificate files on disk serves the NEW certificate
+    to the next connection without a restart — the reference's hourly
+    reload loop (config/config_tls.go:37-47,110-120), here a throttled
+    per-handshake mtime check. A live server keeps working across the
+    swap."""
+    import os
+    import ssl
+    import time
+
+    from go_vectorsearch_spark.service import generate_self_signed_cert
+
+    eng = Engine(spark, str(tmp_path / "tls_root"))
+    try:
+        cert, key = generate_self_signed_cert(
+            str(tmp_path / "pair1"), cn="first.example"
+        )
+        cert2, key2 = generate_self_signed_cert(
+            str(tmp_path / "pair2"), cn="second.example"
+        )
+    except RuntimeError as e:
+        import pytest as _pytest
+
+        _pytest.skip(f"no openssl CLI: {e}")
+    srv = make_server(eng, tls_cert=cert, tls_key=key, tls_reload_s=0.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def served_cn() -> str:
+        ctx = ssl._create_unverified_context()
+        # server_hostname triggers the SNI callback (every real client)
+        with ctx.wrap_socket(
+            __import__("socket").create_connection(
+                ("127.0.0.1", srv.server_port), timeout=30
+            ),
+            server_hostname="x.example",
+        ) as s:
+            der = s.getpeercert(binary_form=True)
+        # cheap CN extraction: the CN string is embedded verbatim
+        for cn in ("first.example", "second.example"):
+            if cn.encode() in der:
+                return cn
+        raise AssertionError("no known CN in served certificate")
+
+    try:
+        assert served_cn() == "first.example"
+        # rotate: overwrite the files the server was configured with
+        import shutil
+
+        shutil.copyfile(cert2, cert)
+        shutil.copyfile(key2, key)
+        # ensure the mtime actually moves on coarse filesystems
+        now = time.time() + 2
+        os.utime(cert, (now, now))
+        os.utime(key, (now, now))
+        assert served_cn() == "second.example"
+        # the engine still answers over the rotated certificate
+        ctx = ssl._create_unverified_context()
+        conn = http.client.HTTPSConnection(
+            "127.0.0.1", srv.server_port, timeout=120, context=ctx
+        )
+        conn.request("POST", "/api/categories",
+                     body=json.dumps({"owner": "nobody"}).encode(),
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.close()
     finally:
         srv.shutdown()
         srv.server_close()

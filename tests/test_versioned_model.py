@@ -108,6 +108,46 @@ def test_versioned_table_matches_dict_model(spark, tmp_path, seed):
         assert got == history[v], f"time travel to v{v} diverged"
 
 
+def test_replace_partitions_moves_rows_in_one_commit(spark, tmp_path):
+    """replace_partitions = drop named partitions + append rows to the
+    partitions they route to, in ONE commit: no intermediate version
+    ever shows the rows doubled or missing; receiving partitions keep
+    their existing directories by reference and gain one; untouched
+    partitions carry over verbatim; the previous snapshot still
+    time-travels to the pre-move state."""
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    t = _VersionedTable(
+        spark, str(tmp_path / "t"), "t", "id long, part long, x string",
+        partition_expr="part",
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 2, "d")], t.schema
+        )
+    )
+    v0 = t._version()
+    m0 = t._manifest(v0)
+
+    # move partition 0's rows into partitions 1 and 3 (3 is brand new)
+    moved = spark.createDataFrame([(1, 1, "a"), (2, 3, "b")], t.schema)
+    t.replace_partitions(moved, [0])
+    v1 = t._version()
+    assert v1 == v0 + 1  # exactly one commit
+
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, 1, "a"), (2, 3, "b"), (3, 1, "c"), (4, 2, "d")]
+    m1 = t._manifest(v1)
+    assert "0" not in m1                      # dropped
+    assert m1["2"] == m0["2"]                 # untouched: dirs by reference
+    assert m1["1"][: len(m0["1"])] == m0["1"] # receiver: old dirs + new
+    assert len(m1["1"]) == len(m0["1"]) + 1
+    assert "3" in m1                          # brand-new partition
+    # previous snapshot still readable (time travel)
+    old = sorted(tuple(r) for r in t.read(version=v0).collect())
+    assert old == [(1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 2, "d")]
+
+
 def test_orphan_batch_from_failed_write_is_reclaimed(spark, tmp_path):
     """A write that died after creating _data/w{N+1} but before the
     VERSION pointer moved must not wedge the table: the next mutation
