@@ -155,6 +155,18 @@ def main() -> None:
     registry._bm25_store_path(spark, sf_dir)
     timings["bm25_store_build"] = round(time.perf_counter() - t0, 3)
 
+    # r6 in-window pipeline operators: tokenizer training (word
+    # histogram + driver merge loop) and n-gram LM training (per-order
+    # gram counts) are one-time per-corpus model fits — billed to their
+    # own entries like every build above; the registry queries then
+    # measure ENCODE/SCORE, the per-document serving path
+    t0 = time.perf_counter()
+    registry._bpe_merges_cached(spark, sf_dir)
+    timings["bpe_train_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    registry._ngram_lm_cached(spark, sf_dir)
+    timings["ngram_train_build"] = round(time.perf_counter() - t0, 3)
+
     # per-job scheduling floor: the cost of an EMPTY Spark job on this
     # box right now (median of 5) — the data-independent latency every
     # one of the ~58 measured collects pays at least once; 0 % of the

@@ -148,7 +148,9 @@ def cdc_dup_stats(
     Two shuffles of narrow rows: chunk_hash -> owner aggregation
     (min_by, map-side partial), then doc_id -> stats. The raw text is
     never involved; at 100 TB this is the md5-groupBy cost profile of
-    exact dedup, at chunk granularity."""
+    exact dedup, at chunk granularity. ``chunks`` feeds BOTH sides of
+    the owner join — pass a persisted/written frame (the registry
+    caches it) or the chunker runs once per consumer."""
     owner = chunks.groupBy("chunk_hash").agg(
         F.min(F.col(id_col)).alias("_owner"),
         F.count("*").alias("_copies"),

@@ -215,38 +215,57 @@ def rrf_fuse(
     ranking contribute nothing.
 
     Inputs are top-n frames (bounded by contract: every input is a
-    ``.limit(n)`` search result), so each ranking collapses to ONE
-    aggregated array — collect_list + array_sort on a
-    (-round(score,6), id) sort key, then posexplode so rank = pos+1.
-    No Window at all: an unpartitioned ``row_number`` would be a
-    single-task sort of the whole input if a corpus-sized frame ever
-    slipped in, while collect_list over an unbounded frame fails fast
-    on the single-row aggregate instead of silently serializing the
-    corpus through one task. Corpus-sized frames must never be passed
-    here."""
-    tagged = []
-    for r in rankings:
-        ordered = r.select(id_col, "score").agg(
+    ``.limit(n)`` search result), so ALL rankings collapse to ONE
+    single-row aggregate over their leg-tagged union — one
+    collect_list per leg (a ``when(leg=i)`` conditional list, nulls
+    dropped), array_sort on a (-round(score,6), id) sort key, then a
+    codegen'd indexed transform turns position into rank and one
+    flatten+explode feeds the fusion groupBy. No Window at all, and no
+    per-leg aggregate stage (the r5 shape ran one aggregate + explode
+    PER leg and unioned afterwards — pure stage-count overhead): an
+    unpartitioned ``row_number`` would be a single-task sort of the
+    whole input if a corpus-sized frame ever slipped in, while
+    collect_list over an unbounded frame fails fast on the single-row
+    aggregate instead of silently serializing the corpus through one
+    task. Corpus-sized frames must never be passed here."""
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(F.lit(i).alias("_leg"), F.col(id_col), F.col("score"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_leg = tagged.agg(
+        *[
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        (-F.round("score", 6)).alias("_nk"),
-                        F.col(id_col).alias("_id"),
+                    F.when(
+                        F.col("_leg") == i,
+                        F.struct(
+                            (-F.round("score", 6)).alias("_nk"),
+                            F.col(id_col).alias("_id"),
+                        ),
                     )
                 )
-            ).alias("_arr")
+            ).alias(f"_a{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    contribs = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.col(f"_a{i}"),
+                    lambda s, p: F.struct(
+                        s["_id"].alias("_id"),
+                        (1.0 / (F.lit(c) + p + 1)).alias("_rrf"),
+                    ),
+                )
+                for i in range(len(rankings))
+            ]
         )
-        tagged.append(
-            ordered.select(F.posexplode("_arr").alias("_pos", "_s")).select(
-                F.col("_s._id").alias(id_col),
-                (1.0 / (F.lit(c) + F.col("_pos") + 1)).alias("_rrf"),
-            )
-        )
-    allr = tagged[0]
-    for t in tagged[1:]:
-        allr = allr.unionByName(t)
+    )
     return (
-        allr.groupBy(id_col)
+        per_leg.select(F.explode(contribs).alias("_s"))
+        .select(F.col("_s._id").alias(id_col), F.col("_s._rrf").alias("_rrf"))
+        .groupBy(id_col)
         .agg(F.sum("_rrf").alias("score"))
         .orderBy(F.desc(F.round("score", 6)), F.asc(id_col))
         .limit(k)

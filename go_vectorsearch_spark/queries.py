@@ -3258,9 +3258,19 @@ FROM tagged GROUP BY doc_id
 def q_cdc_dup_stats(spark, sf_dir):
     from go_vectorsearch_spark.operators.cdc import cdc_chunks, cdc_dup_stats
 
-    docs = _t(spark, sf_dir, "documents")
-    chunks = cdc_chunks(
-        docs, min_size=CDC_MIN, avg_size=CDC_AVG, max_size=CDC_MAX
+    # the chunk frame feeds BOTH sides of the stats aggregation (owner
+    # groupBy + the tag-back join) — persist it like the shingle frame
+    # so the Arrow chunker runs once, not once per consumer
+    chunks = _dedup_cached(
+        spark,
+        "cdc_chunks",
+        sf_dir,
+        lambda: cdc_chunks(
+            _t(spark, sf_dir, "documents"),
+            min_size=CDC_MIN,
+            avg_size=CDC_AVG,
+            max_size=CDC_MAX,
+        ),
     )
     return cdc_dup_stats(chunks)
 
@@ -3414,7 +3424,12 @@ def _ngram_ppl_oracle() -> str:
     """DuckDB twin of train_ngram_lm + perplexity_score: per-order gram
     count CTEs (the trained model), then per-position stupid-backoff
     lookups as LEFT JOINs and an ORDER BY pos list_sum so float
-    accumulation order matches the scorer's left-to-right loop."""
+    accumulation order matches the scorer's left-to-right loop.
+
+    Grams are keyed as space-joined STRINGS, not lists (tokens are
+    [a-z0-9]+ so the separator is unambiguous): DuckDB's hash join on
+    LIST keys measured ~5x slower at sf0.1 — the oracle should be the
+    engine's honest best, not a handicapped twin."""
     la = "log2(0.4)"  # BACKOFF_ALPHA
     return f"""
 WITH
@@ -3424,19 +3439,20 @@ toks AS MATERIALIZED (
   FROM documents
 ),
 uni AS MATERIALIZED (
-  SELECT g, count(*)::BIGINT AS c FROM (SELECT [unnest(t)] AS g FROM toks)
+  SELECT g, count(*)::BIGINT AS c FROM (SELECT unnest(t) AS g FROM toks)
   GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
 ),
 bi AS MATERIALIZED (
   SELECT g, count(*)::BIGINT AS c FROM (
     SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
-                  i -> list_slice(t, i, i+1))) AS g FROM toks)
+                  i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS g FROM toks)
   GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
 ),
 tri AS MATERIALIZED (
   SELECT g, count(*)::BIGINT AS c FROM (
     SELECT unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
-                  i -> list_slice(t, i, i+2))) AS g FROM toks)
+                  i -> t[i::INT] || ' ' || t[(i+1)::INT] || ' ' || t[(i+2)::INT]))
+           AS g FROM toks)
   GROUP BY g ORDER BY c DESC, g LIMIT {NGRAM_MAX_ENTRIES}
 ),
 consts AS MATERIALIZED (
@@ -3445,9 +3461,9 @@ consts AS MATERIALIZED (
 ),
 pos AS (
   SELECT doc_id, i AS pos, least(i, {NGRAM_ORDER}) AS glen,
-         list_slice(t, greatest(i-2, 1), i) AS g3,
-         list_slice(t, greatest(i-1, 1), i) AS g2,
-         [t[i::INT]] AS g1
+         t[i::INT] AS w,
+         CASE WHEN i >= 2 THEN t[(i-1)::INT] END AS p1,
+         CASE WHEN i >= 3 THEN t[(i-2)::INT] END AS p2
   FROM toks, unnest(range(1, len(t)+1)) AS u(i)
 ),
 lp AS (
@@ -3462,11 +3478,11 @@ lp AS (
     END AS l
   FROM pos p
   CROSS JOIN consts c
-  LEFT JOIN tri t3 ON p.glen >= 3 AND t3.g = p.g3
-  LEFT JOIN bi  d3 ON p.glen >= 3 AND d3.g = list_slice(p.g3, 1, 2)
-  LEFT JOIN bi  t2 ON p.glen >= 2 AND t2.g = p.g2
-  LEFT JOIN uni d2 ON p.glen >= 2 AND d2.g = list_slice(p.g2, 1, 1)
-  LEFT JOIN uni u1 ON u1.g = p.g1
+  LEFT JOIN tri t3 ON p.glen >= 3 AND t3.g = p.p2 || ' ' || p.p1 || ' ' || p.w
+  LEFT JOIN bi  d3 ON p.glen >= 3 AND d3.g = p.p2 || ' ' || p.p1
+  LEFT JOIN bi  t2 ON p.glen >= 2 AND t2.g = p.p1 || ' ' || p.w
+  LEFT JOIN uni d2 ON p.glen >= 2 AND d2.g = p.p1
+  LEFT JOIN uni u1 ON u1.g = p.w
 ),
 agg AS (
   SELECT doc_id, count(*) AS n, list_sum(list(l ORDER BY pos)) AS s

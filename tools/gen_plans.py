@@ -60,10 +60,26 @@ PICKS = [
      "reads only matching rows of probed lists; top-k is TakeOrdered over the filtered "
      "candidates (always k matching rows when k exist)."),
     ("fulltext_hybrid_rrf", "Hybrid RRF fusion: the lexical and vector leg are BOUNDED "
-     "top-n frames (each ends in its own TakeOrdered/limit), fused by collect_list + "
-     "array_sort single-row aggregates — rank assignment without any Window, so a "
-     "corpus-sized frame can never serialize through one task (it would fail fast on the "
-     "single-row aggregate); the fused groupBy shuffles at most 2n (id, rrf) rows."),
+     "top-n frames (each ends in its own TakeOrdered/limit), fused by ONE single-row "
+     "aggregate over their leg-tagged union (one conditional collect_list per leg, r6: "
+     "the per-leg aggregate stages merged) — rank assignment is a codegen'd indexed "
+     "transform, no Window, so a corpus-sized frame can never serialize through one task "
+     "(it would fail fast on the single-row aggregate); the fused groupBy shuffles at "
+     "most 2n (id, rrf) rows."),
+    ("cdc_dup_stats", "Content-defined chunking + dup stats: the chunker is a narrow "
+     "Arrow-batched mapInPandas (no Exchange — text never shuffles); the only exchanges "
+     "are the chunk_hash owner groupBy and the doc_id stats groupBy, both over narrow "
+     "(id, ix, len, md5) rows — exact-dedup's cost profile at chunk granularity."),
+    ("bpe_encode_docs", "BPE encode with the learned merge table in the UDF closure: ONE "
+     "narrow mapInPandas over the documents scan — zero exchanges; tokenizer training "
+     "(histogram + driver merge loop) is the amortized build billed separately."),
+    ("ngram_perplexity", "n-gram LM perplexity scoring: ONE narrow mapInPandas with the "
+     "bounded model in the closure — zero exchanges on the candidate corpus; training's "
+     "per-order gram groupBys are the amortized build billed separately."),
+    ("token_budget_sample", "Token-budget sampling: one codegen'd projection for counts + "
+     "addressing, ONE hash-partition exchange on the stratum for the running-sum window "
+     "(plan-lint-legal partitioned Window), then a left-semi join back — raw text rides "
+     "only the final semi-joined rows."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
