@@ -888,11 +888,21 @@ class Engine:
         # the probed lists below a full page while matches sit in
         # unprobed lists — double nprobe until the page fills or the
         # probe set is exhausted (worst case log2(|centroids|) pruned
-        # re-probes, no cardinality estimator). Without a predicate the
-        # reference semantics (fixed nprobe) stand.
+        # re-probes, no cardinality estimator). The fill target is
+        # clamped to |allowed| — computed LAZILY, only when the first
+        # page underfills — so a predicate with fewer than count matches
+        # in total stops the loop as soon as every existing match is
+        # found instead of escalating to probing all centroids. Like
+        # every stop-on-fill ANN loop, scores of matches found in the
+        # last widening step are probe-limited (the doc is present; a
+        # better-scoring chunk of it may sit in an unprobed list) —
+        # identical semantics across search/search_many/search_hybrid.
+        # Without a predicate the reference semantics (fixed nprobe)
+        # stand.
         if where is not None and len(page_rows) < count:
             n_cent = len(self._category_centroids(scope))
-            while len(page_rows) < count and nprobe < n_cent:
+            target = min(count, max(0, allowed.count() - offset))
+            while len(page_rows) < target and nprobe < n_cent:
                 nprobe = min(nprobe * 2, n_cent)
                 topk = self._vector_topk(
                     scope, qvec, count + offset, nprobe, allowed=allowed
@@ -974,18 +984,24 @@ class Engine:
         page_rows = _page(best)
         if where is not None:
             # adaptive widening, restricted to the underfilled queries
-            # (the batch twin of search()'s loop at the single-query
-            # path above): target clamped to |allowed| so a predicate
+            # (the batch twin of search()'s loop — same clamp, same
+            # probe-limited-score caveat, so both forms page
+            # identically): target clamped to |allowed| so a predicate
             # with fewer than count matches in total stops the loop as
             # soon as every existing match is found, instead of
-            # escalating to probing all centroids
+            # escalating to probing all centroids. The |allowed| count
+            # job runs LAZILY — only when some query actually
+            # underfilled, so the common filled-first-pass request pays
+            # nothing extra.
             from collections import Counter
 
             n_cent = len(self._category_centroids(scope))
-            allowed_n = self._allowed_docs(scope, where).count()
-            target = min(count, max(0, allowed_n - offset))
             filled = Counter(r["q_ix"] for r in page_rows)
-            under = [ix for ix in range(len(texts)) if filled[ix] < target]
+            under = [ix for ix in range(len(texts)) if filled[ix] < count]
+            if under:
+                allowed_n = self._allowed_docs(scope, where).count()
+                target = min(count, max(0, allowed_n - offset))
+                under = [ix for ix in under if filled[ix] < target]
             cur = nprobe
             while under and cur < n_cent:
                 cur = min(cur * 2, n_cent)
@@ -1539,19 +1555,25 @@ class Engine:
         # vector leg must not cede fused-rank mass just because the
         # initial probe set was thin (the count is over a <= fuse_depth
         # frame, not the corpus). The target is clamped to |allowed| —
-        # one count job up front — because a selective predicate with
-        # fewer than fuse_depth matches IN TOTAL would otherwise force
-        # the full log2(n_cent) escalation to probing every centroid
-        # (plus a count per doubling) even when no further matches
-        # exist anywhere.
+        # a selective predicate with fewer than fuse_depth matches IN
+        # TOTAL would otherwise force the full log2(n_cent) escalation
+        # to probing every centroid (plus a count per doubling) even
+        # when no further matches exist anywhere. The clamp count runs
+        # LAZILY (only when the first probe underfills), and — like the
+        # other stop-on-fill loops — a match found in the last widening
+        # step carries its probe-limited best-chunk score into the RRF
+        # fusion.
         if where is not None and vector is not None:
             n_cent = len(self._category_centroids(scope))
-            target = min(fuse_depth, allowed.count())
-            while vector.count() < target and nprobe < n_cent:
-                nprobe = min(nprobe * 2, n_cent)
-                vector = self._vector_topk(
-                    scope, qvec, fuse_depth, nprobe, allowed=allowed
-                )
+            have = vector.count()
+            if have < fuse_depth and nprobe < n_cent:
+                target = min(fuse_depth, allowed.count())
+                while have < target and nprobe < n_cent:
+                    nprobe = min(nprobe * 2, n_cent)
+                    vector = self._vector_topk(
+                        scope, qvec, fuse_depth, nprobe, allowed=allowed
+                    )
+                    have = vector.count()
         rankings = [lexical] + ([vector] if vector is not None else [])
         fused = rrf_fuse(
             rankings, k=count + offset, c=rrf_c, id_col="document_id"
@@ -2130,8 +2152,28 @@ class Engine:
                 )
             )
 
-        # -- one atomic embeddings commit, one centroids rewrite ----------
+        # -- commit order is the crash-safety story -----------------------
+        # Three commits, each leaving a searchable table pair:
+        #   1. APPEND the new sub-centroids (old + new both live; new
+        #      ids probe not-yet-existing partitions — empty, harmless);
+        #   2. move the embeddings atomically (old split ids now probe
+        #      dropped partitions — empty; their rows are live under
+        #      the new ids, which ARE in the centroids table);
+        #   3. final centroids rewrite (drop split/dissolved/empty ids,
+        #      apply re-centers).
+        # A crash between any two leaves no unreachable data, and a
+        # re-run self-heals: ids whose partitions are gone classify as
+        # EMPTY and drop; a leftover appended id with no rows likewise.
+        # (Committing the moves before ANY centroids write would orphan
+        # the moved rows under ids no table references.)
         remove_keys = list(oversized) + list(small) + list(empty)
+        if new_cent_rows:
+            self.t["centroids"].append(
+                self.spark.createDataFrame(
+                    [(c, cid, v) for c, v in new_cent_rows],
+                    _SCHEMAS["centroids"],
+                )
+            )
         if moved_frames or remove_keys:
             moved = moved_frames[0] if moved_frames else None
             for f in moved_frames[1:]:

@@ -82,6 +82,49 @@ def _zstd_compress(data: bytes) -> bytes:
     return bytes(sink.getvalue())
 
 
+def _llm_request(base: str, path: str, payload: dict, token: str, timeout: float):
+    """POST one JSON request to an LLM-provider path and return
+    (connection, response) — the connection/header/auth assembly every
+    provider call in this module shares. Caller owns conn.close();
+    non-200 raises with a truncated body for context."""
+    from go_vectorsearch_spark.sources.embed_http import _open_connection
+
+    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    try:
+        conn.request("POST", prefix + path, json.dumps(payload).encode(), headers)
+        resp = conn.getresponse()
+    except BaseException:
+        conn.close()
+        raise
+    return conn, resp
+
+
+def _check_200(resp, path: str) -> None:
+    if resp.status != 200:
+        raise RuntimeError(f"{path} -> {resp.status}: {resp.read()[:200]!r}")
+
+
+def _ndjson_objects(resp) -> Iterator[dict]:
+    """Parsed objects of an NDJSON byte stream, including a final line
+    without a trailing newline — the shared drain loop of the Ollama
+    chat and both generate streams."""
+    buf = b""
+    while True:
+        chunk = resp.read1(65536)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            if line.strip():
+                yield json.loads(line)
+    if buf.strip():
+        yield json.loads(buf)
+
+
 def chat_stream(
     base: str,
     messages: list[dict[str, str]],
@@ -98,42 +141,19 @@ def chat_stream(
     ``{"message": {"role", "content"}, "done": bool}`` — yield each
     line's ``message.content`` until ``done``.
     """
-    from go_vectorsearch_spark.sources.embed_http import _open_connection
-
-    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    payload = {
+        "model": model,
+        "messages": list(messages),
+        "stream": True,
+        "options": {"num_ctx": num_ctx},
+    }
+    conn, resp = _llm_request(base, CHAT_PATH, payload, token, timeout)
     try:
-        payload = {
-            "model": model,
-            "messages": list(messages),
-            "stream": True,
-            "options": {"num_ctx": num_ctx},
-        }
-        headers = {"Content-Type": "application/json"}
-        if token:
-            headers["Authorization"] = f"Bearer {token}"
-        conn.request("POST", prefix + CHAT_PATH, json.dumps(payload).encode(), headers)
-        resp = conn.getresponse()
-        if resp.status != 200:
-            raise RuntimeError(
-                f"chat endpoint -> {resp.status}: {resp.read()[:200]!r}"
-            )
-        buf = b""
-        while True:
-            chunk = resp.read1(65536)
-            if not chunk:
-                break
-            buf += chunk
-            while b"\n" in buf:
-                line, buf = buf.split(b"\n", 1)
-                if not line.strip():
-                    continue
-                res = json.loads(line)
-                yield res.get("message", {}).get("content", "")
-                if res.get("done"):
-                    return
-        if buf.strip():  # final line without trailing newline
-            res = json.loads(buf)
+        _check_200(resp, CHAT_PATH)
+        for res in _ndjson_objects(resp):
             yield res.get("message", {}).get("content", "")
+            if res.get("done"):
+                return
     finally:
         conn.close()
 
@@ -157,27 +177,15 @@ def chat_stream_openai(
     keep-alives — no brace, no parse), sorting ``choices`` by index,
     yielding each ``delta.content``, and stopping at the first
     non-empty ``finish_reason``; reproduced exactly."""
-    from go_vectorsearch_spark.sources.embed_http import _open_connection
-
-    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    payload = {
+        "model": model,
+        "messages": list(messages),
+        "stream": True,
+        "options": {"num_ctx": num_ctx},
+    }
+    conn, resp = _llm_request(base, OPENAI_CHAT_PATH, payload, token, timeout)
     try:
-        payload = {
-            "model": model,
-            "messages": list(messages),
-            "stream": True,
-            "options": {"num_ctx": num_ctx},
-        }
-        headers = {"Content-Type": "application/json"}
-        if token:
-            headers["Authorization"] = f"Bearer {token}"
-        conn.request(
-            "POST", prefix + OPENAI_CHAT_PATH, json.dumps(payload).encode(), headers
-        )
-        resp = conn.getresponse()
-        if resp.status != 200:
-            raise RuntimeError(
-                f"chat endpoint -> {resp.status}: {resp.read()[:200]!r}"
-            )
+        _check_200(resp, OPENAI_CHAT_PATH)
         buf = b""
         while True:
             chunk = resp.read1(65536)
@@ -228,29 +236,22 @@ def generate(
     struct ("response", "done", "context", timing counters) — the
     OpenAI path included — so the decode here is provider-independent
     and only the route differs, faithfully."""
-    from go_vectorsearch_spark.sources.embed_http import _open_connection
-
-    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    # "stream" after the spread: the function owns the streaming mode
+    # (the reference likewise force-sets request.Stream) — a caller-
+    # passed stream=True in extra would otherwise flip the wire shape
+    # and break the one-object decode below
+    payload = {
+        "model": model,
+        "prompt": prompt,
+        "options": {"num_ctx": num_ctx},
+        **extra,
+        "stream": False,
+    }
+    path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
+    conn, resp = _llm_request(base, path, payload, token, timeout)
     try:
-        payload = {
-            "model": model,
-            "prompt": prompt,
-            "stream": False,
-            "options": {"num_ctx": num_ctx},
-            **extra,
-        }
-        headers = {"Content-Type": "application/json"}
-        if token:
-            headers["Authorization"] = f"Bearer {token}"
-        path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
-        conn.request("POST", prefix + path, json.dumps(payload).encode(), headers)
-        resp = conn.getresponse()
-        body = resp.read()
-        if resp.status != 200:
-            raise RuntimeError(
-                f"generate endpoint -> {resp.status}: {body[:200]!r}"
-            )
-        return json.loads(body)
+        _check_200(resp, path)
+        return json.loads(resp.read())
     finally:
         conn.close()
 
@@ -273,44 +274,21 @@ def generate_stream(
     (ollama/generate.go:85-160 and openai/generate.go:84-160 run an
     identical loop — generate, unlike chat, has no SSE branch), so only
     the route differs here too."""
-    from go_vectorsearch_spark.sources.embed_http import _open_connection
-
-    conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
+    payload = {
+        "model": model,
+        "prompt": prompt,
+        "options": {"num_ctx": num_ctx},
+        **extra,
+        "stream": True,  # after the spread — the function owns the mode
+    }
+    path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
+    conn, resp = _llm_request(base, path, payload, token, timeout)
     try:
-        payload = {
-            "model": model,
-            "prompt": prompt,
-            "stream": True,
-            "options": {"num_ctx": num_ctx},
-            **extra,
-        }
-        headers = {"Content-Type": "application/json"}
-        if token:
-            headers["Authorization"] = f"Bearer {token}"
-        path = OPENAI_GENERATE_PATH if kind == "openai" else GENERATE_PATH
-        conn.request("POST", prefix + path, json.dumps(payload).encode(), headers)
-        resp = conn.getresponse()
-        if resp.status != 200:
-            raise RuntimeError(
-                f"generate endpoint -> {resp.status}: {resp.read()[:200]!r}"
-            )
-        buf = b""
-        while True:
-            chunk = resp.read1(65536)
-            if not chunk:
-                break
-            buf += chunk
-            while b"\n" in buf:
-                line, buf = buf.split(b"\n", 1)
-                if not line.strip():
-                    continue
-                res = json.loads(line)
-                yield res.get("response", "") or ""
-                if res.get("done"):
-                    return
-        if buf.strip():  # final line without trailing newline
-            res = json.loads(buf)
+        _check_200(resp, path)
+        for res in _ndjson_objects(resp):
             yield res.get("response", "") or ""
+            if res.get("done"):
+                return
     finally:
         conn.close()
 

@@ -87,10 +87,11 @@ def test_session_stream_equals_batch(spark, sf_smoke, events_stream, events_batc
     )
     assert _rows(got) == _rows(want)
     # per-user session counts must also agree with the batch lag+cumsum
-    # twin (events_sessionize), which the DuckDB oracle already pins
-    from go_vectorsearch_spark.queries import REGISTRY
+    # twin (events_sessionize; demoted r6 — its DuckDB parity now lives
+    # in tests/test_demoted_parity.py, same bar)
+    from go_vectorsearch_spark.queries import q_events_sessionize
 
-    twin = REGISTRY["events_sessionize"].fn(spark, sf_smoke)
+    twin = q_events_sessionize(spark, sf_smoke)
     twin_rows = {
         (r["user_id"], r["n_sessions"], r["n_events"]) for r in twin.collect()
     }
