@@ -2274,14 +2274,19 @@ class Engine:
         ]
         return {"tables": tables, "categories": categories}
 
-    def refresh_all(self, max_leaf: int = 10_000) -> dict[tuple[str, str], int]:
+    def refresh_all(
+        self, max_leaf: int = 10_000, incremental: bool = False
+    ) -> dict[tuple[str, str], int]:
         """RefreshCentroids parity (server/centroids.go:17-83, run once
         at startup, main.go:92): rebuild the IVF index of EVERY category
         of every owner, one category at a time like the reference's
         sequential sweep. Returns {(owner, category): centroid count}.
-        The category list is a bounded-metadata collect; the reference's
-        per-category Postgres SHARE NOWAIT lock (C7) is n/a with a
-        single driver (SURVEY §2.8)."""
+        ``incremental=True`` runs :meth:`refresh_index_incremental`
+        instead — the churn-proportional maintenance sweep a deployment
+        schedules between full rebuilds. The category list is a
+        bounded-metadata collect; the reference's per-category Postgres
+        SHARE NOWAIT lock (C7) is n/a with a single driver (SURVEY
+        §2.8)."""
         cats = self.t["categories"].read()
         owners = self.t["owners"].read().select(
             F.col("owner_id"), F.col("name").alias("_owner_name")
@@ -2292,6 +2297,13 @@ class Engine:
             .orderBy("_owner_name", "name")
             .collect()
         )
+        if incremental:
+            return {
+                (r["_owner_name"], r["name"]): self.refresh_index_incremental(
+                    r["_owner_name"], r["name"], max_leaf=max_leaf
+                )["centroids"]
+                for r in pairs
+            }
         return {
             (r["_owner_name"], r["name"]): self.refresh_index(
                 r["_owner_name"], r["name"], max_leaf=max_leaf

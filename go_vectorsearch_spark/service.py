@@ -15,7 +15,13 @@ their exact shape):
   POST|GET /api/search_hybrid → Engine.search_hybrid (BM25+vector RRF;
                                 response shape identical to /api/search)
   POST /api/admin/refresh     → refresh_index / refresh_all sweep
-                                (server/centroids.go:17-83 on demand)
+                                (server/centroids.go:17-83 on demand;
+                                "incremental": true runs the
+                                churn-proportional maintenance form)
+
+Static files: ``make_server(static_dir=...)`` mounts a UI build at "/"
+behind the same headers + compression middleware — the reference's
+embedded frontend server (main.go:178); without it non-API GETs 404.
 
 Request/response JSON field names match the reference structs exactly
 (UploadRequest/SearchRequest/ChatRequest/... in server/*.go), so a client
@@ -304,8 +310,14 @@ class Service:
         llm_token: str = "",
         llm_kind: str = "ollama",
         llm_providers: list[tuple[str, str]] | None = None,
+        static_dir: str | None = None,
     ):
-        """``llm_base``/``llm_kind`` configure a single chat provider
+        """``static_dir`` serves files under it on every non-API GET —
+        the reference's embedded UI file server (main.go:178
+        ``http.FileServerFS(static.Files)``); None (the default)
+        answers 404 like before, keeping the pure-API deployment shape.
+
+        ``llm_base``/``llm_kind`` configure a single chat provider
         ("ollama" NDJSON or "openai" SSE — the two wire shapes behind
         the reference's provider abstraction, ai/ollama/chat.go:92-155
         vs ai/openai/chat.go:101-174). ``llm_providers`` is the
@@ -323,6 +335,7 @@ class Service:
         self.llm_providers = llm_providers
         self.llm_model = llm_model
         self.llm_token = llm_token
+        self.static_dir = static_dir
         # MUTATIONS serialize: _VersionedTable.write is read-modify-write
         # (union current + flip pointer), so two concurrent uploads could
         # drop each other's rows. READS need no lock — the VERSION
@@ -542,7 +555,9 @@ class Service:
                     (owner, category): self.engine.refresh_index(owner, category)
                 }
         else:
-            pairs = self.engine.refresh_all()
+            pairs = self.engine.refresh_all(
+                incremental=bool(req.get("incremental"))
+            )
         # iterate the (owner, category) TUPLES — names are arbitrary
         # strings (a '/' in an owner name must not split a composed key)
         for o, c in pairs:
@@ -693,6 +708,8 @@ class _Handler(BaseHTTPRequestHandler):
         if split.path == CHAT_PATH:
             return self._handle_chat()
         if route is None:
+            if self.command in ("GET", "HEAD") and self.service.static_dir:
+                return self._serve_static(split.path)
             self._drain_body()
             return self._error(404, "Not found")
         name, methods, compress, mutates = route
@@ -764,6 +781,40 @@ class _Handler(BaseHTTPRequestHandler):
             emit(frag)
         self.wfile.write(b"0\r\n\r\n")
 
+    def _serve_static(self, path: str) -> None:
+        """Static file serving under ``Service.static_dir`` — the
+        reference mounts its embedded UI at "/" behind the same headers
+        + compression middleware as the API (main.go:178). "/" and
+        directory paths fall back to index.html (SPA convention the
+        reference's FileServerFS applies); resolved paths must stay
+        inside the root (traversal -> 404)."""
+        import mimetypes
+        from pathlib import Path
+
+        root = Path(self.service.static_dir).resolve()
+        target = (root / path.lstrip("/")).resolve()
+        if target != root and root not in target.parents:
+            return self._error(404, "Not found")
+        if target.is_dir():
+            target = target / "index.html"
+        if not target.is_file():
+            return self._error(404, "Not found")
+        ctype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
+        body = target.read_bytes()
+        enc = None
+        # compression middleware wraps the static route too (main.go:178)
+        if "zstd" in (self.headers.get("Accept-Encoding") or ""):
+            body = _zstd_compress(body)
+            enc = "zstd"
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        if enc:
+            self.send_header("Content-Encoding", enc)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
     def do_POST(self):
         self._handle()
 
@@ -771,6 +822,9 @@ class _Handler(BaseHTTPRequestHandler):
         self._handle()
 
     def do_DELETE(self):
+        self._handle()
+
+    def do_HEAD(self):
         self._handle()
 
     def log_message(self, *a):  # quiet; the reference logs via zap
@@ -823,6 +877,7 @@ def make_server(
     tls_cert: str | None = None,
     tls_key: str | None = None,
     tls_reload_s: float = 1.0,
+    static_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` picks a free port.
     Start with ``threading.Thread(target=srv.serve_forever)`` or
@@ -847,6 +902,7 @@ def make_server(
         llm_token=llm_token,
         llm_kind=llm_kind,
         llm_providers=llm_providers,
+        static_dir=static_dir,
     )
     handler = type("BoundHandler", (_Handler,), {"service": svc})
     srv = ThreadingHTTPServer((host, port), handler)

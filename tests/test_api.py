@@ -949,6 +949,58 @@ def test_refresh_index_incremental(spark, tmp_path):
         assert abs(s - m) < 1e-4
 
 
+def test_refresh_index_incremental_self_heals_crash_windows(spark, tmp_path):
+    """The incremental refresh's commit order (append new centroids ->
+    move embeddings -> final centroids rewrite) promises every crash
+    window re-runs to a consistent state. Simulate the first window —
+    new sub-centroid rows appended but the embeddings move lost — by
+    appending centroid rows with NO partitions: the next incremental
+    classifies them EMPTY, drops them, and the index keeps serving the
+    same results; refresh_all(incremental=True) sweeps categories."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine, _SCHEMAS
+
+    eng = Engine(spark, str(tmp_path / "root"))
+    docs = [
+        {"name": f"H{i}", "external_id": f"h{i}",
+         "document": _json.dumps({"body": f"heal test doc {i}"})}
+        for i in range(20)
+    ]
+    eng.upload("acme", "wiki", docs)
+    assert eng.refresh_index("acme", "wiki", max_leaf=8) >= 1
+    cid = eng._category_id("acme", "wiki")
+    before = {r["document_id"] for r in
+              eng.search("acme", "wiki", "heal test", count=20, nprobe=-1).collect()}
+
+    # crash window 1: appended centroid rows whose partitions never came
+    ghost_base = eng._next_id("centroids", "centroid_id")
+    eng.t["centroids"].append(
+        spark.createDataFrame(
+            [(ghost_base, cid, [0.5] * 8), (ghost_base + 1, cid, [0.25] * 8)],
+            _SCHEMAS["centroids"],
+        )
+    )
+    eng._invalidate_cache()
+    r = eng.refresh_index_incremental("acme", "wiki", max_leaf=8)
+    assert ghost_base in r["dropped"] and ghost_base + 1 in r["dropped"]
+    live = {
+        row["centroid_id"]
+        for row in eng.t["centroids"].read().filter(
+            F.col("category_id") == cid).collect()
+    }
+    assert not {ghost_base, ghost_base + 1} & live
+    after = {r2["document_id"] for r2 in
+             eng.search("acme", "wiki", "heal test", count=20, nprobe=-1).collect()}
+    assert after == before  # no document lost or duplicated
+
+    # the sweep form reaches every category
+    swept = eng.refresh_all(incremental=True)
+    assert swept[("acme", "wiki")] == len(
+        eng.t["centroids"].read().filter(F.col("category_id") == cid).collect()
+    )
+
+
 def test_search_many_offset_pagination(spark, tmp_path):
     """search_many(offset=) pages exactly like consecutive search()
     pages: page-2 of the batch equals page-2 of each single query, and

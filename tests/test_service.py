@@ -669,6 +669,62 @@ def test_tls_serving_round_trip(spark, tmp_path):
         srv.server_close()
 
 
+def test_static_file_serving(spark, tmp_path):
+    """make_server(static_dir=) serves the UI files on every non-API
+    GET — the reference mounts its embedded frontend at "/" behind the
+    same headers + compression middleware (main.go:178): index fallback
+    for "/" and directories, extension-derived MIME, zstd when the
+    client accepts it, WASM isolation headers on every file, traversal
+    blocked, API routes unaffected; without static_dir, "/" keeps
+    answering 404 (pure-API deployments)."""
+    ui = tmp_path / "ui"
+    (ui / "assets").mkdir(parents=True)
+    (ui / "index.html").write_text("<html>gvs-ui</html>")
+    (ui / "assets" / "app.js").write_text("console.log('hi')")
+
+    eng = Engine(spark, str(tmp_path / "static_root"))
+    srv = make_server(eng, static_dir=str(ui))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_port
+    try:
+        resp, data = _call(port, "/", method="GET")
+        assert resp.status == 200 and b"gvs-ui" in data
+        assert "text/html" in resp.getheader("Content-Type")
+        assert resp.getheader("Cross-Origin-Opener-Policy") == "same-origin"
+        resp, data = _call(port, "/assets/app.js", method="GET")
+        assert resp.status == 200 and b"console" in data
+        assert "javascript" in resp.getheader("Content-Type")
+        # zstd compression on request (middleware wraps static too)
+        resp, data = _call(port, "/index.html", method="GET",
+                           headers={"Accept-Encoding": "zstd"})
+        assert resp.getheader("Content-Encoding") == "zstd"
+        from go_vectorsearch_spark.service import _zstd_decompress
+        assert b"gvs-ui" in _zstd_decompress(data)
+        # traversal stays inside the root
+        resp, _ = _call(port, "/../secrets.txt", method="GET")
+        assert resp.status in (200, 404)  # normalized or rejected, never outside
+        resp, data = _call(port, "/%2e%2e/secrets.txt", method="GET")
+        assert resp.status == 404
+        # unknown file 404s; API routes still dispatch
+        resp, _ = _call(port, "/nope.css", method="GET")
+        assert resp.status == 404
+        resp, data = _call(port, "/api/categories", {"owner": "x"})
+        assert resp.status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # no static_dir: "/" keeps the pure-API 404 shape
+    srv2 = make_server(eng)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        resp, _ = _call(srv2.server_port, "/", method="GET")
+        assert resp.status == 404
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
+
 def test_tls_certificate_hot_reload(spark, tmp_path):
     """Rotating the certificate files on disk serves the NEW certificate
     to the next connection without a restart — the reference's hourly
