@@ -496,14 +496,19 @@ class _VersionedTable:
     def _vacuum(self, current: int, keep: int) -> None:
         """Drop manifests older than the ``keep`` most recent, then
         garbage-collect data directories no surviving manifest
-        references (what Delta's VACUUM exists for) — but never data
-        younger than ``vacuum_min_age_s`` (see __init__: in-flight
-        readers keep their snapshot; same retention idea as Delta's
-        VACUUM ... RETAIN). Shared directories referenced by any live
-        manifest survive indefinitely — that sharing is what makes a
-        mutation cost O(touched partitions), not O(table)."""
+        references (what Delta's VACUUM exists for) — but never sooner
+        than ``vacuum_min_age_s`` after the directory was FIRST
+        OBSERVED dereferenced (retention.deref_expired's sentinel; the
+        same retention idea as Delta's VACUUM ... RETAIN, measured from
+        dereference rather than the write mtime — a batch written hours
+        ago can be superseded a second ago while a reader who resolved
+        the old manifest is still mid-scan). Shared directories
+        referenced by any live manifest survive indefinitely — that
+        sharing is what makes a mutation cost O(touched partitions),
+        not O(table)."""
         import shutil
-        import time
+
+        from go_vectorsearch_spark.retention import deref_expired
 
         for old in range(max(0, current - keep + 1)):
             p = self._manifest_path(old)
@@ -519,7 +524,7 @@ class _VersionedTable:
         data_root = os.path.join(self.dir, "_data")
         if not os.path.isdir(data_root):
             return
-        cutoff = time.time() - self.vacuum_min_age_s
+        grace = self.vacuum_min_age_s
         for batch in os.listdir(data_root):
             bpath = os.path.join(data_root, batch)
             brel = os.path.join("_data", batch)
@@ -533,21 +538,14 @@ class _VersionedTable:
                 if os.path.join(brel, child) in referenced:
                     live = True
                     continue
-                try:
-                    if os.path.getmtime(cpath) > cutoff:
-                        live = True
-                        continue
-                except OSError:
-                    pass
+                if not deref_expired(cpath, grace):
+                    live = True
+                    continue
                 shutil.rmtree(cpath, ignore_errors=True)
             if live:
                 continue
-            try:
-                if os.path.getmtime(bpath) > cutoff:
-                    continue
-            except OSError:
-                pass
-            shutil.rmtree(bpath, ignore_errors=True)
+            if deref_expired(bpath, grace):
+                shutil.rmtree(bpath, ignore_errors=True)
 
 
 def _rank_probe_ids(

@@ -167,9 +167,17 @@ def jaccard_pairs(
     key, so an uncapped hot shingle like "the end of" is a quadratic
     skew bomb at corpus scale. The frequency pass is one extra shuffle
     of (shingle) ints. Pass ``None`` only for small-corpus oracle-parity
-    runs (the DuckDB twin counts every shingle). A capped run can only
-    *miss* pairs whose overlap is exclusively hot shingles; per-doc set
-    sizes come from the full arrays, so reported Jaccard is unchanged.
+    runs (the DuckDB twin counts every shingle). Capped semantics —
+    stated precisely: hot shingles are excluded from the MATCH COUNT
+    but not from the per-doc set sizes, so a capped run reports a LOWER
+    BOUND on the true Jaccard (exact when no shared shingle is hot),
+    and a pair whose overlap is partly hot can fall below ``threshold``
+    and drop. That is the intended trade at corpus scale: a shingle
+    shared by thousands of documents carries no near-DUPLICATE signal
+    (it is boilerplate by definition), so discounting it biases toward
+    precision, and recall for real near-dups — which share many RARE
+    shingles — is unaffected in practice (the recall-calibration test
+    pins this on the sf corpus).
 
     ``shingled`` (a persisted :func:`shingled_docs` frame) lets several
     dedup variants share one shingling pass.

@@ -86,13 +86,17 @@ def build_bm25_index(
     postings frame is written once (bucketed by term hash) and reused
     per query, exactly like the IVF assignment column.
 
+    ``n_docs`` counts only documents with at least one token: a
+    token-less document contributes no posting rows, so counting it
+    would make its later deletion unable to shrink the stats it never
+    backed (delete_postings intersects victims with the stored
+    postings) — excluding it keeps "tombstone ≡ rebuild over survivors"
+    exact for every input, and avgdl the mean over REAL documents.
+
     ``persist=True`` materializes the postings (the serving shape) and
-    then derives the corpus scalars FROM the cached postings — n_docs
-    is a count over the input (parquet count-star is metadata work),
-    avgdl is sum(dl over distinct docs)/n_docs, identical to
-    avg(len(tokens)) over all docs because token-less documents carry
-    dl=0 in both formulations — so the corpus is tokenized exactly
-    once instead of once for stats and once for the postings."""
+    then derives BOTH corpus scalars FROM the cached postings (one
+    distinct-doc aggregate) — so the corpus is tokenized exactly once
+    instead of once for stats and once for the postings."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
@@ -103,22 +107,22 @@ def build_bm25_index(
     )
     if persist:
         postings.persist().count()
-        n = docs.count()
-        dl_sum = (
+        row = (
             postings.select("doc_id", "dl")
             .distinct()
-            .agg(F.sum("dl").alias("s"))
-            .head()["s"]
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .head()
         )
-        dl_sum = int(dl_sum or 0)
+        n, dl_sum = int(row["n"]), int(row["s"] or 0)
         return BM25Index(
             postings=postings,
-            n_docs=int(n),
+            n_docs=n,
             avgdl=(dl_sum / n if n else 0.0),
             sum_dl=dl_sum,
         )
     stats = toks.agg(
-        F.count("*").alias("n"), F.sum(F.size("_toks")).alias("s")
+        F.count(F.when(F.size("_toks") > 0, 1)).alias("n"),
+        F.sum(F.size("_toks")).alias("s"),
     ).head()
     n, dl_sum = int(stats["n"]), int(stats["s"] or 0)
     return BM25Index(
@@ -423,6 +427,21 @@ def write_postings(
         _write_postings_unlocked(index, path, n_buckets)
 
 
+def _batches_frame(spark, path: str, m: dict) -> DataFrame:
+    """Union of a manifest's immutable batch directories under the
+    explicit stored schema (an EMPTY batch has no files to infer from)
+    — the single definition of the stored-layout scan, shared by
+    read_postings and delete_postings' presence scan."""
+    frames = [
+        spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(f"{path}/{rel}")
+        for rel in m["batches"]
+    ]
+    postings = frames[0]
+    for f in frames[1:]:
+        postings = postings.unionByName(f)
+    return postings
+
+
 def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     """(index over the stored layout, n_buckets) at the CURRENT version
     — the pointer and manifest are driver-side file reads (no Spark
@@ -440,15 +459,7 @@ def read_postings(spark, path: str) -> tuple[BM25Index, int]:
     if v < 0:
         raise FileNotFoundError(f"read_postings: no VERSION at {path}")
     m = _store_manifest(path, v)
-    # explicit schema: an EMPTY batch (a store seeded before streaming
-    # ingest, or a delta with zero postings) has no files to infer from
-    frames = [
-        spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(f"{path}/{rel}")
-        for rel in m["batches"]
-    ]
-    postings = frames[0]
-    for f in frames[1:]:
-        postings = postings.unionByName(f)
+    postings = _batches_frame(spark, path, m)
     tombstones = m.get("tombstones", [])
     if tombstones:
         # driver-held list, bounded by deletes-since-last-compaction —
@@ -503,13 +514,7 @@ def delete_postings(
         new_ids = sorted(set(int(i) for i in doc_ids) - existing)
         if not new_ids:
             return 0
-        frames = [
-            spark.read.schema(STORED_POSTINGS_SCHEMA).parquet(f"{path}/{rel}")
-            for rel in m["batches"]
-        ]
-        postings = frames[0]
-        for f in frames[1:]:
-            postings = postings.unionByName(f)
+        postings = _batches_frame(spark, path, m)
         # presence scan: doc_id only when the caller supplied the dls
         # (one pruned column off the parquet), (doc_id, dl) otherwise
         cols = ["doc_id"] if dl_by_doc is not None else ["doc_id", "dl"]
@@ -658,13 +663,18 @@ def vacuum_postings(
     leave their predecessors' batches on disk by design (snapshot
     isolation for lock-free readers); this is the explicit reclaim,
     shaped like the versioned tables' vacuum — including the AGE GUARD:
-    nothing younger than ``min_age_s`` is removed, so a reader that
-    resolved its manifest and is still mid-scan keeps its files even
-    if several rebuilds land meanwhile (direct unit-test callers
-    default to 0, the Engine passes its serving grace period). Returns
-    removed paths."""
+    a dereferenced path is deleted only ``min_age_s`` after a vacuum
+    FIRST OBSERVED it dereferenced (retention.deref_expired's sentinel
+    — the batch's own write mtime says nothing about when the last
+    manifest referencing it was superseded, and a reader that resolved
+    that manifest seconds ago is still mid-scan). Direct unit-test
+    callers default to 0 (immediate one-pass delete); the Engine passes
+    its serving grace period, so reclamation completes on the SECOND
+    maintenance pass after the grace. Returns removed paths."""
     import shutil
     import time as _time
+
+    from go_vectorsearch_spark.retention import deref_expired
 
     with _store_lock(path):
         v = _store_version(path)
@@ -683,6 +693,10 @@ def vacuum_postings(
         removed = []
         for x in versions:
             mf = f"{path}/v{x}.json"
+            # a manifest file records its own supersession time: v{x}
+            # stops being resolvable the moment a newer VERSION commits,
+            # and any reader that resolved it did so before that — the
+            # file's own mtime is the correct age basis here
             if x not in kept and os.path.getmtime(mf) <= cutoff:
                 os.remove(mf)
                 removed.append(f"v{x}.json")
@@ -690,7 +704,7 @@ def vacuum_postings(
         for d in os.listdir(bdir) if os.path.isdir(bdir) else []:
             rel = f"batches/{d}"
             full = f"{path}/{rel}"
-            if rel not in referenced and os.path.getmtime(full) <= cutoff:
+            if rel not in referenced and deref_expired(full, min_age_s):
                 shutil.rmtree(full)
                 removed.append(rel)
         return removed

@@ -83,15 +83,20 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 raise NotImplementedError(
                     "media decode requires PIL/torchaudio/ffmpeg (not in container)"
                 )
-            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            # NULL/empty payloads are real inputs (a failed fetch, a
+            # zero-byte object): empty array, zero features — never an
+            # IndexError inside the worker
+            arrs = [
+                np.frombuffer(p or b"", dtype=np.uint8) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(a) for a in arrs],
                     "byte_sum": [int(a.sum()) for a in arrs],
-                    "first_byte": [int(a[0]) for a in arrs],
-                    "last_byte": [int(a[-1]) for a in arrs],
+                    "first_byte": [int(a[0]) if len(a) else 0 for a in arrs],
+                    "last_byte": [int(a[-1]) if len(a) else 0 for a in arrs],
                 }
             )
 

@@ -85,15 +85,20 @@ def train_ngram_lm(
             grams = toks.select(F.explode("_t").alias("g"))
             g_col = F.array("g")
         else:
-            # n-gram via slice over the token array — codegen'd, no UDF
+            # n-gram via slice over the token array — codegen'd, no UDF.
+            # Documents SHORTER than n must short-circuit to an empty
+            # gram list: Spark's sequence(1, 0) counts DOWN ([1, 0]) and
+            # slice(_t, 0, n) then throws — the same pitfall
+            # dedup._shingles_of_tokens guards against.
             grams = toks.select(
                 F.explode(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(0))
+                    F.when(
+                        F.size("_t") >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                            lambda i: F.slice("_t", i, n),
                         ),
-                        lambda i: F.slice("_t", i, n),
-                    )
+                    ).otherwise(F.array().cast("array<array<string>>"))
                 ).alias("g")
             )
             g_col = F.col("g")

@@ -2836,7 +2836,12 @@ WITH toks AS (
                      t -> t <> '') AS toks
   FROM documents
 ), stats AS (
-  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+  -- n counts only docs with >= 1 token (build_bm25_index semantics:
+  -- token-less docs back no postings, so they are not corpus stats)
+  SELECT count(*) FILTER (len(toks) > 0)::DOUBLE AS n,
+         sum(len(toks))::DOUBLE
+           / greatest(count(*) FILTER (len(toks) > 0), 1) AS avgdl
+  FROM toks
 ), posts AS (
   SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
 ), tf AS (
@@ -2994,7 +2999,12 @@ WITH toks AS (
                      t -> t <> '') AS toks
   FROM documents
 ), stats AS (
-  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+  -- n counts only docs with >= 1 token (build_bm25_index semantics:
+  -- token-less docs back no postings, so they are not corpus stats)
+  SELECT count(*) FILTER (len(toks) > 0)::DOUBLE AS n,
+         sum(len(toks))::DOUBLE
+           / greatest(count(*) FILTER (len(toks) > 0), 1) AS avgdl
+  FROM toks
 ), posts AS (
   SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
 ), tf AS (

@@ -34,7 +34,10 @@ WITH toks AS (
                      t -> t <> '') AS toks
   FROM documents
 ), stats AS (
-  SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM toks
+  SELECT count(*) FILTER (len(toks) > 0)::DOUBLE AS n,
+         sum(len(toks))::DOUBLE
+           / greatest(count(*) FILTER (len(toks) > 0), 1) AS avgdl
+  FROM toks
 ), posts AS (
   SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
 ), tf AS (
@@ -466,6 +469,55 @@ def test_stored_rebuild_preserves_reader_snapshot(spark, sf_correct, tmp_path):
     assert still.postings.select("doc_id").distinct().count() == 400
 
 
+def test_vacuum_grace_measures_dereference_not_write_time(
+    spark, sf_correct, tmp_path
+):
+    """The grace period protects a reader whose manifest was superseded
+    MOMENTS ago even when the batch files are hours old: age runs from
+    the first vacuum's dereference OBSERVATION (a sentinel), never from
+    the batch's write mtime. Reclamation then completes on the second
+    pass after the grace."""
+    import os
+    import time
+
+    from go_vectorsearch_spark.operators.fulltext import (
+        vacuum_postings,
+        write_postings,
+    )
+    from go_vectorsearch_spark.retention import DEREF_SENTINEL
+
+    docs = _load_docs(spark, sf_correct)
+    path = str(tmp_path / "store")
+    write_postings(build_bm25_index(docs.filter(F.col("doc_id") < 50)), path, n_buckets=4)
+    # make the v0 batches LOOK hours old (the pre-fix age basis)
+    bdir = f"{path}/batches"
+    old = time.time() - 7200
+    v0_batches = sorted(os.listdir(bdir))
+    for d in v0_batches:
+        os.utime(f"{bdir}/{d}", (old, old))
+    # supersede v0 RIGHT NOW — a reader resolved it a moment ago
+    write_postings(build_bm25_index(docs.filter(F.col("doc_id") >= 50)), path, n_buckets=4)
+
+    # pass 1: old-mtime batches dereferenced a second ago must SURVIVE
+    removed = vacuum_postings(path, keep_versions=1, min_age_s=300.0)
+    assert not any(r.startswith("batches/") for r in removed)
+    for d in v0_batches:
+        assert os.path.isdir(f"{bdir}/{d}")
+        assert os.path.isfile(f"{bdir}/{d}/{DEREF_SENTINEL}")
+
+    # pass 2 within the grace: still protected
+    removed = vacuum_postings(path, keep_versions=1, min_age_s=300.0)
+    assert not any(r.startswith("batches/") for r in removed)
+
+    # backdate the sentinel past the grace -> the next pass reclaims
+    for d in v0_batches:
+        os.utime(f"{bdir}/{d}/{DEREF_SENTINEL}", (old, old))
+    removed = vacuum_postings(path, keep_versions=1, min_age_s=300.0)
+    assert {r for r in removed if r.startswith("batches/")} == {
+        f"batches/{d}" for d in v0_batches
+    }
+
+
 def test_delete_postings_equals_rebuild_over_live_corpus(spark, sf_correct, tmp_path):
     """Tombstoning documents scores BIT-identically to a store rebuilt
     from scratch over the surviving corpus: tombstoned rows are hidden
@@ -544,6 +596,46 @@ def test_delete_postings_ignores_ids_absent_from_the_index(spark, tmp_path):
     hits = [tuple(r) for r in bm25_search_stored(spark, store, "alpha", k=5).collect()]
     assert [d for d, _s in hits] == [2]
     assert all(s > 0 for _d, s in hits)
+
+
+def test_tokenless_docs_excluded_from_stats_and_delete_is_noop(spark, tmp_path):
+    """A document whose text tokenizes to zero tokens backs no posting
+    rows, so it must not count in n_docs either — otherwise deleting it
+    later cannot shrink the stats it never backed (delete_postings
+    intersects victims with the stored postings) and idf diverges from
+    a rebuild over the survivors forever."""
+    from go_vectorsearch_spark.operators.fulltext import (
+        bm25_search_stored,
+        delete_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "!!! ... ---"), (3, "alpha charlie"), (4, "")],
+        "doc_id long, text string",
+    )
+    idx = build_bm25_index(docs)
+    assert idx.n_docs == 2 and idx.sum_dl == 4  # docs 2 and 4 are token-less
+    # persist path derives the same scalars from the postings
+    idx_p = build_bm25_index(docs, persist=True)
+    assert (idx_p.n_docs, idx_p.sum_dl) == (2, 4)
+    idx_p.postings.unpersist()
+
+    store = str(tmp_path / "store")
+    write_postings(idx, store, n_buckets=4)
+    # deleting the token-less docs is a stat-preserving no-op...
+    assert delete_postings(spark, store, [2, 4]) == 0
+    gi, _ = read_postings(spark, store)
+    assert (gi.n_docs, gi.sum_dl) == (2, 4)
+    # ...and scoring equals a rebuild over the survivors
+    live = str(tmp_path / "live")
+    write_postings(
+        build_bm25_index(docs.filter(F.col("doc_id").isin([1, 3]))), live, n_buckets=4
+    )
+    g = [tuple(r) for r in bm25_search_stored(spark, store, "alpha", k=5).collect()]
+    w = [tuple(r) for r in bm25_search_stored(spark, live, "alpha", k=5).collect()]
+    assert g == w and len(g) == 2
 
 
 def test_delete_postings_dl_hint_compaction_purges_and_append_carries(

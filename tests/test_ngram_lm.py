@@ -46,6 +46,33 @@ def test_training_counts_match_python_reference(spark):
         assert dict(model.counts[k]) == tables[k]
 
 
+def test_training_survives_docs_shorter_than_order(spark):
+    """Documents with fewer than `order` tokens (one word, punctuation
+    only, empty, NULL) must contribute their short grams and nothing
+    else — Spark's sequence(1, 0) counts DOWN, so an unguarded slice
+    loop throws on the first sub-order document (the pitfall
+    dedup._shingles_of_tokens documents; regression for the same bug
+    here)."""
+    rows = [
+        (0, "one"),
+        (1, "two words"),
+        (2, "now three tokens here"),
+        (3, "!!! ..."),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_ngram_lm(df, order=3, max_entries=10_000)
+    tables, total = _py_counts([t or "" for _, t in rows], 3)
+    assert model.total == total
+    for k in range(3):
+        assert dict(model.counts[k]) == tables[k]
+    # scoring the same frame stays finite / NULL-for-empty
+    out = {r["doc_id"]: r for r in perplexity_score(df, model).collect()}
+    assert out[0]["n_tokens"] == 1 and out[0]["log2ppl"] is not None
+    assert out[4]["log2ppl"] is None and out[5]["log2ppl"] is None
+
+
 def test_logprob_stupid_backoff_semantics():
     tables, total = _py_counts([t for _, t in REF], 3)
     m = NgramLM(order=3, counts=tuple(tables), total=total)
