@@ -277,6 +277,25 @@ class IVFIndex:
     assigned: DataFrame  # original columns + centroid_id
 
 
+_SPLIT_COLLECT_CAP = 500_000  # max rows one split-round sample pull collects
+_ISIN_LITERAL_CAP = 10_000  # prune_small's literal-vs-broadcast-join rule
+
+
+def _filter_centroids(df: DataFrame, ids, negate: bool = False) -> DataFrame:
+    """Rows whose centroid_id is (not) in ``ids`` — an isin literal for
+    small sets, a broadcast semi/anti join above the cap (a 10^5-id
+    literal bloats codegen; the same rule prune_small applies)."""
+    ids = [int(c) for c in ids]
+    if len(ids) <= _ISIN_LITERAL_CAP:
+        cond = F.col("centroid_id").isin(ids)
+        return df.filter(~cond if negate else cond)
+    ids_df = df.sparkSession.createDataFrame(
+        [(c,) for c in ids], "centroid_id long"
+    )
+    how = "left_anti" if negate else "left_semi"
+    return df.join(F.broadcast(ids_df), "centroid_id", how)
+
+
 def build_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -360,11 +379,18 @@ def build_index(
     # back costs a pointless plan+collect round-trip per build.
     # eager=False: the checkpoint materializes inside the split loop's
     # first sizes job instead of paying its own job for it
+    # method="gemm" pinned (not "auto"): the local twin
+    # (_build_index_local) assigns with numpy GEMM, and auto's expr
+    # path for k < GEMM_THRESHOLD computes the same cosines in a
+    # different float-op order — near-tie rows could argmax to a
+    # different centroid and break the byte-identical-membership
+    # contract the equivalence tests pin
     assigned = assign_nearest_mat(
         df,
         [(i, mat[i]) for i in range(len(mat))],
         vec_col=vec_col,
         out_col="centroid_id",
+        method="gemm",
     ).localCheckpoint(eager=False)
     next_id = len(mat)
 
@@ -389,35 +415,45 @@ def build_index(
         if not oversized:
             break
         leaf_sizes = None  # stale once this round splits
-        ov_ids = list(oversized)
+        ov_ids = sorted(oversized)
         w = Window.partitionBy("centroid_id").orderBy(
             F.md5(F.col(id_col).cast("string"))
         )
-        samp_rows = (
-            assigned.filter(F.col("centroid_id").isin(ov_ids))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= sample_size)
-            .select("centroid_id", vec_col)
-            .collect()
-        )
-        by_leaf: dict[int, list] = {}
-        for r in samp_rows:
-            by_leaf.setdefault(r["centroid_id"], []).append(r[vec_col])
+        # CHUNKED sample collects: one pull of |chunk| x sample_size
+        # rows at a time — with a bad initial fit at the 100 TB design
+        # point tens of thousands of leaves can be oversized in round
+        # 1, and a single |oversized| x sample_size collect would be a
+        # driver OOM (prune_small's >10k rule, applied to the pull)
+        chunk_leaves = max(1, _SPLIT_COLLECT_CAP // sample_size)
         children: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for cid in ov_ids:
-            X = np.array(by_leaf[cid], dtype=np.float64)
-            # same 0.7 overshoot as the top-level k: children averaging
-            # exactly max_leaf leave ~half oversized from geometry alone
-            kk = max(2, math.ceil(oversized[cid] / (max_leaf * 0.7)))
-            mat = _numpy_lloyd(
-                X, kk, max_iters=20, init_oversample=5, quantize_iterations=True
+        for lo in range(0, len(ov_ids), chunk_leaves):
+            chunk = ov_ids[lo : lo + chunk_leaves]
+            samp_rows = (
+                _filter_centroids(assigned, chunk)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= sample_size)
+                .select("centroid_id", vec_col)
+                .collect()
             )
-            ids = np.arange(next_id, next_id + len(mat), dtype=np.int64)
-            next_id += len(mat)
-            children[int(cid)] = (ids, _norm_rows(mat))
-        keep = assigned.filter(~F.col("centroid_id").isin(ov_ids))
+            by_leaf: dict[int, list] = {}
+            for r in samp_rows:
+                by_leaf.setdefault(r["centroid_id"], []).append(r[vec_col])
+            for cid in chunk:
+                X = np.array(by_leaf[cid], dtype=np.float64)
+                # same 0.7 overshoot as the top-level k: children
+                # averaging exactly max_leaf leave ~half oversized from
+                # geometry alone
+                kk = max(2, math.ceil(oversized[cid] / (max_leaf * 0.7)))
+                mat = _numpy_lloyd(
+                    X, kk, max_iters=20, init_oversample=5,
+                    quantize_iterations=True,
+                )
+                ids = np.arange(next_id, next_id + len(mat), dtype=np.int64)
+                next_id += len(mat)
+                children[int(cid)] = (ids, _norm_rows(mat))
+        keep = _filter_centroids(assigned, ov_ids, negate=True)
         split = _assign_children_gemm(
-            assigned.filter(F.col("centroid_id").isin(ov_ids)), children, vec_col
+            _filter_centroids(assigned, ov_ids), children, vec_col
         )
         assigned = keep.unionByName(split).localCheckpoint(eager=False)
 
@@ -814,7 +850,10 @@ def ivf_search_adaptive(
     with cardinality estimates; doubling-on-underfill needs no
     estimator and never returns fewer rows than an exact filtered
     search would at the widened probe set."""
-    n_cents = index.centroids.count()
+    # centroid count from the driver-side collect every probe ranking
+    # already performs — a count() here would be one extra Spark job on
+    # the per-query latency path for a number that is free
+    n_cents = len(_centroid_matrix(index.centroids)[0])
     nprobe = max(1, min(nprobe, n_cents))
     while True:
         res = ivf_search(

@@ -237,8 +237,14 @@ def pq_search(
         scored = _adc_score_numpy(coded, lut, codes_col)
 
     cand_k = max(k, rerank or 0)
+    # vec_col rides the top-k ONLY when a re-rank will read it: a pure
+    # ADC search must work on a codes-only frame (the layout the module
+    # header promises — vectors never reconstructed) and must not haul
+    # cand_k full float vectors through the TakeOrdered just to drop
+    # them
+    cand_cols = [id_col, vec_col, "_adc"] if rerank is not None else [id_col, "_adc"]
     cands = (
-        scored.select(id_col, vec_col, F.col("_adc"))
+        scored.select(*cand_cols)
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(cand_k)
     )

@@ -47,10 +47,15 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
             out = out.withColumn(c, F.to_json(F.col(c)))
         # escape='"' doubles inner quotes (RFC-4180), matching the reader;
         # Spark's default backslash escape would silently corrupt document
-        # text containing a double quote on round-trip
+        # text containing a double quote on round-trip. nullValue: CSV has
+        # no native null, and Spark's default writes null and '' both as
+        # an empty field, then reads empty fields back as NULL — an empty
+        # document would round-trip to null (md5(null)=null in dedup,
+        # silently dropped from non-null counts). A distinct null token
+        # keeps '' and null distinguishable both ways.
         out.write.mode("overwrite").option("header", True).option(
             "escape", '"'
-        ).csv(path)
+        ).option("nullValue", "\\N").csv(path)
 
 
 def read_table(
@@ -85,6 +90,8 @@ def read_table(
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
+        # mirror the writer's null encoding (see write_table)
+        .option("nullValue", "\\N")
         .csv(path)
     )
     for f in target.fields:

@@ -4,9 +4,17 @@ A continuously-ingesting corpus wants dedup at ingest time, not as a
 nightly batch: the first copy of a document passes through, later copies
 are dropped. Spark expresses this as ``dropDuplicates`` on a content
 hash over a streaming DataFrame — state is one row per distinct hash in
-the state store (RocksDB on a real cluster), and the output is exactly
-the batch ``exact_dedup`` survivor set (tests/test_streaming.py asserts
-the equality).
+the state store (RocksDB on a real cluster).
+
+Survivor semantics — stated precisely: the FIRST-ARRIVING copy wins
+(the right contract for ingest: the earliest ingested copy is already
+stored/served downstream and cannot be retroactively swapped), whereas
+the batch ``exact_dedup`` keeps the MIN-ID copy. The surviving
+distinct-TEXT set is always identical; the surviving IDs coincide when
+duplicates arrive in id order (the ordered-fixture equality
+tests/test_streaming.py asserts) and may differ otherwise — consumers
+that need id-deterministic survivors run the batch operator over the
+settled corpus.
 
 Scale notes (100 TB design point):
   * State is keyed by the 32-hex md5 only (no text) — ~50 bytes/row, so
@@ -28,13 +36,13 @@ from pyspark.sql import functions as F
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents table (schema from footer)."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("basePath", sf_dir)
-        .parquet(f"{sf_dir}/documents.parque[t]")
+    """File-source documents stream, one micro-batch per file (the
+    shared ingest._read_table_stream reader — one definition of the
+    basePath+glob trick)."""
+    from go_vectorsearch_spark.streaming.ingest import _read_table_stream
+
+    return _read_table_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1
     )
 
 

@@ -219,6 +219,14 @@ def stream_to_parquet(
     import os
     import shutil
 
+    from go_vectorsearch_spark.streaming import require_local_path
+
+    # the fresh-vs-resumed branch below answers via os.path — on a
+    # remote URI it would silently pick the wrong branch (stale epochs
+    # resurrect, or committed epochs get deleted), so refuse loudly
+    require_local_path(checkpoint_dir, "stream_to_parquet checkpoint_dir")
+    require_local_path(path, "stream_to_parquet path")
+
     # a FRESH checkpoint replays the source from scratch with its own
     # epoch numbering/batching, which need not line up with a previous
     # run's (fewer, larger micro-batches would overwrite only the low

@@ -120,19 +120,26 @@ def compact_partitioned(
 
 
 def _read_table_stream(
-    spark: SparkSession, sf_dir: str, table: str, schema=None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over one testdata table — the harness's
-    stand-in for a message bus. The file-stream source wants a
-    directory; basePath + the single-file ``[t]`` glob (a one-character
-    class, NOT a typo) restricts the stream to exactly that table's
-    parquet file while keeping the directory-source semantics."""
+    stand-in for a message bus, and THE one definition of the
+    basePath + single-file ``[t]`` glob trick (a one-character class,
+    NOT a typo: the file-stream source wants a directory; the glob
+    restricts it to exactly that table's parquet file while keeping
+    directory-source semantics). ``max_files_per_trigger`` splits the
+    drain into one micro-batch per file (the multi-batch test shape)."""
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("basePath", sf_dir)
-        .parquet(f"{sf_dir}/{table}.parque[t]")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("basePath", sf_dir).parquet(
+        f"{sf_dir}/{table}.parque[t]"
     )
 
 
@@ -178,6 +185,13 @@ def ingest_documents_text_index(
     import tempfile
     import uuid
 
+    from go_vectorsearch_spark.streaming import require_local_path
+
+    # the token must live INSIDE the checkpoint and travel with it; a
+    # driver-local file beside a remote checkpoint would mint a fresh
+    # id after driver failover and re-apply a replayed epoch (doubling
+    # postings) — refuse remote URIs loudly instead
+    require_local_path(checkpoint_dir, "ingest_documents_text_index checkpoint_dir")
     os.makedirs(checkpoint_dir, exist_ok=True)
     token_file = os.path.join(checkpoint_dir, "_gvs_stream_id")
     if not os.path.exists(token_file):

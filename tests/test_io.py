@@ -87,3 +87,23 @@ def test_csv_roundtrip_quotes_and_newlines(spark, tmp_path):
     write_table(df, path, "csv")
     back = read_table(spark, path, "csv", schema=df.schema)
     assert _rows(back) == _rows(df)
+
+
+def test_csv_roundtrip_distinguishes_empty_string_from_null(spark, tmp_path):
+    """CSV has no native null: Spark's defaults write null and '' both
+    as an empty field and read empty fields back as NULL, so an EMPTY
+    document silently became null on round-trip (md5(null)=null in
+    dedup, dropped from non-null counts). The writer/reader pair now
+    encodes null as a distinct token; '' stays '' and a LITERAL
+    backslash-N in text is quote-protected."""
+    rows = [
+        (1, ""),
+        (2, None),
+        (3, "x"),
+        (4, "\\N literal in text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "null_csv")
+    write_table(df, path, "csv")
+    back = read_table(spark, path, "csv", schema=df.schema)
+    assert _rows(back) == _rows(df)
