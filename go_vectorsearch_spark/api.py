@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import threading
+from contextlib import contextmanager as _contextmanager
 import time
 from collections.abc import Sequence
 
@@ -176,6 +177,7 @@ class _VersionedTable:
         self.dir = os.path.join(root, name)
         os.makedirs(self.dir, exist_ok=True)
         self._ptr = os.path.join(self.dir, "VERSION")
+        self._lock_tls = threading.local()  # _write_lock reentrancy depth
         # retention grace: never GC a data directory younger than this,
         # so a reader that resolved its manifest and is mid-scan keeps
         # its snapshot even if the keep-window count has moved past it
@@ -216,6 +218,36 @@ class _VersionedTable:
             )
         with open(path) as f:
             return json.load(f)["parts"]
+
+    @_contextmanager
+    def _write_lock(self):
+        """CROSS-PROCESS writer serialization: an OS advisory flock held
+        for a mutation's whole read-version → write-batch → commit
+        critical section. Two service replicas over one table root
+        would otherwise both read VERSION=v and both write _data/w{v+1}
+        (the second's overwrite deleting the first's files) — the
+        in-process Service lock cannot see the other process. Reentrant
+        per thread (upsert/compact wrap the primitives); a second
+        THREAD or PROCESS blocks on the flock, so read-modify-write
+        mutations serialize everywhere the root is a shared local/NFS
+        mount. Readers take no lock — they resolve the pointer once and
+        scan immutable paths (snapshot isolation unchanged)."""
+        import fcntl
+
+        tls = self._lock_tls
+        depth = getattr(tls, "depth", 0)
+        if depth == 0:
+            f = open(os.path.join(self.dir, "_lock"), "w")
+            fcntl.flock(f, fcntl.LOCK_EX)
+            tls.fd = f
+        tls.depth = depth + 1
+        try:
+            yield
+        finally:
+            tls.depth -= 1
+            if tls.depth == 0:
+                fcntl.flock(tls.fd, fcntl.LOCK_UN)
+                tls.fd.close()
 
     def _commit(self, v: int, parts: dict[str, list[str]], keep: int) -> None:
         import json
@@ -301,18 +333,20 @@ class _VersionedTable:
         """Full-snapshot rewrite — for tiny metadata tables and whole-
         table transformations (index refresh reassigns every row). Data-
         plane mutations use :meth:`append` / :meth:`overwrite_partitions`."""
-        v = self._version() + 1
-        self._commit(v, self._write_batch(df, v), keep_versions)
+        with self._write_lock():
+            v = self._version() + 1
+            self._commit(v, self._write_batch(df, v), keep_versions)
 
     def append(self, df: DataFrame, keep_versions: int = 2) -> None:
         """Add rows without rewriting ANY existing data: the new manifest
         carries every prior directory by reference and adds the new
         batch's. Upload's shape (server/upload.go:288-304's INSERTs)."""
-        v = self._version() + 1
-        parts = dict(self._manifest(v - 1)) if v > 0 else {}
-        for key, dirs in self._write_batch(df, v).items():
-            parts[key] = parts.get(key, []) + dirs
-        self._commit(v, parts, keep_versions)
+        with self._write_lock():
+            v = self._version() + 1
+            parts = dict(self._manifest(v - 1)) if v > 0 else {}
+            for key, dirs in self._write_batch(df, v).items():
+                parts[key] = parts.get(key, []) + dirs
+            self._commit(v, parts, keep_versions)
 
     def overwrite_partitions(
         self, df: DataFrame, partition_values: Sequence, keep_versions: int = 2
@@ -327,18 +361,19 @@ class _VersionedTable:
         keys = {str(x) for x in partition_values}
         if not keys:
             return
-        v = self._version() + 1
-        scoped = df.filter(
-            F.expr(self.partition_expr)
-            .cast("string")
-            .isin([str(x) for x in partition_values])
-        )
-        parts = {
-            k: d for k, d in (self._manifest(v - 1) if v > 0 else {}).items()
-            if k not in keys
-        }
-        parts.update(self._write_batch(scoped, v))
-        self._commit(v, parts, keep_versions)
+        with self._write_lock():
+            v = self._version() + 1
+            scoped = df.filter(
+                F.expr(self.partition_expr)
+                .cast("string")
+                .isin([str(x) for x in partition_values])
+            )
+            parts = {
+                k: d for k, d in (self._manifest(v - 1) if v > 0 else {}).items()
+                if k not in keys
+            }
+            parts.update(self._write_batch(scoped, v))
+            self._commit(v, parts, keep_versions)
 
     def replace_partitions(
         self,
@@ -358,16 +393,17 @@ class _VersionedTable:
         expose (rows doubled or missing for one version)."""
         if not self.partition_expr:
             raise ValueError(f"{self.name}: table is not partitioned")
-        v = self._version() + 1
-        remove = {str(x) for x in remove_values}
-        parts = {
-            k: d
-            for k, d in (self._manifest(v - 1) if v > 0 else {}).items()
-            if k not in remove
-        }
-        for key, dirs in self._write_batch(df, v).items():
-            parts[key] = parts.get(key, []) + dirs
-        self._commit(v, parts, keep_versions)
+        with self._write_lock():
+            v = self._version() + 1
+            remove = {str(x) for x in remove_values}
+            parts = {
+                k: d
+                for k, d in (self._manifest(v - 1) if v > 0 else {}).items()
+                if k not in remove
+            }
+            for key, dirs in self._write_batch(df, v).items():
+                parts[key] = parts.get(key, []) + dirs
+            self._commit(v, parts, keep_versions)
 
     def changes(
         self,
@@ -442,6 +478,10 @@ class _VersionedTable:
         land in and the partitions currently holding the incoming keys
         (one key-semi-join scan — the match-finding pass every MERGE
         pays), so no stale twin is left behind."""
+        with self._write_lock():
+            self._upsert_locked(df, key, keep_versions)
+
+    def _upsert_locked(self, df: DataFrame, key: str, keep_versions: int) -> None:
         if not self.partition_expr:
             old = self.read()
             self.write(
@@ -478,6 +518,10 @@ class _VersionedTable:
         partitions already compact are carried by reference, so the
         rewrite cost is proportional to the fragmented data only.
         Returns the partition keys compacted."""
+        with self._write_lock():
+            return self._compact_locked(min_dirs, keep_versions)
+
+    def _compact_locked(self, min_dirs: int, keep_versions: int) -> list[str]:
         v = self._version()
         if v < 0:
             return []
@@ -587,6 +631,7 @@ class _TTLCache:
         self._lock = threading.Lock()
         self._items: dict = {}  # key -> (expires_at, value)
         self._inflight: dict = {}  # key -> per-key loader gate
+        self._gen = 0  # bumped by clear(): fences in-flight loaders
 
     def get(self, key, loader):
         with self._lock:
@@ -596,15 +641,23 @@ class _TTLCache:
             gate = self._inflight.get(key)
             if gate is None:
                 gate = self._inflight[key] = threading.Lock()
+            gen = self._gen
         with gate:
             with self._lock:
                 # the flight we queued behind may have filled the entry
                 hit = self._items.get(key)
                 if hit and hit[0] > time.monotonic():
                     return hit[1]
+                gen = self._gen  # re-read under the gate
             value = loader()
             with self._lock:
-                if value is not None:
+                # a clear() DURING the load means this value is a
+                # pre-mutation snapshot — return it to the caller (their
+                # read began before the mutation; snapshot semantics)
+                # but do NOT cache it, or every request for a full TTL
+                # would probe centroids / resolve categories the
+                # mutation just dropped
+                if value is not None and gen == self._gen:
                     self._items[key] = (time.monotonic() + self.ttl_s, value)
                 self._inflight.pop(key, None)
             return value
@@ -612,6 +665,7 @@ class _TTLCache:
     def clear(self) -> None:
         with self._lock:
             self._items.clear()
+            self._gen += 1
 
 
 def assign_embedding_ids(
@@ -712,19 +766,10 @@ class Engine:
         if self.provider:
             import numpy as np
 
-            from go_vectorsearch_spark.sources.embed_http import embed_texts_once
-
             # same request shape AND options as the upload path (shared
             # helper — the reference embeds the query with the same
             # provider call as uploads, server/search.go:124-147)
-            codes, lo, hi = embed_texts_once(
-                self.provider.api_bases[0],
-                [qtext],
-                self.provider.model,
-                num_ctx=self.provider.num_ctx,
-                token=self.provider.token,
-                path=self.provider.embed_path,
-            )
+            codes, lo, hi = self._embed_once_failover([qtext])
             # quantize-at-decode round-trip: the reference scores the
             # query against dequantized stored vectors with the query
             # itself having passed through the same u8 codec
@@ -832,8 +877,16 @@ class Engine:
         )
         # pure appends: existing data is carried over by manifest
         # reference — an upload writes only its own rows, the
-        # INSERT-shaped write path of server/upload.go:288-304
-        self.t["embeddings"].append(new_emb)
+        # INSERT-shaped write path of server/upload.go:288-304.
+        # DOCUMENTS COMMIT FIRST: a crash between the two appends then
+        # leaves zombie documents with no vectors — hydratable,
+        # deletable, merely unsearchable — and the next upload's
+        # _next_id sees the advanced documents max. The reverse order
+        # left orphan embeddings whose document_ids the NEXT upload
+        # re-allocated to unrelated documents: old vectors permanently
+        # aliased onto new content, with no repair path (the delete
+        # cascade verifies victims against the documents table and
+        # could never reach them).
         new_docs = docs.select(
             F.col("doc_id").alias("document_id"),
             "name",
@@ -842,6 +895,7 @@ class Engine:
             F.lit(category_id).cast("long").alias("category_id"),
         )
         self.t["documents"].append(new_docs)
+        self.t["embeddings"].append(new_emb)
         chunks.unpersist()
         self._invalidate_cache()  # owner/category/centroids may have changed
         ids = [base_doc + i for i in range(len(documents))]
@@ -1170,7 +1224,15 @@ class Engine:
             F.desc(F.round("score", 6)), F.asc("document_id")
         )
 
-        # -- lexical leg: one pruned scan for every query ----------------
+        # -- lexical leg: one pruned scan for every query, scored by
+        # the SHARED batched BM25 core (fulltext.bm25_score_many reuses
+        # bm25_search's idf/contribution definitions, so a tuning change
+        # to the canonical scorer reaches this path by construction) --
+        from go_vectorsearch_spark.operators.fulltext import (
+            bm25_score_many,
+            bucket_pruned,
+        )
+
         index, n_buckets = read_postings(self.spark, path)
         q_terms = [
             sorted({t for t in _re.split(TOKEN_SPLIT_RE, t.lower()) if t})
@@ -1178,49 +1240,16 @@ class Engine:
         ]
         all_terms = sorted({t for ts in q_terms for t in ts})
         legs = []
-        if all_terms and index.n_docs:
-            bucket_exprs = ", ".join(
-                f"pmod(xxhash64('{t}'), {n_buckets})" for t in all_terms
+        scored = (
+            bm25_score_many(
+                self.spark, bucket_pruned(index, n_buckets, all_terms), q_terms
             )
-            pruned = index.postings.filter(
-                F.expr(f"_tb IN ({bucket_exprs})")
-            ).drop("_tb").filter(F.col("term").isin(all_terms))
-            n = float(index.n_docs)
-            avgdl = index.avgdl if index.avgdl > 0 else 1.0
-            k1, b = 1.2, 0.75
-            idf = pruned.groupBy("term").agg(
-                F.log(
-                    1.0 + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
-                ).alias("_idf")
-            )
-            qt = self.spark.createDataFrame(
-                [(ix, t) for ix, ts in enumerate(q_terms) for t in ts],
-                "q_ix long, term string",
-            )
-            contrib = (
-                pruned.join(F.broadcast(idf), "term")
-                .join(F.broadcast(qt), "term")
-                .select(
-                    "q_ix",
-                    F.col("doc_id").alias("document_id"),
-                    (
-                        F.col("_idf")
-                        * (F.col("tf") * (k1 + 1.0))
-                        / (
-                            F.col("tf")
-                            + k1
-                            * (
-                                1.0
-                                - b
-                                + b * F.col("dl").cast("double") / F.lit(float(avgdl))
-                            )
-                        )
-                    ).alias("_c"),
-                )
-            )
+            if all_terms
+            else None
+        )
+        if scored is not None:
             lex = (
-                contrib.groupBy("q_ix", "document_id")
-                .agg(F.sum("_c").alias("score"))
+                scored.withColumnRenamed("doc_id", "document_id")
                 .withColumn("_rn", F.row_number().over(cut))
                 .filter(F.col("_rn") <= fuse_depth)
                 .select("q_ix", "document_id", "score")
@@ -1268,6 +1297,30 @@ class Engine:
         page_rows = [r for r in fused_rows if r["_rn"] > offset]
         return self._hydrate_pages_many(page_rows, scope)
 
+    def _embed_once_failover(self, qtexts: list[str]):
+        """embed_texts_once across the provider's api_bases IN ORDER —
+        the serving read path gets the same endpoint failover the
+        upload path's rotation gives (sources/embed_http): without it a
+        dead first endpoint failed every search while uploads kept
+        working. The first base that answers wins; only when every base
+        errors does the request fail (with the last error)."""
+        from go_vectorsearch_spark.sources.embed_http import embed_texts_once
+
+        last: Exception | None = None
+        for base in self.provider.api_bases:
+            try:
+                return embed_texts_once(
+                    base,
+                    qtexts,
+                    self.provider.model,
+                    num_ctx=self.provider.num_ctx,
+                    token=self.provider.token,
+                    path=self.provider.embed_path,
+                )
+            except (OSError, RuntimeError) as e:  # dead endpoint / bad gateway
+                last = e
+        raise last
+
     def _embed_queries(self, qtexts: list[str]) -> list[list[float]]:
         """All query vectors in ONE provider round-trip (the batch form
         of :meth:`_embed_query` — same request shape, same
@@ -1284,16 +1337,7 @@ class Engine:
             return [list(r["v"]) for r in rows]
         import numpy as np
 
-        from go_vectorsearch_spark.sources.embed_http import embed_texts_once
-
-        codes, lo, hi = embed_texts_once(
-            self.provider.api_bases[0],
-            qtexts,
-            self.provider.model,
-            num_ctx=self.provider.num_ctx,
-            token=self.provider.token,
-            path=self.provider.embed_path,
-        )
+        codes, lo, hi = self._embed_once_failover(qtexts)
         span = (hi.astype(np.float32) - lo.astype(np.float32)).astype(np.float32)
         deq = (
             lo.astype(np.float32)[:, None]

@@ -79,9 +79,17 @@ def stopword_ratio(tokens: Column, stopwords: list[str] | None = None) -> Column
 
 
 def alpha_ratio(text: Column) -> Column:
-    """Fraction of characters that are ASCII letters (float64)."""
+    """Fraction of characters that are ASCII letters (float64).
+
+    Empty/NULL text scores 0.0, not NULL: 0/0 → NULL in Spark, and a
+    NULL quality_score passes NEITHER side of a junk filter — the
+    emptiest documents (exactly what a quality sweep exists to catch)
+    would silently dodge both the remove-set and the keep-set."""
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    return n_alpha.cast("double") / F.length(text).cast("double")
+    return F.when(
+        F.length(text) > 0,
+        n_alpha.cast("double") / F.length(text).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def mean_token_len(tokens: Column) -> Column:
@@ -116,9 +124,12 @@ def quality_score(text: Column) -> Column:
     :func:`quality_score_from_parts` (the tokenize subtree is otherwise
     re-evaluated per component).
     """
-    toks = ws_tokens(text)
+    # NULL text ≡ empty text: a low score, never NULL (see
+    # alpha_ratio's junk-filter rationale)
+    t = F.coalesce(text, F.lit(""))
+    toks = ws_tokens(t)
     return quality_score_from_parts(
-        alpha_ratio(text), stopword_ratio(toks), mean_token_len(toks)
+        alpha_ratio(t), stopword_ratio(toks), mean_token_len(toks)
     )
 
 

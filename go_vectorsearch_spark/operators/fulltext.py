@@ -133,6 +133,65 @@ def build_bm25_index(
     )
 
 
+def _idf_agg(pruned: DataFrame, n: float) -> DataFrame:
+    """Per-term Robertson idf over the pruned postings scan (df = that
+    term's posting count) — THE single idf definition; every scorer
+    (single, stored, batched) joins this aggregate."""
+    return pruned.groupBy("term").agg(
+        F.log(
+            1.0 + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
+        ).alias("_idf")
+    )
+
+
+def _bm25_contrib(k1: float, b: float, avgdl: float) -> Column:
+    """The per-posting BM25 term contribution (expects the joined
+    ``_idf`` plus the posting's ``tf``/``dl`` columns) — THE single
+    formula; a tuning change here reaches every scorer at once."""
+    return (
+        F.col("_idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(float(avgdl)))
+        )
+    )
+
+
+def bm25_score_many(
+    spark,
+    index: BM25Index,
+    q_terms: list[list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """Batched BM25 core: N term-lists scored against ONE pruned
+    postings scan — (q_ix, doc_id, score), with a broadcast
+    (q_ix, term) frame fanning each posting to the queries that contain
+    its term. idf/df and the corpus scalars come from the SAME shared
+    definitions as :func:`bm25_search` (which is the N=1 shape), so the
+    batched scores match the single-query scorer exactly by
+    construction, not by parallel maintenance. ``None`` when there are
+    no terms or no documents."""
+    all_terms = sorted({t for ts in q_terms for t in ts})
+    if not all_terms or index.n_docs == 0:
+        return None
+    n = float(index.n_docs)
+    avgdl = index.avgdl if index.avgdl > 0 else 1.0
+    pruned = index.postings.filter(F.col("term").isin(all_terms))
+    qt = spark.createDataFrame(
+        [(ix, t) for ix, ts in enumerate(q_terms) for t in ts],
+        "q_ix long, term string",
+    )
+    return (
+        pruned.join(F.broadcast(_idf_agg(pruned, n)), "term")
+        .join(F.broadcast(qt), "term")
+        .select("q_ix", "doc_id", _bm25_contrib(k1, b, avgdl).alias("_c"))
+        .groupBy("q_ix", "doc_id")
+        .agg(F.sum("_c").alias("score"))
+    )
+
+
 def bm25_search(
     index: BM25Index,
     query: str,
@@ -175,12 +234,7 @@ def bm25_search(
     # the stats contract above — while only the SCORED side narrows to
     # the allowed documents (filtering df too would shift the relative
     # term weights of a multi-term query with the predicate)
-    idf = pruned.groupBy("term").agg(
-        F.log(
-            1.0
-            + (F.lit(n) - F.count("*") + 0.5) / (F.count("*") + 0.5)
-        ).alias("_idf")
-    )
+    idf = _idf_agg(pruned, n)
     if allowed is not None:
         pruned = pruned.join(
             allowed.select(F.col(allowed.columns[0]).alias("doc_id")),
@@ -189,15 +243,7 @@ def bm25_search(
         )
     scored = pruned.join(F.broadcast(idf), "term").select(
         "doc_id",
-        (
-            F.col("_idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1
-                * (1.0 - b + b * F.col("dl").cast("double") / F.lit(float(avgdl)))
-            )
-        ).alias("_contrib"),
+        _bm25_contrib(k1, b, avgdl).alias("_contrib"),
     )
     return (
         scored.groupBy("doc_id")
@@ -731,14 +777,26 @@ def bm25_search_stored(
     terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_search(
+        bucket_pruned(index, n_buckets, terms), query, k=k, k1=k1, b=b,
+        allowed=allowed,
+    )
+
+
+def bucket_pruned(index: BM25Index, n_buckets: int, terms: list[str]) -> BM25Index:
+    """Prune a STORED index's postings to the terms' hash buckets via
+    the foldable ``pmod(xxhash64('term'), n)`` literals (see
+    bm25_search_stored) — shared by the single-query stored search and
+    the engine's batched hybrid scorer, so the bucket function cannot
+    drift between them."""
     bucket_exprs = ", ".join(
         f"pmod(xxhash64('{t}'), {n_buckets})" for t in terms
     )
-    pruned = BM25Index(
+    return BM25Index(
         postings=index.postings.filter(
             F.expr(f"_tb IN ({bucket_exprs})")
         ).drop("_tb"),
         n_docs=index.n_docs,
         avgdl=index.avgdl,
+        sum_dl=index.sum_dl,
     )
-    return bm25_search(pruned, query, k=k, k1=k1, b=b, allowed=allowed)

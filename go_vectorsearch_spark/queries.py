@@ -1296,8 +1296,10 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
     oracle=rf"""
 WITH t AS (
   SELECT doc_id, text, {_SQL_TOKENS} AS toks,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-           / length(text)::DOUBLE AS ar
+         CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / length(text)::DOUBLE
+         ELSE 0.0 END AS ar
   FROM documents
 ), c AS (
   SELECT doc_id, text, toks, ar,

@@ -47,8 +47,13 @@ LLM endpoint configured the route answers 501, mirroring the reference's
 
 Scale note: one Service process fronts one SparkSession (the reference
 is likewise one process over one DB pool); horizontal scale is N
-service replicas over the same table root — the versioned tables give
-each request snapshot isolation, so replicas need no coordination.
+service replicas over the same table root. READS need no coordination —
+the versioned tables give each request snapshot isolation. WRITES
+serialize through the tables' cross-process flock
+(_VersionedTable._write_lock): two replicas' concurrent uploads commit
+one after the other instead of the second's manifest silently dropping
+the first's rows (the in-process Service lock cannot see another
+process).
 """
 
 from __future__ import annotations
@@ -402,6 +407,16 @@ class Service:
         except (TypeError, ValueError):
             raise BadRequest(f"{key!r} must be an integer")
 
+    @staticmethod
+    def _int_list(req: dict, key: str) -> list[int]:
+        """Coerce an optional integer-list request field; malformed
+        values are the CLIENT's error → BadRequest → 400, never the
+        blanket 500."""
+        try:
+            return [int(x) for x in req.get(key) or []]
+        except (TypeError, ValueError):
+            raise BadRequest(f"{key!r} must be a list of integers")
+
     def search(self, req: dict) -> dict:
         rows = self.engine.search(
             req.get("owner", ""),
@@ -452,13 +467,13 @@ class Service:
             n = self.engine.delete_documents(
                 req.get("owner", ""),
                 req.get("category", ""),
-                [int(x) for x in req.get("document_ids") or []],
+                self._int_list(req, "document_ids"),
             )
             return {"deleted": n}
         self.engine.delete_document(
             req.get("owner", ""),
             req.get("category", ""),
-            int(req.get("document_id", 0)),
+            self._int_field(req, "document_id"),
         )
         return {}
 
@@ -504,7 +519,16 @@ class Service:
         /api/search-shaped document list PER input text, in input
         order (empty list for texts with no hits)."""
         texts = [str(t) for t in req.get("texts") or []]
+        where = self._parse_filter(req.get("filter") or {})
         if req.get("hybrid"):
+            if where is not None:
+                # search_many_hybrid has no where= yet — rejecting is
+                # the honest contract (silently ignoring a data-scoping
+                # filter was the pre-r6 offset bug's class)
+                raise BadRequest(
+                    "filter is not supported with hybrid search_batch; "
+                    "use per-query /api/search_hybrid"
+                )
             rows = self.engine.search_many_hybrid(
                 req.get("owner", ""),
                 req.get("category", ""),
@@ -523,6 +547,9 @@ class Service:
                 # (it was silently ignored here pre-r6)
                 offset=self._int_field(req, "offset"),
                 nprobe=self._int_field(req, "centroids"),
+                # same JSON filter object as /api/search (wire form of
+                # search_many(where=))
+                where=where,
             ).collect()
         results: list[list[dict]] = [[] for _ in texts]
         for r in rows:
@@ -597,7 +624,7 @@ class Service:
             raise LookupError("no chat provider configured")  # ai/methods.go:46-54
         messages = self.engine.chat_messages(
             req.get("text", ""),
-            document_ids=[int(x) for x in req.get("document_ids") or []],
+            document_ids=self._int_list(req, "document_ids"),
             history=req.get("history") or [],
             prefix=req.get("prefix", ""),
         )
@@ -638,8 +665,26 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Cross-Origin-Opener-Policy", "same-origin")
         self.send_header("Cross-Origin-Embedder-Policy", "require-corp")
 
+    # request bodies buffer in RAM (the JSON handlers need the whole
+    # object); a client-supplied Content-Length is untrusted input, so
+    # cap it — 256 MiB comfortably holds the largest real upload batch
+    # while bounding what one connection can pin
+    _MAX_BODY = 256 << 20
+
     def _read_body(self) -> dict:
+        """Read and decode the JSON request body. Content-Length is
+        validated BEFORE the read: a negative value would make
+        rfile.read block until an EOF that never comes under keep-alive
+        (one request = one handler thread gone forever), an oversized
+        one would buffer unbounded; Transfer-Encoding: chunked is not
+        implemented, and silently treating it as an empty body would
+        leave the chunked bytes to be parsed as the next request line.
+        All three raise ValueError → the dispatch's 400-and-close."""
+        if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+            raise ValueError("chunked transfer encoding not supported")
         n = int(self.headers.get("Content-Length") or 0)
+        if n < 0 or n > self._MAX_BODY:
+            raise ValueError(f"invalid Content-Length {n}")
         body = self.rfile.read(n) if n else b"{}"
         # decompression middleware (main.go:128-145)
         if "zstd" in (self.headers.get("Content-Encoding") or ""):
@@ -760,6 +805,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             stream = self.service.chat(req)  # locks internally for Spark
             first = next(stream, None)  # surface provider errors pre-headers
+        except BadRequest as e:  # malformed document_ids etc. → client error
+            return self._error(400, f"Invalid request: {e}")
         except LookupError:
             return self._error(501, "no chat provider configured")
         except Exception as e:

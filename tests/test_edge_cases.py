@@ -14,6 +14,35 @@ def _empty_docs(spark):
     return spark.createDataFrame([], "doc_id long, text string")
 
 
+def test_quality_score_on_empty_text_is_low_not_null(spark):
+    """Empty/NULL text must score a LOW quality number, never NULL:
+    0/0 → NULL in Spark, and a NULL score passes neither side of a
+    junk filter — the emptiest documents (exactly what the sweep
+    exists to catch) would silently dodge both the remove-set and the
+    keep-set."""
+    from go_vectorsearch_spark.functions.text import alpha_ratio, quality_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a solid real document with words")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["ar"], r["q"])
+        for r in df.select(
+            "id",
+            alpha_ratio(F.col("text")).alias("ar"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1][0] == 0.0 and rows[1][1] is not None
+    assert rows[2][0] == 0.0 and rows[2][1] is not None
+    assert rows[3][1] > rows[1][1]  # real text outranks junk
+    # a junk filter actually catches them now
+    kept = df.filter(quality_score(F.col("text")) >= 0.3).count()
+    removed = df.filter(quality_score(F.col("text")) < 0.3).count()
+    assert kept + removed == 3  # nothing dodges the sweep via NULL
+
+
 def test_build_index_empty_corpus_raises(spark):
     from go_vectorsearch_spark.plans.ivf import build_index
 

@@ -920,6 +920,28 @@ def test_search_batch_route(served):
         for a, b in zip(entry["documents"], single):
             assert a["document_similarity"] == pytest.approx(b["document_similarity"])
 
+    # the JSON filter object scopes the non-hybrid batch path exactly
+    # like /api/search (silently ignoring a data-scoping filter was the
+    # pre-r6 offset bug's class); hybrid batch rejects it loudly
+    resp, data = _call(port, "/api/search_batch", {
+        "owner": "sb", "category": "docs", "texts": texts,
+        "count": 5, "centroids": -1, "filter": {"external_id": "sb1"},
+    })
+    assert resp.status == 200
+    for entry in json.loads(data)["results"]:
+        assert {d["external_id"] for d in entry["documents"]} <= {"sb1"}
+    resp, data = _call(port, "/api/search_batch", {
+        "owner": "sb", "category": "docs", "texts": texts, "hybrid": True,
+        "filter": {"external_id": "sb1"},
+    })
+    assert resp.status == 400 and b"filter" in data
+
+    # malformed delete ids are the client's error -> 400, not 500
+    resp, data = _call(port, "/api/delete/document", {
+        "owner": "sb", "category": "docs", "document_ids": ["junk"],
+    }, method="DELETE")
+    assert resp.status == 400 and b"document_ids" in data
+
     # "offset" means the same thing on the non-hybrid batch path as on
     # /api/search (it was silently ignored pre-r6)
     resp, data = _call(port, "/api/search_batch", {

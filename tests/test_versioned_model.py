@@ -108,6 +108,46 @@ def test_versioned_table_matches_dict_model(spark, tmp_path, seed):
         assert got == history[v], f"time travel to v{v} diverged"
 
 
+def test_concurrent_writers_from_separate_instances_lose_nothing(spark, tmp_path):
+    """Two _VersionedTable instances over the SAME directory (the
+    two-service-replica deployment, where the in-process lock can't
+    help) appending concurrently must both land: without the
+    cross-process flock both read VERSION=v, both write _data/w{v+1}
+    (the second's overwrite deleting the first's files), and the last
+    manifest silently drops one writer's rows."""
+    import threading as th
+
+    from go_vectorsearch_spark.api import _VersionedTable
+
+    mk = lambda: _VersionedTable(
+        spark, str(tmp_path), "cc", "id long, part long, x string",
+        partition_expr="part",
+    )
+    a, b = mk(), mk()  # separate instances ≈ separate processes' state
+    errs: list[Exception] = []
+
+    def writer(t, base):
+        try:
+            for i in range(4):
+                t.append(
+                    spark.createDataFrame(
+                        [(base + i, (base + i) % 3, f"r{base + i}")], t.schema
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [th.Thread(target=writer, args=(a, 0)),
+               th.Thread(target=writer, args=(b, 100))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = {r["id"] for r in mk().read().collect()}
+    assert rows == set(range(4)) | set(range(100, 104))  # nothing lost
+
+
 def test_replace_partitions_moves_rows_in_one_commit(spark, tmp_path):
     """replace_partitions = drop named partitions + append rows to the
     partitions they route to, in ONE commit: no intermediate version
