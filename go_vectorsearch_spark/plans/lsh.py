@@ -134,9 +134,19 @@ def lsh_search(
     becomes partition pruning and the scan never touches other buckets.
 
     ``bucketed`` — a (persisted) frame already carrying the ``_bucket``
-    column for the SAME planes — skips rebucketing; pass it when probing
-    several radii/queries against one corpus (the bucket-on-write shape).
+    column for the SAME planes — skips rebucketing, and therefore
+    REQUIRES ``planes`` (the ones the frame was bucketed with): deriving
+    fresh default planes here would hash the query into a different
+    bucket space than the stored column and silently return empty or
+    garbage candidates. Pass it when probing several radii/queries
+    against one corpus (the bucket-on-write shape).
     """
+    if bucketed is not None and planes is None:
+        raise ValueError(
+            "lsh_search: a pre-bucketed frame requires the planes it was "
+            "bucketed with — fresh default planes would probe a different "
+            "bucket space and silently miss everything"
+        )
     if planes is None:
         planes = rademacher_planes(len(query_vec))
     qb = bucket_of(list(query_vec), planes)

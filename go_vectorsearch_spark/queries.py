@@ -82,33 +82,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The deterministic query vector (stored embedding of vec_id 0) is fetched
 # by every search-family query; one driver-side row per sf_dir, cached so
 # the registry doesn't pay a head() job per query (a real service embeds
-# the query once per request, not once per operator).
-_QVEC_CACHE: dict[str, list] = {}
+# the query once per request, not once per operator). SESSION-attached
+# like every other cache here (see _session_cache): a module dict keyed
+# by sf_dir would serve a new session stale values after the fixture
+# parquet at that path is regenerated.
 
 
 def _qvec(spark: SparkSession, sf_dir: str) -> list:
-    if sf_dir not in _QVEC_CACHE:
+    cache = _session_cache(spark, "_gvs_qvec_cache")
+    if sf_dir not in cache:
         emb = _t(spark, sf_dir, "embeddings")
-        _QVEC_CACHE[sf_dir] = list(
+        cache[sf_dir] = list(
             emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
         )
-    return _QVEC_CACHE[sf_dir]
+    return cache[sf_dir]
 
 # Brute-force top-k ids for the recall diagnostics — computed once per
 # sf_dir (the three recall queries all compare against the same exact
 # baseline; recomputing it per query was pure bench overhead).
-_BF_IDS_CACHE: dict[tuple[str, int], frozenset] = {}
 
 
 def _bf_ids(spark: SparkSession, sf_dir: str, k: int) -> frozenset:
+    cache = _session_cache(spark, "_gvs_bf_cache")
     key = (sf_dir, k)
-    if key not in _BF_IDS_CACHE:
+    if key not in cache:
         emb = _t(spark, sf_dir, "embeddings")
-        _BF_IDS_CACHE[key] = frozenset(
+        cache[key] = frozenset(
             r["vec_id"]
             for r in brute_force_topk(emb, _qvec(spark, sf_dir), k).collect()
         )
-    return _BF_IDS_CACHE[key]
+    return cache[key]
 
 
 
@@ -1372,7 +1375,7 @@ h AS (
          {hit_cols}
   FROM t
 )
-SELECT doc_id, hits_de, hits_en, hits_es, hits_zh, {case} AS pred_lang
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in langs)}, {case} AS pred_lang
 FROM h
 """
 
@@ -2389,19 +2392,20 @@ def q_validate_documents(spark, sf_dir):
 # nprobe=all through the on-disk store must equal brute force exactly,
 # which makes it oracle-checkable; the nprobe<all pruned-plan assertion
 # (PartitionFilters in the physical plan) lives in tests/test_ivf.py.
-_IVF_STORE_CACHE: dict[str, str] = {}
+
 
 
 def _ivf_store_path(spark, sf_dir: str) -> str:
-    if sf_dir not in _IVF_STORE_CACHE:
+    cache = _session_cache(spark, "_gvs_ivf_store_cache")
+    if sf_dir not in cache:
         import tempfile
 
         from go_vectorsearch_spark.plans.ivf import write_partitioned
 
         path = tempfile.mkdtemp(prefix="spark_graft_ivf_store_")
         write_partitioned(_ivf_index(spark, sf_dir), path)
-        _IVF_STORE_CACHE[sf_dir] = path
-    return _IVF_STORE_CACHE[sf_dir]
+        cache[sf_dir] = path
+    return cache[sf_dir]
 
 
 @register(
@@ -2600,11 +2604,17 @@ def q_ann_lsh_recall(spark, sf_dir):
         .when(F.col("_bucket").isin(ring1), F.lit(1))
         .otherwise(F.lit(2)),
     )
-    w = Window.partitionBy("_tier").orderBy(F.desc("score"), F.asc("vec_id"))
+    # (round-6 desc, id asc) — brute_force_topk's EXACT tie-break. Raw
+    # double ordering would diverge from the shared ground-truth cache
+    # at a rounded tie on the k boundary, making the recall numbers
+    # depend on which diagnostic ran first.
+    w = Window.partitionBy("_tier").orderBy(
+        F.desc(F.round("score", 6)), F.asc("vec_id")
+    )
     rows = (
         tiered.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= TOPK_K)
-        .select("_tier", "vec_id", "score")
+        .select("_tier", "vec_id", F.round("score", 6).alias("score"))
         .collect()
     )
 
@@ -2616,7 +2626,7 @@ def q_ann_lsh_recall(spark, sf_dir):
     bf = frozenset(topk_thru(2))
     # same ranking brute_force_topk would produce (unique vec_id, same
     # tie-break) — seed the shared ground-truth cache for the IVF sweeps
-    _BF_IDS_CACHE.setdefault((sf_dir, TOPK_K), bf)
+    _session_cache(spark, "_gvs_bf_cache").setdefault((sf_dir, TOPK_K), bf)
     out = []
     for radius in (0, 1):
         got = topk_thru(radius)
@@ -2657,11 +2667,16 @@ def q_ivf_recall_sweep(spark, sf_dir):
     scored = score_cosine(index.assigned, qvec, "embedding").withColumn(
         "_tier", tier_map[F.col("centroid_id")]
     )
-    w = Window.partitionBy("_tier").orderBy(F.desc("score"), F.asc("vec_id"))
+    # brute_force_topk's (round-6 desc, id asc) tie-break — see
+    # q_ann_lsh_recall: with raw ordering the nprobe=all row could
+    # report < 1.0 on a rounded tie at the k boundary
+    w = Window.partitionBy("_tier").orderBy(
+        F.desc(F.round("score", 6)), F.asc("vec_id")
+    )
     rows = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= TOPK_K)
-        .select("_tier", "vec_id", "score")
+        .select("_tier", "vec_id", F.round("score", 6).alias("score"))
         .collect()
     )
     out = []
@@ -2826,7 +2841,7 @@ def q_ann_ivfpq_search(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BM25_QUERY = "spark shuffle hash table"
-_BM25_STORE_CACHE: dict[str, str] = {}
+
 _QVECS_CACHE: dict[tuple, list] = {}
 
 # the BM25 cosine/idf constants used by every fulltext entry (k1=1.2,
@@ -2885,15 +2900,16 @@ def _bm25_cached(spark, sf_dir: str):
 def _bm25_store_path(spark, sf_dir: str) -> str:
     """One-time bucketed postings write (term-hash partitionBy), the
     at-scale layout; billed to its own bench entry like the IVF store."""
-    if sf_dir not in _BM25_STORE_CACHE:
+    cache = _session_cache(spark, "_gvs_bm25_store_cache")
+    if sf_dir not in cache:
         import tempfile
 
         from go_vectorsearch_spark.operators.fulltext import write_postings
 
         path = tempfile.mkdtemp(prefix="spark_graft_bm25_store_")
         write_postings(_bm25_cached(spark, sf_dir), path, n_buckets=16)
-        _BM25_STORE_CACHE[sf_dir] = path
-    return _BM25_STORE_CACHE[sf_dir]
+        cache[sf_dir] = path
+    return cache[sf_dir]
 
 
 def _qvecs(spark, sf_dir: str, ids: tuple = (0, 1, 2)) -> list:

@@ -134,6 +134,39 @@ def _open_connection(base: str, timeout: float):
     return cls(u.hostname, u.port, timeout=timeout), u.path.rstrip("/")
 
 
+def _embed_payload(model: str, texts, num_ctx: int) -> dict:
+    """THE embed request body (shared by the one-shot/driver path and
+    the mapInPandas upload path, so the wire shape cannot drift)."""
+    return {"model": model, "input": list(texts), "options": {"num_ctx": num_ctx}}
+
+
+def _post_embed(conn, url: str, payload: dict, token: str, compress: bool):
+    """One embed POST with the 415 plain-JSON fallback (an endpoint that
+    doesn't take zstd bodies answers 415; resend uncompressed on the
+    same fully-drained connection). Returns (response, used_zstd) —
+    used_zstd False after a fallback so callers can remember."""
+    try:
+        return _post_json(conn, url, payload, token, compress=compress), compress
+    except _HttpStatusError as e:
+        if not (compress and e.status == 415):
+            raise
+        return _post_json(conn, url, payload, token), False
+
+
+def _decode_embeddings(out: dict, n_texts: int):
+    """Validate + quantize a provider response — the single decode:
+    shape must be (n_texts, dim>0). A zero-width matrix would crash
+    deep inside quantize with an unhelpful reduction error; worse, an
+    endpoint serving the WRONG model yields a different width that
+    would silently mix into the uniform-dimension store."""
+    mat = np.asarray(out["embeddings"], dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] != n_texts or mat.shape[1] == 0:
+        raise RuntimeError(
+            f"embed endpoint returned shape {mat.shape} for {n_texts} texts"
+        )
+    return mat.shape[1], quantize_f32_np(mat)
+
+
 def embed_texts_once(
     base: str,
     texts: Sequence[str],
@@ -153,23 +186,13 @@ def embed_texts_once(
     415 Unsupported Media Type gets a plain-JSON resend."""
     conn, prefix = _open_connection(str(base).rstrip("/"), timeout)
     try:
-        payload = {"model": model, "input": list(texts), "options": {"num_ctx": num_ctx}}
-        try:
-            out = _post_json(
-                conn, prefix + path, payload, token, compress=request_compression
-            )
-        except _HttpStatusError as e:
-            if not (request_compression and e.status == 415):
-                raise
-            out = _post_json(conn, prefix + path, payload, token)
+        payload = _embed_payload(model, texts, num_ctx)
+        out, _ = _post_embed(
+            conn, prefix + path, payload, token, request_compression
+        )
     finally:
         conn.close()
-    mat = np.asarray(out["embeddings"], dtype=np.float64)
-    if mat.ndim != 2 or mat.shape[0] != len(texts):
-        raise RuntimeError(
-            f"embed endpoint returned shape {mat.shape} for {len(texts)} texts"
-        )
-    return quantize_f32_np(mat)
+    return _decode_embeddings(out, len(texts))[1]
 
 
 class _EndpointBalancer:
@@ -373,40 +396,35 @@ def http_embed(
                 conns[base] = _open_connection(base, timeout)
             return conns[base]
 
+        expected_dim: list[int] = []  # worker-local width pin
+
         def embed_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             import time
 
-            payload = {
-                "model": model,
-                "input": texts,
-                "options": {"num_ctx": num_ctx},
-            }
+            payload = _embed_payload(model, texts, num_ctx)
             last_err: Exception | None = None
             tried: set[str] = set()
+            permanent: set[str] = set()  # bases that answered 4xx-permanent
             for attempt in range(max_attempts):
                 # least-connections pick; retries EXCLUDE endpoints this
                 # request already failed on until every distinct base has
-                # been tried once (a dead endpoint can't eat the whole
-                # budget when others are healthy)
-                base, done = balancer.acquire(
-                    exclude=tried if len(tried) < len(bases) else ()
-                )
+                # been tried once, and ALWAYS exclude bases that returned
+                # a permanent error (a dead or misconfigured endpoint
+                # can't eat the whole budget when others are healthy)
+                excl = tried | permanent
+                if len(excl) >= len(bases):
+                    excl = permanent if len(permanent) < len(bases) else set()
+                base, done = balancer.acquire(exclude=excl)
                 tried.add(base)
                 try:
                     conn, prefix = connection(base)
                     use_z = request_compression and base not in no_zstd
-                    try:
-                        out = _post_json(
-                            conn, prefix + path, payload, token, compress=use_z
-                        )
-                    except _HttpStatusError as e:
-                        # 415 = endpoint doesn't take zstd bodies: resend
-                        # plain on the same (fully-drained) connection
-                        # and remember for the rest of this worker
-                        if not (use_z and e.status == 415):
-                            raise
+                    out, used_z = _post_embed(
+                        conn, prefix + path, payload, token, use_z
+                    )
+                    if use_z and not used_z:
+                        # 415 fallback fired: remember for this worker
                         no_zstd.add(base)
-                        out = _post_json(conn, prefix + path, payload, token)
                     done()
                     break
                 except Exception as e:  # connection drop, refused, 5xx...
@@ -419,11 +437,16 @@ def http_embed(
                     if isinstance(e, _HttpStatusError) and e.permanent:
                         # permanent client errors (bad token, unknown
                         # model/path) don't heal with time — skip the
-                        # backoff — but a SINGLE stale/misconfigured
-                        # replica can return 404/401 while its siblings
-                        # are fine, so still rotate until every distinct
-                        # base has been tried once before failing fast
-                        if attempt + 1 >= min(len(bases), max_attempts):
+                        # backoff and never re-pick this base — but fail
+                        # the REQUEST only when every distinct base has
+                        # answered permanent (one stale replica's 404
+                        # must not kill a request a healthy sibling
+                        # would serve, even after a transient blip spent
+                        # an attempt)
+                        permanent.add(base)
+                        if len(permanent) >= len(bases):
+                            raise
+                        if attempt + 1 >= max_attempts:
                             raise
                         continue
                     if attempt + 1 >= max_attempts:
@@ -431,12 +454,19 @@ def http_embed(
                     time.sleep(min(backoff_s * (2**attempt), 2.0))
             else:  # pragma: no cover - loop always breaks or raises
                 raise last_err  # type: ignore[misc]
-            mat = np.asarray(out["embeddings"], dtype=np.float64)
-            if mat.ndim != 2 or mat.shape[0] != len(texts):
+            dim, quant = _decode_embeddings(out, len(texts))
+            # width pin: two load-balanced endpoints serving DIFFERENT
+            # models would otherwise emit different-width codes into the
+            # uniform-dimension store with no error anywhere
+            if not expected_dim:
+                expected_dim.append(dim)
+            elif dim != expected_dim[0]:
                 raise RuntimeError(
-                    f"embed endpoint returned shape {mat.shape} for {len(texts)} texts"
+                    f"embed endpoint returned dim {dim}, earlier batches "
+                    f"of this worker got {expected_dim[0]} — mixed models "
+                    "behind one provider config"
                 )
-            return quantize_f32_np(mat)
+            return quant
 
         try:
             for pdf in batches:
