@@ -402,6 +402,45 @@ def train_val_test_split(
     return df.withColumn(out_col, expr)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    per_cluster: int,
+    id_col: str = "doc_id",
+    seed: str = "diverse",
+) -> DataFrame:
+    """Topic-diversity sampling: keep at most ``per_cluster`` rows per
+    cluster, chosen in the curation family's content-addressed hash
+    order — the cluster-balanced selection step of DCLM-style pipelines
+    (cap the dominant topics so the mixture isn't swamped by its
+    biggest cluster; web corpora are power-law by topic, so an
+    unbalanced sample IS the head topic). Clusters typically come from
+    the IVF assignment the engine already maintains (embedding
+    ``centroid_id``), making this a free composition over the stored
+    column.
+
+    Same determinism contract as :func:`stratified_sample` /
+    :func:`token_budget_sample`: the selected set is a hash-order
+    PREFIX per cluster, so re-runs, other partitionings, and other
+    engines pick the identical rows, and raising ``per_cluster`` only
+    ADDS rows. Shape: one hash-partition exchange on the cluster column
+    for the per-cluster window (plan-lint-legal; skew bounded by
+    cluster size, the same profile as every per-stratum op here) over
+    narrow (id, cluster, addr) rows — content never moves."""
+    from pyspark.sql import Window
+
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    w = Window.partitionBy(cluster_col).orderBy(
+        seeded_hash(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,

@@ -206,6 +206,89 @@ def test_train_val_test_split_rejects_bad_fractions(spark, sf_smoke):
         train_val_test_split(docs, {"train": 0.5, "val": 0.1})
 
 
+class TestClusterBalancedSample:
+    def _docs(self, spark):
+        # power-law clusters: 40 rows in cluster 0, 15 in 1, 5 in 2
+        rows = [(i, 0 if i < 40 else (1 if i < 55 else 2), f"doc {i}")
+                for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, cluster long, text string")
+
+    def test_cap_respected_and_duckdb_parity(self, spark):
+        from go_vectorsearch_spark.operators.curation import (
+            cluster_balanced_sample,
+        )
+
+        df = self._docs(spark)
+        out = cluster_balanced_sample(df, "cluster", per_cluster=10)
+        by_c: dict[int, set] = {}
+        for r in out.collect():
+            by_c.setdefault(r["cluster"], set()).add(r["doc_id"])
+        assert len(by_c[0]) == 10       # dominant topic capped
+        assert len(by_c[1]) == 10
+        assert len(by_c[2]) == 5        # small cluster kept whole
+
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.register("docs", df.toPandas())
+            want = {r[0] for r in con.execute("""
+WITH t AS (
+  SELECT doc_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY CAST(('0x' || substring(md5('diverse:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id) AS rn
+  FROM docs
+)
+SELECT doc_id FROM t WHERE rn <= 10
+            """).fetchall()}
+        finally:
+            con.close()
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == want
+
+    def test_monotone_and_partition_invariant(self, spark):
+        """Raising per_cluster only ADDS rows (hash-order prefix), and
+        the selected set is identical under any partitioning."""
+        from go_vectorsearch_spark.operators.curation import (
+            cluster_balanced_sample,
+        )
+
+        df = self._docs(spark)
+        small = {r["doc_id"] for r in
+                 cluster_balanced_sample(df, "cluster", 5).collect()}
+        big = {r["doc_id"] for r in
+               cluster_balanced_sample(df, "cluster", 20).collect()}
+        assert small <= big
+        again = {r["doc_id"] for r in
+                 cluster_balanced_sample(df.repartition(7), "cluster", 5).collect()}
+        assert again == small
+
+    def test_composes_with_ivf_assignment(self, spark, sf_smoke):
+        """The deployment shape: clusters = the engine's stored IVF
+        centroid_id column; the balanced sample caps every inverted
+        list at the same size."""
+        from go_vectorsearch_spark.operators.assign import assign_nearest_mat
+        from go_vectorsearch_spark.operators.curation import (
+            cluster_balanced_sample,
+        )
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        cents = [(i, np.array([1.0 if j == i else 0.1 for j in range(64)]))
+                 for i in range(3)]
+        assigned = assign_nearest_mat(
+            emb, cents, vec_col="embedding", out_col="centroid_id"
+        )
+        out = cluster_balanced_sample(
+            assigned, "centroid_id", per_cluster=7, id_col="vec_id"
+        )
+        sizes = {r["centroid_id"]: r["n"] for r in
+                 out.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()}
+        assert sizes and all(n <= 7 for n in sizes.values())
+
+
 class TestTokenBudgetSample:
     def _docs(self, spark):
         rows = [
