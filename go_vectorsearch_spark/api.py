@@ -934,32 +934,36 @@ class Engine:
         topk = self._vector_topk(scope, qvec, count + offset, nprobe, allowed=allowed)
         if topk is None:
             return self._empty_search_result()
-        page_rows = topk_paginated(topk, count, offset).collect()
+        # collect the full top-(count+offset) once; the page is a local
+        # slice (brute_force_topk already emitted the exact total order)
+        # and the widening loop merges against these rows
+        top_rows = topk.collect()
+        page_rows = top_rows[offset : offset + count]
         # adaptive probe widening under a predicate (the serving twin of
         # plans/ivf.ivf_search_adaptive): a selective where= can thin
         # the probed lists below a full page while matches sit in
         # unprobed lists — double nprobe until the page fills or the
-        # probe set is exhausted (worst case log2(|centroids|) pruned
-        # re-probes, no cardinality estimator). The fill target is
-        # clamped to |allowed| — computed LAZILY, only when the first
-        # page underfills — so a predicate with fewer than count matches
-        # in total stops the loop as soon as every existing match is
-        # found instead of escalating to probing all centroids. Like
-        # every stop-on-fill ANN loop, scores of matches found in the
-        # last widening step are probe-limited (the doc is present; a
-        # better-scoring chunk of it may sit in an unprobed list) —
-        # identical semantics across search/search_many/search_hybrid.
-        # Without a predicate the reference semantics (fixed nprobe)
-        # stand.
+        # probe set is exhausted. INCREMENTAL (r6): each round scores
+        # only the newly added lists and merges driver-side
+        # (_widen_vector_rows — exact, not an approximation). The fill
+        # target is clamped to |allowed| — computed LAZILY, only when
+        # the first page underfills — so a predicate with fewer than
+        # count matches in total stops the loop as soon as every
+        # existing match is found. Like every stop-on-fill ANN loop,
+        # scores of matches found in the last widening step are
+        # probe-limited (the doc is present; a better-scoring chunk of
+        # it may sit in an unprobed list) — identical semantics across
+        # search/search_many/search_hybrid. Without a predicate the
+        # reference semantics (fixed nprobe) stand.
         if where is not None and len(page_rows) < count:
             n_cent = len(self._category_centroids(scope))
             target = min(count, max(0, allowed.count() - offset))
-            while len(page_rows) < target and nprobe < n_cent:
-                nprobe = min(nprobe * 2, n_cent)
-                topk = self._vector_topk(
-                    scope, qvec, count + offset, nprobe, allowed=allowed
+            if len(page_rows) < target and nprobe < n_cent:
+                merged = self._widen_vector_rows(
+                    scope, qvec, count + offset, nprobe, allowed,
+                    first_rows=top_rows, needed=offset + target,
                 )
-                page_rows = topk_paginated(topk, count, offset).collect()
+                page_rows = topk_paginated(merged, count, offset).collect()
         return self._hydrate_page(page_rows, scope)
 
     def _empty_search_result(self) -> DataFrame:
@@ -1345,6 +1349,58 @@ class Engine:
         )
         return [row.astype(float).tolist() for row in deq]
 
+    def _widen_vector_rows(
+        self,
+        scope: int,
+        qvec: list,
+        n: int,
+        nprobe: int,
+        allowed: DataFrame,
+        first_rows: list,
+        needed: int,
+    ) -> DataFrame:
+        """INCREMENTAL probe widening shared by search()/search_hybrid():
+        the full centroid ranking is computed once (driver-side, cached
+        set); each doubling round scores ONLY the newly added inverted
+        lists and merges driver-side by per-document max — exact,
+        because the global best-chunk score is the max of per-round
+        partials and top-n(A∪B) = top-n(top-n(A) ∪ top-n(B)) under the
+        (round-6 desc, id asc) order both cuts use. The old loop
+        re-scanned and re-scored every already-probed list each round,
+        multiplying scan I/O by log2(n_cent) on the latency path.
+        Stops when ``needed`` documents are found or every list is
+        probed; returns the merged (document_id, score) candidates as a
+        small DataFrame so the FINAL page ordering runs in Spark (same
+        HALF_UP rounding as every other page)."""
+        ranked = _rank_probe_ids(
+            self._category_centroids(scope),
+            qvec,
+            len(self._category_centroids(scope)),
+        )
+        merged: dict[int, float] = {}
+        for r in first_rows:
+            d, s = int(r["document_id"]), float(r["score"])
+            if d not in merged or s > merged[d]:
+                merged[d] = s
+        prev = min(max(nprobe, 1), len(ranked))
+        while len(merged) < needed and prev < len(ranked):
+            nxt = min(prev * 2, len(ranked))
+            sub = self._vector_topk(
+                scope, qvec, n, nprobe=0,
+                allowed=allowed, probe_ids=ranked[prev:nxt],
+            )
+            if sub is not None:
+                for r in sub.collect():
+                    d, s = int(r["document_id"]), float(r["score"])
+                    if d not in merged or s > merged[d]:
+                        merged[d] = s
+            prev = nxt
+        if not merged:
+            return self.spark.createDataFrame([], "document_id long, score double")
+        return self.spark.createDataFrame(
+            sorted(merged.items()), "document_id long, score double"
+        )
+
     def _vector_topk(
         self,
         scope: int,
@@ -1352,6 +1408,7 @@ class Engine:
         n: int,
         nprobe: int,
         allowed: DataFrame | None = None,
+        probe_ids: list[int] | None = None,
     ) -> DataFrame | None:
         """Document-level vector top-n for a category, or None when no
         centroid probes (empty category).
@@ -1360,8 +1417,13 @@ class Engine:
         centroid set — exactly the reference's in-process V2 cosine
         over cached centroids (server/search.go:202-227): a repeat
         search launches zero Spark jobs before the probed scan.
-        """
-        probe_ids = _rank_probe_ids(self._category_centroids(scope), qvec, nprobe)
+        ``probe_ids`` overrides the ranking with an explicit list set —
+        the incremental widening loop passes only the NEWLY added
+        lists of each round."""
+        if probe_ids is None:
+            probe_ids = _rank_probe_ids(
+                self._category_centroids(scope), qvec, nprobe
+            )
         if not probe_ids:
             return None
         # probed partitions only — pruned at the MANIFEST level, so the
@@ -1599,23 +1661,31 @@ class Engine:
         # frame, not the corpus). The target is clamped to |allowed| —
         # a selective predicate with fewer than fuse_depth matches IN
         # TOTAL would otherwise force the full log2(n_cent) escalation
-        # to probing every centroid (plus a count per doubling) even
-        # when no further matches exist anywhere. The clamp count runs
-        # LAZILY (only when the first probe underfills), and — like the
-        # other stop-on-fill loops — a match found in the last widening
-        # step carries its probe-limited best-chunk score into the RRF
-        # fusion.
+        # even when no further matches exist anywhere; the clamp count
+        # runs LAZILY (only when the first probe underfills). The
+        # widening is INCREMENTAL like search()'s (each round scores
+        # only the newly added lists — _widen_vector_rows), and the
+        # collected leg re-materializes as a literal frame so the RRF
+        # fusion never rescans the probed partitions. Like the other
+        # stop-on-fill loops, a match found in the last widening step
+        # carries its probe-limited best-chunk score into the fusion.
         if where is not None and vector is not None:
             n_cent = len(self._category_centroids(scope))
-            have = vector.count()
-            if have < fuse_depth and nprobe < n_cent:
+            first_rows = vector.collect()
+            vector = self.spark.createDataFrame(
+                [(int(r["document_id"]), float(r["score"])) for r in first_rows],
+                "document_id long, score double",
+            )
+            if len(first_rows) < fuse_depth and nprobe < n_cent:
                 target = min(fuse_depth, allowed.count())
-                while have < target and nprobe < n_cent:
-                    nprobe = min(nprobe * 2, n_cent)
-                    vector = self._vector_topk(
-                        scope, qvec, fuse_depth, nprobe, allowed=allowed
+                if len(first_rows) < target:
+                    merged = self._widen_vector_rows(
+                        scope, qvec, fuse_depth, nprobe, allowed,
+                        first_rows=first_rows, needed=target,
                     )
-                    have = vector.count()
+                    # cut back to the top-fuse_depth leg the fusion
+                    # contract expects (merged may hold a few more)
+                    vector = topk_paginated(merged, fuse_depth, 0)
         rankings = [lexical] + ([vector] if vector is not None else [])
         fused = rrf_fuse(
             rankings, k=count + offset, c=rrf_c, id_col="document_id"
