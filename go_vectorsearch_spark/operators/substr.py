@@ -1,0 +1,278 @@
+"""Exact substring deduplication (suffix-array-style, token granularity).
+
+The reference deduplicates only whole top-k result rows
+(server/search.go:259-268); corpus curation additionally needs EXACT
+SUBSTRING dedup — "this 200-token passage appears verbatim in 40 documents,
+cut all but one copy" — the technique of Lee et al. 2021, *Deduplicating
+Training Data Makes Language Models Better* (arXiv:2107.06499), where it is
+built on a monolithic suffix array. A suffix array does not distribute; the
+standard scale-out restatement (used here) observes that
+
+    a duplicated substring of >= L tokens exists
+    iff some exact L-token window is duplicated,
+
+so the whole operator family reduces to three relational steps over
+fixed-width windows:
+
+  1. window table   — one row (doc, pos, hash) per L-token window; the
+                      hash is the 128-bit md5 of the space-joined window
+                      (hashed map-side: raw text NEVER shuffles),
+  2. duplicate set  — one groupBy on the 16-byte hash (count > 1),
+  3. span merge     — per-document gaps-and-islands (a window partitioned
+                      BY doc_id, never global) turning overlapping /
+                      adjacent duplicated windows into maximal spans.
+
+Scale notes (100 TB design point): the window table holds ~|corpus tokens|
+rows of (long, int, binary(16)) — wide corpora shuffle tens of bytes per
+token, not text; both shuffles (hash groupBy, hash join-back) are over that
+reduced frame, and the island pass is partitioned per document. 128-bit
+hashes keep the collision expectation << 1 even at trillions of windows
+(a 64-bit key would birthday-collide at ~4e9). This mirrors the published
+scaling behavior of window-hash ExactSubstr implementations; the only
+approximation vs a true suffix array is the fixed minimum length L.
+
+Tokens come from the family-shared whitespace tokenizer
+(functions/text.ws_tokens, lowercased), so "duplicate" means the same
+thing here as in every other dedup variant, and the DuckDB oracle twin in
+queries.py reproduces each hash byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.functions.text import ws_tokens
+from go_vectorsearch_spark.sources.tables import spread
+
+# Default minimum duplicated-substring length, in TOKENS. Lee et al. use
+# 50 BYTES; the synthetic fixture corpus has ~30-token documents, so the
+# registry and tests run L=8. Production corpora would raise it.
+DEFAULT_L = 8
+
+
+def _window_structs(toks: Column, L: int) -> Column:
+    """array<struct<pos,wh>> of all L-token windows of ``toks``.
+
+    ``wh`` = unhex(md5(space-joined window)): 16 raw bytes, half the
+    shuffle width of the hex string, and identical to DuckDB's
+    ``unhex(md5(array_to_string(...)))``. Guarded like
+    dedup._shingles_of_tokens: sequence(1, 0) counts DOWN in Spark, so
+    short docs must short-circuit to an empty array.
+    """
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (L - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, L)))).alias("wh"),
+        ),
+    )
+    return F.when(F.size(toks) >= L, win).otherwise(
+        F.array().cast("array<struct<pos:int,wh:binary>>")
+    )
+
+
+def window_hashes(
+    df: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(_id, pos, _wh): one row per L-token window of each document.
+
+    pos is the 1-based index of the window's first token. The md5 runs
+    inside the scan stage (pure codegen — no Python); only the hashed
+    frame ever shuffles.
+    """
+    toked = spread(df).select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    return toked.select(
+        "_id", F.explode(_window_structs(F.col("_toks"), L)).alias("_z")
+    ).select("_id", F.col("_z.pos").alias("pos"), F.col("_z.wh").alias("_wh"))
+
+
+def duplicated_windows(windows: DataFrame) -> DataFrame:
+    """(_id, pos) of every window whose hash occurs more than once
+    corpus-wide (within-document repeats count — a doc that repeats its
+    own passage is self-duplicated, exactly as in Lee et al.).
+
+    One groupBy shuffle over 16-byte keys + one join-back on the same
+    key; Catalyst plans both on one hash partitioning of ``_wh``.
+    """
+    dup = (
+        windows.groupBy("_wh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_wh")
+    )
+    return windows.join(dup, "_wh").select("_id", "pos")
+
+
+def _merge_islands(positions: DataFrame, L: int) -> DataFrame:
+    """Gaps-and-islands over per-document window positions.
+
+    A window at ``pos`` spans tokens [pos, pos+L-1]; two duplicated
+    windows merge when they overlap or touch (pos' <= pos + L). Both
+    window functions are partitioned by _id — per-document state only,
+    no global sort (the plan-lint gate forbids unpartitioned windows).
+
+    Returns (_id, s_pos, e_pos, n_windows) — one row per maximal span.
+    """
+    prev = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # window ends are monotone in pos (fixed L), so running-max end ==
+    # running-max pos + L - 1; a break is a strict gap past it
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.max("pos").over(prev), F.lit(-2 * L)) + L, 1
+    ).otherwise(0)
+    return (
+        positions.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(run))
+        .groupBy("_id", "_island")
+        .agg(
+            F.min("pos").alias("s_pos"),
+            (F.max("pos") + (L - 1)).cast("int").alias("e_pos"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("_id", "s_pos", "e_pos", "n_windows")
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    (_id, s_pos, e_pos, n_windows): tokens s_pos..e_pos (1-based,
+    inclusive) of document _id appear verbatim elsewhere in the corpus
+    (or elsewhere in the same document).
+    """
+    w = window_hashes(df, L, id_col, text_col)
+    return _merge_islands(duplicated_windows(w), L)
+
+
+def exact_substr_stats(
+    df: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplication statistics — the curation signal.
+
+    One row per document that contains at least one duplicated L-token
+    window: (doc_id, n_spans, dup_tokens, n_dup_windows). ``dup_tokens``
+    is the total token count inside maximal duplicated spans — the
+    quantity a cleaning job budgets its cuts by.
+    """
+    spans = exact_substr_spans(df, L, id_col, text_col)
+    return spans.groupBy("_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e_pos") - F.col("s_pos") + 1).alias("dup_tokens"),
+        F.sum("n_windows").alias("n_dup_windows"),
+    ).select(F.col("_id").alias(id_col), "n_spans", "dup_tokens", "n_dup_windows")
+
+
+def exact_substr_cut(
+    df: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut all-but-one occurrence of every duplicated substring.
+
+    Ownership: for each duplicated window hash, the occurrence with the
+    globally smallest (doc, pos) is the KEEPER; every other occurrence is
+    removable. A token is cut iff it is covered by at least one removable
+    window and by NO keeper window (keeper coverage is inviolate — cutting
+    into it would destroy the one retained copy). This is the token-level
+    restatement of Lee et al.'s byte-span cuts; like theirs, cutting can
+    create new token adjacencies across a cut, which a second pass would
+    see (documented, not hidden).
+
+    Returns (id_col, text) with the cleaned text rebuilt from the
+    ORIGINAL-case tokens (positions align because the tokenizer splits on
+    whitespace before lowercasing). Docs with nothing to cut pass through
+    with their token stream re-joined by single spaces.
+
+    Plan shape: the window/keeper computation reuses the stats pipeline;
+    per-document span arrays come back via two partitioned-aggregation
+    joins, and the token filter is a pure array expression — no Python,
+    no global window, and raw text moves only in the final per-document
+    projection.
+    """
+    w = window_hashes(df, L, id_col, text_col)
+    dup = (
+        w.groupBy("_wh")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct("_id", "pos")).alias("_k"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("_wh", "_k")
+    )
+    flagged = w.join(dup, "_wh").select(
+        "_id",
+        "pos",
+        (
+            (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
+        ).alias("_keep"),
+    )
+    rm_spans = (
+        _merge_islands(flagged.filter(~F.col("_keep")).select("_id", "pos"), L)
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s_pos", "e_pos"))
+            ).alias("_rm")
+        )
+    )
+    keep_spans = (
+        _merge_islands(flagged.filter(F.col("_keep")).select("_id", "pos"), L)
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s_pos", "e_pos"))
+            ).alias("_kp")
+        )
+    )
+    empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
+    toked = spread(df).select(
+        F.col(id_col).alias("_id"),
+        ws_tokens(F.col(text_col), lower=False).alias("_orig"),
+    )
+    covered = lambda spans, i: F.exists(  # noqa: E731
+        spans, lambda s: (i >= s["s_pos"]) & (i <= s["e_pos"])
+    )
+    joined = (
+        toked.join(rm_spans, "_id", "left")
+        .join(keep_spans, "_id", "left")
+        .select(
+            "_id",
+            "_orig",
+            F.coalesce("_rm", empty).alias("_rm"),
+            F.coalesce("_kp", empty).alias("_kp"),
+        )
+    )
+    kept_tokens = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_orig")),
+            lambda i: F.struct(i.alias("i"), F.element_at("_orig", i).alias("t")),
+        ),
+        lambda z: ~covered(F.col("_rm"), z["i"]) | covered(F.col("_kp"), z["i"]),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", F.transform(kept_tokens, lambda z: z["t"])).alias("text"),
+    )

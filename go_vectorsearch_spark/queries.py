@@ -1527,6 +1527,68 @@ def q_dedup_exact_stats(spark, sf_dir):
     return DD.exact_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+# Exact-substring dedup (Lee et al. 2021 arXiv:2107.06499, window-hash
+# restatement — operators/substr.py). The oracle re-derives the whole
+# pipeline: L-token window md5s, corpus-wide duplicate set, per-document
+# gaps-and-islands span merge. Both engines hash the identical space-
+# joined lowercase token windows, so results are exact-equal by
+# construction. L=8 suits the ~30-token fixture docs; production raises it.
+_SUBSTR_L = 8
+
+@register(
+    "dedup_exact_substr",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {_SUBSTR_L} + 1, 0)),
+           i -> {{'pos': i,
+                  'wh': unhex(md5(array_to_string(
+                          toks[i:i + {_SUBSTR_L - 1}], ' ')))}})) AS z
+  FROM t
+),
+w2 AS (SELECT doc_id, z.pos AS pos, z.wh AS wh FROM w),
+d AS (SELECT wh FROM w2 GROUP BY wh HAVING count(*) > 1),
+dw AS (SELECT doc_id, pos FROM w2 JOIN d USING (wh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -{2 * _SUBSTR_L}) + {_SUBSTR_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM dw
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM g
+),
+s AS (SELECT doc_id, island, min(pos) AS s_pos,
+             max(pos) + {_SUBSTR_L} - 1 AS e_pos, count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(e_pos - s_pos + 1) AS BIGINT) AS dup_tokens,
+       CAST(sum(n_windows) AS BIGINT) AS n_dup_windows
+FROM s GROUP BY doc_id
+""",
+    doc="Exact-substring dedup stats (Lee et al. 2021): duplicated "
+    f"{_SUBSTR_L}-token window hashes -> per-document maximal duplicated "
+    "spans via partitioned gaps-and-islands; raw text never shuffles "
+    "(operators/substr.exact_substr_stats)",
+)
+def q_dedup_exact_substr(spark, sf_dir):
+    from go_vectorsearch_spark.operators import substr as SUB
+
+    return SUB.exact_substr_stats(
+        _t(spark, sf_dir, "documents"), L=_SUBSTR_L
+    )
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=rf"""
@@ -1853,9 +1915,11 @@ def q_sample_stratified(spark, sf_dir):
     return samp.select("doc_id", "lang")
 
 
-@register(
-    "text_repetition",
-    oracle="""
+# Demoted (r7) to tests/test_demoted_parity.py — ceded its window slot
+# to dedup_exact_substr (the exact-substring dedup family, the text-
+# analysis family stays represented in-window by text_quality /
+# quality_model_features).
+TEXT_REPETITION_ORACLE = """
 WITH t AS (
   SELECT doc_id,
          string_split(text, chr(10)) AS lines,
@@ -1882,12 +1946,9 @@ SELECT g.doc_id,
          AS ellipsis_line_frac,
        round(gm.top::DOUBLE / gm.tot, 6) AS top_ngram_frac
 FROM g LEFT JOIN gm ON g.doc_id = gm.doc_id
-""",
-    doc="Gopher/C4-style repetition quality signals: duplicate-line "
-    "fraction, ellipsis-line fraction, top word-bigram share - pure "
-    "expression-only projection, the boilerplate/spam detector of a "
-    "pre-training corpus filter (operators/curation.repetition_stats)",
-)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return CUR.repetition_stats(docs, ngram=2, max_tokens=200)

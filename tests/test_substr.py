@@ -1,0 +1,156 @@
+"""Exact-substring dedup semantics on planted corpora (operators/substr.py).
+
+The oracle-parity suite (tests/test_parity.py `dedup_exact_substr`) checks
+DuckDB equality on the fixture tables; these tests pin the *semantics* on
+controlled inputs against a structurally independent naive reference —
+the same two-sided strategy as tests/test_dedup_text.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_vectorsearch_spark.operators import substr as S
+
+L = 4  # small windows so hand-sized docs exercise every path
+
+# A 12-token passage shared by docs 1 and 2 at DIFFERENT offsets, plus a
+# doc that repeats its own passage, plus a too-short doc, plus a unique doc.
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+DOCS = [
+    (1, f"{SHARED} tail one two three"),
+    (2, f"lead in words here {SHARED}"),
+    (3, "self repeat block goes here self repeat block goes here pad pad"),
+    (4, "too short"),
+    (5, "entirely unique content with no duplicated windows at all present"),
+]
+
+
+# -- naive reference --------------------------------------------------------
+
+
+def _naive_windows(docs, l):
+    out = []  # (doc, pos1based, hash)
+    for did, text in docs:
+        toks = text.lower().split()
+        for i in range(len(toks) - l + 1):
+            h = hashlib.md5(" ".join(toks[i : i + l]).encode()).hexdigest()
+            out.append((did, i + 1, h))
+    return out
+
+
+def _naive_dup_positions(docs, l):
+    wins = _naive_windows(docs, l)
+    from collections import Counter
+
+    freq = Counter(h for _, _, h in wins)
+    return [(d, p) for d, p, h in wins if freq[h] > 1]
+
+
+def _naive_spans(docs, l):
+    """dict doc -> list[(s_pos, e_pos, n_windows)] merged like the operator."""
+    by_doc = {}
+    for d, p in sorted(_naive_dup_positions(docs, l)):
+        by_doc.setdefault(d, []).append(p)
+    spans = {}
+    for d, ps in by_doc.items():
+        cur = None
+        for p in ps:
+            if cur is None or p > cur[1] + 1:  # gap past the running end
+                if cur:
+                    spans.setdefault(d, []).append(cur)
+                cur = [p, p + l - 1, 1]
+            else:
+                cur[1] = max(cur[1], p + l - 1)
+                cur[2] += 1
+        if cur:
+            spans.setdefault(d, []).append(cur)
+    return spans
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_window_hashes_positions(spark, docs):
+    rows = S.window_hashes(docs, L).collect()
+    naive = _naive_windows(DOCS, L)
+    assert len(rows) == len(naive)
+    got = {(r["_id"], r["pos"], r["_wh"].hex()) for r in rows}
+    assert got == set(naive)
+
+
+def test_spans_match_naive(spark, docs):
+    got = {}
+    for r in S.exact_substr_spans(docs, L).collect():
+        got.setdefault(r["_id"], []).append(
+            [r["s_pos"], r["e_pos"], r["n_windows"]]
+        )
+    for v in got.values():
+        v.sort()
+    naive = _naive_spans(DOCS, L)
+    assert got == {d: sorted(v) for d, v in naive.items()}
+    # the shared passage is found in BOTH docs at their distinct offsets
+    assert got[1][0][0] == 1  # doc 1: passage starts at token 1
+    assert got[2][0][0] == 5  # doc 2: same passage after a 4-token lead
+    # the self-repeating doc is flagged from within one document
+    assert 3 in got
+    # short and unique docs are absent
+    assert 4 not in got and 5 not in got
+
+
+def test_stats_totals(spark, docs):
+    stats = {r["doc_id"]: r for r in S.exact_substr_stats(docs, L).collect()}
+    naive = _naive_spans(DOCS, L)
+    assert set(stats) == set(naive)
+    for d, spans in naive.items():
+        assert stats[d]["n_spans"] == len(spans)
+        assert stats[d]["dup_tokens"] == sum(e - s + 1 for s, e, _ in spans)
+        assert stats[d]["n_dup_windows"] == sum(n for _, _, n in spans)
+
+
+def test_cut_keeps_one_copy(spark, docs):
+    cut = {r["doc_id"]: r["text"] for r in S.exact_substr_cut(docs, L).collect()}
+    # every doc still present; untouched docs round-trip their token stream
+    assert set(cut) == {d for d, _ in DOCS}
+    assert cut[4] == "too short"
+    assert cut[5] == DOCS[4][1]
+    # the keeper occurrence (globally smallest (doc, pos) per window —
+    # doc 1's copy of the shared passage) survives verbatim...
+    assert SHARED in cut[1]
+    # ...and the non-keeper copy in doc 2 is gone
+    assert SHARED not in cut[2]
+    assert cut[2].startswith("lead in words here")
+    # the self-repeating doc keeps its first occurrence only
+    assert cut[3].count("self repeat block goes here") == 1
+    # after the cut, the planted corpus has no duplicated windows left
+    cleaned = spark.createDataFrame(
+        list(cut.items()), "doc_id long, text string"
+    )
+    assert S.duplicated_windows(S.window_hashes(cleaned, L)).count() == 0
+
+
+def test_cut_preserves_original_case(spark):
+    # hashing is case-insensitive (family tokenizer), reconstruction is not
+    d = spark.createDataFrame(
+        [(1, "Alpha BETA gamma DELTA epsilon"), (2, "alpha beta GAMMA delta unique")],
+        "doc_id long, text string",
+    )
+    cut = {r["doc_id"]: r["text"] for r in S.exact_substr_cut(d, L).collect()}
+    assert cut[1] == "Alpha BETA gamma DELTA epsilon"  # keeper, original case
+    assert cut[2] == "unique"  # duplicated window cut, case kept
+
+
+def test_no_python_in_plan(spark, docs):
+    plan = (
+        S.exact_substr_stats(docs, L)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
