@@ -80,6 +80,7 @@ _TABLE_KEYS = {
 # is still a bounded rewrite; buckets are manifest-level, so re-bucketing
 # is just a full write() with a new expression.
 N_DOC_BUCKETS = 32
+N_BAND_BUCKETS = 16  # near-dup band-store partitions (band-key hash)
 _PARTITION_EXPRS = {
     "embeddings": "centroid_id",
     "documents": f"pmod(document_id, {N_DOC_BUCKETS})",
@@ -806,8 +807,28 @@ class Engine:
         return new_id
 
     # -- upload (server/upload.go:111-323) ---------------------------------
-    def upload(self, owner: str, category: str, documents: list[dict]) -> list[int]:
-        """documents: [{name, external_id, document(JSON str)}] → new ids."""
+    def upload(
+        self,
+        owner: str,
+        category: str,
+        documents: list[dict],
+        neardup: str | None = None,
+        neardup_threshold: float = 0.5,
+    ) -> list[int]:
+        """documents: [{name, external_id, document(JSON str)}] → ids.
+
+        ``neardup="skip"`` (requires :meth:`build_neardup_index` to have
+        run for the category) drops near-duplicate documents BEFORE the
+        embed stage — the whole point of ingest-time dedup is not paying
+        to embed a copy. The returned list stays POSITIONAL: a skipped
+        document's slot holds the id of the stored document it
+        duplicated (best Jaccard, ties to the smallest id), or of the
+        earlier in-batch survivor it duplicated — so callers can always
+        map input k to a live document id. Surviving documents of a
+        category with a near-dup index are appended to it automatically
+        (the same hybrid-consistency contract as the text index)."""
+        if neardup not in (None, "skip"):
+            raise ValueError(f"upload: unknown neardup mode {neardup!r}")
         if not documents:
             # clean no-op: without this, the first upload to a new
             # category would crash on the empty seed head() after
@@ -817,6 +838,67 @@ class Engine:
         category_id = self._get_or_create(
             "categories", "category_id", {"name": category, "owner_id": owner_id}
         )
+
+        # ingest-time near-dup skip: resolve each input to "fresh" or
+        # "duplicate of <id / earlier input>" before any embedding work
+        dup_of: dict[int, int] = {}  # input ix -> matched stored doc id
+        dup_of_ix: dict[int, int] = {}  # input ix -> earlier input ix
+        if neardup == "skip":
+            if not os.path.exists(
+                f"{self._neardup_path(category_id)}/VERSION"
+            ):
+                raise ValueError(
+                    f"upload: neardup='skip' but no near-dup index for "
+                    f"{owner}/{category}; run build_neardup_index first"
+                )
+            import json as _json
+
+            from go_vectorsearch_spark.operators import dedup as DD
+            from go_vectorsearch_spark.operators.documents import flatten
+
+            texts = [flatten(_json.loads(d["document"])) for d in documents]
+            # vs the stored corpus: bucket-pruned band match + exact verify
+            best: dict[int, tuple[float, int]] = {}
+            for r in self.neardup_check(
+                owner, category, texts, threshold=neardup_threshold
+            ).collect():
+                cur = best.get(r["q_ix"])
+                cand = (-r["jaccard"], r["document_id"])
+                if cur is None or cand < cur:
+                    best[r["q_ix"]] = cand
+            # within the batch itself (the store can't see these yet)
+            batch = self.spark.createDataFrame(
+                list(enumerate(texts)), "q_ix long, _text string"
+            )
+            pair_rows = DD.minhash_lsh_pairs(
+                batch,
+                id_col="q_ix",
+                text_col="_text",
+                threshold=neardup_threshold,
+            ).collect()
+            peers: dict[int, list[int]] = {}
+            for r in pair_rows:  # id_a < id_b by construction
+                peers.setdefault(int(r["id_b"]), []).append(int(r["id_a"]))
+            # ascending scan: an input survives unless it matched the
+            # store or an EARLIER SURVIVOR (a chain of near-dups keeps
+            # exactly its first member, like dedup.exact_dedup)
+            for ix in range(len(documents)):
+                if ix in best:
+                    dup_of[ix] = best[ix][1]
+                    continue
+                for a in sorted(peers.get(ix, [])):
+                    if a not in dup_of and a not in dup_of_ix:
+                        dup_of_ix[ix] = a
+                        break
+            survivors = [
+                i for i in range(len(documents))
+                if i not in dup_of and i not in dup_of_ix
+            ]
+            if not survivors:
+                # nothing fresh: dup_of_ix targets survivors only, so
+                # with zero survivors every slot matched the store
+                return [dup_of[ix] for ix in range(len(documents))]
+            documents = [documents[i] for i in survivors]
         base_doc = self._next_id("documents", "document_id")
 
         docs = self.spark.createDataFrame(
@@ -905,6 +987,26 @@ class Engine:
         # centroid assignment); categories without one pay nothing
         if os.path.exists(f"{self._text_index_path(category_id)}/VERSION"):
             self.append_text_index(owner, category, ids)
+        # same contract for the near-dup band index (regardless of the
+        # neardup mode: an indexed category stays checkable after plain
+        # uploads too)
+        if os.path.exists(f"{self._neardup_path(category_id)}/VERSION"):
+            self.append_neardup_index(owner, category, ids)
+        if neardup == "skip" and (dup_of or dup_of_ix):
+            # positional result: survivors get their fresh ids; skipped
+            # slots resolve to the id they duplicated (store id, or the
+            # fresh id of the earlier in-batch survivor)
+            new_id_of_ix = dict(zip(survivors, ids))
+            out = []
+            for ix in range(len(survivors) + len(dup_of) + len(dup_of_ix)):
+                if ix in dup_of:
+                    out.append(dup_of[ix])
+                elif ix in dup_of_ix:
+                    # dup_of_ix targets survivors only (construction)
+                    out.append(new_id_of_ix[dup_of_ix[ix]])
+                else:
+                    out.append(new_id_of_ix[ix])
+            return out
         return ids
 
     # -- search (server/search.go:115-334) ---------------------------------
@@ -1603,6 +1705,216 @@ class Engine:
         append_postings(delta, path)
         return delta.n_docs
 
+    # -- incremental ingest near-dup index (engine extension) ---------------
+    #
+    # At 100 TB the dominant dedup cost is NOT the first full-corpus
+    # MinHash pass — it is re-running it on every ingest. The persisted
+    # band index makes ingest-time near-dup INCREMENTAL: adding 1 TB to
+    # a 100 TB corpus compares the new documents only against the LSH
+    # buckets they collide with (a manifest-pruned read of the band
+    # store), never against the corpus. Same banding constants as
+    # operators/dedup.minhash_lsh_pairs, so stored and in-flight keys
+    # are interchangeable by construction.
+    #
+    # Layout mirrors the text index: one versioned band table per
+    # category under <root>/neardup_index/<cid>, partitioned by a hash
+    # bucket of the band key so a check's read prunes to the incoming
+    # batch's buckets. Rows are (document_id, band, key) — 4 short rows
+    # per document; signatures and shingles are NOT stored (verification
+    # re-derives them from the live documents of the candidate set only,
+    # which also makes rows of deleted documents self-healing: the
+    # verify join against the documents table simply drops them).
+
+    def _neardup_table(self, cid: int) -> _VersionedTable:
+        return _VersionedTable(
+            self.spark,
+            f"{self.root}/neardup_index",
+            str(cid),
+            "document_id long, band int, key string",
+            vacuum_min_age_s=300.0,
+            # conv(), not CAST('0x..'): ANSI mode rejects the 0x string
+            partition_expr=(
+                "pmod(CAST(conv(substr(key, 1, 8), 16, 10) AS BIGINT), "
+                f"{N_BAND_BUCKETS})"
+            ),
+        )
+
+    def _neardup_path(self, cid: int) -> str:
+        return f"{self.root}/neardup_index/{cid}"
+
+    def _doc_band_rows(self, docs: DataFrame, id_col: str) -> DataFrame:
+        """(id_col, band, key) LSH band rows of a (id, _text) frame."""
+        from go_vectorsearch_spark.operators import dedup as DD
+
+        return self._doc_band_rows_from_shingled(
+            DD.shingled_docs(docs, id_col=id_col, text_col="_text"), id_col
+        )
+
+    def _category_doc_texts(
+        self, cid: int, document_ids: list[int] | None = None
+    ) -> DataFrame:
+        """(document_id, _text) of a category via the SAME
+        flatten(payload_json) every other text consumer sees; an id list
+        prunes the read to the ids' hash buckets at the manifest level."""
+        from go_vectorsearch_spark.operators.documents import flatten_json_udf
+
+        if document_ids is None:
+            base = self.t["documents"].read()
+        else:
+            base = self.t["documents"].read(
+                partition_values=sorted(
+                    {i % N_DOC_BUCKETS for i in document_ids}
+                )
+            ).filter(F.col("document_id").isin(list(document_ids)))
+        return base.filter(F.col("category_id") == cid).select(
+            "document_id", flatten_json_udf(F.col("payload_json")).alias("_text")
+        )
+
+    def build_neardup_index(self, owner: str, category: str) -> int:
+        """Build (or rebuild) the category's persisted near-dup band
+        index over the flattened document texts. Returns the number of
+        indexed documents (shingle-less docs contribute no rows)."""
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"build_neardup_index: unknown {owner}/{category}")
+        rows = self._doc_band_rows(self._category_doc_texts(cid), "document_id")
+        t = self._neardup_table(cid)
+        t.write(rows)
+        return t.read().select("document_id").distinct().count()
+
+    def append_neardup_index(
+        self, owner: str, category: str, document_ids: list[int]
+    ) -> int:
+        """Incrementally index newly uploaded documents: their band rows
+        APPEND; untouched bucket partitions carry by manifest reference
+        (the upload path's discipline, like :meth:`append_text_index`)."""
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"append_neardup_index: unknown {owner}/{category}")
+        if not os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
+            raise ValueError(
+                f"append_neardup_index: no near-dup index for "
+                f"{owner}/{category}; run build_neardup_index first"
+            )
+        if not document_ids:
+            return 0
+        rows = self._doc_band_rows(
+            self._category_doc_texts(cid, document_ids), "document_id"
+        )
+        self._neardup_table(cid).append(rows)
+        return len(document_ids)
+
+    # past this many incoming texts, skip the driver-side band-key pull
+    # that powers bucket pruning and read the whole (still tiny) band
+    # store instead — a bulk re-dedup job touches most buckets anyway
+    _NEARDUP_PRUNE_CAP = 10_000
+
+    def neardup_check(
+        self,
+        owner: str,
+        category: str,
+        texts: list[str],
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Near-duplicate matches of ``texts`` against the category's
+        persisted band index — WITHOUT uploading them.
+
+        Returns (q_ix, document_id, jaccard): input index, matched
+        stored document, exact hashed-shingle Jaccard >= ``threshold``.
+        Cost profile: band keys of the batch (map-side), one
+        bucket-pruned read of the band store, and exact verification
+        that re-shingles ONLY the candidate stored documents (an
+        id-bucket-pruned documents read) — corpus size never enters.
+        """
+        from go_vectorsearch_spark.operators import dedup as DD
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"neardup_check: unknown {owner}/{category}")
+        if not os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
+            raise ValueError(
+                f"neardup_check: no near-dup index for {owner}/{category}; "
+                "run build_neardup_index first"
+            )
+        empty = self.spark.createDataFrame(
+            [], "q_ix long, document_id long, jaccard double"
+        )
+        if not texts:
+            return empty
+        new = self.spark.createDataFrame(
+            list(enumerate(texts)), "q_ix long, _text string"
+        )
+        # NOT persisted: a serving frame outliving the call would leak
+        # storage per request; re-shingling a request-sized batch per
+        # action is map-side noise (bulk callers shingle once per pass)
+        shingled_new = DD.shingled_docs(new, id_col="q_ix", text_col="_text")
+        new_bands = self._doc_band_rows_from_shingled(shingled_new, "q_ix")
+
+        # bucket pruning: the batch's band keys are <= 4 x |texts| short
+        # rows — a bounded driver pull for serving-sized batches; bulk
+        # jobs past the cap read every bucket (see _NEARDUP_PRUNE_CAP)
+        if len(texts) <= self._NEARDUP_PRUNE_CAP:
+            keys = [r["key"] for r in new_bands.select("key").distinct().collect()]
+            if not keys:
+                return empty
+            buckets = sorted({int(k[:8], 16) % N_BAND_BUCKETS for k in keys})
+            store = self._neardup_table(cid).read(partition_values=buckets)
+        else:
+            store = self._neardup_table(cid).read()
+
+        cand = (
+            new_bands.join(store, ["band", "key"])
+            .select("q_ix", "document_id")
+            .distinct()
+        )
+        # exact verify over the candidate set only: candidate stored ids
+        # prune the documents read to their hash buckets (the
+        # append_text_index pattern); candidates are bounded by batch x
+        # bucket collisions, so the driver pull is serving-sized — a
+        # bulk job past the cap verifies against an unpruned (but
+        # candidate-semi-joined) scan
+        cand_ids = None
+        if len(texts) <= self._NEARDUP_PRUNE_CAP:
+            cand_ids = [
+                r["document_id"]
+                for r in cand.select("document_id").distinct().collect()
+            ]
+            if not cand_ids:
+                return empty
+        stored = DD.shingled_docs(
+            self._category_doc_texts(cid, cand_ids),
+            id_col="document_id",
+            text_col="_text",
+        ).select(F.col("_id").alias("document_id"), F.col("_sh").alias("_shb"))
+        inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+        jac = inter / (
+            F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))
+        ).cast("double")
+        out = (
+            cand.join(
+                shingled_new.select(
+                    F.col("_id").alias("q_ix"), F.col("_sh").alias("_sha")
+                ),
+                "q_ix",
+            )
+            .join(stored, "document_id")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("q_ix", "document_id", "jaccard")
+        )
+        return out
+
+    def _doc_band_rows_from_shingled(
+        self, shingled: DataFrame, id_col: str
+    ) -> DataFrame:
+        from go_vectorsearch_spark.operators import dedup as DD
+
+        return DD.minhash_band_rows(DD.signature_frame(shingled)).select(
+            F.col("_id").alias(id_col),
+            F.col("_band").alias("band"),
+            F.col("_key").alias("key"),
+        )
+
     def search_hybrid(
         self,
         owner: str,
@@ -1892,9 +2204,12 @@ class Engine:
         import shutil
 
         for (cid,) in victim_cats.select("category_id").collect():
-            tpath = self._text_index_path(int(cid))
-            if os.path.isdir(tpath):
-                shutil.rmtree(tpath, ignore_errors=True)
+            for dead in (
+                self._text_index_path(int(cid)),
+                self._neardup_path(int(cid)),
+            ):
+                if os.path.isdir(dead):
+                    shutil.rmtree(dead, ignore_errors=True)
 
     def delete_owner(self, owner: str) -> None:
         owners = self.t["owners"].read()
@@ -2378,6 +2693,9 @@ class Engine:
                 "centroids": int(cent_counts.get(r["category_id"], 0)),
                 "text_index": os.path.exists(
                     f"{self._text_index_path(r['category_id'])}/VERSION"
+                ),
+                "neardup_index": os.path.exists(
+                    f"{self._neardup_path(r['category_id'])}/VERSION"
                 ),
             }
             for r in sorted(

@@ -271,6 +271,57 @@ def _signature_from_hashes(hashes: Column) -> Column:
     )
 
 
+def signature_frame(shingled: DataFrame) -> DataFrame:
+    """(_id, _sh, _sig) of every doc with a non-empty shingle set.
+
+    Docs with NO shingles (< n tokens) are excluded: they all share the
+    sentinel [P]*16 signature, so m tiny docs would band-collide into
+    m²/2 candidates, and their Jaccard is 0/0 (undefined). A
+    shingle-less doc can never reach a positive Jaccard, so dropping it
+    is exact. Shared by :func:`minhash_lsh_pairs` and the engine's
+    persisted near-dup index.
+    """
+    return (
+        shingled.filter(F.size("_sh") > 0)
+        .withColumn("_sig", _signature_from_hashes(F.col("_sh")))
+        .select("_id", "_sh", "_sig")
+    )
+
+
+def minhash_band_rows(sigd: DataFrame, sig_col: str = "_sig") -> DataFrame:
+    """Explode a signature frame into LSH band rows (_id, _band, _key).
+
+    _key = md5 of the band's comma-joined 4 signature values — the
+    bucket identity two documents must share (in some band) to become a
+    candidate pair. Shared by :func:`minhash_lsh_pairs` (in-flight
+    self-join) and the engine's PERSISTED near-dup index
+    (api.Engine.build_neardup_index), so stored and in-flight band keys
+    are interchangeable by construction.
+    """
+    return sigd.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(sig_col, i * LSH_ROWS + j + 1)
+                                    for j in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -300,40 +351,10 @@ def minhash_lsh_pairs(
     # corpora through one session should pass a managed ``shingled``
     # frame and handle persistence themselves (the registry does).
     #
-    # Docs with NO shingles (< n tokens) are excluded up front: they all
-    # share the sentinel [P]*16 signature, so m tiny docs would band-
-    # collide into m²/2 candidates, and their Jaccard is 0/0 (undefined
-    # — NULL here, NaN in DuckDB: a parity split). A shingle-less doc
-    # can never reach a positive Jaccard, so dropping it is exact.
-    sigd = (
-        shingled
-        .filter(F.size("_sh") > 0)
-        .withColumn("_sig", _signature_from_hashes(F.col("_sh")))
-        .select("_id", "_sh", "_sig")
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    )
-    bands = sigd.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("_sig", i * LSH_ROWS + j + 1)
-                                    for j in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    # signature_frame drops shingle-less docs (see its docstring — the
+    # sentinel-signature band collision / NULL-vs-NaN parity split)
+    sigd = signature_frame(shingled).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    bands = minhash_band_rows(sigd)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
