@@ -49,6 +49,8 @@ from go_vectorsearch_spark.operators.documents import (
 )
 from go_vectorsearch_spark.operators.search import (
     brute_force_topk,
+    brute_force_topk_with_vector,
+    mmr_select,
     normalize_search_args,
     topk_paginated,
 )
@@ -1511,6 +1513,7 @@ class Engine:
         nprobe: int,
         allowed: DataFrame | None = None,
         probe_ids: list[int] | None = None,
+        with_vector: bool = False,
     ) -> DataFrame | None:
         """Document-level vector top-n for a category, or None when no
         centroid probes (empty category).
@@ -1546,12 +1549,73 @@ class Engine:
                 allowed.select("document_id"), "document_id", "left_semi"
             )
         emb = dequantized_vector(raw)
+        if with_vector:
+            return brute_force_topk_with_vector(
+                emb, qvec, n, id_col="embedding_id",
+                vec_col="vector", doc_col="document_id",
+            )
         return brute_force_topk(
             emb, qvec, n, id_col="embedding_id",
             vec_col="vector", doc_col="document_id",
         )
 
-    def _hydrate_page(self, page_rows: list, scope: int) -> DataFrame:
+    def search_diverse(
+        self,
+        owner: str,
+        category: str,
+        text: str,
+        count: int = 10,
+        offset: int = 0,
+        nprobe: int = 0,
+        mmr_lambda: float = 0.5,
+        pool: int = 50,
+        where=None,
+    ) -> DataFrame:
+        """Diversified vector search: Maximal Marginal Relevance re-rank
+        (Carbonell & Goldstein 1998) of a top-``pool`` candidate set —
+        the page trades pure relevance for coverage, so a corpus with
+        many near-identical top hits doesn't fill the page with copies.
+
+        ``mmr_lambda`` in [0, 1]: 1 = pure relevance (reproduces
+        :meth:`search`'s ranking exactly, pool permitting), 0 = pure
+        diversity. The reported ``score`` stays the ORIGINAL cosine
+        relevance (the page's order, not its scores, is what MMR
+        changes); the page order is the MMR selection order.
+
+        Plan shape: the distributed part is identical to :meth:`search`
+        (probed manifest-pruned scan -> per-document max -> TakeOrdered
+        top-pool), except the candidate rows carry their best-chunk
+        vector; the greedy MMR loop runs driver-side over the collected
+        page-scale pool (see operators/search.mmr_select for why that
+        is the right side of the boundary).
+        """
+        if not 0.0 <= mmr_lambda <= 1.0:
+            raise ValueError(f"search_diverse: mmr_lambda {mmr_lambda} not in [0, 1]")
+        count, offset, nprobe = normalize_search_args(count, offset, nprobe)
+        pool = max(int(pool), count + offset)
+        scope = self._category_id(owner, category)
+        if scope is None:
+            return self._empty_search_result()
+        allowed = None if where is None else self._allowed_docs(scope, where)
+        qvec = self._embed_query(f"{SEARCH_QUERY_PREFIX}{text}")
+        topk = self._vector_topk(
+            scope, qvec, pool, nprobe, allowed=allowed, with_vector=True
+        )
+        if topk is None:
+            return self._empty_search_result()
+        rows = topk.collect()
+        picks = mmr_select(
+            [r["score"] for r in rows],
+            [r["vector"] for r in rows],
+            count + offset,
+            mmr_lambda,
+        )
+        page = [rows[i] for i in picks[offset : offset + count]]
+        return self._hydrate_page(page, scope, keep_order=True)
+
+    def _hydrate_page(
+        self, page_rows: list, scope: int, keep_order: bool = False
+    ) -> DataFrame:
         """Hydrate a collected (document_id, score) page.
 
         The reference collects the page's ids and hydrates them with a
@@ -1566,24 +1630,31 @@ class Engine:
         ids = [r["document_id"] for r in page_rows]
         page = F.broadcast(
             self.spark.createDataFrame(
-                [(r["document_id"], float(r["score"])) for r in page_rows],
-                "document_id long, score double",
+                [
+                    (i, r["document_id"], float(r["score"]))
+                    for i, r in enumerate(page_rows)
+                ],
+                "_rank long, document_id long, score double",
             )
         )
         docs = self.t["documents"].read(
             partition_values=sorted({i % N_DOC_BUCKETS for i in ids})
         ).filter(F.col("document_id").isin(ids) & (F.col("category_id") == scope))
         hydrated = docs.join(page, "document_id", "inner").select(
-            "document_id", "name", "external_id", "payload_json", "score"
+            "_rank", "document_id", "name", "external_id", "payload_json", "score"
         )
-        # deterministic reference rank order: pagination ranked by
-        # round(score, 6) with id tie-break (topk_paginated), so the
-        # hydrated sort must use the SAME key — raw score would let rows
+        # keep_order (the MMR path): the caller's row order IS the rank.
+        # Default: deterministic reference rank order — pagination ranked
+        # by round(score, 6) with id tie-break (topk_paginated), so the
+        # hydrated sort must use the SAME key; raw score would let rows
         # equal at 6 decimals display in a different order than the rank
         # that paginated them (tiny result, single-partition sort)
-        return hydrated.orderBy(
-            F.desc(F.round("score", 6)), F.asc("document_id")
+        order = (
+            [F.asc("_rank")]
+            if keep_order
+            else [F.desc(F.round("score", 6)), F.asc("document_id")]
         )
+        return hydrated.orderBy(*order).drop("_rank")
 
     # -- hybrid retrieval (engine extension beyond the reference) ----------
     def _text_index_path(self, cid: int) -> str:

@@ -168,3 +168,80 @@ def maxsim_topk(
         .orderBy(F.desc(F.round("score", 6)), F.asc(doc_col))
         .limit(k)
     )
+
+
+def brute_force_topk_with_vector(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_col: str | None = None,
+) -> DataFrame:
+    """:func:`brute_force_topk` that also returns each document's BEST-
+    CHUNK vector (the representative the MMR diversifier measures
+    redundancy against). The argmax chunk is selected deterministically:
+    max_by over (score, -id), so equal-scored chunks resolve to the
+    smallest id. Same plan shape as the scalar form — one scan, one
+    |docs|-row shuffle, TakeOrdered."""
+    scored = score_cosine(df, query_vec, vec_col)
+    key = doc_col or id_col
+    best = scored.groupBy(key).agg(
+        F.max("score").alias("score"),
+        F.max_by(
+            vec_col,
+            F.struct(F.col("score"), (-F.col(id_col)).alias("_nid")),
+        ).alias(vec_col),
+    )
+    return best.orderBy(F.desc(F.round("score", 6)), F.asc(key)).limit(k)
+
+
+def mmr_select(
+    scores: Sequence[float],
+    vectors,
+    k: int,
+    lam: float = 0.5,
+) -> list[int]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    over a COLLECTED candidate pool — returns the selected candidate
+    indices in selection order.
+
+    mmr(i) = lam * rel(i) - (1 - lam) * max_{j selected} sim(i, j);
+    rel is the caller's relevance score, sim is cosine between the
+    candidates' vectors. lam=1 degenerates to pure relevance order
+    (with the pool's original order as tie-break, so it reproduces the
+    non-diversified ranking exactly).
+
+    Driver-side numpy by design: MMR's greedy argmax is sequential in k,
+    and the pool is page-scale (tens to low hundreds of rows collected
+    by the serving path, like every page/top-n collect in the engine) —
+    distributing a k-step sequential loop over a bounded pool would add
+    k job launches to save microseconds of BLAS.
+    """
+    import numpy as np
+
+    n = len(scores)
+    if n == 0 or k <= 0:
+        return []
+    m = np.asarray(vectors, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    m = m / norms[:, None]
+    rel = np.asarray(scores, dtype=np.float64)
+    sims = m @ m.T
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if selected:
+            mmr = lam * rel - (1.0 - lam) * max_sim
+        else:
+            mmr = lam * rel  # no redundancy term before the first pick
+        mmr = np.where(remaining, mmr, -np.inf)
+        # deterministic: np.argmax takes the FIRST max, i.e. the pool's
+        # original (relevance-ranked) order breaks ties
+        pick = int(np.argmax(mmr))
+        selected.append(pick)
+        remaining[pick] = False
+        max_sim = np.maximum(max_sim, sims[pick])
+    return selected

@@ -418,10 +418,7 @@ class Service:
             raise BadRequest(f"{key!r} must be a list of integers")
 
     def search(self, req: dict) -> dict:
-        rows = self.engine.search(
-            req.get("owner", ""),
-            req.get("category", ""),
-            req.get("text", ""),
+        kwargs = dict(
             # missing count ≡ 0 in the reference (Go zero-value JSON),
             # and the engine clamp maps 0 → 1 (server/search.go:116)
             count=self._int_field(req, "count"),
@@ -429,7 +426,23 @@ class Service:
             nprobe=self._int_field(req, "centroids"),
             # extension: same JSON filter object as /api/search_hybrid
             where=self._parse_filter(req.get("filter") or {}),
-        ).collect()
+        )
+        args = (req.get("owner", ""), req.get("category", ""), req.get("text", ""))
+        # extension: "mmr" (a number in [0, 1]) switches the page to the
+        # MMR-diversified ranking (Engine.search_diverse); malformed
+        # values are the CLIENT's error → BadRequest → 400
+        if req.get("mmr") is not None:
+            try:
+                lam = float(req["mmr"])
+            except (TypeError, ValueError):
+                raise BadRequest("'mmr' must be a number in [0, 1]")
+            if not 0.0 <= lam <= 1.0:
+                raise BadRequest("'mmr' must be a number in [0, 1]")
+            rows = self.engine.search_diverse(
+                *args, mmr_lambda=lam, **kwargs
+            ).collect()
+        else:
+            rows = self.engine.search(*args, **kwargs).collect()
         return {
             "documents": [
                 {

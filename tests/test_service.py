@@ -333,6 +333,40 @@ def test_search_offset_pages_match_engine(served):
     assert p1 + p2 == direct[: len(p1 + p2)]
 
 
+def test_search_mmr_field(served):
+    """The extension "mmr" field diversifies the page via
+    Engine.search_diverse; λ=1.0 must reproduce the plain route's page,
+    and a malformed value is the client's error (400)."""
+    eng, port, _ = served
+    eng.upload(
+        "acme",
+        "mmrcat",
+        [
+            {"name": f"m{i}", "external_id": f"m{i}", "document": json.dumps(t)}
+            for i, t in enumerate(
+                [
+                    "spark shuffles data between stages",
+                    "catalyst optimizes logical plans",
+                    "parquet stores columnar row groups",
+                    "tungsten manages off heap memory",
+                ]
+            )
+        ],
+    )
+    base = {"owner": "acme", "category": "mmrcat", "text": "spark",
+            "centroids": -1, "count": 3}
+    _resp, plain = _call(port, "/api/search", base)
+    _resp, mmr1 = _call(port, "/api/search", {**base, "mmr": 1.0})
+    assert json.loads(mmr1) == json.loads(plain)
+    resp, body = _call(port, "/api/search", {**base, "mmr": 0.5})
+    assert resp.status == 200
+    docs = json.loads(body)["documents"]
+    assert docs and all("document_similarity" in d for d in docs)
+    for bad in ("high", 1.5, -0.1):
+        resp, _ = _call(port, "/api/search", {**base, "mmr": bad})
+        assert resp.status == 400, f"mmr={bad!r} should be a 400"
+
+
 def test_chat_accepts_zstd_request_body(served):
     """The zstd request-decompression middleware wraps every API route
     (main.go:128-145) — including chat, whose response then streams
