@@ -229,24 +229,38 @@ def exact_substr_cut(
             (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
         ).alias("_keep"),
     )
-    rm_spans = (
-        _merge_islands(flagged.filter(~F.col("_keep")).select("_id", "pos"), L)
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("s_pos", "e_pos"))
-            ).alias("_rm")
-        )
+    rm_spans = _span_arrays(
+        _merge_islands(flagged.filter(~F.col("_keep")).select("_id", "pos"), L),
+        "_rm",
     )
-    keep_spans = (
-        _merge_islands(flagged.filter(F.col("_keep")).select("_id", "pos"), L)
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("s_pos", "e_pos"))
-            ).alias("_kp")
-        )
+    keep_spans = _span_arrays(
+        _merge_islands(flagged.filter(F.col("_keep")).select("_id", "pos"), L),
+        "_kp",
     )
+    return _rebuild_without_spans(df, rm_spans, keep_spans, id_col, text_col)
+
+
+def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
+    """Collapse a span frame to one (_id, array<struct<s_pos,e_pos>>)
+    row per doc — the bounded per-document shape the token filter
+    consumes (a document has at most |tokens|/L spans)."""
+    return spans.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("s_pos", "e_pos"))).alias(out_col)
+    )
+
+
+def _rebuild_without_spans(
+    df: DataFrame,
+    rm_spans: DataFrame,
+    keep_spans: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Rebuild each document's text dropping tokens covered by a _rm
+    span and not protected by a _kp span (pass ``keep_spans=None`` for
+    unconditional cuts). Original-case tokens; positions align because
+    whitespace splitting precedes lowercasing. Pure array expressions —
+    no Python, raw text moves only in this final per-document stage."""
     empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
     toked = spread(df).select(
         F.col(id_col).alias("_id"),
@@ -255,15 +269,16 @@ def exact_substr_cut(
     covered = lambda spans, i: F.exists(  # noqa: E731
         spans, lambda s: (i >= s["s_pos"]) & (i <= s["e_pos"])
     )
-    joined = (
-        toked.join(rm_spans, "_id", "left")
-        .join(keep_spans, "_id", "left")
-        .select(
-            "_id",
-            "_orig",
-            F.coalesce("_rm", empty).alias("_rm"),
-            F.coalesce("_kp", empty).alias("_kp"),
-        )
+    joined = toked.join(rm_spans, "_id", "left")
+    if keep_spans is not None:
+        joined = joined.join(keep_spans, "_id", "left")
+    else:
+        joined = joined.withColumn("_kp", empty)
+    joined = joined.select(
+        "_id",
+        "_orig",
+        F.coalesce("_rm", empty).alias("_rm"),
+        F.coalesce("_kp", empty).alias("_kp"),
     )
     kept_tokens = F.filter(
         F.transform(
@@ -275,4 +290,59 @@ def exact_substr_cut(
     return joined.select(
         F.col("_id").alias(id_col),
         F.concat_ws(" ", F.transform(kept_tokens, lambda z: z["t"])).alias("text"),
+    )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contaminated spans of the training corpus — the
+    SPAN-level refinement of curation.contamination_flags: instead of
+    flagging whole documents by shingle overlap, locate the exact
+    verbatim >= L-token passages a corpus document shares with any
+    benchmark document, so a cleaning job can CUT the passage and keep
+    the document (the usual trade at corpus scale: most contaminated
+    documents are fine outside the quoted benchmark item).
+
+    Returns (_id, s_pos, e_pos, n_windows) like :func:`exact_substr_spans`.
+
+    The benchmark's distinct window hashes BROADCAST (an eval suite is
+    MB-scale against a 100 TB corpus), so the corpus-side window frame
+    never shuffles — strictly one scan + map-side semi-join + the
+    per-document islands pass.
+    """
+    w = window_hashes(corpus, L, id_col, text_col)
+    bench_hashes = F.broadcast(
+        window_hashes(benchmark, L, bench_id_col, bench_text_col)
+        .select("_wh")
+        .distinct()
+    )
+    hits = w.join(bench_hashes, "_wh", "left_semi").select("_id", "pos")
+    return _merge_islands(hits, L)
+
+
+def decontaminate_cut(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    L: int = DEFAULT_L,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Cut every benchmark-contaminated span from the corpus (no keeper
+    protection — contaminated text has no copy worth keeping). Returns
+    (id_col, text) for EVERY corpus document, clean ones round-tripping
+    their token stream."""
+    spans = contaminated_spans(
+        corpus, benchmark, L, id_col, text_col, bench_id_col, bench_text_col
+    )
+    return _rebuild_without_spans(
+        corpus, _span_arrays(spans, "_rm"), None, id_col, text_col
     )

@@ -154,3 +154,63 @@ def test_no_python_in_plan(spark, docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+# -- span-level decontamination ----------------------------------------------
+
+BENCH_ITEM = "question what is the capital of france answer paris obviously"
+
+
+def test_contaminated_spans_and_cut(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, f"some web page text quoting {BENCH_ITEM} and then more prose"),
+            (2, "a perfectly clean document with no benchmark overlap at all"),
+            (3, BENCH_ITEM),  # the benchmark item verbatim
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, BENCH_ITEM)], "doc_id long, text string"
+    )
+    spans = {
+        r["_id"]: (r["s_pos"], r["e_pos"])
+        for r in S.contaminated_spans(corpus, bench, L).collect()
+    }
+    # doc 1 quotes the 10-token item after a 5-token lead -> tokens 6..15
+    assert spans[1] == (6, 15)
+    assert spans[3] == (1, 10)
+    assert 2 not in spans
+
+    cut = {r["doc_id"]: r["text"] for r in S.decontaminate_cut(corpus, bench, L).collect()}
+    assert BENCH_ITEM not in cut[1]
+    assert cut[1] == "some web page text quoting and then more prose"
+    assert cut[2] == "a perfectly clean document with no benchmark overlap at all"
+    assert cut[3] == ""  # fully contaminated doc cuts to empty
+    # after the cut, nothing >= L tokens is shared with the benchmark
+    cleaned = spark.createDataFrame(list(cut.items()), "doc_id long, text string")
+    assert S.contaminated_spans(cleaned, bench, L).count() == 0
+
+
+def test_contamination_requires_full_window(spark):
+    # sharing fewer than L consecutive tokens is NOT contamination
+    corpus = spark.createDataFrame(
+        [(1, "question what is unrelated content here after three tokens")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, BENCH_ITEM)], "doc_id long, text string")
+    assert S.contaminated_spans(corpus, bench, L).count() == 0
+
+
+def test_contaminated_spans_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, BENCH_ITEM)], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, BENCH_ITEM)], "doc_id long, text string")
+    plan = (
+        S.contaminated_spans(corpus, bench, L)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must not shuffle on window hash: the benchmark
+    # hash set broadcasts into a map-side semi-join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
