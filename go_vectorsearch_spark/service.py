@@ -362,8 +362,59 @@ class Service:
             }
             for d in req.get("documents", [])
         ]
-        ids = self.engine.upload(req.get("owner", ""), req.get("category", ""), docs)
+        # extension: "neardup": "skip" drops near-duplicates against the
+        # category's persisted band index before embedding (positional
+        # ids resolve skipped slots to the duplicated document)
+        neardup = req.get("neardup")
+        if neardup not in (None, "skip"):
+            raise BadRequest("'neardup' must be \"skip\" when present")
+        try:
+            ids = self.engine.upload(
+                req.get("owner", ""), req.get("category", ""), docs, neardup=neardup
+            )
+        except ValueError as e:
+            if neardup is None:
+                raise  # engine-internal failure on the reference path
+            raise BadRequest(str(e))  # e.g. skip without a built index
         return {"document_ids": ids}
+
+    def admin_neardup(self, req: dict) -> dict:
+        """Near-dup index admin: {"build": true} (re)builds the
+        category's band index; a "texts" list checks candidate texts
+        against it WITHOUT uploading (Engine.neardup_check) and returns
+        per-input matches."""
+        owner, category = req.get("owner", ""), req.get("category", "")
+        out: dict = {}
+        if req.get("build"):
+            try:
+                out["indexed"] = self.engine.build_neardup_index(owner, category)
+            except ValueError as e:  # unknown owner/category = client error
+                raise BadRequest(str(e))
+        texts = req.get("texts")
+        if texts is not None:
+            if not isinstance(texts, list) or not all(
+                isinstance(t, str) for t in texts
+            ):
+                raise BadRequest("'texts' must be a list of strings")
+            try:
+                thr = float(req.get("threshold", 0.5))
+            except (TypeError, ValueError):
+                raise BadRequest("'threshold' must be a number")
+            try:
+                rows = self.engine.neardup_check(
+                    owner, category, texts, threshold=thr
+                ).collect()
+            except ValueError as e:  # no index / unknown scope
+                raise BadRequest(str(e))
+            out["matches"] = [
+                {
+                    "index": r["q_ix"],
+                    "document_id": r["document_id"],
+                    "jaccard": r["jaccard"],
+                }
+                for r in rows
+            ]
+        return out
 
     @staticmethod
     def _parse_filter(flt: dict):
@@ -662,6 +713,7 @@ _ROUTES = {
     "/api/search_batch": ("search_batch", ("POST",), True, False),
     "/api/admin/refresh": ("admin_refresh", ("POST",), False, True),
     "/api/admin/stats": ("admin_stats", ("POST", "GET"), False, False),
+    "/api/admin/neardup": ("admin_neardup", ("POST",), False, True),
 }
 
 

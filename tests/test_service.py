@@ -367,6 +367,57 @@ def test_search_mmr_field(served):
         assert resp.status == 400, f"mmr={bad!r} should be a 400"
 
 
+def test_admin_neardup_route(served):
+    """/api/admin/neardup builds the band index and checks candidate
+    texts; /api/upload honors neardup='skip' against it."""
+    eng, port, _ = served
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing loudly"
+    )
+    eng.upload(
+        "acme",
+        "ndcat",
+        [{"name": "b", "external_id": "b", "document": json.dumps(base_text)}],
+    )
+    resp, body = _call(
+        port, "/api/admin/neardup",
+        {"owner": "acme", "category": "ndcat", "build": True},
+    )
+    assert resp.status == 200 and json.loads(body)["indexed"] == 1
+    # check WITHOUT uploading: the exact stored text matches at 1.0
+    resp, body = _call(
+        port, "/api/admin/neardup",
+        {"owner": "acme", "category": "ndcat",
+         "texts": [base_text + ".", "totally novel vocabulary everywhere"]},
+    )
+    m = json.loads(body)["matches"]
+    assert [x["index"] for x in m] == [0] and m[0]["jaccard"] == 1.0
+    # upload with skip: the duplicate slot resolves to the stored id
+    resp, body = _call(
+        port, "/api/upload",
+        {"owner": "acme", "category": "ndcat", "neardup": "skip",
+         "documents": [{"name": "d", "external_id": "d",
+                        "document": base_text + "."}]},
+    )
+    ids = json.loads(body)["document_ids"]
+    assert len(ids) == 1
+    stored = {x["document_id"] for x in m}
+    assert ids[0] in stored
+    # client errors are 400s: bad mode, check without an index
+    resp, _ = _call(
+        port, "/api/upload",
+        {"owner": "acme", "category": "ndcat", "neardup": "flag",
+         "documents": [{"name": "x", "external_id": "x", "document": "y"}]},
+    )
+    assert resp.status == 400
+    resp, _ = _call(
+        port, "/api/admin/neardup",
+        {"owner": "acme", "category": "wiki", "texts": ["z"]},
+    )
+    assert resp.status == 400
+
+
 def test_chat_accepts_zstd_request_body(served):
     """The zstd request-decompression middleware wraps every API route
     (main.go:128-145) — including chat, whose response then streams
