@@ -877,6 +877,9 @@ class Engine:
                 id_col="q_ix",
                 text_col="_text",
                 threshold=neardup_threshold,
+                # request-sized batch in a long-lived service: a
+                # persisted signature frame would leak per upload
+                persist_signatures=False,
             ).collect()
             peers: dict[int, list[int]] = {}
             for r in pair_rows:  # id_a < id_b by construction
@@ -1604,8 +1607,26 @@ class Engine:
         if topk is None:
             return self._empty_search_result()
         rows = topk.collect()
+        # filtered underfill: like search()'s adaptive widening, a
+        # selective where= can thin the probed lists below the pool
+        # while matches sit in unprobed lists. The pool is a candidate
+        # set (not a page), so one escalation to nprobe=all replaces
+        # the incremental loop — exact scores, same worst case as the
+        # loop's final doubling, and only under a predicate.
+        if where is not None and len(rows) < pool:
+            n_cent = len(self._category_centroids(scope))
+            if len(rows) < min(pool, allowed.count()) and nprobe < n_cent:
+                rows = self._vector_topk(
+                    scope, qvec, pool, 2**31 - 1, allowed=allowed,
+                    with_vector=True,
+                ).collect()
+        # rel = round(score, 6): the engine's ranking precision
+        # everywhere (brute_force_topk, pagination, hydration), so
+        # lambda=1 reproduces search()'s order INCLUDING its rounded-tie
+        # id ascending resolution (the pool arrives in that order and
+        # argmax keeps the first max). Reported scores stay raw.
         picks = mmr_select(
-            [r["score"] for r in rows],
+            [round(r["score"], 6) for r in rows],
             [r["vector"] for r in rows],
             count + offset,
             mmr_lambda,
@@ -1921,37 +1942,49 @@ class Engine:
         shingled_new = DD.shingled_docs(new, id_col="q_ix", text_col="_text")
         new_bands = self._doc_band_rows_from_shingled(shingled_new, "q_ix")
 
-        # bucket pruning: the batch's band keys are <= 4 x |texts| short
-        # rows — a bounded driver pull for serving-sized batches; bulk
-        # jobs past the cap read every bucket (see _NEARDUP_PRUNE_CAP)
-        if len(texts) <= self._NEARDUP_PRUNE_CAP:
-            keys = [r["key"] for r in new_bands.select("key").distinct().collect()]
-            if not keys:
-                return empty
-            buckets = sorted({int(k[:8], 16) % N_BAND_BUCKETS for k in keys})
-            store = self._neardup_table(cid).read(partition_values=buckets)
-        else:
-            store = self._neardup_table(cid).read()
-
-        cand = (
-            new_bands.join(store, ["band", "key"])
-            .select("q_ix", "document_id")
-            .distinct()
-        )
-        # exact verify over the candidate set only: candidate stored ids
-        # prune the documents read to their hash buckets (the
-        # append_text_index pattern); candidates are bounded by batch x
-        # bucket collisions, so the driver pull is serving-sized — a
-        # bulk job past the cap verifies against an unpruned (but
-        # candidate-semi-joined) scan
         cand_ids = None
         if len(texts) <= self._NEARDUP_PRUNE_CAP:
-            cand_ids = [
-                r["document_id"]
-                for r in cand.select("document_id").distinct().collect()
-            ]
-            if not cand_ids:
+            # serving path — ONE job derives everything driver-side:
+            # the batch's band rows are <= 4 x |texts| short rows, so
+            # collect them once and reuse the literal rows for bucket
+            # pruning AND the candidate join (re-deriving the band
+            # frame per downstream action would re-shingle the batch
+            # and re-read the store once per collect)
+            band_rows = new_bands.collect()
+            if not band_rows:
                 return empty
+            buckets = sorted(
+                {int(r["key"][:8], 16) % N_BAND_BUCKETS for r in band_rows}
+            )
+            store = self._neardup_table(cid).read(partition_values=buckets)
+            new_bands = self.spark.createDataFrame(
+                band_rows, "q_ix long, band int, key string"
+            )
+            cand_rows = (
+                new_bands.join(store, ["band", "key"])
+                .select("q_ix", "document_id")
+                .distinct()
+                .collect()
+            )
+            if not cand_rows:
+                return empty
+            cand = self.spark.createDataFrame(
+                cand_rows, "q_ix long, document_id long"
+            )
+            # exact verify over the candidate set only: candidate ids
+            # prune the documents read to their hash buckets (the
+            # append_text_index pattern); candidates are bounded by
+            # batch x bucket collisions, so the pull is serving-sized
+            cand_ids = sorted({r["document_id"] for r in cand_rows})
+        else:
+            # bulk path — stay fully distributed: read every bucket and
+            # verify against an unpruned (but candidate-semi-joined) scan
+            store = self._neardup_table(cid).read()
+            cand = (
+                new_bands.join(store, ["band", "key"])
+                .select("q_ix", "document_id")
+                .distinct()
+            )
         stored = DD.shingled_docs(
             self._category_doc_texts(cid, cand_ids),
             id_col="document_id",

@@ -329,8 +329,17 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.2,
     shingled: DataFrame | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Candidate pairs from 4×4 LSH banding, verified with exact Jaccard.
+
+    ``persist_signatures=False`` skips caching the signature frame: for
+    REQUEST-SIZED inputs inside a long-lived service (the upload
+    neardup-skip path) a persisted frame outliving the call leaks a
+    CacheManager entry per request, and recomputing a tiny batch's
+    signatures per consumer is map-side noise. Corpus-scale callers
+    keep the default (the signature subtree feeds two join sides + the
+    verify — measured ~14x slower unshared at sf0.1).
 
     Plan: per-row signature (no shuffle) → explode to (band, band_key)
     where band_key = md5 of the band's 4 values → self-join on band bucket
@@ -353,7 +362,9 @@ def minhash_lsh_pairs(
     #
     # signature_frame drops shingle-less docs (see its docstring — the
     # sentinel-signature band collision / NULL-vs-NaN parity split)
-    sigd = signature_frame(shingled).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    sigd = signature_frame(shingled)
+    if persist_signatures:
+        sigd = sigd.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     bands = minhash_band_rows(sigd)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -258,12 +258,21 @@ def _rebuild_without_spans(
 ) -> DataFrame:
     """Rebuild each document's text dropping tokens covered by a _rm
     span and not protected by a _kp span (pass ``keep_spans=None`` for
-    unconditional cuts). Original-case tokens; positions align because
-    whitespace splitting precedes lowercasing. Pure array expressions —
-    no Python, raw text moves only in this final per-document stage."""
+    unconditional cuts).
+
+    Documents with NOTHING to cut pass through VERBATIM — byte-for-byte,
+    newlines and whitespace runs intact (a cut pass over a mostly-clean
+    corpus must not collapse every clean document's line structure; the
+    line-based quality signals in curation.repetition_stats depend on
+    it). Only actually-cut documents are rebuilt from their
+    original-case tokens joined by single spaces (token-level surgery
+    cannot preserve the surrounding whitespace it cuts across —
+    documented, inherent). Pure array expressions — no Python, raw text
+    moves only in this final per-document stage."""
     empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
     toked = spread(df).select(
         F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text0"),
         ws_tokens(F.col(text_col), lower=False).alias("_orig"),
     )
     covered = lambda spans, i: F.exists(  # noqa: E731
@@ -276,6 +285,7 @@ def _rebuild_without_spans(
         joined = joined.withColumn("_kp", empty)
     joined = joined.select(
         "_id",
+        "_text0",
         "_orig",
         F.coalesce("_rm", empty).alias("_rm"),
         F.coalesce("_kp", empty).alias("_kp"),
@@ -287,9 +297,12 @@ def _rebuild_without_spans(
         ),
         lambda z: ~covered(F.col("_rm"), z["i"]) | covered(F.col("_kp"), z["i"]),
     )
+    rebuilt = F.concat_ws(" ", F.transform(kept_tokens, lambda z: z["t"]))
     return joined.select(
         F.col("_id").alias(id_col),
-        F.concat_ws(" ", F.transform(kept_tokens, lambda z: z["t"])).alias("text"),
+        F.when(F.size("_rm") == 0, F.col("_text0"))
+        .otherwise(rebuilt)
+        .alias("text"),
     )
 
 

@@ -396,10 +396,10 @@ class Service:
                 isinstance(t, str) for t in texts
             ):
                 raise BadRequest("'texts' must be a list of strings")
-            try:
-                thr = float(req.get("threshold", 0.5))
-            except (TypeError, ValueError):
+            thr = req.get("threshold", 0.5)
+            if isinstance(thr, bool) or not isinstance(thr, (int, float)):
                 raise BadRequest("'threshold' must be a number")
+            thr = float(thr)
             try:
                 rows = self.engine.neardup_check(
                     owner, category, texts, threshold=thr
@@ -483,12 +483,16 @@ class Service:
         # MMR-diversified ranking (Engine.search_diverse); malformed
         # values are the CLIENT's error → BadRequest → 400
         if req.get("mmr") is not None:
-            try:
-                lam = float(req["mmr"])
-            except (TypeError, ValueError):
+            # strict JSON-number check: float() would silently accept
+            # booleans (float(True) == 1.0) and numeric strings
+            lam = req["mmr"]
+            if (
+                isinstance(lam, bool)
+                or not isinstance(lam, (int, float))
+                or not 0.0 <= float(lam) <= 1.0
+            ):
                 raise BadRequest("'mmr' must be a number in [0, 1]")
-            if not 0.0 <= lam <= 1.0:
-                raise BadRequest("'mmr' must be a number in [0, 1]")
+            lam = float(lam)
             rows = self.engine.search_diverse(
                 *args, mmr_lambda=lam, **kwargs
             ).collect()

@@ -48,8 +48,12 @@ def _doc(name, text):
 
 @pytest.fixture(scope="module")
 def eng(spark, tmp_path_factory):
+    """Engine with an indexed 'corpus' category and an unindexed
+    'noindex' one — every test below is self-sufficient against THIS
+    state (no test depends on another test's uploads)."""
     e = Engine(spark, str(tmp_path_factory.mktemp("neardup_root")))
     ids = e.upload("acme", "corpus", [_doc("base", BASE), _doc("other", OTHER)])
+    e.upload("acme", "noindex", [_doc("x", THIRD)])
     n = e.build_neardup_index("acme", "corpus")
     assert n == 2
     return e, ids
@@ -77,7 +81,6 @@ def test_check_exact_dup_is_jaccard_one(eng):
 
 def test_check_errors_without_index(eng):
     e, _ = eng
-    e.upload("acme", "noindex", [_doc("x", THIRD)])
     with pytest.raises(ValueError, match="no near-dup index"):
         e.neardup_check("acme", "noindex", [THIRD])
 
@@ -91,6 +94,9 @@ def test_upload_auto_appends_index(eng):
 
 def test_incremental_equals_rebuild(eng):
     e, _ = eng
+    # perform an incremental append of our own (upload auto-appends),
+    # then compare the grown store against a from-scratch rebuild
+    e.upload("acme", "corpus", [_doc("incr", THIRD + " incremental copy")])
     cid = e._category_id("acme", "corpus")
     t = e._neardup_table(cid)
     incremental = sorted(tuple(r) for r in t.read().collect())
