@@ -139,6 +139,13 @@ def main() -> None:
     registry._lsh_bucketed_cached(spark, sf_dir)
     timings["ann_lsh_bucket_build"] = round(time.perf_counter() - t0, 3)
 
+    # exact-substring window frame (one tokenize+md5 pass per corpus,
+    # referenced twice by the duplicate-set plan) — billed like the
+    # shingle frame above
+    t0 = time.perf_counter()
+    registry._substr_windows_cached(spark, sf_dir)
+    timings["substr_window_build"] = round(time.perf_counter() - t0, 3)
+
     # PQ codebook train + corpus encode: the codes column is written
     # once per corpus at scale (same contract as the IVF assignment)
     t0 = time.perf_counter()

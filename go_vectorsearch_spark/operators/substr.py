@@ -152,14 +152,22 @@ def exact_substr_spans(
     L: int = DEFAULT_L,
     id_col: str = "doc_id",
     text_col: str = "text",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per document.
 
     (_id, s_pos, e_pos, n_windows): tokens s_pos..e_pos (1-based,
     inclusive) of document _id appear verbatim elsewhere in the corpus
     (or elsewhere in the same document).
+
+    ``windows`` — a prebuilt (persisted) :func:`window_hashes` frame.
+    The duplicate-set computation references the window frame TWICE
+    (the hash aggregate and the join-back), so an unshared subtree
+    scans + tokenizes + hashes the corpus twice — the dominant map
+    cost at scale. Pass a persisted frame to pay it once (the
+    shingled_docs sharing pattern; the registry does).
     """
-    w = window_hashes(df, L, id_col, text_col)
+    w = windows if windows is not None else window_hashes(df, L, id_col, text_col)
     return _merge_islands(duplicated_windows(w), L)
 
 
@@ -168,15 +176,17 @@ def exact_substr_stats(
     L: int = DEFAULT_L,
     id_col: str = "doc_id",
     text_col: str = "text",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplication statistics — the curation signal.
 
     One row per document that contains at least one duplicated L-token
     window: (doc_id, n_spans, dup_tokens, n_dup_windows). ``dup_tokens``
     is the total token count inside maximal duplicated spans — the
-    quantity a cleaning job budgets its cuts by.
+    quantity a cleaning job budgets its cuts by. ``windows`` as in
+    :func:`exact_substr_spans`.
     """
-    spans = exact_substr_spans(df, L, id_col, text_col)
+    spans = exact_substr_spans(df, L, id_col, text_col, windows=windows)
     return spans.groupBy("_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e_pos") - F.col("s_pos") + 1).alias("dup_tokens"),
