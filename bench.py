@@ -152,6 +152,12 @@ def main() -> None:
     registry._pq_cached(spark, sf_dir)
     timings["ann_pq_encode_build"] = round(time.perf_counter() - t0, 3)
 
+    # PCA fit + corpus projection: the reduced column is write-once at
+    # scale, same contract as the PQ codes above
+    t0 = time.perf_counter()
+    registry._pca_cached(spark, sf_dir)
+    timings["pca_project_build"] = round(time.perf_counter() - t0, 3)
+
     # BM25 inverted-index build (postings materialized once per corpus)
     # and the one-time bucketed postings store write — both amortized
     # background work, billed like ivf_build / ivf_store_build

@@ -822,7 +822,12 @@ class Engine:
         ``neardup="skip"`` (requires :meth:`build_neardup_index` to have
         run for the category) drops near-duplicate documents BEFORE the
         embed stage — the whole point of ingest-time dedup is not paying
-        to embed a copy. The returned list stays POSITIONAL: a skipped
+        to embed a copy. The check-then-insert is NOT atomic across
+        engines: two concurrent skip-uploads of the same new text (in
+        different processes, or engine-direct callers bypassing the
+        Service's per-route write lock) can both pass the check and
+        both insert — the same at-least-once trade every LSH ingest
+        dedup makes; a later corpus-level dedup pass reconciles. The returned list stays POSITIONAL: a skipped
         document's slot holds the id of the stored document it
         duplicated (best Jaccard, ties to the smallest id), or of the
         earlier in-batch survivor it duplicated — so callers can always

@@ -2816,6 +2816,51 @@ def q_ann_pq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _pca_cached(spark, sf_dir):
+    """(model, projected-frame) for the PCA family, cached per corpus —
+    like the PQ codes, the projected column is write-once at scale; the
+    fit + projection materialization bills to bench's
+    ``pca_project_build`` entry, not to the search query."""
+    cache = _session_cache(spark, "_gvs_pca_cache")
+    if sf_dir not in cache:
+        from pyspark import StorageLevel
+
+        from go_vectorsearch_spark.plans.pca import fit_pca, project_pca
+
+        emb = _t(spark, sf_dir, "embeddings")
+        # center=False: the reduced vectors feed cosine scoring (see
+        # plans/pca.py — uncentered projection preserves inner products
+        # exactly at k = d); k = 16 of 64 dims, the 4x scan-width win
+        model = fit_pca(emb, k=16, center=False)
+        proj = (
+            project_pca(emb.select("vec_id", "embedding"), model)
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        proj.count()
+        cache[sf_dir] = (model, proj)
+    return cache[sf_dir]
+
+
+@register(
+    "ann_pca_rerank",
+    oracle=None,  # lossy subspace shortlist: no SQL twin; quality bar
+    # is the pytest suite (exact at k=d uncentered, recall at k<d)
+    doc="PCA-compressed ANN: one-pass exact covariance fit (mergeable "
+    "(n, Σx, ΣxᵀX) partials), 64->16-dim Arrow-batched projection, "
+    "reduced-space cosine shortlist (4x narrower scan) + exact cosine "
+    "re-rank of the shortlist only (plans/pca.py; the dimension-axis "
+    "complement of the reference's value-axis 8-bit quantization, "
+    "compute/quantization.go:71-102)",
+)
+def q_ann_pca_rerank(spark, sf_dir):
+    from go_vectorsearch_spark.plans.pca import pca_search_rerank
+
+    model, proj = _pca_cached(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    res = pca_search_rerank(proj, qvec, model, k_results=TOPK_K, shortlist_mult=4)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # Demoted parity (tests/test_demoted_parity.py): the batched IVF search
 # at nprobe=all must reproduce the per-query brute force exactly — the
 # batch twin of the `ivf_search_exact` guarantee, pinned at the same

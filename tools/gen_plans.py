@@ -88,11 +88,12 @@ PICKS = [
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
      "on the one aggregated row. The exact_distinct parity mode instead plans an Expand + "
      "per-column distinct shuffles — fine at validation scale, wrong at corpus scale."),
-    ("dedup_exact_substr", "Exact-substring dedup: window hashing (unhex(md5) of L-token "
-     "slices) is a narrow generate+project inside the scan stage — raw text never reaches "
-     "an Exchange; the duplicate set is one 16-byte-key hash aggregate + join-back on the "
-     "same partitioning; span merge is a per-document (partitioned) window pair + one "
-     "(doc, island) aggregate. At 100 TB every shuffled row is (long, int, binary(16))."),
+    ("dedup_exact_substr", "Exact-substring dedup over the SHARED persisted window frame "
+     "(one tokenize+md5 pass per corpus — the duplicate-set plan references the windows "
+     "twice, so both sides read the InMemoryRelation): a 16-byte-key hash aggregate + "
+     "join-back, then the per-document (partitioned) islands window pair and one "
+     "(doc, island) aggregate. At 100 TB every shuffled row is (long, int, binary(16)); "
+     "raw text never reaches an Exchange."),
 ]
 
 out = []
