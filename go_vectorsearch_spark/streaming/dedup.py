@@ -65,3 +65,177 @@ def exact_dedup_stream(
             ["_text_md5"]
         )
     return hashed.dropDuplicates(["_text_md5"])
+
+
+def neardup_filter_stream(
+    docs_stream: DataFrame,
+    band_store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming NEAR-duplicate filter with persisted band-store memory —
+    the streaming twin of api.Engine.upload(neardup="skip").
+
+    Each micro-batch is checked against everything the stream has ever
+    admitted: MinHash band keys of the batch join the band store
+    (manifest-versioned, band-key-bucket partitioned — only colliding
+    buckets are read), candidates verify with exact hashed-shingle
+    Jaccard against the ADMITTED corpus text in ``out_dir``, in-batch
+    near-dups collapse to their smallest id, and the survivors land in
+    ``out_dir`` with their band rows appended to the store. State is
+    4 short rows per admitted document ON DISK (not in the state
+    store), so the memory is unbounded-stream-safe and shared with any
+    batch reader of the same store.
+
+    Replay idempotence falls out of the semantics rather than an
+    applied-keys ledger: a fully-replayed epoch's documents match their
+    own first application at Jaccard 1.0 and drop. The two appends are
+    ordered bands-FIRST so a crash between them re-EMITS documents on
+    replay instead of losing them (orphan band rows are harmless: the
+    text verify joins the admitted corpus, and a candidate without
+    stored text is discarded — the same self-healing as the engine's
+    deleted-document case). At-least-once, erring toward re-emission,
+    like every foreachBatch sink here.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from go_vectorsearch_spark.api import N_BAND_BUCKETS, _VersionedTable
+    from go_vectorsearch_spark.operators import dedup as DD
+    from go_vectorsearch_spark.streaming import require_local_path
+
+    require_local_path(checkpoint_dir, "neardup_filter_stream checkpoint_dir")
+    spark = docs_stream.sparkSession
+    import os as _os
+
+    parent, name = _os.path.split(_os.path.abspath(band_store_dir))
+    bands_t = _VersionedTable(
+        spark,
+        parent,
+        name,
+        "doc_id long, band int, key string",
+        partition_expr=(
+            "pmod(CAST(conv(substr(key, 1, 8), 16, 10) AS BIGINT), "
+            f"{N_BAND_BUCKETS})"
+        ),
+    )
+
+    def _band_rows(shingled: DataFrame) -> DataFrame:
+        return DD.minhash_band_rows(DD.signature_frame(shingled)).select(
+            F.col("_id").alias("doc_id"),
+            F.col("_band").alias("band"),
+            F.col("_key").alias("key"),
+        )
+
+    def _has_parquet(path: str) -> bool:
+        return _os.path.isdir(path) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in _os.walk(path)
+            for f in fs
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df
+        shingled = DD.shingled_docs(batch, id_col=id_col, text_col=text_col)
+        new_bands = _band_rows(shingled).persist()
+        try:
+            drop_ids = set()
+            # 1) against the admitted corpus (band store + out_dir text)
+            if _os.path.exists(_os.path.join(band_store_dir, "VERSION")):
+                keys = [
+                    r["key"] for r in new_bands.select("key").distinct().collect()
+                ]
+                if keys:
+                    buckets = sorted(
+                        {int(k[:8], 16) % N_BAND_BUCKETS for k in keys}
+                    )
+                    nb = new_bands.select(
+                        F.col("doc_id").alias("_nid"), "band", "key"
+                    )
+                    st = bands_t.read(partition_values=buckets).select(
+                        F.col("doc_id").alias("_sid"), "band", "key"
+                    )
+                    cand = (
+                        nb.join(st, ["band", "key"])
+                        .select("_nid", "_sid")
+                        .distinct()
+                    )
+                    admitted = (
+                        spark.read.parquet(out_dir)
+                        if _has_parquet(out_dir)
+                        else None
+                    )
+                    if admitted is not None:
+                        stored_sh = DD.shingled_docs(
+                            admitted, id_col=id_col, text_col=text_col
+                        ).select(
+                            F.col("_id").alias("_sid"),
+                            F.col("_sh").alias("_shb"),
+                        )
+                        new_sh = shingled.select(
+                            F.col("_id").alias("_nid"),
+                            F.col("_sh").alias("_sha"),
+                        )
+                        inter = F.size(
+                            F.array_intersect("_sha", "_shb")
+                        ).cast("double")
+                        jac = inter / (
+                            F.size("_sha") + F.size("_shb") - inter
+                        ).cast("double")
+                        drop_ids = {
+                            r["_nid"]
+                            for r in cand.join(new_sh, "_nid")
+                            .join(stored_sh, "_sid")
+                            .filter(jac >= threshold)
+                            .select("_nid")
+                            .distinct()
+                            .collect()
+                        }
+            # 2) within the batch: a near-dup of a smaller SURVIVING id drops
+            pair_rows = sorted(
+                (int(r["id_a"]), int(r["id_b"]))
+                for r in DD.minhash_lsh_pairs(
+                    batch.select(id_col, text_col),
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=threshold,
+                    persist_signatures=False,
+                ).collect()
+            )
+            peers: dict[int, list[int]] = {}
+            for a, b in pair_rows:
+                peers.setdefault(b, []).append(a)
+            for b in sorted(peers):
+                if b in drop_ids:
+                    continue
+                if any(a not in drop_ids for a in sorted(peers[b])):
+                    drop_ids.add(b)
+            survivors = batch.filter(~F.col(id_col).isin(list(drop_ids))) \
+                if drop_ids else batch
+            surv_bands = (
+                new_bands.filter(~F.col("doc_id").isin(list(drop_ids)))
+                if drop_ids
+                else new_bands
+            )
+            if surv_bands.isEmpty():
+                return
+            # bands FIRST (see docstring: crash between the appends must
+            # re-emit, never lose)
+            if _os.path.exists(_os.path.join(band_store_dir, "VERSION")):
+                bands_t.append(surv_bands)
+            else:
+                bands_t.write(surv_bands)
+            survivors.write.mode("append").parquet(out_dir)
+        finally:
+            new_bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
