@@ -2018,11 +2018,7 @@ class Engine:
     ) -> DataFrame:
         from go_vectorsearch_spark.operators import dedup as DD
 
-        return DD.minhash_band_rows(DD.signature_frame(shingled)).select(
-            F.col("_id").alias(id_col),
-            F.col("_band").alias("band"),
-            F.col("_key").alias("key"),
-        )
+        return DD.stored_band_rows(shingled, id_col)
 
     def search_hybrid(
         self,

@@ -322,6 +322,18 @@ def minhash_band_rows(sigd: DataFrame, sig_col: str = "_sig") -> DataFrame:
     ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
 
 
+def stored_band_rows(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, band, key) — the STORED band-row shape shared by the
+    engine's persisted near-dup index and the streaming filter's band
+    store (one definition, so stored and in-flight keys can never
+    drift apart)."""
+    return minhash_band_rows(signature_frame(shingled)).select(
+        F.col("_id").alias(id_col),
+        F.col("_band").alias("band"),
+        F.col("_key").alias("key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

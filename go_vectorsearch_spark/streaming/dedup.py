@@ -106,7 +106,13 @@ def neardup_filter_stream(
     from go_vectorsearch_spark.operators import dedup as DD
     from go_vectorsearch_spark.streaming import require_local_path
 
+    # all three directories are consumed through os.path (VERSION
+    # probes, parquet-file detection) — a remote URI would silently
+    # disable the cross-batch verify or plant the band store on the
+    # driver's local disk, so refuse loudly like the ingest module
     require_local_path(checkpoint_dir, "neardup_filter_stream checkpoint_dir")
+    require_local_path(band_store_dir, "neardup_filter_stream band_store_dir")
+    require_local_path(out_dir, "neardup_filter_stream out_dir")
     spark = docs_stream.sparkSession
     import os as _os
 
@@ -122,13 +128,6 @@ def neardup_filter_stream(
         ),
     )
 
-    def _band_rows(shingled: DataFrame) -> DataFrame:
-        return DD.minhash_band_rows(DD.signature_frame(shingled)).select(
-            F.col("_id").alias("doc_id"),
-            F.col("_band").alias("band"),
-            F.col("_key").alias("key"),
-        )
-
     def _has_parquet(path: str) -> bool:
         return _os.path.isdir(path) and any(
             f.endswith(".parquet")
@@ -140,8 +139,10 @@ def neardup_filter_stream(
         if batch_df.isEmpty():
             return
         batch = batch_df
-        shingled = DD.shingled_docs(batch, id_col=id_col, text_col=text_col)
-        new_bands = _band_rows(shingled).persist()
+        shingled = DD.shingled_docs(
+            batch, id_col=id_col, text_col=text_col
+        ).persist()
+        new_bands = DD.stored_band_rows(shingled).persist()
         try:
             drop_ids = set()
             # 1) against the admitted corpus (band store + out_dir text)
@@ -159,19 +160,32 @@ def neardup_filter_stream(
                     st = bands_t.read(partition_values=buckets).select(
                         F.col("doc_id").alias("_sid"), "band", "key"
                     )
-                    cand = (
+                    # candidates are bounded by batch x band collisions —
+                    # collect ONCE and reuse the literal rows for the id
+                    # pruning and the verify join (the engine's
+                    # neardup_check shape); joining the verify above an
+                    # unpruned shingle pass would re-tokenize the WHOLE
+                    # admitted corpus every micro-batch
+                    cand_rows = (
                         nb.join(st, ["band", "key"])
                         .select("_nid", "_sid")
                         .distinct()
+                        .collect()
                     )
                     admitted = (
                         spark.read.parquet(out_dir)
-                        if _has_parquet(out_dir)
+                        if cand_rows and _has_parquet(out_dir)
                         else None
                     )
                     if admitted is not None:
+                        cand = spark.createDataFrame(
+                            cand_rows, "_nid long, _sid long"
+                        )
+                        sids = sorted({r["_sid"] for r in cand_rows})
                         stored_sh = DD.shingled_docs(
-                            admitted, id_col=id_col, text_col=text_col
+                            admitted.filter(F.col(id_col).isin(sids)),
+                            id_col=id_col,
+                            text_col=text_col,
                         ).select(
                             F.col("_id").alias("_sid"),
                             F.col("_sh").alias("_shb"),
@@ -203,6 +217,8 @@ def neardup_filter_stream(
                     id_col=id_col,
                     text_col=text_col,
                     threshold=threshold,
+                    # the batch's shingle pass is already persisted above
+                    shingled=shingled,
                     persist_signatures=False,
                 ).collect()
             )
@@ -221,17 +237,24 @@ def neardup_filter_stream(
                 if drop_ids
                 else new_bands
             )
-            if surv_bands.isEmpty():
+            # guard on SURVIVORS, not their band rows: a shingle-less
+            # document (< n tokens) is always novel, produces no band
+            # rows, and must still be emitted — an empty-band early
+            # return would drop it forever once the epoch commits
+            if survivors.isEmpty():
                 return
             # bands FIRST (see docstring: crash between the appends must
-            # re-emit, never lose)
+            # re-emit, never lose); skip only the band WRITE when the
+            # surviving docs contributed no rows
             if _os.path.exists(_os.path.join(band_store_dir, "VERSION")):
-                bands_t.append(surv_bands)
+                if not surv_bands.isEmpty():
+                    bands_t.append(surv_bands)
             else:
                 bands_t.write(surv_bands)
             survivors.write.mode("append").parquet(out_dir)
         finally:
             new_bands.unpersist()
+            shingled.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

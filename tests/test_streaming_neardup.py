@@ -104,3 +104,34 @@ def test_second_stream_over_same_source_admits_nothing(filtered):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == before
+
+
+def test_shingleless_doc_is_admitted(spark, tmp_path):
+    """A document too short to shingle (< 3 tokens) produces no band
+    rows but is always novel — it must be emitted, not dropped by an
+    empty-band early return (regression: the epoch would commit and
+    lose it forever)."""
+    src, out, bands, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"),
+        str(tmp_path / "bands"), str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(
+        [(1, BASE), (2, "hi")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b0.parquet")
+    q = neardup_filter_stream(_stream(spark, src), bands, out, ckpt)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: BASE, 2: "hi"}
+
+
+def test_remote_uris_are_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="band_store_dir"):
+        neardup_filter_stream(
+            _stream(spark, str(tmp_path)), "s3://b/bands",
+            str(tmp_path / "o"), str(tmp_path / "c"),
+        )
+    with pytest.raises(ValueError, match="out_dir"):
+        neardup_filter_stream(
+            _stream(spark, str(tmp_path)), str(tmp_path / "b"),
+            "hdfs://nn/out", str(tmp_path / "c"),
+        )
