@@ -88,6 +88,11 @@ PICKS = [
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
      "on the one aggregated row. The exact_distinct parity mode instead plans an Expand + "
      "per-column distinct shuffles — fine at validation scale, wrong at corpus scale."),
+    ("ann_pca_rerank", "PCA-compressed ANN: the reduced-space cosine shortlist scans the "
+     "16-wide projected column of the persisted frame (k/d of the full scan width) with "
+     "the reduced query folded into codegen; TakeOrdered shortlist, then exact cosine "
+     "re-rank of the <= k_results x mult shortlist rows only. Fit and projection are "
+     "write-once per corpus (billed to pca_project_build), like the PQ codes."),
     ("dedup_exact_substr", "Exact-substring dedup over the SHARED persisted window frame "
      "(one tokenize+md5 pass per corpus — the duplicate-set plan references the windows "
      "twice, so both sides read the InMemoryRelation): a 16-byte-key hash aggregate + "
