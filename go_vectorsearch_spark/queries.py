@@ -1857,9 +1857,10 @@ _PII_SQL_REDACT = (
 )
 
 
-@register(
-    "pii_redact",
-    oracle=rf"""
+# Demoted (r7) to tests/test_demoted_parity.py — ceded its window slot
+# to decontaminate_spans (the curation family stays represented
+# in-window by decontaminate_docs / text_quality / pipeline_clean_corpus).
+PII_REDACT_ORACLE = rf"""
 WITH dirty AS (SELECT doc_id, {_PII_INJECT_SQL} AS dirty FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(dirty, '{CUR.DEFAULT_PII_PATTERNS[0][1]}')) AS n_email,
@@ -1867,12 +1868,9 @@ SELECT doc_id,
        len(regexp_extract_all(dirty, '{CUR.DEFAULT_PII_PATTERNS[2][1]}')) AS n_phone,
        md5({_PII_SQL_REDACT}) AS clean_md5
 FROM dirty
-""",
-    doc="PII redaction over an expression-injected dirty corpus: count + "
-    "replace email/SSN/phone spans, Java-regex∩RE2 dialect; md5 of the "
-    "redacted text proves byte-identical replacement "
-    "(operators/curation.redact_pii)",
-)
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     dirty = docs.select("doc_id", _PII_INJECT_SPARK().alias("_dirty"))
@@ -1914,6 +1912,75 @@ def q_decontaminate_docs(spark, sf_dir):
     flags = CUR.contamination_flags(train, bench, min_overlap=5)
     return flags.select(
         F.col("_id").alias("doc_id"), "n_bench_hits", "max_overlap"
+    )
+
+
+# Span-level decontamination (operators/substr.contaminated_spans): the
+# exact verbatim >=L-token passages a training document shares with the
+# benchmark split — located, not just flagged, so the cleaning job cuts
+# the passage and keeps the document. L=4 here (the fixture's benchmark
+# overlap is short); the oracle re-derives windows, the broadcastable
+# benchmark hash set, and the per-document islands merge in SQL.
+_DECON_L = 4
+
+
+@register(
+    "decontaminate_spans",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {_DECON_L} + 1, 0)),
+           i -> {{'pos': i,
+                  'wh': unhex(md5(array_to_string(
+                          toks[i:i + {_DECON_L - 1}], ' ')))}})) AS z
+  FROM t
+),
+w2 AS (SELECT doc_id, z.pos AS pos, z.wh AS wh FROM w),
+bench AS (SELECT DISTINCT wh FROM w2 WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, pos FROM w2
+  WHERE doc_id % 97 <> 0 AND wh IN (SELECT wh FROM bench)
+),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -{2 * _DECON_L}) + {_DECON_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM g
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS s_pos,
+       CAST(max(pos) + {_DECON_L} - 1 AS INT) AS e_pos,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+    doc="Span-level benchmark decontamination: locate the exact verbatim "
+    f">={_DECON_L}-token passages a training document shares with the "
+    "benchmark split (id%97 fixture split; benchmark window hashes "
+    "broadcast — the corpus never shuffles on window hash) "
+    "(operators/substr.contaminated_spans)",
+)
+def q_decontaminate_spans(spark, sf_dir):
+    from go_vectorsearch_spark.operators import substr as SUB
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = SUB.contaminated_spans(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        L=_DECON_L,
+    )
+    return spans.select(
+        F.col("_id").alias("doc_id"), "s_pos", "e_pos", "n_windows"
     )
 
 

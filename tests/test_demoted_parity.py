@@ -46,8 +46,10 @@ DEMOTED = [
     (Q.q_sample_stratified, Q.SAMPLE_STRATIFIED_ORACLE),
     (Q.q_text_fingerprint, Q.TEXT_FINGERPRINT_ORACLE),
     (Q.q_dedup_simhash_docs, Q.DEDUP_SIMHASH_DOCS_ORACLE),
-    # r7 demotion — ceded its window slot to dedup_exact_substr
+    # r7 demotions — ceded their window slots to dedup_exact_substr and
+    # decontaminate_spans
     (Q.q_text_repetition, Q.TEXT_REPETITION_ORACLE),
+    (Q.q_pii_redact, Q.PII_REDACT_ORACLE),
 ]
 
 
