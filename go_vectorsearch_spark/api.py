@@ -1867,6 +1867,61 @@ class Engine:
             "document_id", flatten_json_udf(F.col("payload_json")).alias("_text")
         )
 
+    def substr_dedup_report(
+        self, owner: str, category: str, L: int = 8
+    ) -> DataFrame:
+        """Exact-substring duplication report over a stored category:
+        per-document (document_id, n_spans, dup_tokens, n_dup_windows)
+        for every document containing a duplicated >= L-token passage
+        (operators/substr.exact_substr_stats over the same
+        flatten(payload_json) every other text consumer sees)."""
+        from go_vectorsearch_spark.operators import substr as SUB
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"substr_dedup_report: unknown {owner}/{category}")
+        return SUB.exact_substr_stats(
+            self._category_doc_texts(cid),
+            L=L,
+            id_col="document_id",
+            text_col="_text",
+        )
+
+    def decontaminate_report(
+        self, owner: str, category: str, benchmark_texts: list[str], L: int = 8
+    ) -> DataFrame:
+        """Benchmark-contamination report over a stored category: the
+        exact verbatim >= L-token passages each stored document shares
+        with any of ``benchmark_texts`` — (document_id, s_pos, e_pos,
+        n_windows), token positions into the flattened text
+        (operators/substr.contaminated_spans; the benchmark side
+        broadcasts, the stored corpus never shuffles on window hash)."""
+        from go_vectorsearch_spark.operators import substr as SUB
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"decontaminate_report: unknown {owner}/{category}")
+        empty = self.spark.createDataFrame(
+            [], "document_id long, s_pos int, e_pos int, n_windows long"
+        )
+        if not benchmark_texts:
+            return empty
+        bench = self.spark.createDataFrame(
+            list(enumerate(benchmark_texts)), "b_ix long, _text string"
+        )
+        spans = SUB.contaminated_spans(
+            self._category_doc_texts(cid),
+            bench,
+            L=L,
+            id_col="document_id",
+            text_col="_text",
+            bench_id_col="b_ix",
+            bench_text_col="_text",
+        )
+        return spans.select(
+            F.col("_id").alias("document_id"), "s_pos", "e_pos", "n_windows"
+        )
+
     def build_neardup_index(self, owner: str, category: str) -> int:
         """Build (or rebuild) the category's persisted near-dup band
         index over the flattened document texts. Returns the number of

@@ -214,3 +214,46 @@ def test_contaminated_spans_plan_broadcasts_benchmark(spark):
     # the corpus side must not shuffle on window hash: the benchmark
     # hash set broadcasts into a map-side semi-join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# -- engine-level reports ------------------------------------------------------
+
+
+def test_engine_reports(spark, tmp_path):
+    """substr_dedup_report / decontaminate_report run the span machinery
+    over a stored category's flattened documents."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    ids = e.upload(
+        "o",
+        "c",
+        [
+            {"name": "a", "external_id": "a",
+             "document": _json.dumps(f"{shared} tail words here")},
+            {"name": "b", "external_id": "b",
+             "document": _json.dumps(f"lead in {shared}")},
+            {"name": "u", "external_id": "u",
+             "document": _json.dumps("nothing shared with anything at all")},
+        ],
+    )
+    rep = {r["document_id"]: r for r in e.substr_dedup_report("o", "c", L=4).collect()}
+    assert set(rep) == {ids[0], ids[1]}
+    # flatten() appends a period to the final token, so the verbatim
+    # shared run is the 7 interior tokens of the 8-token passage
+    assert rep[ids[0]]["dup_tokens"] == 7
+
+    dec = e.decontaminate_report("o", "c", [shared], L=4).collect()
+    assert {r["document_id"] for r in dec} == {ids[0], ids[1]}
+    # the verbatim quote is located at its exact offsets: doc a starts
+    # with it (pos 1), doc b quotes it after a 2-token lead (pos 3)
+    by_id = {r["document_id"]: (r["s_pos"], r["e_pos"]) for r in dec}
+    assert by_id[ids[0]][0] == 1
+    assert by_id[ids[1]][0] == 3
+
+    assert e.decontaminate_report("o", "c", [], L=4).count() == 0
+    with pytest.raises(ValueError, match="unknown"):
+        e.substr_dedup_report("o", "nope")
