@@ -1880,11 +1880,23 @@ class Engine:
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"substr_dedup_report: unknown {owner}/{category}")
+        # the duplicate-set plan references the window frame TWICE (hash
+        # aggregate + join-back) — unshared, the flatten pandas UDF +
+        # tokenize + md5 would run twice over the category. Persisted
+        # here; a bulk-analysis frame, reclaimed by the ContextCleaner
+        # when the returned report is dropped.
+        windows = SUB.window_hashes(
+            self._category_doc_texts(cid),
+            L=L,
+            id_col="document_id",
+            text_col="_text",
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
         return SUB.exact_substr_stats(
             self._category_doc_texts(cid),
             L=L,
             id_col="document_id",
             text_col="_text",
+            windows=windows,
         )
 
     def decontaminate_report(
@@ -1897,17 +1909,24 @@ class Engine:
         (operators/substr.contaminated_spans; the benchmark side
         broadcasts, the stored corpus never shuffles on window hash)."""
         from go_vectorsearch_spark.operators import substr as SUB
+        from go_vectorsearch_spark.operators.documents import flatten
 
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"decontaminate_report: unknown {owner}/{category}")
-        empty = self.spark.createDataFrame(
-            [], "document_id long, s_pos int, e_pos int, n_windows long"
-        )
         if not benchmark_texts:
-            return empty
+            return self.spark.createDataFrame(
+                [], "document_id long, s_pos int, e_pos int, n_windows long"
+            )
+        # SAME normalization on both sides: stored texts are
+        # flatten(payload_json) (which e.g. appends a trailing period),
+        # so raw benchmark strings must pass through flatten too —
+        # otherwise an end-of-document verbatim quote loses its
+        # final-token windows and an exactly-L-token quote at the end
+        # of a document would be missed entirely
         bench = self.spark.createDataFrame(
-            list(enumerate(benchmark_texts)), "b_ix long, _text string"
+            [(i, flatten(t)) for i, t in enumerate(benchmark_texts)],
+            "b_ix long, _text string",
         )
         spans = SUB.contaminated_spans(
             self._category_doc_texts(cid),

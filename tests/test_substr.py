@@ -253,6 +253,11 @@ def test_engine_reports(spark, tmp_path):
     by_id = {r["document_id"]: (r["s_pos"], r["e_pos"]) for r in dec}
     assert by_id[ids[0]][0] == 1
     assert by_id[ids[1]][0] == 3
+    # benchmark texts are flatten()-normalized like stored texts, so an
+    # END-OF-DOCUMENT quote matches through its final (period-bearing)
+    # token: doc b's flattened text is 10 tokens ending in 'theta.' and
+    # the span reaches all the way to it
+    assert by_id[ids[1]][1] == 10
 
     assert e.decontaminate_report("o", "c", [], L=4).count() == 0
     with pytest.raises(ValueError, match="unknown"):
