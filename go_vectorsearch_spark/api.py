@@ -1975,6 +1975,33 @@ class Engine:
         self._neardup_table(cid).append(rows)
         return len(document_ids)
 
+    def compact_neardup_index(self, owner: str, category: str) -> int:
+        """Drop band rows of deleted documents from the category's
+        near-dup store (one semi-join against the live documents +
+        one snapshot rewrite — the store is 4 rows/doc, metadata-scale
+        next to the corpus). Stale rows are only ever a candidate-work
+        tax (the exact verify self-heals them, see neardup_check), so
+        this is amortized hygiene like compact_postings, not a
+        correctness requirement. Returns the surviving row count."""
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"compact_neardup_index: unknown {owner}/{category}")
+        if not os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
+            raise ValueError(
+                f"compact_neardup_index: no near-dup index for "
+                f"{owner}/{category}; run build_neardup_index first"
+            )
+        t = self._neardup_table(cid)
+        live = (
+            self.t["documents"]
+            .read()
+            .filter(F.col("category_id") == cid)
+            .select("document_id")
+        )
+        kept = t.read().join(live, "document_id", "left_semi")
+        t.write(kept)
+        return t.read().count()
+
     # past this many incoming texts, skip the driver-side band-key pull
     # that powers bucket pruning and read the whole (still tiny) band
     # store instead — a bulk re-dedup job touches most buckets anyway

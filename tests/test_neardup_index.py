@@ -199,3 +199,23 @@ def test_status_reports_neardup_index(eng):
     }
     assert cats[("acme", "corpus")]["neardup_index"] is True
     assert cats[("acme", "noindex")]["neardup_index"] is False
+
+
+def test_compact_drops_dead_band_rows(spark, tmp_path):
+    e = Engine(spark, str(tmp_path))
+    (bid, oid) = e.upload("o", "c", [_doc("base", BASE), _doc("other", OTHER)])
+    e.build_neardup_index("o", "c")
+    e.delete_document("o", "c", bid)
+    cid = e._category_id("o", "c")
+    t = e._neardup_table(cid)
+    # stale rows present until compaction
+    assert {r["document_id"] for r in t.read().collect()} == {bid, oid}
+    n = e.compact_neardup_index("o", "c")
+    assert n == 4  # LSH_BANDS rows for the one live doc
+    assert {r["document_id"] for r in t.read().collect()} == {oid}
+    # checks still work against the compacted store
+    assert e.neardup_check("o", "c", [OTHER + "."]).count() == 1
+    # error path: a category without a built index refuses loudly
+    e.upload("o", "noindex", [_doc("x", THIRD)])
+    with pytest.raises(ValueError, match="no near-dup index"):
+        e.compact_neardup_index("o", "noindex")
