@@ -1975,6 +1975,32 @@ class Engine:
         self._neardup_table(cid).append(rows)
         return len(document_ids)
 
+    def neardup_pairs_report(
+        self, owner: str, category: str, threshold: float = 0.5
+    ) -> DataFrame:
+        """Corpus-level near-duplicate PAIRS within a stored category:
+        (id_a, id_b, jaccard) over the flattened document texts —
+        operators/dedup.minhash_lsh_pairs run where the data lives, the
+        settled-corpus complement of the ingest-time neardup_check
+        (which only answers 'is this NEW text a dup of something
+        stored'). Banded LSH candidates + exact verification; raw text
+        never shuffles."""
+        from go_vectorsearch_spark.operators import dedup as DD
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"neardup_pairs_report: unknown {owner}/{category}")
+        return DD.minhash_lsh_pairs(
+            self._category_doc_texts(cid),
+            id_col="document_id",
+            text_col="_text",
+            threshold=threshold,
+        ).select(
+            F.col("id_a").alias("document_id_a"),
+            F.col("id_b").alias("document_id_b"),
+            "jaccard",
+        )
+
     def compact_neardup_index(self, owner: str, category: str) -> int:
         """Drop band rows of deleted documents from the category's
         near-dup store (one semi-join against the live documents +

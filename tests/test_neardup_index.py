@@ -219,3 +219,19 @@ def test_compact_drops_dead_band_rows(spark, tmp_path):
     e.upload("o", "noindex", [_doc("x", THIRD)])
     with pytest.raises(ValueError, match="no near-dup index"):
         e.compact_neardup_index("o", "noindex")
+
+
+def test_neardup_pairs_report(eng):
+    """Corpus-level pairs over a stored category: the settled-corpus
+    complement of neardup_check (stored x stored, not new x stored)."""
+    e, _ = eng
+    ids = e.upload(
+        "acme", "pairs",
+        [_doc("a", BASE), _doc("b", BASE + "."), _doc("c", OTHER)],
+    )
+    rows = e.neardup_pairs_report("acme", "pairs").collect()
+    got = {(r["document_id_a"], r["document_id_b"]): r["jaccard"] for r in rows}
+    # flatten normalizes both copies to the identical text -> 1.0
+    assert got == {(ids[0], ids[1]): 1.0}
+    with pytest.raises(ValueError, match="unknown"):
+        e.neardup_pairs_report("acme", "missing")
