@@ -668,6 +668,32 @@ class Service:
             ]
         }
 
+    def admin_compact(self, req: dict) -> dict:
+        """Maintenance sweep: compact the engine tables' fragmented
+        partitions, and — per (owner, category) when given — the BM25
+        postings store and the near-dup band store of categories that
+        have them. The HTTP form of the background maintenance job a
+        deployment schedules beside /api/admin/refresh."""
+        out: dict = {"tables": self.engine.compact()}
+        owner, category = req.get("owner"), req.get("category")
+        if owner and category:
+            cid = self.engine._category_id(owner, category)
+            if cid is None:
+                raise BadRequest(f"unknown {owner}/{category}")
+            tpath = self.engine._text_index_path(cid)
+            if os.path.exists(f"{tpath}/VERSION"):
+                from go_vectorsearch_spark.operators.fulltext import (
+                    compact_postings,
+                )
+
+                compact_postings(self.engine.spark, tpath)
+                out["text_index"] = True
+            if os.path.exists(f"{self.engine._neardup_path(cid)}/VERSION"):
+                out["neardup_rows"] = self.engine.compact_neardup_index(
+                    owner, category
+                )
+        return out
+
     def admin_stats(self, req: dict) -> dict:
         """Read-only operational snapshot (Engine.stats): table
         rows/versions + per-category counts and index presence."""
@@ -718,6 +744,7 @@ _ROUTES = {
     "/api/admin/refresh": ("admin_refresh", ("POST",), False, True),
     "/api/admin/stats": ("admin_stats", ("POST", "GET"), False, False),
     "/api/admin/neardup": ("admin_neardup", ("POST",), False, True),
+    "/api/admin/compact": ("admin_compact", ("POST",), False, True),
 }
 
 

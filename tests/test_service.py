@@ -418,6 +418,34 @@ def test_admin_neardup_route(served):
     assert resp.status == 400
 
 
+def test_admin_compact_route(served):
+    """/api/admin/compact sweeps table fragmentation and, per category,
+    the postings and band stores."""
+    eng, port, _ = served
+    text = (
+        "compactable content with enough distinct tokens to index and "
+        "band reliably across the maintenance sweep boundary"
+    )
+    eng.upload("acme", "cpcat",
+               [{"name": "a", "external_id": "a", "document": json.dumps(text)}])
+    eng.build_text_index("acme", "cpcat")
+    eng.build_neardup_index("acme", "cpcat")
+    resp, body = _call(
+        port, "/api/admin/compact", {"owner": "acme", "category": "cpcat"}
+    )
+    assert resp.status == 200
+    d = json.loads(body)
+    assert d["text_index"] is True and d["neardup_rows"] == 4
+    assert "tables" in d
+    # searches still work over the compacted stores
+    direct = eng.search_hybrid("acme", "cpcat", "compactable", count=1).collect()
+    assert len(direct) == 1
+    resp, _ = _call(
+        port, "/api/admin/compact", {"owner": "acme", "category": "missing"}
+    )
+    assert resp.status == 400
+
+
 def test_chat_accepts_zstd_request_body(served):
     """The zstd request-decompression middleware wraps every API route
     (main.go:128-145) — including chat, whose response then streams
