@@ -157,6 +157,10 @@ def main() -> None:
     t0 = time.perf_counter()
     registry._pca_cached(spark, sf_dir)
     timings["pca_project_build"] = round(time.perf_counter() - t0, 3)
+    # k=d exactness-anchor fit + projection (ann_pca_exact's store)
+    t0 = time.perf_counter()
+    registry._pca_exact_cached(spark, sf_dir)
+    timings["pca_exact_build"] = round(time.perf_counter() - t0, 3)
 
     # BM25 inverted-index build (postings materialized once per corpus)
     # and the one-time bucketed postings store write — both amortized

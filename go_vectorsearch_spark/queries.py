@@ -124,10 +124,10 @@ def _bf_ids(spark: SparkSession, sf_dir: str, k: int) -> frozenset:
 
 TOPK_K = 10
 
-
-@register(
-    "cosine_topk",
-    oracle=f"""
+# Brute-force cosine top-k SQL — the oracle for cosine_topk AND for
+# ann_pca_exact (an uncentered k=d PCA rotation preserves the cosine
+# order exactly, so both entries must hash-match this same result).
+COSINE_TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        round(
@@ -139,7 +139,12 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id ASC
 LIMIT {TOPK_K}
-""",
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=COSINE_TOPK_ORACLE,
     doc="J4/T2 brute-force cosine top-k (reference server/search.go:234-273)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1884,9 +1889,11 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
-@register(
-    "decontaminate_docs",
-    oracle=rf"""
+# Demoted (r8) to tests/test_demoted_parity.py — ceded its window slot
+# to ann_pca_exact (the PCA family's zero-loss anchor). Doc-level
+# decontamination stays at the same DuckDB bar there; the stronger
+# span-level signal (decontaminate_spans) keeps its window slot.
+DECONTAMINATE_DOCS_ORACLE = rf"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t),
 bench AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 97 = 0),
@@ -1899,12 +1906,9 @@ ov AS (
 )
 SELECT tid AS doc_id, count(*) AS n_bench_hits, max(overlap) AS max_overlap
 FROM ov GROUP BY tid
-""",
-    doc="Benchmark decontamination: train docs sharing >=5 hashed "
-    "3-gram shingles with any benchmark doc (id%97 fixture split); the "
-    "benchmark side broadcasts so the corpus never shuffles on shingle "
-    "(operators/curation.contamination_flags)",
-)
+"""
+
+
 def q_decontaminate_docs(spark, sf_dir):
     shingled = _shingled_cached(spark, sf_dir)
     bench = shingled.filter(F.col("_id") % 97 == 0)
@@ -2928,6 +2932,50 @@ def q_ann_pca_rerank(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _pca_exact_cached(spark, sf_dir):
+    """k = d uncentered model + projection — the PCA family's zero-loss
+    anchor. An uncentered full-rank fit is an orthogonal rotation, which
+    preserves dots AND norms, so the reduced-space cosine ranking equals
+    the full-space ranking bit-for-bit (plans/pca.py module doc). Cached
+    and billed like _pca_cached (bench ``pca_exact_build``)."""
+    cache = _session_cache(spark, "_gvs_pca_exact_cache")
+    if sf_dir not in cache:
+        from pyspark import StorageLevel
+
+        from go_vectorsearch_spark.plans.pca import fit_pca, project_pca
+
+        emb = _t(spark, sf_dir, "embeddings")
+        d = len(_qvec(spark, sf_dir))
+        model = fit_pca(emb, k=d, center=False)
+        proj = (
+            project_pca(emb.select("vec_id", "embedding"), model)
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        proj.count()
+        cache[sf_dir] = (model, proj)
+    return cache[sf_dir]
+
+
+@register(
+    "ann_pca_exact",
+    oracle=COSINE_TOPK_ORACLE,
+    doc="PCA exactness anchor (rotated into the window r8): the SAME "
+    "two-stage reduced-shortlist -> exact-rerank plan as "
+    "ann_pca_rerank, run at k = d uncentered with shortlist_mult = 1 "
+    "(plans/pca.pca_search_rerank) — an orthogonal rotation preserves "
+    "the cosine order, so the result must hash-match the brute-force "
+    "top-k oracle exactly; pins tests/test_pca.py's exactness limit as "
+    "a driver-checked row",
+)
+def q_ann_pca_exact(spark, sf_dir):
+    from go_vectorsearch_spark.plans.pca import pca_search_rerank
+
+    model, proj = _pca_exact_cached(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    res = pca_search_rerank(proj, qvec, model, k_results=TOPK_K, shortlist_mult=1)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # Demoted parity (tests/test_demoted_parity.py): the batched IVF search
 # at nprobe=all must reproduce the per-query brute force exactly — the
 # batch twin of the `ivf_search_exact` guarantee, pinned at the same
@@ -3602,8 +3650,8 @@ enc AS (
   GROUP BY p.doc_id
 )
 SELECT tk.doc_id,
-       coalesce(e.tokens, []) AS tokens,
-       coalesce(len(e.tokens), 0)::INT AS n_tokens
+       coalesce(len(e.tokens), 0)::INT AS n_tokens,
+       md5(array_to_string(coalesce(e.tokens, []), ' ')) AS tokens_md5
 FROM toks tk LEFT JOIN enc e ON e.doc_id = tk.doc_id
 """
 
@@ -3626,13 +3674,24 @@ def _bpe_merges_cached(spark, sf_dir: str):
     "word histogram (one explode+groupBy), driver-side merge learning "
     "over the bounded histogram, narrow Arrow-batched encode with the "
     "merge table in the closure (operators/bpe.py); the oracle "
-    "re-derives the merges and re-encodes entirely in SQL",
+    "re-derives the merges and re-encodes entirely in SQL. Output is "
+    "scalar-only — the token sequence is fingerprinted as "
+    "md5(space-joined tokens), which is sequence-sensitive and keeps "
+    "the result canonicalizable (the driver's pandas sort cannot "
+    "factorize array cells)",
 )
 def q_bpe_encode_docs(spark, sf_dir):
     from go_vectorsearch_spark.operators.bpe import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_encode(docs, _bpe_merges_cached(spark, sf_dir))
+    enc = bpe_encode(docs, _bpe_merges_cached(spark, sf_dir))
+    # Tokens are [a-z0-9]+ fragments plus the </w> marker — none contain
+    # a space, so the space-join is an injective encoding of the sequence.
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    )
 
 
 NGRAM_ORDER = 3

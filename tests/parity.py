@@ -39,9 +39,42 @@ def _norm_cell(v: Any) -> Any:
 
 
 def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Rich local canonicalization (tuple-izes lists so they sort) — used
+    by the DEMOTED parity tests, which the driver never runs and whose
+    results may legitimately carry array cells."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
+
+
+def _norm_scalar(v: Any) -> Any:
+    """Float rounding / NaN pinning only — lists pass through RAW so the
+    driver-faithful sort below throws on them, exactly like the driver."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 5)
+    return v
+
+
+def _canon_driver(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Driver-faithful canonicalization: columns sorted by name, then a
+    pandas ``sort_values`` over all columns — the same code path the
+    driver's oracle harness uses. Non-atomic cells (lists/dicts) raise
+    ``TypeError: unhashable type`` HERE at sf0.01, instead of silently
+    passing locally and erroring only in the driver's CORRECTNESS run
+    (the r7 ``bpe_encode_docs`` failure mode)."""
+    import pandas as pd
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    data = [tuple(_norm_scalar(r[i]) for i in order) for r in rows]
+    pdf = pd.DataFrame(data, columns=names)
+    if len(pdf):
+        pdf = pdf.sort_values(by=names, kind="mergesort")
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def compare(spark, sf_dir: str, name: str) -> None:
@@ -68,6 +101,6 @@ def compare(spark, sf_dir: str, name: str) -> None:
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
     )
-    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    sn, dn = _canon_driver(s_cols, s_rows), _canon_driver(d_cols, d_rows)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"

@@ -50,6 +50,10 @@ DEMOTED = [
     # decontaminate_spans
     (Q.q_text_repetition, Q.TEXT_REPETITION_ORACLE),
     (Q.q_pii_redact, Q.PII_REDACT_ORACLE),
+    # r8 demotion — ceded its window slot to ann_pca_exact (the PCA
+    # family's zero-loss anchor); span-level decontamination stays
+    # in-window
+    (Q.q_decontaminate_docs, Q.DECONTAMINATE_DOCS_ORACLE),
 ]
 
 
