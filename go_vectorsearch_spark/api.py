@@ -136,6 +136,15 @@ def dequantized_vector(store: DataFrame, out_col: str = "vector") -> DataFrame:
     )
 
 
+class NearDupIndexMissing(ValueError):
+    """upload(neardup="skip") / neardup_check against a category with no
+    built band index — a CLIENT error (the caller must run
+    build_neardup_index first). Its own type so the HTTP layer can map
+    exactly this case to 400 without catching engine-internal
+    ValueErrors raised later in the upload (embed failures, malformed
+    stored JSON), which must stay 500s."""
+
+
 class _VersionedTable:
     """Manifest-versioned parquet table with PARTITION-SCOPED writes.
 
@@ -841,6 +850,18 @@ class Engine:
             # category would crash on the empty seed head() after
             # owner/category rows were already committed
             return []
+        if neardup == "skip":
+            # resolve READ-ONLY before any writes: a rejected request
+            # (mapped to HTTP 400) must not persist owner/category rows
+            # as a side effect of _get_or_create
+            cid = self._category_id(owner, category)
+            if cid is None or not os.path.exists(
+                f"{self._neardup_path(cid)}/VERSION"
+            ):
+                raise NearDupIndexMissing(
+                    f"upload: neardup='skip' but no near-dup index for "
+                    f"{owner}/{category}; run build_neardup_index first"
+                )
         owner_id = self._get_or_create("owners", "owner_id", {"name": owner})
         category_id = self._get_or_create(
             "categories", "category_id", {"name": category, "owner_id": owner_id}
@@ -851,13 +872,6 @@ class Engine:
         dup_of: dict[int, int] = {}  # input ix -> matched stored doc id
         dup_of_ix: dict[int, int] = {}  # input ix -> earlier input ix
         if neardup == "skip":
-            if not os.path.exists(
-                f"{self._neardup_path(category_id)}/VERSION"
-            ):
-                raise ValueError(
-                    f"upload: neardup='skip' but no near-dup index for "
-                    f"{owner}/{category}; run build_neardup_index first"
-                )
             import json as _json
 
             from go_vectorsearch_spark.operators import dedup as DD
@@ -1950,8 +1964,14 @@ class Engine:
             raise ValueError(f"build_neardup_index: unknown {owner}/{category}")
         rows = self._doc_band_rows(self._category_doc_texts(cid), "document_id")
         t = self._neardup_table(cid)
-        t.write(rows)
-        return t.read().select("document_id").distinct().count()
+        # persist so the write materializes the band rows ONCE and the
+        # return-value count reuses them — no read-back of the store
+        rows.persist()
+        try:
+            t.write(rows)
+            return rows.select("document_id").distinct().count()
+        finally:
+            rows.unpersist()
 
     def append_neardup_index(
         self, owner: str, category: str, document_ids: list[int]
@@ -2024,9 +2044,17 @@ class Engine:
             .filter(F.col("category_id") == cid)
             .select("document_id")
         )
-        kept = t.read().join(live, "document_id", "left_semi")
-        t.write(kept)
-        return t.read().count()
+        # The snapshot read and the rewrite must be ONE cross-process
+        # critical section (_write_lock is reentrant, so the inner
+        # write's own acquisition nests): resolving the version outside
+        # the flock would let another replica's append_neardup_index
+        # land in between and be silently erased by this stale-plan
+        # write — losing LIVE band rows, not just stale ones. Same
+        # discipline as _VersionedTable.compact.
+        with t._write_lock():
+            kept = t.read().join(live, "document_id", "left_semi")
+            t.write(kept)
+            return t.read().count()
 
     # past this many incoming texts, skip the driver-side band-key pull
     # that powers bucket pruning and read the whole (still tiny) band
@@ -2056,7 +2084,7 @@ class Engine:
         if cid is None:
             raise ValueError(f"neardup_check: unknown {owner}/{category}")
         if not os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
-            raise ValueError(
+            raise NearDupIndexMissing(
                 f"neardup_check: no near-dup index for {owner}/{category}; "
                 "run build_neardup_index first"
             )
@@ -2122,10 +2150,12 @@ class Engine:
             id_col="document_id",
             text_col="_text",
         ).select(F.col("_id").alias("document_id"), F.col("_sh").alias("_shb"))
+        # bind the intersection size once: codegen does not CSE repeated
+        # subexpressions, so referencing it in both numerator and
+        # denominator evaluates array_intersect a single time (matches
+        # the streaming twin, streaming/dedup.py)
         inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-        jac = inter / (
-            F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))
-        ).cast("double")
+        jac = inter / (F.size("_sha") + F.size("_shb") - inter).cast("double")
         out = (
             cand.join(
                 shingled_new.select(

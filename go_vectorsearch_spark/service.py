@@ -64,7 +64,7 @@ import threading
 from collections.abc import Iterator
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from go_vectorsearch_spark.api import Engine
+from go_vectorsearch_spark.api import Engine, NearDupIndexMissing
 
 CHAT_PATH = "/api/chat"  # LLM-provider side path (ai/ollama/chat.go:114)
 OPENAI_CHAT_PATH = "/v1/chat/completions"  # ai/openai/chat.go:122
@@ -364,18 +364,29 @@ class Service:
         ]
         # extension: "neardup": "skip" drops near-duplicates against the
         # category's persisted band index before embedding (positional
-        # ids resolve skipped slots to the duplicated document)
+        # ids resolve skipped slots to the duplicated document); an
+        # optional "neardup_threshold" matches /api/admin/neardup's
+        # "threshold", so a client can check and skip-upload at the SAME
+        # bar instead of being pinned to the engine default
         neardup = req.get("neardup")
         if neardup not in (None, "skip"):
             raise BadRequest("'neardup' must be \"skip\" when present")
+        thr = req.get("neardup_threshold", 0.5)
+        if isinstance(thr, bool) or not isinstance(thr, (int, float)):
+            raise BadRequest("'neardup_threshold' must be a number")
         try:
             ids = self.engine.upload(
-                req.get("owner", ""), req.get("category", ""), docs, neardup=neardup
+                req.get("owner", ""),
+                req.get("category", ""),
+                docs,
+                neardup=neardup,
+                neardup_threshold=float(thr),
             )
-        except ValueError as e:
-            if neardup is None:
-                raise  # engine-internal failure on the reference path
-            raise BadRequest(str(e))  # e.g. skip without a built index
+        except NearDupIndexMissing as e:
+            # the ONLY engine ValueError that is a client error here;
+            # anything else (embed failure, malformed stored JSON) must
+            # surface as the handler's 500, not masquerade as a 400
+            raise BadRequest(str(e))
         return {"document_ids": ids}
 
     def admin_neardup(self, req: dict) -> dict:
@@ -400,6 +411,13 @@ class Service:
             if isinstance(thr, bool) or not isinstance(thr, (int, float)):
                 raise BadRequest("'threshold' must be a number")
             thr = float(thr)
+            # normalize like the upload path (flatten of the decoded
+            # payload): the stored side is flatten()ed text, so a client
+            # pre-checking the exact document it would upload gets the
+            # SAME Jaccard as upload(neardup="skip") computes
+            from go_vectorsearch_spark.operators.documents import flatten
+
+            texts = [flatten(t) for t in texts]
             try:
                 rows = self.engine.neardup_check(
                     owner, category, texts, threshold=thr

@@ -154,12 +154,42 @@ def test_upload_skip_drops_duplicates(spark, tmp_path):
 
 
 def test_upload_skip_requires_index(spark, tmp_path):
+    from go_vectorsearch_spark.api import NearDupIndexMissing
+
     e = Engine(spark, str(tmp_path))
     e.upload("o", "c", [_doc("a", BASE)])
-    with pytest.raises(ValueError, match="no near-dup index"):
+    with pytest.raises(NearDupIndexMissing, match="no near-dup index"):
         e.upload("o", "c", [_doc("b", NEAR)], neardup="skip")
     with pytest.raises(ValueError, match="unknown neardup mode"):
         e.upload("o", "c", [_doc("b", NEAR)], neardup="flag")
+
+
+def test_upload_skip_threshold_plumbs(spark, tmp_path):
+    """neardup_threshold reaches the skip check: NEAR (jaccard ~0.87 vs
+    BASE) is skipped at the 0.5 default but FRESH at a 0.95 bar."""
+    e = Engine(spark, str(tmp_path))
+    ids = e.upload("o", "c", [_doc("base", BASE)])
+    e.build_neardup_index("o", "c")
+    out = e.upload(
+        "o", "c", [_doc("n", NEAR)], neardup="skip", neardup_threshold=0.95
+    )
+    assert out[0] not in ids  # fresh id, not resolved to the stored doc
+
+
+def test_upload_skip_rejection_is_side_effect_free(spark, tmp_path):
+    """A rejected skip-upload to a NEW category must not persistently
+    create the owner/category rows (the index check runs read-only
+    BEFORE _get_or_create)."""
+    from go_vectorsearch_spark.api import NearDupIndexMissing
+
+    e = Engine(spark, str(tmp_path))
+    e.upload("o", "c", [_doc("a", BASE)])  # unrelated existing category
+    with pytest.raises(NearDupIndexMissing):
+        e.upload("o", "fresh_cat", [_doc("b", NEAR)], neardup="skip")
+    assert e._category_id("o", "fresh_cat") is None
+    with pytest.raises(NearDupIndexMissing):
+        e.upload("nobody", "nocat", [_doc("b", NEAR)], neardup="skip")
+    assert e._category_id("nobody", "nocat") is None
 
 
 def test_deleted_doc_self_heals(spark, tmp_path):

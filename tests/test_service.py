@@ -385,11 +385,13 @@ def test_admin_neardup_route(served):
         {"owner": "acme", "category": "ndcat", "build": True},
     )
     assert resp.status == 200 and json.loads(body)["indexed"] == 1
-    # check WITHOUT uploading: the exact stored text matches at 1.0
+    # check WITHOUT uploading: the exact stored text matches at 1.0 —
+    # the route flatten()s each text (the upload path's normalization),
+    # so the RAW text matches without the caller appending the period
     resp, body = _call(
         port, "/api/admin/neardup",
         {"owner": "acme", "category": "ndcat",
-         "texts": [base_text + ".", "totally novel vocabulary everywhere"]},
+         "texts": [base_text, "totally novel vocabulary everywhere"]},
     )
     m = json.loads(body)["matches"]
     assert [x["index"] for x in m] == [0] and m[0]["jaccard"] == 1.0
@@ -404,6 +406,25 @@ def test_admin_neardup_route(served):
     assert len(ids) == 1
     stored = {x["document_id"] for x in m}
     assert ids[0] in stored
+    # neardup_threshold plumbs through: a ~0.87-jaccard near-dup is
+    # FRESH at a 0.95 bar (it would be skipped at the 0.5 default)
+    resp, body = _call(
+        port, "/api/upload",
+        {"owner": "acme", "category": "ndcat", "neardup": "skip",
+         "neardup_threshold": 0.95,
+         "documents": [{"name": "nt", "external_id": "nt",
+                        "document": base_text + " extra trailing words"}]},
+    )
+    assert resp.status == 200
+    assert json.loads(body)["document_ids"][0] not in stored
+    # malformed threshold is a 400
+    resp, _ = _call(
+        port, "/api/upload",
+        {"owner": "acme", "category": "ndcat", "neardup": "skip",
+         "neardup_threshold": "high",
+         "documents": [{"name": "y", "external_id": "y", "document": "z"}]},
+    )
+    assert resp.status == 400
     # client errors are 400s: bad mode, check without an index
     resp, _ = _call(
         port, "/api/upload",
