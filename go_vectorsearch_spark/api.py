@@ -1913,6 +1913,113 @@ class Engine:
             windows=windows,
         )
 
+    def substr_dedup_cut(
+        self, owner: str, category: str, L: int = 8, iterate: int = 1
+    ) -> int:
+        """Apply exact-substring dedup CUTS to a stored category — the
+        write-path complement of :meth:`substr_dedup_report`, shaped
+        like delete/compact: only documents that actually change are
+        rewritten, through the documents table's partition-scoped
+        upsert; untouched documents (and untouched partitions) carry
+        by reference, byte-for-byte.
+
+        ``iterate`` > 1 re-checks cut-created token adjacencies to a
+        fixpoint (operators/substr.exact_substr_cut). A cut document's
+        payload becomes the JSON string literal of its cleaned flattened
+        text — token-level surgery cannot preserve arbitrary JSON
+        structure, and the round-trip is consistent: flatten(new
+        payload) is exactly the cleaned text every text consumer sees.
+
+        Derived-store consistency, same contract as delete_documents:
+        the text index tombstones the old postings (exact dls from the
+        pre-cut text) and appends the re-tokenized documents; the
+        near-dup band store rewrites the changed documents' band rows
+        under its cross-process lock. EMBEDDINGS keep serving the
+        pre-cut content (the quantized store is content-addressed to
+        the upload-time text); re-embedding is a model call the engine
+        cannot synthesize — run the category's refresh after re-upload
+        if vector recall over cut passages matters. Returns the number
+        of rewritten documents."""
+        from go_vectorsearch_spark.operators import substr as SUB
+        from go_vectorsearch_spark.operators.documents import json_string_udf
+        from go_vectorsearch_spark.operators.fulltext import tokenize
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"substr_dedup_cut: unknown {owner}/{category}")
+        texts = self._category_doc_texts(cid)
+        cut = SUB.exact_substr_cut(
+            texts, L=L, id_col="document_id", text_col="_text", iterate=iterate
+        )
+        changed = (
+            cut.join(texts, "document_id")
+            .filter(F.col("text") != F.col("_text"))
+            # _dl: the PRE-cut token count — the text-index tombstone
+            # needs it to shrink the corpus stats exactly (the
+            # delete_documents pattern)
+            .select(
+                "document_id",
+                "text",
+                F.size(tokenize(F.col("_text"))).alias("_dl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        try:
+            meta = changed.select("document_id", "_dl").collect()
+            if not meta:
+                return 0
+            changed_ids = sorted(r["document_id"] for r in meta)
+            dl_by_doc = {r["document_id"]: int(r["_dl"]) for r in meta}
+            buckets = sorted({i % N_DOC_BUCKETS for i in changed_ids})
+            upd = (
+                self.t["documents"]
+                .read(partition_values=buckets)
+                .filter(F.col("category_id") == cid)
+                .join(changed.select("document_id", "text"), "document_id")
+                .select(
+                    "document_id",
+                    "name",
+                    "external_id",
+                    json_string_udf(F.col("text")).alias("payload_json"),
+                    "category_id",
+                )
+            )
+            self.t["documents"].upsert(upd, "document_id")
+        finally:
+            changed.unpersist()
+        # text index: tombstone the pre-cut postings, COMPACT (a
+        # tombstoned id stays hidden until compaction clears the list —
+        # append alone would leave the re-tokenized documents invisible),
+        # then append the changed documents re-read from the NEW
+        # snapshot. A cut pass is whole-corpus curation, so the
+        # postings rewrite is proportional work, and the result scores
+        # bit-identically to a full rebuild over the cut corpus.
+        tpath = self._text_index_path(cid)
+        if os.path.exists(f"{tpath}/VERSION"):
+            from go_vectorsearch_spark.operators.fulltext import (
+                compact_postings,
+                delete_postings,
+            )
+
+            delete_postings(self.spark, tpath, changed_ids, dl_by_doc=dl_by_doc)
+            compact_postings(self.spark, tpath)
+            self.append_text_index(owner, category, changed_ids)
+        # near-dup band store: the changed documents' band rows derive
+        # from the text — rewrite exactly theirs under the store's
+        # cross-process lock (the compact_neardup_index discipline)
+        if os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
+            t = self._neardup_table(cid)
+            with t._write_lock():
+                kept = t.read().filter(
+                    ~F.col("document_id").isin(changed_ids)
+                )
+                fresh = self._doc_band_rows(
+                    self._category_doc_texts(cid, changed_ids), "document_id"
+                )
+                t.write(kept.unionByName(fresh))
+        self._invalidate_cache()
+        return len(changed_ids)
+
     def decontaminate_report(
         self, owner: str, category: str, benchmark_texts: list[str], L: int = 8
     ) -> DataFrame:

@@ -136,6 +136,18 @@ def flatten_json_udf(payload: pd.Series) -> pd.Series:
     return payload.map(lambda s: flatten(json.loads(s)) if s is not None else "null.")
 
 
+@F.pandas_udf(StringType())
+def json_string_udf(text: pd.Series) -> pd.Series:
+    """Encode a plain-text column as its JSON string literal — the
+    inverse direction of :func:`flatten_json_udf` for documents whose
+    payload becomes plain text (the substring-cut write path rewrites a
+    cut document's payload as the JSON encoding of its cleaned text;
+    token-level surgery cannot preserve arbitrary JSON structure)."""
+    import json
+
+    return text.map(lambda s: json.dumps(s if s is not None else ""))
+
+
 def split_chunks_udf(ctx_num: int):
     @F.pandas_udf(ArrayType(StringType()))
     def _split(prefix: pd.Series, text: pd.Series) -> pd.Series:

@@ -199,6 +199,7 @@ def exact_substr_cut(
     L: int = DEFAULT_L,
     id_col: str = "doc_id",
     text_col: str = "text",
+    iterate: int = 1,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
 
@@ -207,9 +208,17 @@ def exact_substr_cut(
     removable. A token is cut iff it is covered by at least one removable
     window and by NO keeper window (keeper coverage is inviolate — cutting
     into it would destroy the one retained copy). This is the token-level
-    restatement of Lee et al.'s byte-span cuts; like theirs, cutting can
-    create new token adjacencies across a cut, which a second pass would
-    see (documented, not hidden).
+    restatement of Lee et al.'s byte-span cuts; like theirs, a single
+    pass can create new token adjacencies across a cut that only a
+    subsequent pass sees.
+
+    ``iterate`` bounds the number of passes. 1 (the default) is the Lee
+    et al. single pass. Above 1, passes repeat until a pass changes no
+    document (fixpoint: cut-created adjacencies are re-checked) or the
+    bound is hit; each intermediate persists for the duration of its
+    comparison and fixpoint detection costs one extra pass's plan plus
+    an id-join per round — a bounded driver loop like the k-means fit,
+    never a driver-side data pull.
 
     Returns (id_col, text) with the cleaned text rebuilt from the
     ORIGINAL-case tokens (positions align because the tokenizer splits on
@@ -222,6 +231,37 @@ def exact_substr_cut(
     no global window, and raw text moves only in the final per-document
     projection.
     """
+    if iterate < 1:
+        raise ValueError(f"exact_substr_cut: iterate must be >= 1, got {iterate}")
+    out = _cut_once(df, L, id_col, text_col)
+    if iterate == 1:
+        return out
+    from pyspark import StorageLevel
+
+    cur = out.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    for _ in range(iterate - 1):
+        nxt = _cut_once(cur, L, id_col, "text").persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
+        changed = (
+            nxt.select(id_col, F.col("text").alias("_t_next"))
+            .join(cur.select(id_col, F.col("text").alias("_t_prev")), id_col)
+            .filter(F.col("_t_next") != F.col("_t_prev"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            nxt.unpersist()
+            break
+        cur.unpersist()
+        cur = nxt
+    return cur
+
+
+def _cut_once(
+    df: DataFrame, L: int, id_col: str, text_col: str
+) -> DataFrame:
+    """One keeper-protected cut pass (see :func:`exact_substr_cut`)."""
     w = window_hashes(df, L, id_col, text_col)
     dup = (
         w.groupBy("_wh")

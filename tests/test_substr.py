@@ -134,6 +134,33 @@ def test_cut_keeps_one_copy(spark, docs):
     assert S.duplicated_windows(S.window_hashes(cleaned, L)).count() == 0
 
 
+def test_cut_fixpoint_catches_chained_duplicates(spark):
+    """Cutting can create new token adjacencies that only a later pass
+    sees: doc 30's X-run is cut in pass 1 (keeper in doc 10), which
+    joins its p/q fragments into a window duplicating doc 20 — caught
+    only at iterate > 1. L=4; p/q fragments are each 3 tokens, so no
+    pass-1 window contains them both sides of the X-run."""
+    rows = [
+        (10, "x1 x2 x3 x4"),                      # keeper of the X-run
+        (20, "p1 p2 p3 q1"),                      # keeper of the chain window
+        (30, "p1 p2 p3 x1 x2 x3 x4 q1"),          # cut -> "p1 p2 p3 q1" -> cut again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {r["doc_id"]: r["text"] for r in S.exact_substr_cut(df, 4).collect()}
+    assert one[30] == "p1 p2 p3 q1"  # the single pass leaves the chained dup
+    fix = {
+        r["doc_id"]: r["text"]
+        for r in S.exact_substr_cut(df, 4, iterate=5).collect()
+    }
+    assert fix[10] == rows[0][1] and fix[20] == rows[1][1]  # keepers intact
+    assert fix[30] == ""  # chained duplicate fully removed at fixpoint
+    # the fixpoint corpus is clean
+    cleaned = spark.createDataFrame(list(fix.items()), "doc_id long, text string")
+    assert S.duplicated_windows(S.window_hashes(cleaned, 4)).count() == 0
+    with pytest.raises(ValueError, match="iterate"):
+        S.exact_substr_cut(df, 4, iterate=0)
+
+
 def test_cut_preserves_original_case(spark):
     # hashing is case-insensitive (family tokenizer), reconstruction is not
     d = spark.createDataFrame(
@@ -262,3 +289,72 @@ def test_engine_reports(spark, tmp_path):
     assert e.decontaminate_report("o", "c", [], L=4).count() == 0
     with pytest.raises(ValueError, match="unknown"):
         e.substr_dedup_report("o", "nope")
+
+
+def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
+    """substr_dedup_cut rewrites ONLY the changed documents (via the
+    partition-scoped upsert), removes chained duplicates at fixpoint,
+    and keeps the text index + band store consistent with the cut
+    corpus. Texts end with '.' so flatten() adds nothing and token
+    positions are literal."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    b_text = "x1 x2 x3 x4 b1 b2 b3."      # keeper of the X-run
+    c_text = "p1 p2 p3 q1 c1 c2 c3."      # keeper of the chain window
+    a_text = "p1 p2 p3 x1 x2 x3 x4 q1 a1 a2 a3."  # chained duplicate
+    ids = e.upload(
+        "o",
+        "c",
+        [
+            {"name": n, "external_id": n, "document": _json.dumps(t)}
+            for n, t in (("b", b_text), ("c", c_text), ("a", a_text))
+        ],
+    )
+    bid, ccid, aid = ids
+    e.build_text_index("o", "c")
+    e.build_neardup_index("o", "c")
+    before = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+
+    n = e.substr_dedup_cut("o", "c", L=4, iterate=5)
+    assert n == 1  # only the chained duplicate changed
+
+    after = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    # untouched documents byte-for-byte; the cut one holds the cleaned
+    # text as a JSON string literal (flatten round-trips it exactly)
+    assert after[bid] == before[bid] and after[ccid] == before[ccid]
+    assert _json.loads(after[aid]) == "a1 a2 a3."
+    # pass 1 cut the X-run; pass 2 caught the chain window it created
+    texts = {
+        r["document_id"]: r["_text"]
+        for r in e._category_doc_texts(e._category_id("o", "c")).collect()
+    }
+    assert texts[aid] == "a1 a2 a3."
+    # the cut corpus is substring-clean at L=4
+    assert e.substr_dedup_report("o", "c", L=4).count() == 0
+    # band store: exactly 4 rows per live doc, none keyed to stale text
+    cid = e._category_id("o", "c")
+    store = e._neardup_table(cid).read()
+    assert store.count() == 12
+    # the cleaned text no longer near-dups anything stored (its band
+    # rows were rewritten); the keepers still match themselves exactly
+    assert e.neardup_check("o", "c", [b_text]).count() == 1
+    # text index serves the cut corpus: the cut doc is findable by its
+    # surviving tokens only, and no longer by the tokens it lost
+    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+
+    tpath = e._text_index_path(cid)
+    hits = {r["doc_id"] for r in bm25_search_stored(spark, tpath, "a1 a2", k=5).collect()}
+    assert aid in hits
+    cut_hits = {r["doc_id"] for r in bm25_search_stored(spark, tpath, "x1 x2 x3", k=5).collect()}
+    assert aid not in cut_hits and bid in cut_hits
+    with pytest.raises(ValueError, match="unknown"):
+        e.substr_dedup_cut("o", "nope")
