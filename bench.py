@@ -125,6 +125,13 @@ def main() -> None:
     registry._ivf_store_path(spark, sf_dir)
     timings["ivf_store_build"] = round(time.perf_counter() - t0, 3)
 
+    # THE corpus tokenize pass (one raw-text scan + split, shared by the
+    # shingle frame, the substring window frame, and the decontamination
+    # splits) — r8: previously each family re-tokenized the corpus
+    t0 = time.perf_counter()
+    registry._toks_cached(spark, sf_dir)
+    timings["corpus_tokenize_build"] = round(time.perf_counter() - t0, 3)
+
     # the shared hashed-shingle frame (input of the whole text-dedup
     # family + decontamination) is likewise computed once per corpus;
     # bill its materialization to its own entry instead of whichever

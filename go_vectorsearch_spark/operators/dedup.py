@@ -65,8 +65,27 @@ def _shingles_of_tokens(toks: Column, n: int, distinct: bool = True) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def tokenized_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(_id, _toks) — the corpus tokenized ONCE (lowercased whitespace
+    tokens, the family-shared definition). Every token-consuming dedup
+    family (shingles here, L-token window hashes in operators/substr,
+    decontamination splits) derives from this same frame, so a job that
+    runs several of them persists ONE tokenize pass instead of paying
+    scan + split per family — at corpus scale the raw-text scan is the
+    dominant map cost, and it is identical across consumers."""
+    return spread(df).select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+
+
 def shingled_docs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _sh) doc → distinct-hashed-shingle-array frame — the shared
     input of :func:`jaccard_pairs` and :func:`minhash_lsh_pairs`. Compute
@@ -89,9 +108,15 @@ def shingled_docs(
     — measured ~5x slower on the sf0.1 corpus). CollapseProject keeps
     non-cheap aliased subtrees in separate projects, so this holds
     through optimization.
+
+    ``tokenized`` — a prebuilt (persisted) :func:`tokenized_docs` frame;
+    pass it when another token consumer (window hashes, decontamination)
+    shares the same corpus so the scan + split pass is paid once.
     """
-    toked = spread(df).select(
-        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    toked = (
+        tokenized
+        if tokenized is not None
+        else tokenized_docs(df, id_col, text_col)
     )
     return toked.select(
         "_id",
@@ -184,7 +209,15 @@ def jaccard_pairs(
     """
     if shingled is None:
         shingled = shingled_docs(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    sh = shingled.select("_id", F.explode("_sh").alias("_s"))
+    # per-doc set size rides the exploded rows (8 bytes per side) so the
+    # Jaccard denominator is available straight off the pair-count
+    # aggregate — measured faster at sf0.1 than the two join-backs
+    # against a sizes frame it replaces (each was broadcast-cheap but
+    # paid a scan of the persisted shingle frame plus a join stage),
+    # and strictly fewer stages at any scale
+    sh = shingled.select(
+        "_id", F.size("_sh").cast("long").alias("_n"), F.explode("_sh").alias("_s")
+    )
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("_s")
@@ -195,24 +228,25 @@ def jaccard_pairs(
         # hot set is tiny by construction (few shingles exceed the cap);
         # Catalyst broadcasts it on its own when stats agree
         sh = sh.join(hot, "_s", "left_anti")
-    a = sh.select(F.col("_id").alias("id_a"), "_s")
-    b = sh.select(F.col("_id").alias("id_b"), "_s")
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_s")
     common = (
         a.join(b, ["_s"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_c"))
+        .agg(
+            F.count("*").alias("_c"),
+            # functionally dependent on the grouping keys — first() is
+            # deterministic here, it just avoids widening the key tuple
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
     )
-    sizes = shingled.select("_id", F.size("_sh").cast("long").alias("_n"))
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.col("_c").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_c")
     ).cast("double")
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -433,7 +467,12 @@ def _simhash_masks() -> Column:
     return _SIMHASH_MASKS
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenized: DataFrame | None = None,
+) -> DataFrame:
     """60-bit SimHash per document → (id_col, simhash bigint).
 
     For each distinct token, hash to 60 bits; per bit, +1 if set else −1;
@@ -444,9 +483,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     any hash). An earlier groupBy-with-60-conditional-sums form shuffled
     every (doc, token) row and its 60-aggregate codegen compiled ~7×
     slower; same values, strictly worse plan.
+
+    ``tokenized`` — a prebuilt (persisted) :func:`tokenized_docs` frame;
+    the sketch fold then starts from the shared token arrays instead of
+    re-scanning and re-splitting the corpus.
     """
-    hashes = F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_int60)
-    staged = spread(df).select(F.col(id_col), hashes.alias("_hs"))
+    if tokenized is not None:
+        staged = tokenized.select(
+            F.col("_id").alias(id_col),
+            F.transform(F.array_distinct(F.col("_toks")), md5_int60).alias("_hs"),
+        )
+    else:
+        hashes = F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_int60)
+        staged = spread(df).select(F.col(id_col), hashes.alias("_hs"))
     masks = _simhash_masks()
     weights = F.aggregate(
         F.col("_hs"),

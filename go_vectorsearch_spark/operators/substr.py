@@ -77,15 +77,24 @@ def window_hashes(
     L: int = DEFAULT_L,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, pos, _wh): one row per L-token window of each document.
 
     pos is the 1-based index of the window's first token. The md5 runs
     inside the scan stage (pure codegen — no Python); only the hashed
     frame ever shuffles.
+
+    ``tokenized`` — a prebuilt (persisted) ``dedup.tokenized_docs``
+    frame (_id, _toks); pass it when the shingle family shares the same
+    corpus so the scan + split pass is paid once across families.
     """
-    toked = spread(df).select(
-        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    from go_vectorsearch_spark.operators.dedup import tokenized_docs
+
+    toked = (
+        tokenized
+        if tokenized is not None
+        else tokenized_docs(df, id_col, text_col)
     )
     return toked.select(
         "_id", F.explode(_window_structs(F.col("_toks"), L)).alias("_z")
@@ -364,6 +373,8 @@ def contaminated_spans(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    corpus_tokenized: DataFrame | None = None,
+    bench_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contaminated spans of the training corpus — the
     SPAN-level refinement of curation.contamination_flags: instead of
@@ -379,10 +390,16 @@ def contaminated_spans(
     MB-scale against a 100 TB corpus), so the corpus-side window frame
     never shuffles — strictly one scan + map-side semi-join + the
     per-document islands pass.
+
+    ``corpus_tokenized`` / ``bench_tokenized`` — prebuilt (persisted)
+    ``dedup.tokenized_docs`` frames for either side; with a shared
+    corpus-wide token frame both splits derive from one tokenize pass.
     """
-    w = window_hashes(corpus, L, id_col, text_col)
+    w = window_hashes(corpus, L, id_col, text_col, tokenized=corpus_tokenized)
     bench_hashes = F.broadcast(
-        window_hashes(benchmark, L, bench_id_col, bench_text_col)
+        window_hashes(
+            benchmark, L, bench_id_col, bench_text_col, tokenized=bench_tokenized
+        )
         .select("_wh")
         .distinct()
     )

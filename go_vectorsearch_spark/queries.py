@@ -1483,12 +1483,29 @@ def _dedup_cached(spark, key: str, sf_dir: str, build) -> DataFrame:
     return cache[k]
 
 
+def _toks_cached(spark, sf_dir):
+    """THE corpus tokenize pass (_id, _toks), persisted once and shared
+    by every token consumer: the shingle frame, the L-token substring
+    window frame, and the decontamination splits all derive from it —
+    one raw-text scan + split per corpus instead of one per family
+    (bench bills the materialization to ``corpus_tokenize_build``)."""
+    return _dedup_cached(
+        spark,
+        "tokenized",
+        sf_dir,
+        lambda: DD.tokenized_docs(_t(spark, sf_dir, "documents")),
+    )
+
+
 def _shingled_cached(spark, sf_dir):
     return _dedup_cached(
         spark,
         "shingled",
         sf_dir,
-        lambda: DD.shingled_docs(_t(spark, sf_dir, "documents")),
+        lambda: DD.shingled_docs(
+            _t(spark, sf_dir, "documents"),
+            tokenized=_toks_cached(spark, sf_dir),
+        ),
     )
 
 
@@ -1513,7 +1530,13 @@ def _jaccard_pairs_cached(spark, sf_dir):
 
 def _simhash_cached(spark, sf_dir):
     return _dedup_cached(
-        spark, "simhash", sf_dir, lambda: DD.simhash(_t(spark, sf_dir, "documents"))
+        spark,
+        "simhash",
+        sf_dir,
+        lambda: DD.simhash(
+            _t(spark, sf_dir, "documents"),
+            tokenized=_toks_cached(spark, sf_dir),
+        ),
     )
 
 
@@ -1553,7 +1576,11 @@ def _substr_windows_cached(spark, sf_dir):
         spark,
         "substr_windows",
         sf_dir,
-        lambda: SUB.window_hashes(_t(spark, sf_dir, "documents"), L=_SUBSTR_L),
+        lambda: SUB.window_hashes(
+            _t(spark, sf_dir, "documents"),
+            L=_SUBSTR_L,
+            tokenized=_toks_cached(spark, sf_dir),
+        ),
     )
 
 
@@ -1978,10 +2005,15 @@ def q_decontaminate_spans(spark, sf_dir):
     from go_vectorsearch_spark.operators import substr as SUB
 
     docs = _t(spark, sf_dir, "documents")
+    # both splits derive from the shared persisted token frame — the
+    # entry pays window hashing + islands, not a fresh corpus tokenize
+    toks = _toks_cached(spark, sf_dir)
     spans = SUB.contaminated_spans(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
         L=_DECON_L,
+        corpus_tokenized=toks.filter(F.col("_id") % 97 != 0),
+        bench_tokenized=toks.filter(F.col("_id") % 97 == 0),
     )
     return spans.select(
         F.col("_id").alias("doc_id"), "s_pos", "e_pos", "n_windows"
