@@ -94,11 +94,20 @@ PICKS = [
      "re-rank of the <= k_results x mult shortlist rows only. Fit and projection are "
      "write-once per corpus (billed to pca_project_build), like the PQ codes."),
     ("dedup_exact_substr", "Exact-substring dedup over the SHARED persisted window frame "
-     "(one tokenize+md5 pass per corpus — the duplicate-set plan references the windows "
-     "twice, so both sides read the InMemoryRelation): a 16-byte-key hash aggregate + "
-     "join-back, then the per-document (partitioned) islands window pair and one "
-     "(doc, island) aggregate. At 100 TB every shuffled row is (long, int, binary(16)); "
-     "raw text never reaches an Exchange."),
+     "(derived from THE corpus tokenize pass, r8 — the duplicate-set plan references the "
+     "windows twice, so both sides read the InMemoryRelation): a 16-byte-key hash "
+     "aggregate + join-back, then the per-document (partitioned) islands window pair and "
+     "one (doc, island) aggregate. At 100 TB every shuffled row is (long, int, "
+     "binary(16)); raw text never reaches an Exchange."),
+    ("ann_pca_exact", "PCA exactness anchor (driver-checked r8): the SAME two-stage "
+     "reduced-shortlist -> exact-rerank plan as ann_pca_rerank, at k = d uncentered "
+     "with shortlist_mult = 1 — an orthogonal rotation preserves the cosine order, so "
+     "the plan must reproduce brute-force top-k exactly (hash-checked against the "
+     "cosine_topk oracle). Build billed to pca_exact_build."),
+    ("dedup_jaccard_pairs", "n-gram Jaccard pairs (r8 restage): explode of the persisted "
+     "hashed-shingle frame with the per-doc set size riding each row, one equi-self-join "
+     "on the shingle hash, and Jaccard straight off the pair-count aggregate — no "
+     "size-frame join-backs. Every shuffled row is ints; raw text never moves."),
 ]
 
 out = []
