@@ -1941,8 +1941,6 @@ class Engine:
         if vector recall over cut passages matters. Returns the number
         of rewritten documents."""
         from go_vectorsearch_spark.operators import substr as SUB
-        from go_vectorsearch_spark.operators.documents import json_string_udf
-        from go_vectorsearch_spark.operators.fulltext import tokenize
 
         cid = self._category_id(owner, category)
         if cid is None:
@@ -1951,6 +1949,22 @@ class Engine:
         cut = SUB.exact_substr_cut(
             texts, L=L, id_col="document_id", text_col="_text", iterate=iterate
         )
+        return self._rewrite_category_texts(owner, category, cid, cut)
+
+    def _rewrite_category_texts(
+        self, owner: str, category: str, cid: int, cut: DataFrame
+    ) -> int:
+        """Apply a cleaned-text frame (document_id, text) to a stored
+        category — the shared write machinery of :meth:`substr_dedup_cut`
+        and :meth:`decontaminate_cut`: detect changed documents against
+        the current flattened texts, rewrite ONLY them through the
+        partition-scoped upsert (payload = JSON string literal of the
+        cleaned text), and keep the text index and band store consistent.
+        Returns the number of rewritten documents."""
+        from go_vectorsearch_spark.operators.documents import json_string_udf
+        from go_vectorsearch_spark.operators.fulltext import tokenize
+
+        texts = self._category_doc_texts(cid)
         changed = (
             cut.join(texts, "document_id")
             .filter(F.col("text") != F.col("_text"))
@@ -2061,6 +2075,42 @@ class Engine:
         return spans.select(
             F.col("_id").alias("document_id"), "s_pos", "e_pos", "n_windows"
         )
+
+    def decontaminate_cut(
+        self, owner: str, category: str, benchmark_texts: list[str], L: int = 8
+    ) -> int:
+        """CUT every benchmark-contaminated span from a stored category —
+        the write-path complement of :meth:`decontaminate_report`
+        (operators/substr.decontaminate_cut: no keeper protection;
+        contaminated text has no copy worth keeping). Same rewrite
+        machinery and derived-store contract as :meth:`substr_dedup_cut`
+        (partition-scoped upsert of changed documents only, text-index
+        tombstone + compact + append, band-row rewrite); benchmark texts
+        are flatten()-normalized like the stored side, so end-of-document
+        quotes cut through their final period-bearing token. Returns the
+        number of rewritten documents."""
+        from go_vectorsearch_spark.operators import substr as SUB
+        from go_vectorsearch_spark.operators.documents import flatten
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"decontaminate_cut: unknown {owner}/{category}")
+        if not benchmark_texts:
+            return 0
+        bench = self.spark.createDataFrame(
+            [(i, flatten(t)) for i, t in enumerate(benchmark_texts)],
+            "b_ix long, _text string",
+        )
+        cut = SUB.decontaminate_cut(
+            self._category_doc_texts(cid),
+            bench,
+            L=L,
+            id_col="document_id",
+            text_col="_text",
+            bench_id_col="b_ix",
+            bench_text_col="_text",
+        )
+        return self._rewrite_category_texts(owner, category, cid, cut)
 
     def build_neardup_index(self, owner: str, category: str) -> int:
         """Build (or rebuild) the category's persisted near-dup band

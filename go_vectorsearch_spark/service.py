@@ -712,6 +712,68 @@ class Service:
                 )
         return out
 
+    def admin_substr(self, req: dict) -> dict:
+        """Exact-substring curation admin — the wire form of the span
+        machinery: {"report": true} returns per-document duplication
+        stats (Engine.substr_dedup_report); {"cut": true} applies
+        keeper-protected cuts through the partition-scoped write path
+        (Engine.substr_dedup_cut; optional "iterate" re-checks
+        cut-created adjacencies to a fixpoint); {"decontaminate":
+        [texts...]} reports contaminated spans, or CUTS them when
+        combined with "cut" (Engine.decontaminate_cut). Optional "L"
+        is the minimum duplicated run in tokens (default 8)."""
+        owner, category = req.get("owner", ""), req.get("category", "")
+        L = req.get("L", 8)
+        if isinstance(L, bool) or not isinstance(L, int) or L < 2:
+            raise BadRequest("'L' must be an integer >= 2")
+        iterate = req.get("iterate", 1)
+        if isinstance(iterate, bool) or not isinstance(iterate, int) or iterate < 1:
+            raise BadRequest("'iterate' must be an integer >= 1")
+        bench = req.get("decontaminate")
+        if bench is not None and (
+            not isinstance(bench, list)
+            or not all(isinstance(t, str) for t in bench)
+        ):
+            raise BadRequest("'decontaminate' must be a list of strings")
+        out: dict = {}
+        try:
+            if req.get("report"):
+                out["report"] = [
+                    {
+                        "document_id": r["document_id"],
+                        "n_spans": r["n_spans"],
+                        "dup_tokens": r["dup_tokens"],
+                        "n_dup_windows": r["n_dup_windows"],
+                    }
+                    for r in self.engine.substr_dedup_report(
+                        owner, category, L=L
+                    ).collect()
+                ]
+            if bench is not None and not req.get("cut"):
+                out["contaminated"] = [
+                    {
+                        "document_id": r["document_id"],
+                        "s_pos": r["s_pos"],
+                        "e_pos": r["e_pos"],
+                        "n_windows": r["n_windows"],
+                    }
+                    for r in self.engine.decontaminate_report(
+                        owner, category, bench, L=L
+                    ).collect()
+                ]
+            if req.get("cut"):
+                if bench is not None:
+                    out["cut_documents"] = self.engine.decontaminate_cut(
+                        owner, category, bench, L=L
+                    )
+                else:
+                    out["cut_documents"] = self.engine.substr_dedup_cut(
+                        owner, category, L=L, iterate=iterate
+                    )
+        except ValueError as e:  # unknown owner/category = client error
+            raise BadRequest(str(e))
+        return out
+
     def admin_stats(self, req: dict) -> dict:
         """Read-only operational snapshot (Engine.stats): table
         rows/versions + per-category counts and index presence."""
@@ -763,6 +825,7 @@ _ROUTES = {
     "/api/admin/stats": ("admin_stats", ("POST", "GET"), False, False),
     "/api/admin/neardup": ("admin_neardup", ("POST",), False, True),
     "/api/admin/compact": ("admin_compact", ("POST",), False, True),
+    "/api/admin/substr": ("admin_substr", ("POST",), False, True),
 }
 
 

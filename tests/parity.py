@@ -102,5 +102,23 @@ def compare(spark, sf_dir: str, name: str) -> None:
         f"{name}: row count mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
     )
     sn, dn = _canon_driver(s_cols, s_rows), _canon_driver(d_cols, d_rows)
-    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    mismatches = [
+        (a, b)
+        for a, b in zip(sn, dn)
+        if not all(_cells_equal(x, y) for x, y in zip(a, b))
+    ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
+
+
+def _cells_equal(x: Any, y: Any) -> bool:
+    """Tuple-cell equality with NaN == NaN (pandas coerces a None in a
+    float column to NaN at DataFrame construction — after the per-cell
+    normalization ran — and nan != nan would flag identical rows)."""
+    if (
+        isinstance(x, float)
+        and isinstance(y, float)
+        and math.isnan(x)
+        and math.isnan(y)
+    ):
+        return True
+    return x == y

@@ -439,6 +439,56 @@ def test_admin_neardup_route(served):
     assert resp.status == 400
 
 
+def test_admin_substr_route(served):
+    """/api/admin/substr reports duplication, cuts duplicated spans
+    (keeper-protected), and reports/cuts benchmark contamination."""
+    eng, port, _ = served
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    eng.upload(
+        "acme", "sbcat",
+        [{"name": "a", "external_id": "a",
+          "document": json.dumps(f"{shared} tail words here.")},
+         {"name": "b", "external_id": "b",
+          "document": json.dumps(f"lead in {shared}.")}],
+    )
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "sbcat", "report": True, "L": 4},
+    )
+    assert resp.status == 200
+    rep = json.loads(body)["report"]
+    assert len(rep) == 2 and all(r["n_spans"] >= 1 for r in rep)
+    # contamination report (no cut)
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "sbcat", "L": 4,
+         "decontaminate": [shared]},
+    )
+    assert resp.status == 200
+    assert len(json.loads(body)["contaminated"]) == 2
+    # keeper-protected cut: exactly one copy of the passage survives
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "sbcat", "cut": True, "L": 4},
+    )
+    assert resp.status == 200
+    assert json.loads(body)["cut_documents"] == 1
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "sbcat", "report": True, "L": 4},
+    )
+    assert json.loads(body)["report"] == []
+    # malformed input and unknown scope are 400s
+    for bad in (
+        {"owner": "acme", "category": "sbcat", "report": True, "L": "x"},
+        {"owner": "acme", "category": "sbcat", "cut": True, "iterate": 0},
+        {"owner": "acme", "category": "sbcat", "decontaminate": "notalist"},
+        {"owner": "acme", "category": "ghostcat", "report": True},
+    ):
+        resp, _ = _call(port, "/api/admin/substr", bad)
+        assert resp.status == 400, f"{bad} should be a 400"
+
+
 def test_admin_compact_route(served):
     """/api/admin/compact sweeps table fragmentation and, per category,
     the postings and band stores."""

@@ -358,3 +358,47 @@ def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
     assert aid not in cut_hits and bid in cut_hits
     with pytest.raises(ValueError, match="unknown"):
         e.substr_dedup_cut("o", "nope")
+
+
+def test_engine_decontaminate_cut(spark, tmp_path):
+    """decontaminate_cut removes the quoted benchmark passage from
+    stored documents (no keeper protection) through the same rewrite
+    machinery; clean documents stay byte-for-byte."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    # 5-token quote: flatten() appends a period to the benchmark's FINAL
+    # token, so only interior windows can match a mid-document quote —
+    # at L=4 the quote's first window (alpha beta gamma delta) is
+    # period-free and matches; the span it flags is exactly those 4
+    # tokens (epsilon is covered only by the period-bearing window)
+    quote = "alpha beta gamma delta epsilon"
+    ids = e.upload(
+        "o",
+        "c",
+        [
+            {"name": "dirty", "external_id": "d",
+             "document": _json.dumps(f"lead in {quote} tail words here.")},
+            {"name": "clean", "external_id": "c",
+             "document": _json.dumps("nothing shared with any benchmark at all.")},
+        ],
+    )
+    before = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    assert e.decontaminate_cut("o", "c", [], L=4) == 0  # no-op, no writes
+    n = e.decontaminate_cut("o", "c", [quote], L=4)
+    assert n == 1
+    after = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    assert after[ids[1]] == before[ids[1]]  # clean doc untouched
+    assert _json.loads(after[ids[0]]) == "lead in epsilon tail words here."
+    # the cut category no longer reports contamination
+    assert e.decontaminate_report("o", "c", [quote], L=4).count() == 0
+    with pytest.raises(ValueError, match="unknown"):
+        e.decontaminate_cut("o", "nope", [quote])
