@@ -3100,6 +3100,32 @@ def q_ann_ivfpq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# Demoted-parity exactness anchor (tests/test_demoted_parity.py): IVF-PQ
+# at nprobe = all lists with full exact re-rank degenerates to brute
+# force, so it must reproduce the cosine_topk oracle at the same DuckDB
+# bar — raising tests/test_pq.py's Spark-vs-Spark equality to an
+# engine-vs-engine row (the PQ family's analog of ann_pca_exact).
+ANN_IVFPQ_EXACT_ORACLE = COSINE_TOPK_ORACLE
+
+
+def q_ann_ivfpq_exact(spark, sf_dir):
+    from go_vectorsearch_spark.plans.pq import ivfpq_search
+
+    index = _ivf_index(spark, sf_dir)
+    books, coded = _pq_cached(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    res = ivfpq_search(
+        index,
+        coded,
+        books,
+        qvec,
+        k=TOPK_K,
+        nprobe=index.centroids.count(),
+        rerank=coded.count(),
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # Full-text + hybrid retrieval (SURVEY §8 r4): BM25 over the documents
 # table, the bucketed stored-postings probe, late-interaction MaxSim,

@@ -54,6 +54,9 @@ DEMOTED = [
     # family's zero-loss anchor); span-level decontamination stays
     # in-window
     (Q.q_decontaminate_docs, Q.DECONTAMINATE_DOCS_ORACLE),
+    # r8 addition (never windowed): the IVF-PQ exactness limit at the
+    # DuckDB bar — nprobe=all + full exact re-rank ≡ brute force
+    (Q.q_ann_ivfpq_exact, Q.ANN_IVFPQ_EXACT_ORACLE),
 ]
 
 
