@@ -1914,7 +1914,12 @@ class Engine:
         )
 
     def substr_dedup_cut(
-        self, owner: str, category: str, L: int = 8, iterate: int = 1
+        self,
+        owner: str,
+        category: str,
+        L: int = 8,
+        iterate: int = 1,
+        re_embed: bool = False,
     ) -> int:
         """Apply exact-substring dedup CUTS to a stored category — the
         write-path complement of :meth:`substr_dedup_report`, shaped
@@ -1934,12 +1939,12 @@ class Engine:
         the text index tombstones the old postings (exact dls from the
         pre-cut text) and appends the re-tokenized documents; the
         near-dup band store rewrites the changed documents' band rows
-        under its cross-process lock. EMBEDDINGS keep serving the
-        pre-cut content (the quantized store is content-addressed to
-        the upload-time text); re-embedding is a model call the engine
-        cannot synthesize — run the category's refresh after re-upload
-        if vector recall over cut passages matters. Returns the number
-        of rewritten documents."""
+        under its cross-process lock. By default EMBEDDINGS keep
+        serving the pre-cut content (re-embedding is a model call);
+        ``re_embed=True`` swaps the changed documents' embedding rows
+        for fresh ones derived from the cut text in one atomic commit
+        (see :meth:`_rewrite_category_texts`). Returns the number of
+        rewritten documents."""
         from go_vectorsearch_spark.operators import substr as SUB
 
         cid = self._category_id(owner, category)
@@ -1949,10 +1954,17 @@ class Engine:
         cut = SUB.exact_substr_cut(
             texts, L=L, id_col="document_id", text_col="_text", iterate=iterate
         )
-        return self._rewrite_category_texts(owner, category, cid, cut)
+        return self._rewrite_category_texts(
+            owner, category, cid, cut, re_embed=re_embed
+        )
 
     def _rewrite_category_texts(
-        self, owner: str, category: str, cid: int, cut: DataFrame
+        self,
+        owner: str,
+        category: str,
+        cid: int,
+        cut: DataFrame,
+        re_embed: bool = False,
     ) -> int:
         """Apply a cleaned-text frame (document_id, text) to a stored
         category — the shared write machinery of :meth:`substr_dedup_cut`
@@ -1960,6 +1972,15 @@ class Engine:
         the current flattened texts, rewrite ONLY them through the
         partition-scoped upsert (payload = JSON string literal of the
         cleaned text), and keep the text index and band store consistent.
+
+        ``re_embed=True`` additionally re-runs the upload path's
+        chunk → embed → quantize → assign stages for the changed
+        documents and swaps their embedding rows in ONE atomic
+        replace_partitions commit (survivors of the touched centroid
+        partitions + the fresh rows) — vector search then serves the cut
+        content instead of the pre-cut embeddings. Costs one embed call
+        per changed chunk; assignment reuses the category's existing
+        centroids (run refresh_index after bulk cuts if drift matters).
         Returns the number of rewritten documents."""
         from go_vectorsearch_spark.operators.documents import json_string_udf
         from go_vectorsearch_spark.operators.fulltext import tokenize
@@ -2001,6 +2022,8 @@ class Engine:
             self.t["documents"].upsert(upd, "document_id")
         finally:
             changed.unpersist()
+        if re_embed:
+            self._re_embed_documents(cid, changed_ids, buckets)
         # text index: tombstone the pre-cut postings, COMPACT (a
         # tombstoned id stays hidden until compaction clears the list —
         # append alone would leave the re-tokenized documents invisible),
@@ -2033,6 +2056,76 @@ class Engine:
                 t.write(kept.unionByName(fresh))
         self._invalidate_cache()
         return len(changed_ids)
+
+    def _re_embed_documents(
+        self, cid: int, document_ids: list[int], buckets: list[int]
+    ) -> None:
+        """Swap the embedding rows of ``document_ids`` for fresh ones
+        derived from their CURRENT payloads: the upload path's
+        chunk → embed → quantize → assign stages over the new snapshot,
+        committed with one atomic :meth:`_VersionedTable.replace_partitions`
+        (touched centroid partitions lose the stale rows and gain the
+        fresh assignments in the same version — no reader ever sees a
+        document half-vectored)."""
+        docs = (
+            self.t["documents"]
+            .read(partition_values=buckets)
+            .filter(
+                F.col("document_id").isin(list(document_ids))
+                & (F.col("category_id") == cid)
+            )
+            .select(
+                F.col("document_id").alias("doc_id"),
+                "name",
+                "external_id",
+                "payload_json",
+            )
+        )
+        chunks = dequantized_vector(
+            self._embed_chunks(prepare_chunks(docs, ctx_num=2048))
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        try:
+            cents = (
+                self.t["centroids"].read().filter(F.col("category_id") == cid)
+            )
+            assigned = assign_nearest(
+                chunks,
+                cents.select(
+                    F.col("centroid_id"), F.col("vector").alias("centroid_vec")
+                ),
+                vec_col="vector",
+                out_col="centroid_id",
+            )
+            base_emb = self._next_id("embeddings", "embedding_id")
+            new_emb = assign_embedding_ids(
+                assigned, base_emb, min(document_ids)
+            ).select(
+                "embedding_id",
+                F.col("doc_id").alias("document_id"),
+                "centroid_id",
+                "codes",
+                "lo",
+                "hi",
+            )
+            emb_t = self.t["embeddings"]
+            stale = F.col("document_id").isin(list(document_ids))
+            touched = [
+                r[0]
+                for r in emb_t.read()
+                .filter(stale)
+                .select("centroid_id")
+                .distinct()
+                .collect()
+            ]
+            if touched:
+                survivors = emb_t.read(partition_values=touched).filter(~stale)
+                emb_t.replace_partitions(
+                    survivors.unionByName(new_emb), touched
+                )
+            else:
+                emb_t.append(new_emb)
+        finally:
+            chunks.unpersist()
 
     def decontaminate_report(
         self, owner: str, category: str, benchmark_texts: list[str], L: int = 8
@@ -2077,7 +2170,12 @@ class Engine:
         )
 
     def decontaminate_cut(
-        self, owner: str, category: str, benchmark_texts: list[str], L: int = 8
+        self,
+        owner: str,
+        category: str,
+        benchmark_texts: list[str],
+        L: int = 8,
+        re_embed: bool = False,
     ) -> int:
         """CUT every benchmark-contaminated span from a stored category —
         the write-path complement of :meth:`decontaminate_report`
@@ -2110,7 +2208,9 @@ class Engine:
             bench_id_col="b_ix",
             bench_text_col="_text",
         )
-        return self._rewrite_category_texts(owner, category, cid, cut)
+        return self._rewrite_category_texts(
+            owner, category, cid, cut, re_embed=re_embed
+        )
 
     def build_neardup_index(self, owner: str, category: str) -> int:
         """Build (or rebuild) the category's persisted near-dup band

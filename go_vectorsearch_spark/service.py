@@ -721,7 +721,9 @@ class Service:
         cut-created adjacencies to a fixpoint); {"decontaminate":
         [texts...]} reports contaminated spans, or CUTS them when
         combined with "cut" (Engine.decontaminate_cut). Optional "L"
-        is the minimum duplicated run in tokens (default 8)."""
+        is the minimum duplicated run in tokens (default 8);
+        "re_embed": true swaps cut documents' embedding rows for fresh
+        ones derived from the cleaned text (one atomic commit)."""
         owner, category = req.get("owner", ""), req.get("category", "")
         L = req.get("L", 8)
         if isinstance(L, bool) or not isinstance(L, int) or L < 2:
@@ -729,6 +731,9 @@ class Service:
         iterate = req.get("iterate", 1)
         if isinstance(iterate, bool) or not isinstance(iterate, int) or iterate < 1:
             raise BadRequest("'iterate' must be an integer >= 1")
+        re_embed = req.get("re_embed", False)
+        if not isinstance(re_embed, bool):
+            raise BadRequest("'re_embed' must be a boolean")
         bench = req.get("decontaminate")
         if bench is not None and (
             not isinstance(bench, list)
@@ -764,11 +769,11 @@ class Service:
             if req.get("cut"):
                 if bench is not None:
                     out["cut_documents"] = self.engine.decontaminate_cut(
-                        owner, category, bench, L=L
+                        owner, category, bench, L=L, re_embed=re_embed
                     )
                 else:
                     out["cut_documents"] = self.engine.substr_dedup_cut(
-                        owner, category, L=L, iterate=iterate
+                        owner, category, L=L, iterate=iterate, re_embed=re_embed
                     )
         except ValueError as e:  # unknown owner/category = client error
             raise BadRequest(str(e))

@@ -360,6 +360,54 @@ def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
         e.substr_dedup_cut("o", "nope")
 
 
+def test_engine_substr_cut_re_embed(spark, tmp_path):
+    """re_embed=True swaps the cut document's embedding rows for fresh
+    ones derived from the cleaned text in one commit; untouched
+    documents keep their embedding rows bit-for-bit."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    b_text = "x1 x2 x3 x4 b1 b2 b3."
+    a_text = "p1 p2 p3 x1 x2 x3 x4 q1 a1 a2 a3."
+    bid, aid = e.upload(
+        "o",
+        "c",
+        [
+            {"name": n, "external_id": n, "document": _json.dumps(t)}
+            for n, t in (("b", b_text), ("a", a_text))
+        ],
+    )
+    before = {
+        r["embedding_id"]: (r["document_id"], tuple(r["codes"]), r["lo"], r["hi"])
+        for r in e.t["embeddings"].read().collect()
+    }
+    a_old = {k for k, v in before.items() if v[0] == aid}
+    assert a_old  # the doc was vectored at upload
+
+    n = e.substr_dedup_cut("o", "c", L=4, re_embed=True)
+    assert n == 1
+    after = {
+        r["embedding_id"]: (r["document_id"], tuple(r["codes"]), r["lo"], r["hi"])
+        for r in e.t["embeddings"].read().collect()
+    }
+    # the keeper's rows are untouched, bit-for-bit
+    for k, v in before.items():
+        if v[0] == bid:
+            assert after[k] == v
+    # the cut doc's stale rows are GONE and fresh rows exist — the noop
+    # embed provider is text-deterministic, so codes must differ from
+    # every pre-cut row of that document
+    a_new = {k for k, v in after.items() if v[0] == aid}
+    assert a_new and not (a_new & a_old)
+    old_codes = {before[k][1] for k in a_old}
+    assert all(after[k][1] not in old_codes for k in a_new)
+    # the swapped rows serve: vector search still returns the document
+    hits = e.search("o", "c", "a1 a2 a3", count=2).collect()
+    assert aid in {r["document_id"] for r in hits}
+
+
 def test_engine_decontaminate_cut(spark, tmp_path):
     """decontaminate_cut removes the quoted benchmark passage from
     stored documents (no keeper protection) through the same rewrite
