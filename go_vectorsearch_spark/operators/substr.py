@@ -415,13 +415,25 @@ def decontaminate_cut(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    corpus_tokenized: DataFrame | None = None,
+    bench_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every benchmark-contaminated span from the corpus (no keeper
     protection — contaminated text has no copy worth keeping). Returns
     (id_col, text) for EVERY corpus document, clean ones round-tripping
-    their token stream."""
+    their token stream. ``corpus_tokenized`` / ``bench_tokenized`` as in
+    :func:`contaminated_spans` (a long-lived caller — the streaming
+    filter — persists the static benchmark's token frame once)."""
     spans = contaminated_spans(
-        corpus, benchmark, L, id_col, text_col, bench_id_col, bench_text_col
+        corpus,
+        benchmark,
+        L,
+        id_col,
+        text_col,
+        bench_id_col,
+        bench_text_col,
+        corpus_tokenized=corpus_tokenized,
+        bench_tokenized=bench_tokenized,
     )
     return _rebuild_without_spans(
         corpus, _span_arrays(spans, "_rm"), None, id_col, text_col
