@@ -161,6 +161,70 @@ def test_cut_fixpoint_catches_chained_duplicates(spark):
         S.exact_substr_cut(df, 4, iterate=0)
 
 
+def _naive_cut_once(docs: dict[int, str], L: int) -> dict[int, str]:
+    """Pure-Python reference of one keeper-protected cut pass: window
+    token-range UNION equals the islands' span cover (windows merge iff
+    they overlap or touch, so the merged span is exactly their union),
+    letting the reference skip the span machinery entirely."""
+    toks = {d: t.split() for d, t in docs.items()}
+    wins: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - L + 1):
+            wins.setdefault(" ".join(ts[i : i + L]), []).append((d, i + 1))
+    rm = {d: set() for d in docs}
+    kp = {d: set() for d in docs}
+    for occ in wins.values():
+        if len(occ) < 2:
+            continue
+        keeper = min(occ)
+        for d, p in occ:
+            (kp if (d, p) == keeper else rm)[d].update(range(p, p + L))
+    out = {}
+    for d, ts in toks.items():
+        if not rm[d]:
+            out[d] = docs[d]  # verbatim passthrough
+        else:
+            out[d] = " ".join(
+                t for i, t in enumerate(ts, 1) if i not in rm[d] or i in kp[d]
+            )
+    return out
+
+
+def test_cut_matches_naive_on_random_corpora(spark):
+    """exact_substr_cut == the naive reference on random tiny-vocab
+    corpora (dense duplicate structure, chains included), for both the
+    single pass and the fixpoint. Seeded RNG — deterministic."""
+    import random
+
+    L3 = 3
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = {
+            d: " ".join(
+                rng.choice("a b c".split()) for _ in range(rng.randint(1, 12))
+            )
+            for d in range(1, 7)
+        }
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got1 = {
+            r["doc_id"]: r["text"]
+            for r in S.exact_substr_cut(df, L3).collect()
+        }
+        assert got1 == _naive_cut_once(docs, L3), f"seed {seed} single pass"
+        naive_fix = docs
+        for _ in range(10):
+            nxt = _naive_cut_once(naive_fix, L3)
+            if nxt == naive_fix:
+                break
+            naive_fix = nxt
+        got_fix = {
+            r["doc_id"]: r["text"]
+            for r in S.exact_substr_cut(df, L3, iterate=10).collect()
+        }
+        assert got_fix == naive_fix, f"seed {seed} fixpoint"
+
+
 def test_cut_preserves_original_case(spark):
     # hashing is case-insensitive (family tokenizer), reconstruction is not
     d = spark.createDataFrame(
