@@ -425,9 +425,11 @@ def minhash_lsh_pairs(
     )
     sha = sigd.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     shb = sigd.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    jac = F.size(F.array_intersect("_sha", "_shb")).cast("double") / (
-        F.size("_sha") + F.size("_shb") - F.size(F.array_intersect("_sha", "_shb"))
-    ).cast("double")
+    # bind the intersection size once: codegen does not CSE repeated
+    # subexpressions, and the verify evaluates per candidate pair — at
+    # corpus scale this halves the dominant set-intersection work
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter).cast("double")
     return (
         cand.join(sha, "id_a")
         .join(shb, "id_b")

@@ -1698,14 +1698,17 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+v AS (
+  -- intersection size bound ONCE (the Spark side binds it too): the
+  -- oracle is the engine's honest best, not a handicapped twin
+  SELECT id_a, id_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE AS c,
+         len(x.sh)::DOUBLE AS nx, len(y.sh)::DOUBLE AS ny
+  FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
 )
-SELECT id_a, id_b,
-       round(len(list_intersect(x.sh, y.sh))::DOUBLE
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
-             6) AS jaccard
-FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
-WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
-      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.2
+SELECT id_a, id_b, round(c / (nx + ny - c), 6) AS jaccard
+FROM v WHERE c / (nx + ny - c) >= 0.2
 """
 
 
