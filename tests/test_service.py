@@ -466,13 +466,22 @@ def test_admin_substr_route(served):
     )
     assert resp.status == 200
     assert len(json.loads(body)["contaminated"]) == 2
-    # keeper-protected cut: exactly one copy of the passage survives
+    # keeper-protected cut with re_embed: exactly one copy of the
+    # passage survives AND the cut document's embedding rows are swapped
+    emb_before = {
+        r["embedding_id"] for r in eng.t["embeddings"].read().collect()
+    }
     resp, body = _call(
         port, "/api/admin/substr",
-        {"owner": "acme", "category": "sbcat", "cut": True, "L": 4},
+        {"owner": "acme", "category": "sbcat", "cut": True, "L": 4,
+         "re_embed": True},
     )
     assert resp.status == 200
     assert json.loads(body)["cut_documents"] == 1
+    emb_after = {
+        r["embedding_id"] for r in eng.t["embeddings"].read().collect()
+    }
+    assert emb_after != emb_before  # stale rows left, fresh rows landed
     resp, body = _call(
         port, "/api/admin/substr",
         {"owner": "acme", "category": "sbcat", "report": True, "L": 4},
@@ -482,6 +491,7 @@ def test_admin_substr_route(served):
     for bad in (
         {"owner": "acme", "category": "sbcat", "report": True, "L": "x"},
         {"owner": "acme", "category": "sbcat", "cut": True, "iterate": 0},
+        {"owner": "acme", "category": "sbcat", "cut": True, "re_embed": "yes"},
         {"owner": "acme", "category": "sbcat", "decontaminate": "notalist"},
         {"owner": "acme", "category": "ghostcat", "report": True},
     ):
