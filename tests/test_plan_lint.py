@@ -69,3 +69,29 @@ def test_demoted_plan_has_no_scale_killers(spark, sf_smoke, fn):
     registry — demotion moved their oracle, not their standards."""
     plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert not _lint(plan), f"{fn.__name__}: {_lint(plan)}\n{plan[:2000]}"
+
+
+def test_cut_operator_plans_have_no_scale_killers(spark, sf_smoke):
+    """The write-path operators (not registry entries, so the sweeps
+    above never see them) meet the same plan bar: keeper-protected
+    substring cut (single pass AND the fixpoint's inner pass) and the
+    benchmark decontamination cut."""
+    from pyspark.sql import functions as F
+
+    from go_vectorsearch_spark.operators import substr as SUB
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for name, df in (
+        ("exact_substr_cut", SUB.exact_substr_cut(docs, L=8)),
+        (
+            "decontaminate_cut",
+            SUB.decontaminate_cut(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+                L=4,
+            ),
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
