@@ -209,6 +209,7 @@ def exact_substr_cut(
     id_col: str = "doc_id",
     text_col: str = "text",
     iterate: int = 1,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
 
@@ -239,10 +240,14 @@ def exact_substr_cut(
     joins, and the token filter is a pure array expression — no Python,
     no global window, and raw text moves only in the final per-document
     projection.
+
+    ``windows`` — a prebuilt (persisted) :func:`window_hashes` frame for
+    the FIRST pass only (the keeper aggregate and the flag join both
+    reference it; later fixpoint passes hash their own pass's text).
     """
     if iterate < 1:
         raise ValueError(f"exact_substr_cut: iterate must be >= 1, got {iterate}")
-    out = _cut_once(df, L, id_col, text_col)
+    out = _cut_once(df, L, id_col, text_col, windows=windows)
     if iterate == 1:
         return out
     from pyspark import StorageLevel
@@ -268,10 +273,14 @@ def exact_substr_cut(
 
 
 def _cut_once(
-    df: DataFrame, L: int, id_col: str, text_col: str
+    df: DataFrame,
+    L: int,
+    id_col: str,
+    text_col: str,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """One keeper-protected cut pass (see :func:`exact_substr_cut`)."""
-    w = window_hashes(df, L, id_col, text_col)
+    w = windows if windows is not None else window_hashes(df, L, id_col, text_col)
     dup = (
         w.groupBy("_wh")
         .agg(

@@ -1640,6 +1640,93 @@ def q_dedup_exact_substr(spark, sf_dir):
     )
 
 
+def _substr_cut_oracle() -> str:
+    """DuckDB twin of one keeper-protected exact_substr_cut pass.
+
+    Re-derives the whole write-path semantics in SQL: window hashes over
+    lowercase tokens (byte-identical to the Spark side), per-hash keeper
+    = globally smallest (doc, pos), and the token filter — a token is
+    cut iff covered by a removable window and by NO keeper window. The
+    span merge is skipped on purpose: the islands' span cover equals the
+    union of window token ranges (windows merge iff they overlap or
+    touch), pinned by tests/test_substr.py's naive-reference test.
+    Untouched documents hash their RAW text verbatim (the operator's
+    pass-through contract); cut documents hash the space-joined
+    original-case kept tokens."""
+    Lm1 = _SUBSTR_L - 1
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text,
+         {_SQL_TOKENS} AS tl,
+         regexp_split_to_array(trim(text), '\s+') AS torig
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tl) - {_SUBSTR_L} + 1, 0)),
+           i -> {{'pos': i,
+                  'wh': unhex(md5(array_to_string(tl[i:i + {Lm1}], ' ')))}})) AS z
+  FROM t
+),
+-- MATERIALIZED: w2 feeds the keeper aggregate AND the flag join, fl
+-- feeds rmp AND kpp — unmarked, DuckDB inlines and recomputes each
+-- reference (the whole window pass would run 4x)
+w2 AS MATERIALIZED (SELECT doc_id, z.pos AS pos, z.wh AS wh FROM w),
+d AS (
+  -- keeper = lexicographic min (doc, pos), packed into ONE BIGINT:
+  -- doc_id * 2^32 + pos orders identically for doc_id < 2^31 and
+  -- pos < 2^32 (the fixture domain by orders of magnitude). DuckDB's
+  -- min over a STRUCT key measured 10-100x slower AND unstable here —
+  -- the oracle is the engine's honest best, not a handicapped twin.
+  SELECT wh, min(doc_id * 4294967296 + pos) AS kp
+  FROM w2 GROUP BY wh HAVING count(*) > 1
+),
+fl AS MATERIALIZED (
+  SELECT w2.doc_id, w2.pos,
+         (w2.doc_id * 4294967296 + w2.pos = d.kp) AS keep
+  FROM w2 JOIN d USING (wh)
+),
+rmp AS (SELECT doc_id, list(pos) AS rp FROM fl WHERE NOT keep GROUP BY doc_id),
+kpp AS (SELECT doc_id, list(pos) AS kpos FROM fl WHERE keep GROUP BY doc_id)
+SELECT t.doc_id,
+       -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+       -- concat_ws is '' — a fully-cut document must hash md5('')
+       md5(CASE WHEN r.rp IS NULL THEN t.text
+           ELSE coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(t.torig) + 1),
+               i -> len(list_filter(r.rp,
+                          p -> i >= p AND i <= p + {Lm1})) = 0
+                    OR len(list_filter(coalesce(k.kpos, []),
+                          p -> i >= p AND i <= p + {Lm1})) > 0),
+             i -> t.torig[i::INT]), ' '), '')
+           END) AS cut_md5
+FROM t LEFT JOIN rmp r USING (doc_id) LEFT JOIN kpp k USING (doc_id)
+"""
+
+
+@register(
+    "substr_cut_docs",
+    oracle=_substr_cut_oracle(),
+    doc="Keeper-protected exact-substring CUT (Lee et al. 2021), one "
+    "full-corpus pass over the shared persisted window frame: per-hash "
+    "keeper = globally smallest (doc, pos), removable/keeper spans via "
+    "per-document islands, token filter as a pure array expression — "
+    "the registry twin of Engine.substr_dedup_cut's read side "
+    "(operators/substr.exact_substr_cut). Output is scalar-only "
+    "(doc_id, md5 of the cleaned text): sequence-sensitive, "
+    "driver-canonicalizable",
+)
+def q_substr_cut_docs(spark, sf_dir):
+    from go_vectorsearch_spark.operators import substr as SUB
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = SUB.exact_substr_cut(
+        docs, L=_SUBSTR_L, windows=_substr_windows_cached(spark, sf_dir)
+    )
+    return cut.select("doc_id", F.md5(F.col("text")).alias("cut_md5"))
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=rf"""
@@ -2236,15 +2323,15 @@ def q_multimodal_features(spark, sf_dir):
     return MM.decode_features(media)
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle=f"""
+# Demoted (r8) to tests/test_demoted_parity.py — ceded its window slot
+# to substr_cut_docs (the keeper-protected cut's full oracle); the
+# multimodal family stays represented in-window by multimodal_features.
+MULTIMODAL_FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id AS media_id, unnest(generate_series(0, 1000 + (doc_id % 10) * 500, 500)) AS frame_ms
 FROM documents WHERE {_SQL_KIND} = 'video'
-""",
-    doc="Video frame-sampling plan at 2 fps: pure sequence+explode "
-    "expressions over duration metadata (operators/multimodal.frame_sample)",
-)
+"""
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     media = MM.synth_media(_t(spark, sf_dir, "documents"))
     return MM.frame_sample(media, fps=2.0)
@@ -3712,7 +3799,10 @@ enc AS (
 )
 SELECT tk.doc_id,
        coalesce(len(e.tokens), 0)::INT AS n_tokens,
-       md5(array_to_string(coalesce(e.tokens, []), ' ')) AS tokens_md5
+       -- outer coalesce: DuckDB's array_to_string([]) is NULL where
+       -- Spark's concat_ws is '' — a token-less doc must hash md5('')
+       md5(coalesce(array_to_string(coalesce(e.tokens, []), ' '), ''))
+         AS tokens_md5
 FROM toks tk LEFT JOIN enc e ON e.doc_id = tk.doc_id
 """
 

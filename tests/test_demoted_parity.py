@@ -57,6 +57,10 @@ DEMOTED = [
     # r8 addition (never windowed): the IVF-PQ exactness limit at the
     # DuckDB bar — nprobe=all + full exact re-rank ≡ brute force
     (Q.q_ann_ivfpq_exact, Q.ANN_IVFPQ_EXACT_ORACLE),
+    # r8 demotion — ceded its window slot to substr_cut_docs (the
+    # keeper-protected cut's full oracle); multimodal stays in-window
+    # via multimodal_features
+    (Q.q_multimodal_frame_sample, Q.MULTIMODAL_FRAME_SAMPLE_ORACLE),
 ]
 
 
