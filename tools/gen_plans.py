@@ -108,6 +108,11 @@ PICKS = [
      "hashed-shingle frame with the per-doc set size riding each row, one equi-self-join "
      "on the shingle hash, and Jaccard straight off the pair-count aggregate — no "
      "size-frame join-backs. Every shuffled row is ints; raw text never moves."),
+    ("substr_cut_docs", "Keeper-protected exact-substring cut (windowed r8): keeper "
+     "aggregate (min struct per 16-byte window hash) + flag join over the SHARED "
+     "persisted window frame, removable/keeper islands per document (partitioned "
+     "windows), token filter as a pure array expression; raw text moves only in the "
+     "final per-document rebuild projection."),
 ]
 
 out = []
