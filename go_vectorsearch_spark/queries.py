@@ -2110,6 +2110,61 @@ def q_decontaminate_spans(spark, sf_dir):
     )
 
 
+# Demoted-parity twin (tests/test_demoted_parity.py, never windowed):
+# the benchmark-cut write path at the full DuckDB bar — the no-keeper
+# simplification of the windowed substr_cut_docs oracle (every matched
+# window is removable; contaminated text has no copy worth keeping).
+DECONTAMINATE_CUT_ORACLE = rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text,
+         {_SQL_TOKENS} AS tl,
+         regexp_split_to_array(trim(text), '\s+') AS torig
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tl) - {_DECON_L} + 1, 0)),
+           i -> {{'pos': i,
+                  'wh': unhex(md5(array_to_string(
+                          tl[i:i + {_DECON_L - 1}], ' ')))}})) AS z
+  FROM t
+),
+w2 AS MATERIALIZED (SELECT doc_id, z.pos AS pos, z.wh AS wh FROM w),
+bench AS (SELECT DISTINCT wh FROM w2 WHERE doc_id % 97 = 0),
+rmp AS (
+  SELECT doc_id, list(pos) AS rp FROM w2
+  WHERE doc_id % 97 <> 0 AND wh IN (SELECT wh FROM bench)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(CASE WHEN r.rp IS NULL THEN t.text
+           ELSE coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(t.torig) + 1),
+               i -> len(list_filter(r.rp,
+                          p -> i >= p AND i <= p + {_DECON_L - 1})) = 0),
+             i -> t.torig[i::INT]), ' '), '')
+           END) AS cut_md5
+FROM t LEFT JOIN rmp r USING (doc_id)
+WHERE t.doc_id % 97 <> 0
+"""
+
+
+def q_decontaminate_cut_docs(spark, sf_dir):
+    from go_vectorsearch_spark.operators import substr as SUB
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_cached(spark, sf_dir)
+    cut = SUB.decontaminate_cut(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        L=_DECON_L,
+        corpus_tokenized=toks.filter(F.col("_id") % 97 != 0),
+        bench_tokenized=toks.filter(F.col("_id") % 97 == 0),
+    )
+    return cut.select("doc_id", F.md5(F.col("text")).alias("cut_md5"))
+
+
 # Demoted (r6) to tests/test_demoted_parity.py — ceded its window slot
 # to the r5 pipeline operators (cdc/bpe/ngram/token-budget).
 SAMPLE_STRATIFIED_ORACLE = """

@@ -61,6 +61,9 @@ DEMOTED = [
     # keeper-protected cut's full oracle); multimodal stays in-window
     # via multimodal_features
     (Q.q_multimodal_frame_sample, Q.MULTIMODAL_FRAME_SAMPLE_ORACLE),
+    # r8 addition (never windowed): the benchmark-cut write path at the
+    # full DuckDB bar — the no-keeper twin of substr_cut_docs
+    (Q.q_decontaminate_cut_docs, Q.DECONTAMINATE_CUT_ORACLE),
 ]
 
 
