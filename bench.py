@@ -153,6 +153,14 @@ def main() -> None:
     registry._substr_windows_cached(spark, sf_dir)
     timings["substr_window_build"] = round(time.perf_counter() - t0, 3)
 
+    # the duplicated-window flags frame (_id, pos, _keep) shared by the
+    # stats AND cut entries — the family's one duplicate-set shuffle,
+    # paid once per corpus (r9; previously each entry re-aggregated the
+    # window frame)
+    t0 = time.perf_counter()
+    registry._substr_flags_cached(spark, sf_dir)
+    timings["substr_flags_build"] = round(time.perf_counter() - t0, 3)
+
     # PQ codebook train + corpus encode: the codes column is written
     # once per corpus at scale (same contract as the IVF assignment)
     t0 = time.perf_counter()

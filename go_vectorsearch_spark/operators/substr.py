@@ -118,6 +118,40 @@ def duplicated_windows(windows: DataFrame) -> DataFrame:
     return windows.join(dup, "_wh").select("_id", "pos")
 
 
+def duplicate_flags(windows: DataFrame) -> DataFrame:
+    """(_id, pos, _keep): every occurrence of a corpus-duplicated window,
+    flagged with whether it is the KEEPER — the occurrence with the
+    globally smallest (doc, pos) of its hash.
+
+    The shared family subframe: the stats path's duplicated-window
+    positions are ALL rows of this frame (keeper or not — a duplicated
+    window is duplicated regardless of which copy survives a cut), and
+    the cut path's removable/keeper split is exactly the ``_keep``
+    partition. Computing the flag costs the stats path nothing beyond a
+    min(struct) riding the same count aggregate on the same ``_wh``
+    partitioning, so one persisted frame serves both
+    :func:`exact_substr_stats` and :func:`exact_substr_cut` — the
+    duplicate-set shuffle over the corpus-token-sized window frame is
+    paid once per corpus instead of once per consumer.
+    """
+    dup = (
+        windows.groupBy("_wh")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct("_id", "pos")).alias("_k"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("_wh", "_k")
+    )
+    return windows.join(dup, "_wh").select(
+        "_id",
+        "pos",
+        (
+            (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
+        ).alias("_keep"),
+    )
+
+
 def _merge_islands(positions: DataFrame, L: int) -> DataFrame:
     """Gaps-and-islands over per-document window positions.
 
@@ -162,6 +196,7 @@ def exact_substr_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     windows: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per document.
 
@@ -175,7 +210,13 @@ def exact_substr_spans(
     scans + tokenizes + hashes the corpus twice — the dominant map
     cost at scale. Pass a persisted frame to pay it once (the
     shingled_docs sharing pattern; the registry does).
+
+    ``flags`` — a prebuilt (persisted) :func:`duplicate_flags` frame;
+    supersedes ``windows``. Pass it when the cut path shares the same
+    corpus so the duplicate-set aggregate + join-back is also paid once.
     """
+    if flags is not None:
+        return _merge_islands(flags.select("_id", "pos"), L)
     w = windows if windows is not None else window_hashes(df, L, id_col, text_col)
     return _merge_islands(duplicated_windows(w), L)
 
@@ -186,16 +227,17 @@ def exact_substr_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     windows: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplication statistics — the curation signal.
 
     One row per document that contains at least one duplicated L-token
     window: (doc_id, n_spans, dup_tokens, n_dup_windows). ``dup_tokens``
     is the total token count inside maximal duplicated spans — the
-    quantity a cleaning job budgets its cuts by. ``windows`` as in
-    :func:`exact_substr_spans`.
+    quantity a cleaning job budgets its cuts by. ``windows`` / ``flags``
+    as in :func:`exact_substr_spans`.
     """
-    spans = exact_substr_spans(df, L, id_col, text_col, windows=windows)
+    spans = exact_substr_spans(df, L, id_col, text_col, windows=windows, flags=flags)
     return spans.groupBy("_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e_pos") - F.col("s_pos") + 1).alias("dup_tokens"),
@@ -210,6 +252,7 @@ def exact_substr_cut(
     text_col: str = "text",
     iterate: int = 1,
     windows: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
 
@@ -244,10 +287,13 @@ def exact_substr_cut(
     ``windows`` — a prebuilt (persisted) :func:`window_hashes` frame for
     the FIRST pass only (the keeper aggregate and the flag join both
     reference it; later fixpoint passes hash their own pass's text).
+    ``flags`` — a prebuilt (persisted) :func:`duplicate_flags` frame,
+    superseding ``windows`` for the first pass: when the stats path
+    shares the corpus, the duplicate-set shuffle is paid once for both.
     """
     if iterate < 1:
         raise ValueError(f"exact_substr_cut: iterate must be >= 1, got {iterate}")
-    out = _cut_once(df, L, id_col, text_col, windows=windows)
+    out = _cut_once(df, L, id_col, text_col, windows=windows, flags=flags)
     if iterate == 1:
         return out
     from pyspark import StorageLevel
@@ -278,25 +324,18 @@ def _cut_once(
     id_col: str,
     text_col: str,
     windows: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """One keeper-protected cut pass (see :func:`exact_substr_cut`)."""
-    w = windows if windows is not None else window_hashes(df, L, id_col, text_col)
-    dup = (
-        w.groupBy("_wh")
-        .agg(
-            F.count("*").alias("_c"),
-            F.min(F.struct("_id", "pos")).alias("_k"),
+    if flags is not None:
+        flagged = flags
+    else:
+        w = (
+            windows
+            if windows is not None
+            else window_hashes(df, L, id_col, text_col)
         )
-        .filter(F.col("_c") > 1)
-        .select("_wh", "_k")
-    )
-    flagged = w.join(dup, "_wh").select(
-        "_id",
-        "pos",
-        (
-            (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
-        ).alias("_keep"),
-    )
+        flagged = duplicate_flags(w)
     rm_spans = _span_arrays(
         _merge_islands(flagged.filter(~F.col("_keep")).select("_id", "pos"), L),
         "_rm",
@@ -314,6 +353,117 @@ def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
     consumes (a document has at most |tokens|/L spans)."""
     return spans.groupBy("_id").agg(
         F.array_sort(F.collect_list(F.struct("s_pos", "e_pos"))).alias(out_col)
+    )
+
+
+def _subtract_spans(rm: Column, kp: Column, empty: Column) -> Column:
+    """Interval subtraction ``rm ⊖ kp`` over two SORTED, DISJOINT span
+    arrays — pure Catalyst expressions, LINEAR in the span counts.
+
+    The naive per-rm scan of the keeper array is O(|rm|·|kp|) — genuinely
+    quadratic-ish for a pathological million-token document whose span
+    counts both track its length. Instead, each removable span's
+    overlapping keepers form a CONTIGUOUS run of the keeper array (both
+    families are internally disjoint and sorted), and the run bounds
+    come from merge-rank arithmetic, no per-rm scan:
+
+      lo[j] = |{k : k.e_pos <  rm[j].s_pos}|   (keepers entirely before)
+      hi[j] = |{k : k.s_pos <= rm[j].e_pos}|   (keepers starting in time)
+
+    Each count is one array_sort of the merged boundary multiset + one
+    indexed transform: an rm boundary landing at merged position m with
+    rm-rank j has exactly m − j keeper boundaries before it. Ties break
+    by an explicit type tag (a keeper ending AT rm.s_pos still overlaps;
+    a keeper starting AT rm.e_pos still overlaps). The overlapping run
+    ``slice(kp, lo+1, hi−lo)`` then feeds a running-cursor fold emitting
+    the uncovered gaps inside each rm span; total fold work is linear
+    because overlapping (rm, kp) pairs between two disjoint families are
+    O(|rm| + |kp|) — every pair past the first per rm span consumes a
+    distinct keeper end.
+
+    lo/hi are bound ONCE per row via a single-element let-binding array
+    (referencing an aliased column from inside a HOF lambda risks the
+    optimizer inlining the array_sort into the per-element body —
+    CollapseProject dedupes by reference count at PLAN level, blind to
+    per-element re-evaluation)."""
+
+    def _ranks(kp_key, rm_key, kp_t: int, rm_t: int) -> Column:
+        merged = F.array_sort(
+            F.concat(
+                F.transform(
+                    kp,
+                    lambda k, i: F.struct(
+                        kp_key(k).alias("v"), F.lit(kp_t).alias("t"), i.alias("j")
+                    ),
+                ),
+                F.transform(
+                    rm,
+                    lambda r, i: F.struct(
+                        rm_key(r).alias("v"), F.lit(rm_t).alias("t"), i.alias("j")
+                    ),
+                ),
+            )
+        )
+        indexed = F.transform(
+            merged,
+            lambda x, m: F.struct(x["t"].alias("t"), (m - x["j"]).alias("c")),
+        )
+        return F.transform(
+            F.filter(indexed, lambda x: x["t"] == F.lit(rm_t)), lambda x: x["c"]
+        )
+
+    # lo: strict e_pos < s_pos, so a tie sorts the rm boundary FIRST
+    # (rm_t < kp_t); hi: inclusive s_pos <= e_pos, keeper first on tie
+    lo = _ranks(lambda k: k["e_pos"], lambda r: r["s_pos"], kp_t=1, rm_t=0)
+    hi = _ranks(lambda k: k["s_pos"], lambda r: r["e_pos"], kp_t=0, rm_t=1)
+
+    def _minus_run(z):
+        def one(r, j):
+            a = F.element_at(z["lo"], j + 1)
+            b = F.element_at(z["hi"], j + 1)
+            overl = F.slice(kp, a + 1, F.greatest(F.lit(0), b - a))
+            init = F.struct(r["s_pos"].alias("cur"), empty.alias("acc"))
+            return F.aggregate(
+                overl,
+                init,
+                lambda st, k: F.struct(
+                    F.greatest(st["cur"], k["e_pos"] + 1).alias("cur"),
+                    F.when(
+                        k["s_pos"] > st["cur"],
+                        F.concat(
+                            st["acc"],
+                            F.array(
+                                F.struct(
+                                    st["cur"].alias("s_pos"),
+                                    (k["s_pos"] - 1).alias("e_pos"),
+                                )
+                            ),
+                        ),
+                    )
+                    .otherwise(st["acc"])
+                    .alias("acc"),
+                ),
+                lambda st: F.when(
+                    st["cur"] <= r["e_pos"],
+                    F.concat(
+                        st["acc"],
+                        F.array(
+                            F.struct(
+                                st["cur"].alias("s_pos"),
+                                r["e_pos"].alias("e_pos"),
+                            )
+                        ),
+                    ),
+                ).otherwise(st["acc"]),
+            )
+
+        return F.flatten(F.transform(rm, one))
+
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(lo.alias("lo"), hi.alias("hi"))), _minus_run
+        ),
+        1,
     )
 
 
@@ -336,15 +486,22 @@ def _rebuild_without_spans(
     original-case tokens joined by single spaces (token-level surgery
     cannot preserve the surrounding whitespace it cuts across —
     documented, inherent). Pure array expressions — no Python, raw text
-    moves only in this final per-document stage."""
+    moves only in this final per-document stage.
+
+    Cost shape: both span arrays arrive SORTED and DISJOINT (islands are
+    maximal; :func:`_span_arrays` array_sorts), so the filter is span
+    arithmetic first — effective cut spans = ``_rm`` minus ``_kp`` via
+    :func:`_subtract_spans` (merge-based interval subtraction, linear in
+    the span counts) — then ONE pass of gap slices over the token array
+    (total output O(tokens)). Linear in document length, unlike a
+    per-token exists scan over the span arrays (O(tokens × spans), which
+    degrades quadratically on a long document whose span count tracks
+    its length)."""
     empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
     toked = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text0"),
         ws_tokens(F.col(text_col), lower=False).alias("_orig"),
-    )
-    covered = lambda spans, i: F.exists(  # noqa: E731
-        spans, lambda s: (i >= s["s_pos"]) & (i <= s["e_pos"])
     )
     joined = toked.join(rm_spans, "_id", "left")
     if keep_spans is not None:
@@ -358,15 +515,32 @@ def _rebuild_without_spans(
         F.coalesce("_rm", empty).alias("_rm"),
         F.coalesce("_kp", empty).alias("_kp"),
     )
-    kept_tokens = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_orig")),
-            lambda i: F.struct(i.alias("i"), F.element_at("_orig", i).alias("t")),
-        ),
-        lambda z: ~covered(F.col("_rm"), z["i"]) | covered(F.col("_kp"), z["i"]),
+
+    # cuts inherits sorted+disjoint from _rm (subtraction only shrinks
+    # spans in place; flatten preserves order)
+    with_cuts = joined.withColumn(
+        "_cuts", _subtract_spans(F.col("_rm"), F.col("_kp"), empty)
     )
-    rebuilt = F.concat_ws(" ", F.transform(kept_tokens, lambda z: z["t"]))
-    return joined.select(
+    # kept tokens = the gaps BETWEEN cut spans, assembled by slice:
+    # gap 0 = [1, cuts[1].s_pos-1], gap i = [cuts[i].e_pos+1,
+    # cuts[i+1].s_pos-1], last gap runs to the end of the token array
+    n_cuts = F.size("_cuts")
+    n_toks = F.size("_orig")
+
+    def _gap_slice(i):
+        start = F.when(i == 0, F.lit(1)).otherwise(
+            F.element_at(F.col("_cuts"), i)["e_pos"] + 1
+        )
+        end = F.when(i == n_cuts, n_toks).otherwise(
+            F.element_at(F.col("_cuts"), i + 1)["s_pos"] - 1
+        )
+        return F.slice(F.col("_orig"), start, F.greatest(F.lit(0), end - start + 1))
+
+    kept_tokens = F.flatten(
+        F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice)
+    )
+    rebuilt = F.concat_ws(" ", kept_tokens)
+    return with_cuts.select(
         F.col("_id").alias(id_col),
         F.when(F.size("_rm") == 0, F.col("_text0"))
         .otherwise(rebuilt)

@@ -1584,6 +1584,23 @@ def _substr_windows_cached(spark, sf_dir):
     )
 
 
+def _substr_flags_cached(spark, sf_dir):
+    # the duplicated-window FAMILY subframe (_id, pos, _keep): the
+    # stats entry's duplicated positions are all its rows, the cut
+    # entry's removable/keeper split is the _keep partition — so the
+    # duplicate-set shuffle over the corpus-token-sized window frame
+    # (the family's one big groupBy + join-back) is paid once for both
+    # registry entries; bench.py bills it to substr_flags_build
+    from go_vectorsearch_spark.operators import substr as SUB
+
+    return _dedup_cached(
+        spark,
+        "substr_flags",
+        sf_dir,
+        lambda: SUB.duplicate_flags(_substr_windows_cached(spark, sf_dir)),
+    )
+
+
 @register(
     "dedup_exact_substr",
     oracle=rf"""
@@ -1636,7 +1653,7 @@ def q_dedup_exact_substr(spark, sf_dir):
     return SUB.exact_substr_stats(
         _t(spark, sf_dir, "documents"),
         L=_SUBSTR_L,
-        windows=_substr_windows_cached(spark, sf_dir),
+        flags=_substr_flags_cached(spark, sf_dir),
     )
 
 
@@ -1722,7 +1739,7 @@ def q_substr_cut_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     cut = SUB.exact_substr_cut(
-        docs, L=_SUBSTR_L, windows=_substr_windows_cached(spark, sf_dir)
+        docs, L=_SUBSTR_L, flags=_substr_flags_cached(spark, sf_dir)
     )
     return cut.select("doc_id", F.md5(F.col("text")).alias("cut_md5"))
 

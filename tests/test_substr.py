@@ -236,6 +236,41 @@ def test_cut_preserves_original_case(spark):
     assert cut[2] == "unique"  # duplicated window cut, case kept
 
 
+def test_cut_long_doc_many_spans_linear(spark):
+    """The token filter stays linear on a LONG document dense with
+    spans (the pathological shape for a per-token exists scan over the
+    span arrays: here ~56k tokens with ~10k interleaved removable AND
+    keeper spans — O(tokens × spans) would be ~5×10⁸ struct probes per
+    array). The merge-rank interval subtraction + gap-slice rebuild
+    (operators/substr._subtract_spans) must complete in bounded time
+    with output identical to the naive reference."""
+    import time
+
+    k, L4 = 3500, 4
+    phr = lambda tag, i: " ".join(f"{tag}{i}w{t}" for t in range(L4))  # noqa: E731
+    # doc 1 holds the keeper copies of P_i; doc 2 interleaves removable
+    # P_i copies with its OWN twice-occurring Q_i (first copy = keeper
+    # span IN doc 2, tail copy = removable) — so doc 2's rm and kp
+    # arrays are both span-dense and interleaved
+    d1 = " ".join(f"a{i} {phr('p', i)}" for i in range(k))
+    d2 = (
+        " ".join(f"b{i} {phr('p', i)} c{i} {phr('q', i)}" for i in range(k))
+        + " "
+        + " ".join(f"d{i} {phr('q', i)}" for i in range(k))
+    )
+    docs = {1: d1, 2: d2}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    t0 = time.perf_counter()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in S.exact_substr_cut(df, L4).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got == _naive_cut_once(docs, L4)
+    # generous CI bound — the quadratic filter takes tens of minutes here
+    assert elapsed < 120, f"long-doc cut took {elapsed:.0f}s"
+
+
 def test_no_python_in_plan(spark, docs):
     plan = (
         S.exact_substr_stats(docs, L)
