@@ -83,6 +83,14 @@ _TABLE_KEYS = {
 # is just a full write() with a new expression.
 N_DOC_BUCKETS = 32
 N_BAND_BUCKETS = 16  # near-dup band-store partitions (band-key hash)
+# span-cut commit shape switch: at or below this many changed documents
+# the write path uses point-delete machinery (driver-held id lists —
+# manifest tombstones, isin literals pruned at the scan; the r6 IVF
+# split loop learned the same cap); above it everything stays
+# frame-shaped end-to-end — a realistic whole-corpus cut changes
+# 10-50% of documents, which at the 100 TB design point is 1e8+ ids
+# that must never be collect()ed, isin()ed, or written into a manifest
+BULK_REWRITE_CAP = 10_000
 _PARTITION_EXPRS = {
     "embeddings": "centroid_id",
     "documents": f"pmod(document_id, {N_DOC_BUCKETS})",
@@ -1862,15 +1870,26 @@ class Engine:
         )
 
     def _category_doc_texts(
-        self, cid: int, document_ids: list[int] | None = None
+        self,
+        cid: int,
+        document_ids: list[int] | DataFrame | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """(document_id, _text) of a category via the SAME
-        flatten(payload_json) every other text consumer sees; an id list
-        prunes the read to the ids' hash buckets at the manifest level."""
+        flatten(payload_json) every other text consumer sees. An id LIST
+        prunes the read to the ids' hash buckets at the manifest level
+        (the point-lookup shape, bounded driver literals); an id FRAME
+        semi-joins instead — the bulk shape, no O(ids) driver
+        materialization — optionally pruned by a precomputed ``buckets``
+        list (bounded by N_DOC_BUCKETS regardless of id count)."""
         from go_vectorsearch_spark.operators.documents import flatten_json_udf
 
         if document_ids is None:
             base = self.t["documents"].read()
+        elif isinstance(document_ids, DataFrame):
+            base = self.t["documents"].read(partition_values=buckets).join(
+                document_ids.select("document_id"), "document_id", "left_semi"
+            )
         else:
             base = self.t["documents"].read(
                 partition_values=sorted(
@@ -1981,8 +2000,32 @@ class Engine:
         content instead of the pre-cut embeddings. Costs one embed call
         per changed chunk; assignment reuses the category's existing
         centroids (run refresh_index after bulk cuts if drift matters).
-        Returns the number of rewritten documents."""
-        from go_vectorsearch_spark.operators.documents import json_string_udf
+
+        Scale shape: the CHANGED set stays a DataFrame end-to-end. The
+        only driver-side materializations are bounded regardless of how
+        many documents a cut touches — the distinct bucket keys
+        (≤ N_DOC_BUCKETS), the touched centroid partitions, and one
+        min-id scalar. At or below :data:`BULK_REWRITE_CAP` changed
+        documents the derived stores take the point-delete route
+        (manifest tombstones + pruned isin literals — the right shape
+        for a targeted cut); above it the text index REBUILDS over the
+        cut snapshot (a whole-corpus cut changes a constant fraction of
+        documents, so the rebuild is proportional work and scores
+        bit-identically to tombstone + compact + append) and the band
+        store rewrite anti-joins the changed frame. Cleaned text is
+        :func:`~go_vectorsearch_spark.operators.documents.format_text_udf`
+        normalized before storage, so flatten(new payload) round-trips
+        to EXACTLY the stored text; the fixpoint in
+        :func:`~go_vectorsearch_spark.operators.substr.exact_substr_cut`
+        runs pre-normalization, so a duplicated window involving the
+        re-normalized final token can in principle survive one call — a
+        further call converges it (same Lee-et-al single-pass caveat the
+        iterate= parameter documents). Returns the number of rewritten
+        documents."""
+        from go_vectorsearch_spark.operators.documents import (
+            format_text_udf,
+            json_string_udf,
+        )
         from go_vectorsearch_spark.operators.fulltext import tokenize
 
         texts = self._category_doc_texts(cid)
@@ -1994,18 +2037,37 @@ class Engine:
             # delete_documents pattern)
             .select(
                 "document_id",
-                "text",
+                format_text_udf(F.col("text")).alias("text"),
                 F.size(tokenize(F.col("_text"))).alias("_dl"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
         try:
-            meta = changed.select("document_id", "_dl").collect()
-            if not meta:
+            n_changed = int(changed.count())
+            # the count above fully materialized `changed`, the only
+            # consumer of the cut plan — release the fixpoint loop's
+            # persisted frame (iterate>1 returns `cur` persisted; unpersist
+            # on an uncached frame is a no-op)
+            cut.unpersist()
+            if n_changed == 0:
                 return 0
-            changed_ids = sorted(r["document_id"] for r in meta)
-            dl_by_doc = {r["document_id"]: int(r["_dl"]) for r in meta}
-            buckets = sorted({i % N_DOC_BUCKETS for i in changed_ids})
+            ids = changed.select("document_id")
+            # bounded by N_DOC_BUCKETS no matter how many docs changed
+            buckets = sorted(
+                int(r[0])
+                for r in ids.select(
+                    F.pmod(F.col("document_id"), F.lit(N_DOC_BUCKETS)).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            small = n_changed <= BULK_REWRITE_CAP
+            changed_ids = None
+            dl_by_doc = None
+            if small:
+                meta = changed.select("document_id", "_dl").collect()
+                changed_ids = sorted(r["document_id"] for r in meta)
+                dl_by_doc = {r["document_id"]: int(r["_dl"]) for r in meta}
             upd = (
                 self.t["documents"]
                 .read(partition_values=buckets)
@@ -2020,66 +2082,98 @@ class Engine:
                 )
             )
             self.t["documents"].upsert(upd, "document_id")
+            if re_embed:
+                self._re_embed_documents(
+                    cid, ids, buckets, document_ids=changed_ids
+                )
+            # text index: below the cap, tombstone the pre-cut postings,
+            # COMPACT (a tombstoned id stays hidden until compaction
+            # clears the list — append alone would leave the
+            # re-tokenized documents invisible), then append the changed
+            # documents re-read from the NEW snapshot. Above the cap,
+            # rebuild over the cut snapshot — proportional work for a
+            # whole-corpus cut, id-list-free, and bit-identical scoring
+            # either way.
+            tpath = self._text_index_path(cid)
+            if os.path.exists(f"{tpath}/VERSION"):
+                from go_vectorsearch_spark.operators.fulltext import (
+                    _store_manifest,
+                    _store_version,
+                    compact_postings,
+                    delete_postings,
+                )
+
+                if small:
+                    delete_postings(
+                        self.spark, tpath, changed_ids, dl_by_doc=dl_by_doc
+                    )
+                    compact_postings(self.spark, tpath)
+                    self.append_text_index(owner, category, changed_ids)
+                else:
+                    n_buckets = int(
+                        _store_manifest(tpath, _store_version(tpath))[
+                            "n_buckets"
+                        ]
+                    )
+                    self.build_text_index(owner, category, n_buckets=n_buckets)
+            # near-dup band store: the changed documents' band rows
+            # derive from the text — rewrite exactly theirs under the
+            # store's cross-process lock (the compact_neardup_index
+            # discipline); the changed set joins as a frame, never as
+            # an id literal
+            if os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
+                t = self._neardup_table(cid)
+                with t._write_lock():
+                    kept = t.read().join(ids, "document_id", "left_anti")
+                    fresh = self._doc_band_rows(
+                        self._category_doc_texts(
+                            cid, changed_ids if small else ids, buckets=buckets
+                        ),
+                        "document_id",
+                    )
+                    t.write(kept.unionByName(fresh))
+            self._invalidate_cache()
+            return n_changed
         finally:
             changed.unpersist()
-        if re_embed:
-            self._re_embed_documents(cid, changed_ids, buckets)
-        # text index: tombstone the pre-cut postings, COMPACT (a
-        # tombstoned id stays hidden until compaction clears the list —
-        # append alone would leave the re-tokenized documents invisible),
-        # then append the changed documents re-read from the NEW
-        # snapshot. A cut pass is whole-corpus curation, so the
-        # postings rewrite is proportional work, and the result scores
-        # bit-identically to a full rebuild over the cut corpus.
-        tpath = self._text_index_path(cid)
-        if os.path.exists(f"{tpath}/VERSION"):
-            from go_vectorsearch_spark.operators.fulltext import (
-                compact_postings,
-                delete_postings,
-            )
-
-            delete_postings(self.spark, tpath, changed_ids, dl_by_doc=dl_by_doc)
-            compact_postings(self.spark, tpath)
-            self.append_text_index(owner, category, changed_ids)
-        # near-dup band store: the changed documents' band rows derive
-        # from the text — rewrite exactly theirs under the store's
-        # cross-process lock (the compact_neardup_index discipline)
-        if os.path.exists(f"{self._neardup_path(cid)}/VERSION"):
-            t = self._neardup_table(cid)
-            with t._write_lock():
-                kept = t.read().filter(
-                    ~F.col("document_id").isin(changed_ids)
-                )
-                fresh = self._doc_band_rows(
-                    self._category_doc_texts(cid, changed_ids), "document_id"
-                )
-                t.write(kept.unionByName(fresh))
-        self._invalidate_cache()
-        return len(changed_ids)
 
     def _re_embed_documents(
-        self, cid: int, document_ids: list[int], buckets: list[int]
+        self,
+        cid: int,
+        ids: DataFrame,
+        buckets: list[int],
+        document_ids: list[int] | None = None,
     ) -> None:
-        """Swap the embedding rows of ``document_ids`` for fresh ones
-        derived from their CURRENT payloads: the upload path's
-        chunk → embed → quantize → assign stages over the new snapshot,
-        committed with one atomic :meth:`_VersionedTable.replace_partitions`
-        (touched centroid partitions lose the stale rows and gain the
-        fresh assignments in the same version — no reader ever sees a
-        document half-vectored)."""
-        docs = (
-            self.t["documents"]
-            .read(partition_values=buckets)
-            .filter(
-                F.col("document_id").isin(list(document_ids))
-                & (F.col("category_id") == cid)
-            )
-            .select(
-                F.col("document_id").alias("doc_id"),
-                "name",
-                "external_id",
-                "payload_json",
-            )
+        """Swap the embedding rows of the ``ids`` frame's documents for
+        fresh ones derived from their CURRENT payloads: the upload
+        path's chunk → embed → quantize → assign stages over the new
+        snapshot, committed with one atomic
+        :meth:`_VersionedTable.replace_partitions` (touched centroid
+        partitions lose the stale rows and gain the fresh assignments in
+        the same version — no reader ever sees a document
+        half-vectored).
+
+        ``ids`` — a (document_id) frame, joined semi/anti into every
+        scan; ``document_ids`` — the same set as a bounded list when
+        the caller is below :data:`BULK_REWRITE_CAP` (pruned isin
+        literals, the point shape). The only driver materializations
+        are the touched centroid partitions (bounded by the category's
+        centroid count) and one min-id scalar."""
+        id_filter = (
+            F.col("document_id").isin(list(document_ids))
+            if document_ids is not None
+            else None
+        )
+        docs = self.t["documents"].read(partition_values=buckets)
+        if id_filter is not None:
+            docs = docs.filter(id_filter)
+        else:
+            docs = docs.join(ids, "document_id", "left_semi")
+        docs = docs.filter(F.col("category_id") == cid).select(
+            F.col("document_id").alias("doc_id"),
+            "name",
+            "external_id",
+            "payload_json",
         )
         chunks = dequantized_vector(
             self._embed_chunks(prepare_chunks(docs, ctx_num=2048))
@@ -2097,9 +2191,13 @@ class Engine:
                 out_col="centroid_id",
             )
             base_emb = self._next_id("embeddings", "embedding_id")
-            new_emb = assign_embedding_ids(
-                assigned, base_emb, min(document_ids)
-            ).select(
+            # one scalar aggregate, not min() over a driver list
+            base_doc = (
+                min(document_ids)
+                if document_ids is not None
+                else int(ids.agg(F.min("document_id")).head()[0])
+            )
+            new_emb = assign_embedding_ids(assigned, base_emb, base_doc).select(
                 "embedding_id",
                 F.col("doc_id").alias("document_id"),
                 "centroid_id",
@@ -2108,17 +2206,27 @@ class Engine:
                 "hi",
             )
             emb_t = self.t["embeddings"]
-            stale = F.col("document_id").isin(list(document_ids))
+
+            def _stale(df: DataFrame) -> DataFrame:
+                if id_filter is not None:
+                    return df.filter(id_filter)
+                return df.join(ids, "document_id", "left_semi")
+
+            def _live(df: DataFrame) -> DataFrame:
+                if id_filter is not None:
+                    return df.filter(~id_filter)
+                return df.join(ids, "document_id", "left_anti")
+
+            # bounded by the category's centroid count, not by |ids|
             touched = [
                 r[0]
-                for r in emb_t.read()
-                .filter(stale)
+                for r in _stale(emb_t.read())
                 .select("centroid_id")
                 .distinct()
                 .collect()
             ]
             if touched:
-                survivors = emb_t.read(partition_values=touched).filter(~stale)
+                survivors = _live(emb_t.read(partition_values=touched))
                 emb_t.replace_partitions(
                     survivors.unionByName(new_emb), touched
                 )

@@ -137,6 +137,20 @@ def flatten_json_udf(payload: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def format_text_udf(text: pd.Series) -> pd.Series:
+    """Apply the reference's string normalization (:func:`_format_string`:
+    CR-strip, newline collapse, trim, trailing period) to a plain-text
+    column. The substring-cut write path normalizes a CUT document's
+    cleaned text with this BEFORE storage, so flatten(new payload)
+    round-trips to exactly the stored text — without it, a cut that
+    removes the document's final period-bearing token stores a text
+    flatten re-normalizes on every later read (change detection would
+    then see a phantom diff on the next pass). Idempotent on its own
+    output."""
+    return text.map(lambda s: _format_string(s) if s is not None else "")
+
+
+@F.pandas_udf(StringType())
 def json_string_udf(text: pd.Series) -> pd.Series:
     """Encode a plain-text column as its JSON string literal — the
     inverse direction of :func:`flatten_json_udf` for documents whose

@@ -170,14 +170,15 @@ def pca_search_rerank(
     pca_col: str = "pca",
 ) -> DataFrame:
     """Two-stage search over a corpus carrying a projected column:
-    reduced-space dot shortlist (k-wide scan) → exact-cosine re-rank of
-    the shortlist's full vectors only. Returns (id_col, score) in the
-    engine's (round-6 desc, id asc) total order.
+    reduced-space COSINE shortlist (k-wide scan) → exact-cosine re-rank
+    of the shortlist's full vectors only. Returns (id_col, score) in
+    the engine's (round-6 desc, id asc) total order.
 
     With an uncentered model at k = d the shortlist order equals the
-    exact dot order (orthogonal rotation), so ``shortlist_mult`` trades
-    recall for scan width only when k < d — the recall tests calibrate
-    the trade on the fixture corpus.
+    exact cosine order (an orthogonal rotation preserves dots AND
+    norms — the `ann_pca_exact` anchor pins it), so ``shortlist_mult``
+    trades recall for scan width only when k < d — the recall tests
+    calibrate the trade on the fixture corpus.
     """
     from go_vectorsearch_spark.functions.vector import cosine_similarity
     from go_vectorsearch_spark.operators.search import query_vec_lit

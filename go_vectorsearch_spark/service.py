@@ -740,43 +740,47 @@ class Service:
             or not all(isinstance(t, str) for t in bench)
         ):
             raise BadRequest("'decontaminate' must be a list of strings")
+        # resolve the category UP FRONT — unknown owner/category is the
+        # only client error the engine signals via ValueError here;
+        # engine-internal ValueErrors raised during the cut/re-embed
+        # machinery must surface as 500s, not masquerade as 400s (the
+        # upload route's NearDupIndexMissing discipline)
+        if self.engine._category_id(owner, category) is None:
+            raise BadRequest(f"admin_substr: unknown {owner}/{category}")
         out: dict = {}
-        try:
-            if req.get("report"):
-                out["report"] = [
-                    {
-                        "document_id": r["document_id"],
-                        "n_spans": r["n_spans"],
-                        "dup_tokens": r["dup_tokens"],
-                        "n_dup_windows": r["n_dup_windows"],
-                    }
-                    for r in self.engine.substr_dedup_report(
-                        owner, category, L=L
-                    ).collect()
-                ]
-            if bench is not None and not req.get("cut"):
-                out["contaminated"] = [
-                    {
-                        "document_id": r["document_id"],
-                        "s_pos": r["s_pos"],
-                        "e_pos": r["e_pos"],
-                        "n_windows": r["n_windows"],
-                    }
-                    for r in self.engine.decontaminate_report(
-                        owner, category, bench, L=L
-                    ).collect()
-                ]
-            if req.get("cut"):
-                if bench is not None:
-                    out["cut_documents"] = self.engine.decontaminate_cut(
-                        owner, category, bench, L=L, re_embed=re_embed
-                    )
-                else:
-                    out["cut_documents"] = self.engine.substr_dedup_cut(
-                        owner, category, L=L, iterate=iterate, re_embed=re_embed
-                    )
-        except ValueError as e:  # unknown owner/category = client error
-            raise BadRequest(str(e))
+        if req.get("report"):
+            out["report"] = [
+                {
+                    "document_id": r["document_id"],
+                    "n_spans": r["n_spans"],
+                    "dup_tokens": r["dup_tokens"],
+                    "n_dup_windows": r["n_dup_windows"],
+                }
+                for r in self.engine.substr_dedup_report(
+                    owner, category, L=L
+                ).collect()
+            ]
+        if bench is not None and not req.get("cut"):
+            out["contaminated"] = [
+                {
+                    "document_id": r["document_id"],
+                    "s_pos": r["s_pos"],
+                    "e_pos": r["e_pos"],
+                    "n_windows": r["n_windows"],
+                }
+                for r in self.engine.decontaminate_report(
+                    owner, category, bench, L=L
+                ).collect()
+            ]
+        if req.get("cut"):
+            if bench is not None:
+                out["cut_documents"] = self.engine.decontaminate_cut(
+                    owner, category, bench, L=L, re_embed=re_embed
+                )
+            else:
+                out["cut_documents"] = self.engine.substr_dedup_cut(
+                    owner, category, L=L, iterate=iterate, re_embed=re_embed
+                )
         return out
 
     def admin_stats(self, req: dict) -> dict:

@@ -112,8 +112,10 @@ def decontaminate_filter_stream(
                 bench_text_col=bench_text_col,
                 bench_tokenized=bench_toks,
             )
-        if out.isEmpty():
-            return
+        # write unconditionally: an empty append is harmless, while an
+        # isEmpty() pre-check would execute the cut plan a second time
+        # per micro-batch (isEmpty runs the plan to first row; the
+        # append then recomputes it)
         out.write.mode("append").parquet(out_dir)
 
     return (

@@ -497,6 +497,23 @@ def test_admin_substr_route(served):
     ):
         resp, _ = _call(port, "/api/admin/substr", bad)
         assert resp.status == 400, f"{bad} should be a 400"
+    # engine-INTERNAL ValueErrors surface as 500s, never 400-masqueraded
+    # (the upload route's NearDupIndexMissing discipline): the route
+    # resolves the category up front and has no blanket ValueError net
+    orig = eng.substr_dedup_cut
+
+    def boom(*a, **k):
+        raise ValueError("engine internal")
+
+    eng.substr_dedup_cut = boom
+    try:
+        resp, _ = _call(
+            port, "/api/admin/substr",
+            {"owner": "acme", "category": "sbcat", "cut": True},
+        )
+        assert resp.status == 500
+    finally:
+        eng.substr_dedup_cut = orig
 
 
 def test_admin_compact_route(served):

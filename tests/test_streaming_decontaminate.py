@@ -52,8 +52,25 @@ def _run(spark, tmp, mode):
     return {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
 
 
-def test_cut_mode_trims_quotes_keeps_documents(spark, tmp_path):
+def test_cut_mode_trims_quotes_keeps_documents(spark, tmp_path, monkeypatch):
+    # spy isEmpty: the sink must execute the cut plan ONCE per
+    # micro-batch — an isEmpty() pre-check on the cut output would run
+    # it a second time (isEmpty evaluates the plan to first row, the
+    # append then recomputes it). Only the batch_df guard may remain:
+    # at most one isEmpty call per micro-batch.
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig = DataFrame.isEmpty
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "isEmpty", spy)
     got = _run(spark, tmp_path, "cut")
+    # 2 micro-batches (maxFilesPerTrigger=1 over 2 files)
+    assert len(calls) <= 2, f"{len(calls)} isEmpty calls for 2 batches"
     # every input document is emitted; the quoted passage is gone from
     # the contaminated ones, clean ones round-trip verbatim
     assert set(got) == {1, 2, 3, 4}

@@ -507,6 +507,115 @@ def test_engine_substr_cut_re_embed(spark, tmp_path):
     assert aid in {r["document_id"] for r in hits}
 
 
+def test_engine_bulk_cut_frame_shaped(spark, tmp_path, monkeypatch):
+    """Above BULK_REWRITE_CAP the span-cut commit path stays
+    frame-shaped end-to-end: a cut that changes 150 of 154 documents
+    must produce results bit-identical to the point-delete path while
+    never materializing an O(changed)-sized structure on the driver —
+    asserted by spying every Column.isin literal and every
+    DataFrame.collect result during the cut (bounded by table/bucket
+    constants, NOT by the changed-document count)."""
+    import json as _json
+
+    from pyspark.sql import Column, DataFrame
+
+    from go_vectorsearch_spark import api as A
+
+    shared = "x1 x2 x3 x4 x5"
+    corpus = [("k", f"{shared} k1 k2 k3.")]
+    corpus += [
+        (f"d{i}", f"u{i}a u{i}b {shared} u{i}c.") for i in range(150)
+    ]
+    corpus += [("c1", "clean one text body."), ("c2", "another clean body.")]
+    corpus += [("c3", "third clean body text.")]
+
+    def build(root):
+        e = A.Engine(spark, str(root))
+        e.upload(
+            "o",
+            "c",
+            [
+                {"name": n, "external_id": n, "document": _json.dumps(t)}
+                for n, t in corpus
+            ],
+        )
+        e.build_text_index("o", "c")
+        e.build_neardup_index("o", "c")
+        return e
+
+    def state(e):
+        cid = e._category_id("o", "c")
+        docs = {
+            r["external_id"]: r["payload_json"]
+            for r in e.t["documents"].read().collect()
+        }
+        # embeddings keyed by content (ids may allocate differently)
+        emb = sorted(
+            (r["document_id"], tuple(r["codes"]), r["lo"], r["hi"])
+            for r in e.t["embeddings"].read().collect()
+        )
+        bands = sorted(
+            (r["document_id"], r["band"], r["key"])
+            for r in e._neardup_table(cid).read().collect()
+        )
+        from go_vectorsearch_spark.operators.fulltext import (
+            _store_manifest,
+            _store_version,
+            bm25_search_stored,
+        )
+
+        tpath = e._text_index_path(cid)
+        m = _store_manifest(tpath, _store_version(tpath))
+        hits = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in bm25_search_stored(
+                e.spark, tpath, "x1 x2 x3", k=10
+            ).collect()
+        ]
+        return docs, emb, bands, (int(m["n_docs"]), int(m["sum_dl"])), hits
+
+    e_point = build(tmp_path / "point")
+    assert A.BULK_REWRITE_CAP > 150  # sanity: default takes the point path
+    n1 = e_point.substr_dedup_cut("o", "c", L=4, re_embed=True)
+
+    e_bulk = build(tmp_path / "bulk")
+    monkeypatch.setattr(A, "BULK_REWRITE_CAP", 10)
+    isin_sizes: list[int] = []
+    collect_sizes: list[int] = []
+    orig_isin, orig_collect = Column.isin, DataFrame.collect
+
+    def spy_isin(self, *args):
+        vals = (
+            args[0]
+            if len(args) == 1 and isinstance(args[0], (list, set, tuple))
+            else args
+        )
+        isin_sizes.append(len(vals))
+        return orig_isin(self, *args)
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        collect_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(Column, "isin", spy_isin)
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    try:
+        n2 = e_bulk.substr_dedup_cut("o", "c", L=4, re_embed=True)
+    finally:
+        monkeypatch.setattr(Column, "isin", orig_isin)
+        monkeypatch.setattr(DataFrame, "collect", orig_collect)
+
+    assert n1 == n2 == 150
+    # every driver-side literal/materialization during the bulk cut is
+    # bounded by a layout constant (doc buckets, postings buckets,
+    # centroid count) — 150 changed ids would trip either bound
+    assert max(isin_sizes, default=0) <= 64, isin_sizes
+    assert max(collect_sizes, default=0) <= 64, collect_sizes
+    # bit-identical to the point path, store by store
+    assert state(e_point) == state(e_bulk)
+
+
 def test_engine_decontaminate_cut(spark, tmp_path):
     """decontaminate_cut removes the quoted benchmark passage from
     stored documents (no keeper protection) through the same rewrite
