@@ -2547,9 +2547,12 @@ def _dequant_f64(vec: list[float]) -> list[float]:
     return out
 
 
-@register(
-    "cosine_topk_quantized",
-    oracle=f"""
+# r9 demotion — ceded its window slot to ann_ivfpq_exact (the PQ
+# family's exactness anchor); its semantics stay driver-proved as the
+# composition of the in-window cosine_topk (V2) and quantize_roundtrip
+# (V4/V5) anchors, and the full oracle keeps running at the identical
+# bar in tests/test_demoted_parity.py.
+COSINE_TOPK_QUANTIZED_ORACLE = f"""
 WITH rng AS (
   SELECT vec_id, embedding,
          CAST(CAST(least(list_min(embedding), 0) AS REAL) AS DOUBLE) AS lo,
@@ -2574,15 +2577,17 @@ SELECT d.vec_id,
 FROM dq d, q
 ORDER BY score DESC, d.vec_id ASC
 LIMIT {TOPK_K}
-""",
-    doc="Search over the engine's QUANTIZED managed store (api.quantized_"
-    "store / api.dequantized_vector — the same helpers Engine.upload/"
-    "search run): codes dequantized on the fly in the scoring expression "
-    "- the 4x-memory path the reference always runs (it never stores "
-    "full precision, ai/aicomms/embed.go:42-50); f64 mode so the oracle "
-    "reproduces codes exactly",
-)
+"""
+
+
 def q_cosine_topk_quantized(spark, sf_dir):
+    """Search over the engine's QUANTIZED managed store (api.quantized_
+    store / api.dequantized_vector — the same helpers Engine.upload/
+    search run): codes dequantized on the fly in the scoring expression
+    — the 4x-memory path the reference always runs (it never stores
+    full precision, ai/aicomms/embed.go:42-50); f64 mode so the DuckDB
+    oracle reproduces codes exactly. Demoted r9 (window slot ceded to
+    ann_ivfpq_exact); full parity in tests/test_demoted_parity.py."""
     from go_vectorsearch_spark.api import quantized_store
     from go_vectorsearch_spark.functions.vector import dequantize
 
@@ -3262,14 +3267,23 @@ def q_ann_ivfpq_search(spark, sf_dir):
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
 
-# Demoted-parity exactness anchor (tests/test_demoted_parity.py): IVF-PQ
-# at nprobe = all lists with full exact re-rank degenerates to brute
-# force, so it must reproduce the cosine_topk oracle at the same DuckDB
-# bar — raising tests/test_pq.py's Spark-vs-Spark equality to an
-# engine-vs-engine row (the PQ family's analog of ann_pca_exact).
+# IVF-PQ exactness anchor, rotated INTO the driver window r9 (slot
+# ceded by cosine_topk_quantized): IVF-PQ at nprobe = all lists with
+# full exact re-rank degenerates to brute force, so it must reproduce
+# the cosine_topk oracle — the PQ family's analog of the windowed
+# ann_pca_exact, closing the last ANN family without a driver-proved
+# exactness row.
 ANN_IVFPQ_EXACT_ORACLE = COSINE_TOPK_ORACLE
 
 
+@register(
+    "ann_ivfpq_exact",
+    oracle=ANN_IVFPQ_EXACT_ORACLE,
+    doc="IVF-PQ exactness anchor: nprobe = all lists + full exact "
+    "re-rank degenerates to brute-force cosine (plans/pq.ivfpq_search; "
+    "hash-checked against the cosine_topk oracle — the PQ family's "
+    "zero-loss limit, like ann_pca_exact for PCA)",
+)
 def q_ann_ivfpq_exact(spark, sf_dir):
     from go_vectorsearch_spark.plans.pq import ivfpq_search
 

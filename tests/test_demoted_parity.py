@@ -54,9 +54,9 @@ DEMOTED = [
     # family's zero-loss anchor); span-level decontamination stays
     # in-window
     (Q.q_decontaminate_docs, Q.DECONTAMINATE_DOCS_ORACLE),
-    # r8 addition (never windowed): the IVF-PQ exactness limit at the
-    # DuckDB bar — nprobe=all + full exact re-rank ≡ brute force
-    (Q.q_ann_ivfpq_exact, Q.ANN_IVFPQ_EXACT_ORACLE),
+    # (the r8-added IVF-PQ exactness limit rotated INTO the window r9
+    # as ann_ivfpq_exact, ceding this list its cosine_topk_quantized
+    # slot below)
     # r8 demotion — ceded its window slot to substr_cut_docs (the
     # keeper-protected cut's full oracle); multimodal stays in-window
     # via multimodal_features
@@ -64,6 +64,10 @@ DEMOTED = [
     # r8 addition (never windowed): the benchmark-cut write path at the
     # full DuckDB bar — the no-keeper twin of substr_cut_docs
     (Q.q_decontaminate_cut_docs, Q.DECONTAMINATE_CUT_ORACLE),
+    # r9 demotion — ceded its window slot to ann_ivfpq_exact (the PQ
+    # family's exactness anchor); quantized-search semantics stay
+    # driver-proved via the in-window cosine_topk + quantize_roundtrip
+    (Q.q_cosine_topk_quantized, Q.COSINE_TOPK_QUANTIZED_ORACLE),
 ]
 
 
