@@ -1950,9 +1950,14 @@ class Engine:
         ``iterate`` > 1 re-checks cut-created token adjacencies to a
         fixpoint (operators/substr.exact_substr_cut). A cut document's
         payload becomes the JSON string literal of its cleaned flattened
-        text — token-level surgery cannot preserve arbitrary JSON
-        structure, and the round-trip is consistent: flatten(new
-        payload) is exactly the cleaned text every text consumer sees.
+        text, format-normalized before storage — token-level surgery
+        cannot preserve arbitrary JSON structure, and the round-trip is
+        exact: flatten(new payload) IS the stored text every text
+        consumer sees. Caveat (inherent, Lee et al.'s single-pass gap):
+        the fixpoint runs on pre-normalization text, so a cut that
+        removes the final period-bearing token can leave one duplicated
+        window involving the re-normalized last token; a further call
+        converges it.
 
         Derived-store consistency, same contract as delete_documents:
         the text index tombstones the old postings (exact dls from the

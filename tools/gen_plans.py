@@ -93,12 +93,12 @@ PICKS = [
      "the reduced query folded into codegen; TakeOrdered shortlist, then exact cosine "
      "re-rank of the <= k_results x mult shortlist rows only. Fit and projection are "
      "write-once per corpus (billed to pca_project_build), like the PQ codes."),
-    ("dedup_exact_substr", "Exact-substring dedup over the SHARED persisted window frame "
-     "(derived from THE corpus tokenize pass, r8 — the duplicate-set plan references the "
-     "windows twice, so both sides read the InMemoryRelation): a 16-byte-key hash "
-     "aggregate + join-back, then the per-document (partitioned) islands window pair and "
-     "one (doc, island) aggregate. At 100 TB every shuffled row is (long, int, "
-     "binary(16)); raw text never reaches an Exchange."),
+    ("dedup_exact_substr", "Exact-substring dedup over the SHARED persisted "
+     "duplicate-flags frame (r9 — one 16-byte-key hash aggregate + join-back paid once "
+     "for this entry AND substr_cut_docs; the windows themselves derive from THE corpus "
+     "tokenize pass, r8): the per-document (partitioned) islands window pair and one "
+     "(doc, island) aggregate over the flags. At 100 TB every shuffled row is (long, "
+     "int, binary(16)); raw text never reaches an Exchange."),
     ("ann_pca_exact", "PCA exactness anchor (driver-checked r8): the SAME two-stage "
      "reduced-shortlist -> exact-rerank plan as ann_pca_rerank, at k = d uncentered "
      "with shortlist_mult = 1 — an orthogonal rotation preserves the cosine order, so "
@@ -108,11 +108,17 @@ PICKS = [
      "hashed-shingle frame with the per-doc set size riding each row, one equi-self-join "
      "on the shingle hash, and Jaccard straight off the pair-count aggregate — no "
      "size-frame join-backs. Every shuffled row is ints; raw text never moves."),
-    ("substr_cut_docs", "Keeper-protected exact-substring cut (windowed r8): keeper "
-     "aggregate (min struct per 16-byte window hash) + flag join over the SHARED "
-     "persisted window frame, removable/keeper islands per document (partitioned "
-     "windows), token filter as a pure array expression; raw text moves only in the "
-     "final per-document rebuild projection."),
+    ("substr_cut_docs", "Keeper-protected exact-substring cut (windowed r8): the "
+     "duplicate-flags frame (keeper = min struct per 16-byte window hash, SHARED with "
+     "dedup_exact_substr's duplicate set since r9) feeds removable/keeper islands per "
+     "document (partitioned windows); the token filter is merge-rank interval "
+     "subtraction + gap slices (r9 — linear in document length, pure array "
+     "expressions); raw text moves only in the final per-document rebuild projection."),
+    ("ann_ivfpq_exact", "IVF-PQ exactness anchor (windowed r9): nprobe = all lists + "
+     "full exact re-rank over the coded store degenerates to brute-force cosine — the "
+     "plan runs the REAL two-level IVF-PQ machinery (probe filter into the "
+     "partitionBy(centroid_id) layout, ADC shortlist, exact re-rank join) at its "
+     "zero-loss limit, hash-checked against the cosine_topk oracle."),
 ]
 
 out = []
