@@ -2039,7 +2039,12 @@ class Engine:
             .filter(F.col("text") != F.col("_text"))
             # _dl: the PRE-cut token count — the text-index tombstone
             # needs it to shrink the corpus stats exactly (the
-            # delete_documents pattern)
+            # delete_documents pattern). Computed on BOTH paths even
+            # though only the point path reads it: which path runs is
+            # known only after the count below, and deriving it later
+            # would need the pre-upsert snapshot this frame is the last
+            # holder of — one split over text already in flight, and a
+            # single cached int per row
             .select(
                 "document_id",
                 format_text_udf(F.col("text")).alias("text"),
@@ -2130,10 +2135,12 @@ class Engine:
                 t = self._neardup_table(cid)
                 with t._write_lock():
                     kept = t.read().join(ids, "document_id", "left_anti")
+                    # buckets only with the frame shape — the id-list
+                    # branch derives its own pruning set from the ids
                     fresh = self._doc_band_rows(
-                        self._category_doc_texts(
-                            cid, changed_ids if small else ids, buckets=buckets
-                        ),
+                        self._category_doc_texts(cid, changed_ids)
+                        if small
+                        else self._category_doc_texts(cid, ids, buckets=buckets),
                         "document_id",
                     )
                     t.write(kept.unionByName(fresh))

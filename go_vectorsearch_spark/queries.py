@@ -1593,12 +1593,18 @@ def _substr_flags_cached(spark, sf_dir):
     # registry entries; bench.py bills it to substr_flags_build
     from go_vectorsearch_spark.operators import substr as SUB
 
-    return _dedup_cached(
+    flags = _dedup_cached(
         spark,
         "substr_flags",
         sf_dir,
         lambda: SUB.duplicate_flags(_substr_windows_cached(spark, sf_dir)),
     )
+    # flags is the window frame's ONLY consumer now (both registry
+    # entries read flags) — once flags' eager materialization completes,
+    # release the O(corpus tokens) cached window frame instead of
+    # pinning it for the session (unpersist is a no-op on later calls)
+    _substr_windows_cached(spark, sf_dir).unpersist()
+    return flags
 
 
 @register(
