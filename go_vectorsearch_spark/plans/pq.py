@@ -219,14 +219,17 @@ def pq_search(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     vec_col: str = "embedding",
-    rerank: int | None = None,
+    rerank: int | str | None = None,
     method: str = "auto",
 ) -> DataFrame:
     """ADC top-k over the codes column; with ``rerank=R`` the top-R ADC
     candidates are re-scored with exact cosine against their true
-    vectors (two-stage search). Returns (id, score) ordered desc with
-    id tie-break; ``score`` is the ADC inner product, or exact cosine
-    when re-ranking."""
+    vectors (two-stage search). ``rerank="all"`` re-scores EVERY
+    candidate row — the zero-loss exactness limit — without the
+    shortlist sort (top-ALL needs no order) and without the caller
+    having to count the corpus first. Returns (id, score) ordered desc
+    with id tie-break; ``score`` is the ADC inner product, or exact
+    cosine when re-ranking."""
     lut = query_lut(codebooks, qvec)
     n_lit = sum(len(r) for r in lut)
     if method == "auto":
@@ -236,18 +239,23 @@ def pq_search(
     else:
         scored = _adc_score_numpy(coded, lut, codes_col)
 
-    cand_k = max(k, rerank or 0)
-    # vec_col rides the top-k ONLY when a re-rank will read it: a pure
-    # ADC search must work on a codes-only frame (the layout the module
-    # header promises — vectors never reconstructed) and must not haul
-    # cand_k full float vectors through the TakeOrdered just to drop
-    # them
-    cand_cols = [id_col, vec_col, "_adc"] if rerank is not None else [id_col, "_adc"]
-    cands = (
-        scored.select(*cand_cols)
-        .orderBy(F.desc("_adc"), F.asc(id_col))
-        .limit(cand_k)
-    )
+    if rerank == "all":
+        cands = scored.select(id_col, vec_col, "_adc")
+    else:
+        cand_k = max(k, rerank or 0)
+        # vec_col rides the top-k ONLY when a re-rank will read it: a
+        # pure ADC search must work on a codes-only frame (the layout
+        # the module header promises — vectors never reconstructed) and
+        # must not haul cand_k full float vectors through the
+        # TakeOrdered just to drop them
+        cand_cols = (
+            [id_col, vec_col, "_adc"] if rerank is not None else [id_col, "_adc"]
+        )
+        cands = (
+            scored.select(*cand_cols)
+            .orderBy(F.desc("_adc"), F.asc(id_col))
+            .limit(cand_k)
+        )
     if rerank is None:
         return cands.select(id_col, F.col("_adc").alias("score"))
 
@@ -297,8 +305,8 @@ def ivfpq_search(
     codebooks: PQCodebooks,
     qvec,
     k: int = 10,
-    nprobe: int = 1,
-    rerank: int | None = None,
+    nprobe: int | str = 1,
+    rerank: int | str | None = None,
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     vec_col: str = "embedding",
@@ -334,15 +342,23 @@ def ivfpq_search(
     """
     from go_vectorsearch_spark.plans.ivf import nearest_centroids
 
-    probe_ids = nearest_centroids(index.centroids, qvec, nprobe)
-    probe_set = [int(c) for c in probe_ids]
-    if "centroid_id" in coded.columns:
-        cand = coded.filter(F.col("centroid_id").isin(probe_set))
+    if nprobe == "all":
+        # exactness limit: probing every list is the identity filter —
+        # skip it entirely rather than materializing EVERY centroid id
+        # into an isin literal (at the 10^6-centroid design point that
+        # literal is the driver-side id smell this engine forbids
+        # elsewhere) or paying a centroid count job to size nprobe
+        cand = coded
     else:
-        probed = index.assigned.filter(
-            F.col("centroid_id").isin(probe_set)
-        ).select(id_col)
-        cand = coded.join(probed, id_col, "left_semi")
+        probe_ids = nearest_centroids(index.centroids, qvec, nprobe)
+        probe_set = [int(c) for c in probe_ids]
+        if "centroid_id" in coded.columns:
+            cand = coded.filter(F.col("centroid_id").isin(probe_set))
+        else:
+            probed = index.assigned.filter(
+                F.col("centroid_id").isin(probe_set)
+            ).select(id_col)
+            cand = coded.join(probed, id_col, "left_semi")
     return pq_search(
         cand,
         codebooks,

@@ -3296,14 +3296,12 @@ def q_ann_ivfpq_exact(spark, sf_dir):
     index = _ivf_index(spark, sf_dir)
     books, coded = _pq_cached(spark, sf_dir)
     qvec = _qvec(spark, sf_dir)
+    # "all"/"all": the identity probe filter and the sort-free full
+    # re-rank — no centroid-count or corpus-count job, no all-ids isin
+    # literal (at 10^6 centroids that literal is the driver-side smell
+    # the engine forbids elsewhere)
     res = ivfpq_search(
-        index,
-        coded,
-        books,
-        qvec,
-        k=TOPK_K,
-        nprobe=index.centroids.count(),
-        rerank=coded.count(),
+        index, coded, books, qvec, k=TOPK_K, nprobe="all", rerank="all"
     )
     return res.select("vec_id", F.round("score", 6).alias("score"))
 
