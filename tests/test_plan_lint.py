@@ -1,7 +1,7 @@
 """Physical-plan lint over the WHOLE registry: scale-killer detection.
 
 Correctness tests pin values; this suite pins the SHAPE of every
-registry query's executed plan. Three operator classes are forbidden
+registry query's executed plan. Four plan shapes are forbidden
 because each one works at sf0.01 and falls over at 100 TB:
 
 * ``CartesianProduct`` — an unbroadcast cross join materializes
@@ -16,6 +16,10 @@ because each one works at sf0.01 and falls over at 100 TB:
   of the whole dataset. Detected structurally: a
   ``windowspecdefinition`` whose argument list starts with a sort
   spec has no partition keys.
+* ``IN``/``INSET`` literals above 256 elements — a collect()ed id
+  set baked into the plan scales with the data it was collected
+  from (the r9 span-cut commit lesson); bounded probe/bucket lists
+  clear the cap with 4x margin.
 
 A new query that introduces one of these fails here with its name,
 not in a 100x-slower production run. The lint runs on the sf0.001
@@ -32,6 +36,24 @@ import pytest
 from go_vectorsearch_spark import queries as R
 
 _WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+# driver-side id-list smell (the r9 span-cut commit lesson made a gate):
+# an IN/INSET literal whose element count scales with data would be a
+# collect()ed id set baked into the plan. Legitimate literals here are
+# bounded constants (probe lists <= nprobe, partition values <= bucket
+# counts, LUTs are array literals, not IN) — 256 clears them all with
+# 4x margin while catching any corpus-sized list.
+_IN_LITERAL_CAP = 256
+_INSET = re.compile(r"\b(?:IN|INSET)\s*\(([^)]*)\)|\bINSET\s+([^)\n]+)")
+
+
+def _big_in_literals(plan: str) -> list[int]:
+    sizes = []
+    for m in _INSET.finditer(plan):
+        body = m.group(1) or m.group(2) or ""
+        n = body.count(",") + 1
+        if n > _IN_LITERAL_CAP:
+            sizes.append(n)
+    return sizes
 
 
 def _lint(plan: str) -> list[str]:
@@ -45,6 +67,12 @@ def _lint(plan: str) -> list[str]:
         if " ASC" in first or " DESC" in first:
             bad.append("unpartitioned Window (single-partition sort)")
             break
+    big = _big_in_literals(plan)
+    if big:
+        bad.append(
+            f"IN/INSET literal with {max(big)} elements (driver-side id "
+            "list baked into the plan)"
+        )
     return bad
 
 
