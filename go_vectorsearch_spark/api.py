@@ -1974,13 +1974,34 @@ class Engine:
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"substr_dedup_cut: unknown {owner}/{category}")
-        texts = self._category_doc_texts(cid)
-        cut = SUB.exact_substr_cut(
-            texts, L=L, id_col="document_id", text_col="_text", iterate=iterate
+        # ONE flatten pass per cut call: texts is referenced by the
+        # window hashing, the token-filter rebuild AND the change
+        # detection — unpersisted, the flatten pandas UDF would scan
+        # the category three times (the registry's shared-frame
+        # discipline applied to the Engine). The window frame persists
+        # too: the duplicate-flags aggregate + join-back both read it
+        # (the substr_dedup_report pattern).
+        texts = self._category_doc_texts(cid).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
         )
-        return self._rewrite_category_texts(
-            owner, category, cid, cut, re_embed=re_embed
-        )
+        windows = SUB.window_hashes(
+            texts, L=L, id_col="document_id", text_col="_text"
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        try:
+            cut = SUB.exact_substr_cut(
+                texts,
+                L=L,
+                id_col="document_id",
+                text_col="_text",
+                iterate=iterate,
+                windows=windows,
+            )
+            return self._rewrite_category_texts(
+                owner, category, cid, cut, re_embed=re_embed, texts=texts
+            )
+        finally:
+            windows.unpersist()
+            texts.unpersist()
 
     def _rewrite_category_texts(
         self,
@@ -1989,6 +2010,7 @@ class Engine:
         cid: int,
         cut: DataFrame,
         re_embed: bool = False,
+        texts: DataFrame | None = None,
     ) -> int:
         """Apply a cleaned-text frame (document_id, text) to a stored
         category — the shared write machinery of :meth:`substr_dedup_cut`
@@ -2033,7 +2055,11 @@ class Engine:
         )
         from go_vectorsearch_spark.operators.fulltext import tokenize
 
-        texts = self._category_doc_texts(cid)
+        # ``texts`` — the caller's persisted pre-cut flatten frame (both
+        # cut paths pass it; the cut plan already references it, so
+        # change detection rides the same cached pass)
+        if texts is None:
+            texts = self._category_doc_texts(cid)
         changed = (
             cut.join(texts, "document_id")
             .filter(F.col("text") != F.col("_text"))
@@ -2319,18 +2345,26 @@ class Engine:
             [(i, flatten(t)) for i, t in enumerate(benchmark_texts)],
             "b_ix long, _text string",
         )
-        cut = SUB.decontaminate_cut(
-            self._category_doc_texts(cid),
-            bench,
-            L=L,
-            id_col="document_id",
-            text_col="_text",
-            bench_id_col="b_ix",
-            bench_text_col="_text",
+        # one flatten pass per cut call (see substr_dedup_cut): texts
+        # feeds the window hashing, the rebuild and the change detection
+        texts = self._category_doc_texts(cid).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
         )
-        return self._rewrite_category_texts(
-            owner, category, cid, cut, re_embed=re_embed
-        )
+        try:
+            cut = SUB.decontaminate_cut(
+                texts,
+                bench,
+                L=L,
+                id_col="document_id",
+                text_col="_text",
+                bench_id_col="b_ix",
+                bench_text_col="_text",
+            )
+            return self._rewrite_category_texts(
+                owner, category, cid, cut, re_embed=re_embed, texts=texts
+            )
+        finally:
+            texts.unpersist()
 
     def build_neardup_index(self, owner: str, category: str) -> int:
         """Build (or rebuild) the category's persisted near-dup band
