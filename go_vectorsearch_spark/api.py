@@ -2009,8 +2009,8 @@ class Engine:
         category: str,
         cid: int,
         cut: DataFrame,
+        texts: DataFrame,
         re_embed: bool = False,
-        texts: DataFrame | None = None,
     ) -> int:
         """Apply a cleaned-text frame (document_id, text) to a stored
         category — the shared write machinery of :meth:`substr_dedup_cut`
@@ -2055,11 +2055,11 @@ class Engine:
         )
         from go_vectorsearch_spark.operators.fulltext import tokenize
 
-        # ``texts`` — the caller's persisted pre-cut flatten frame (both
-        # cut paths pass it; the cut plan already references it, so
-        # change detection rides the same cached pass)
-        if texts is None:
-            texts = self._category_doc_texts(cid)
+        # ``texts`` — the caller's persisted pre-cut flatten frame
+        # (REQUIRED: the cut plan already references it, so change
+        # detection rides the same cached pass; an optional fallback
+        # would let a future caller silently lose the one-flatten-pass
+        # guarantee)
         changed = (
             cut.join(texts, "document_id")
             .filter(F.col("text") != F.col("_text"))

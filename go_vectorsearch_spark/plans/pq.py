@@ -227,9 +227,20 @@ def pq_search(
     vectors (two-stage search). ``rerank="all"`` re-scores EVERY
     candidate row — the zero-loss exactness limit — without the
     shortlist sort (top-ALL needs no order) and without the caller
-    having to count the corpus first. Returns (id, score) ordered desc
-    with id tie-break; ``score`` is the ADC inner product, or exact
-    cosine when re-ranking."""
+    having to count the corpus first; the ADC scoring pass is SKIPPED
+    outright in that mode (its order cannot affect a full re-rank —
+    Catalyst would prune the expr form anyway, but the numpy form is a
+    mapInPandas corpus pass no optimizer can remove; ADC approximation
+    quality is pinned separately by the recall tests and the
+    expr-vs-numpy equality test). Returns (id, score) ordered desc with
+    id tie-break; ``score`` is the ADC inner product, or exact cosine
+    when re-ranking."""
+    if isinstance(rerank, str) and rerank != "all":
+        raise ValueError(f"pq_search: rerank must be an int, None or 'all', got {rerank!r}")
+    if rerank == "all":
+        return _exact_rerank(
+            coded.select(id_col, vec_col), qvec, k, id_col, vec_col
+        )
     lut = query_lut(codebooks, qvec)
     n_lit = sum(len(r) for r in lut)
     if method == "auto":
@@ -239,27 +250,30 @@ def pq_search(
     else:
         scored = _adc_score_numpy(coded, lut, codes_col)
 
-    if rerank == "all":
-        cands = scored.select(id_col, vec_col, "_adc")
-    else:
-        cand_k = max(k, rerank or 0)
-        # vec_col rides the top-k ONLY when a re-rank will read it: a
-        # pure ADC search must work on a codes-only frame (the layout
-        # the module header promises — vectors never reconstructed) and
-        # must not haul cand_k full float vectors through the
-        # TakeOrdered just to drop them
-        cand_cols = (
-            [id_col, vec_col, "_adc"] if rerank is not None else [id_col, "_adc"]
-        )
-        cands = (
-            scored.select(*cand_cols)
-            .orderBy(F.desc("_adc"), F.asc(id_col))
-            .limit(cand_k)
-        )
+    cand_k = max(k, rerank or 0)
+    # vec_col rides the top-k ONLY when a re-rank will read it: a pure
+    # ADC search must work on a codes-only frame (the layout the module
+    # header promises — vectors never reconstructed) and must not haul
+    # cand_k full float vectors through the TakeOrdered just to drop
+    # them
+    cand_cols = (
+        [id_col, vec_col, "_adc"] if rerank is not None else [id_col, "_adc"]
+    )
+    cands = (
+        scored.select(*cand_cols)
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(cand_k)
+    )
     if rerank is None:
         return cands.select(id_col, F.col("_adc").alias("score"))
+    return _exact_rerank(cands, qvec, k, id_col, vec_col)
 
-    # exact cosine re-rank of the R candidates (driver-sized frame)
+
+def _exact_rerank(
+    cands: DataFrame, qvec, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine re-rank of a candidate frame (the two-stage search's
+    precision stage; also the whole plan at ``rerank='all'``)."""
     from go_vectorsearch_spark.functions.vector import dot, l2_normalize
 
     q = np.asarray(qvec, dtype=np.float64)
@@ -342,6 +356,10 @@ def ivfpq_search(
     """
     from go_vectorsearch_spark.plans.ivf import nearest_centroids
 
+    if isinstance(nprobe, str) and nprobe != "all":
+        raise ValueError(
+            f"ivfpq_search: nprobe must be an int or 'all', got {nprobe!r}"
+        )
     if nprobe == "all":
         # exactness limit: probing every list is the identity filter —
         # skip it entirely rather than materializing EVERY centroid id

@@ -41,9 +41,20 @@ _WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 # collect()ed id set baked into the plan. Legitimate literals here are
 # bounded constants (probe lists <= nprobe, partition values <= bucket
 # counts, LUTs are array literals, not IN) — 256 clears them all with
-# 4x margin while catching any corpus-sized list.
+# 4x margin while catching any corpus-sized list. NOTE the plan string
+# truncates long element lists at spark.sql.debug.maxToStringFields
+# (default 25) and appends "... N more fields", so the count MUST add
+# that suffix back — a comma count alone can never exceed ~25 and the
+# gate would be dead code (caught by the r9 self-review; the positive
+# control below pins it against a real 300-element isin plan). Known
+# limit, documented honestly: the lint sees the literal's size AT SMOKE
+# SCALE — a collect()ed set that is small at sf0.001 passes here and
+# still scales with data; the engine write paths pin that shape
+# directly with Column.isin/DataFrame.collect spies
+# (tests/test_substr.py::test_engine_bulk_cut_frame_shaped).
 _IN_LITERAL_CAP = 256
 _INSET = re.compile(r"\b(?:IN|INSET)\s*\(([^)]*)\)|\bINSET\s+([^)\n]+)")
+_MORE_FIELDS = re.compile(r"\.\.\.\s*(\d+) more fields")
 
 
 def _big_in_literals(plan: str) -> list[int]:
@@ -51,6 +62,9 @@ def _big_in_literals(plan: str) -> list[int]:
     for m in _INSET.finditer(plan):
         body = m.group(1) or m.group(2) or ""
         n = body.count(",") + 1
+        more = _MORE_FIELDS.search(body)
+        if more:
+            n += int(more.group(1))
         if n > _IN_LITERAL_CAP:
             sizes.append(n)
     return sizes
@@ -74,6 +88,38 @@ def _lint(plan: str) -> list[str]:
             "list baked into the plan)"
         )
     return bad
+
+
+def test_lint_detectors_fire_on_planted_bad_plans(spark):
+    """POSITIVE controls: each forbidden shape, planted deliberately,
+    must be flagged — a detector that matches nothing passes every
+    absence-asserting sweep below, which is exactly how a dead gate
+    ships green (the r9 IN-literal gate initially counted commas in a
+    plan string Spark truncates at spark.sql.debug.maxToStringFields=25;
+    only this test class catches that)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # >256-element isin → INSET with a "... N more fields" suffix
+    df = spark.range(1000).filter(F.col("id").isin(list(range(300))))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any("INSET" in b or "IN/" in b for b in _lint(plan)), plan[:1500]
+    # a 200-element isin stays under the cap — bounded lists are legal
+    ok = spark.range(1000).filter(F.col("id").isin(list(range(200))))
+    assert not _big_in_literals(
+        ok._jdf.queryExecution().executedPlan().toString()
+    )
+    # unpartitioned window
+    w = spark.range(10).withColumn("rn", F.row_number().over(W.orderBy("id")))
+    assert any(
+        "unpartitioned" in b
+        for b in _lint(w._jdf.queryExecution().executedPlan().toString())
+    )
+    # unbroadcast cross join (disable AQE-free auto-broadcast via hint-less
+    # crossJoin of two non-broadcastable sides is still broadcast at this
+    # size, so lint the string directly)
+    assert any("CartesianProduct" in b for b in _lint("CartesianProduct\n"))
+    assert any("BatchEvalPython" in b for b in _lint("BatchEvalPython\n"))
 
 
 @pytest.mark.parametrize("name", sorted(R.REGISTRY))
