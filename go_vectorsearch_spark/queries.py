@@ -3285,10 +3285,14 @@ ANN_IVFPQ_EXACT_ORACLE = COSINE_TOPK_ORACLE
 @register(
     "ann_ivfpq_exact",
     oracle=ANN_IVFPQ_EXACT_ORACLE,
-    doc="IVF-PQ exactness anchor: nprobe = all lists + full exact "
-    "re-rank degenerates to brute-force cosine (plans/pq.ivfpq_search; "
-    "hash-checked against the cosine_topk oracle — the PQ family's "
-    "zero-loss limit, like ann_pca_exact for PCA)",
+    doc="IVF-PQ exactness anchor: nprobe='all' + rerank='all' is the "
+    "architecture's zero-loss limit — identity probe filter, sort-free "
+    "exact re-rank of the whole coded store (the ADC pass is skipped: "
+    "its order cannot affect a full re-rank; approximation quality is "
+    "pinned by the recall tests). Hash-checked against the cosine_topk "
+    "oracle, proving the coded store and the rerank stage's scoring/"
+    "order conventions round-trip the corpus exactly — the PQ family's "
+    "analog of ann_pca_exact (plans/pq.ivfpq_search)",
 )
 def q_ann_ivfpq_exact(spark, sf_dir):
     from go_vectorsearch_spark.plans.pq import ivfpq_search

@@ -114,11 +114,12 @@ PICKS = [
      "document (partitioned windows); the token filter is merge-rank interval "
      "subtraction + gap slices (r9 — linear in document length, pure array "
      "expressions); raw text moves only in the final per-document rebuild projection."),
-    ("ann_ivfpq_exact", "IVF-PQ exactness anchor (windowed r9): nprobe = all lists + "
-     "full exact re-rank over the coded store degenerates to brute-force cosine — the "
-     "plan runs the REAL two-level IVF-PQ machinery (probe filter into the "
-     "partitionBy(centroid_id) layout, ADC shortlist, exact re-rank join) at its "
-     "zero-loss limit, hash-checked against the cosine_topk oracle."),
+    ("ann_ivfpq_exact", "IVF-PQ exactness anchor (windowed r9): nprobe='all' + "
+     "rerank='all' — identity probe filter (no all-centroid isin literal, no count "
+     "job), sort-free exact re-rank of the whole coded store (ADC pass skipped: its "
+     "order cannot affect a full re-rank). Proves the coded store and the rerank "
+     "stage's conventions round-trip the corpus, hash-checked vs the cosine_topk "
+     "oracle."),
 ]
 
 out = []
