@@ -152,7 +152,9 @@ def duplicate_flags(windows: DataFrame) -> DataFrame:
     )
 
 
-def _merge_islands(positions: DataFrame, L: int) -> DataFrame:
+def _merge_islands(
+    positions: DataFrame, L: int, extra_keys: tuple = ()
+) -> DataFrame:
     """Gaps-and-islands over per-document window positions.
 
     A window at ``pos`` spans tokens [pos, pos+L-1]; two duplicated
@@ -160,15 +162,22 @@ def _merge_islands(positions: DataFrame, L: int) -> DataFrame:
     window functions are partitioned by _id — per-document state only,
     no global sort (the plan-lint gate forbids unpartitioned windows).
 
-    Returns (_id, s_pos, e_pos, n_windows) — one row per maximal span.
+    ``extra_keys`` adds partition keys beyond _id, so DISJOINT island
+    families over the same frame (the cut's removable/keeper split, keyed
+    by ``_keep``) merge in ONE window pass instead of one filtered pass
+    per family — one exchange over the duplicated-window frame saved.
+
+    Returns (_id, *extra_keys, s_pos, e_pos, n_windows) — one row per
+    maximal span.
     """
+    keys = ["_id", *extra_keys]
     prev = (
-        Window.partitionBy("_id")
+        Window.partitionBy(*keys)
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     run = (
-        Window.partitionBy("_id")
+        Window.partitionBy(*keys)
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -180,13 +189,13 @@ def _merge_islands(positions: DataFrame, L: int) -> DataFrame:
     return (
         positions.withColumn("_brk", brk)
         .withColumn("_island", F.sum("_brk").over(run))
-        .groupBy("_id", "_island")
+        .groupBy(*keys, "_island")
         .agg(
             F.min("pos").alias("s_pos"),
             (F.max("pos") + (L - 1)).cast("int").alias("e_pos"),
             F.count("*").alias("n_windows"),
         )
-        .select("_id", "s_pos", "e_pos", "n_windows")
+        .select(*keys, "s_pos", "e_pos", "n_windows")
     )
 
 
@@ -336,15 +345,23 @@ def _cut_once(
             else window_hashes(df, L, id_col, text_col)
         )
         flagged = duplicate_flags(w)
-    rm_spans = _span_arrays(
-        _merge_islands(flagged.filter(~F.col("_keep")).select("_id", "pos"), L),
-        "_rm",
+    # removable and keeper islands in ONE window pass, keyed by _keep
+    # (the families are disjoint row subsets of the same frame — two
+    # filtered passes would exchange the duplicated-window frame twice);
+    # the conditional collect_list split costs nothing extra: collect_list
+    # skips the when()'s nulls
+    spans = _merge_islands(
+        flagged.select("_id", "pos", "_keep"), L, extra_keys=("_keep",)
     )
-    keep_spans = _span_arrays(
-        _merge_islands(flagged.filter(F.col("_keep")).select("_id", "pos"), L),
-        "_kp",
+    arrays = spans.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(~F.col("_keep"), F.struct("s_pos", "e_pos")))
+        ).alias("_rm"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("_keep"), F.struct("s_pos", "e_pos")))
+        ).alias("_kp"),
     )
-    return _rebuild_without_spans(df, rm_spans, keep_spans, id_col, text_col)
+    return _rebuild_without_spans(df, arrays, id_col, text_col)
 
 
 def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
@@ -469,14 +486,14 @@ def _subtract_spans(rm: Column, kp: Column, empty: Column) -> Column:
 
 def _rebuild_without_spans(
     df: DataFrame,
-    rm_spans: DataFrame,
-    keep_spans: DataFrame | None,
+    span_arrays: DataFrame,
     id_col: str,
     text_col: str,
 ) -> DataFrame:
     """Rebuild each document's text dropping tokens covered by a _rm
-    span and not protected by a _kp span (pass ``keep_spans=None`` for
-    unconditional cuts).
+    span and not protected by a _kp span. ``span_arrays`` carries one
+    row per affected document: (_id, _rm[, _kp]) sorted disjoint span
+    arrays — a frame without a _kp column means unconditional cuts.
 
     Documents with NOTHING to cut pass through VERBATIM — byte-for-byte,
     newlines and whitespace runs intact (a cut pass over a mostly-clean
@@ -503,10 +520,8 @@ def _rebuild_without_spans(
         F.col(text_col).alias("_text0"),
         ws_tokens(F.col(text_col), lower=False).alias("_orig"),
     )
-    joined = toked.join(rm_spans, "_id", "left")
-    if keep_spans is not None:
-        joined = joined.join(keep_spans, "_id", "left")
-    else:
+    joined = toked.join(span_arrays, "_id", "left")
+    if "_kp" not in span_arrays.columns:
         joined = joined.withColumn("_kp", empty)
     joined = joined.select(
         "_id",
@@ -619,5 +634,5 @@ def decontaminate_cut(
         bench_tokenized=bench_tokenized,
     )
     return _rebuild_without_spans(
-        corpus, _span_arrays(spans, "_rm"), None, id_col, text_col
+        corpus, _span_arrays(spans, "_rm"), id_col, text_col
     )
