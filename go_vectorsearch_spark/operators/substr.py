@@ -555,9 +555,13 @@ def _rebuild_without_spans(
         F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice)
     )
     rebuilt = F.concat_ws(" ", kept_tokens)
+    # passthrough gates on the EFFECTIVE cut set, not on _rm: a document
+    # whose removable spans are entirely keeper-covered has nothing cut
+    # and must keep its bytes (the r9 self-review caught the _rm gate
+    # whitespace-normalizing exactly that case)
     return with_cuts.select(
         F.col("_id").alias(id_col),
-        F.when(F.size("_rm") == 0, F.col("_text0"))
+        F.when(F.size("_cuts") == 0, F.col("_text0"))
         .otherwise(rebuilt)
         .alias("text"),
     )

@@ -1711,20 +1711,29 @@ fl AS MATERIALIZED (
   FROM w2 JOIN d USING (wh)
 ),
 rmp AS (SELECT doc_id, list(pos) AS rp FROM fl WHERE NOT keep GROUP BY doc_id),
-kpp AS (SELECT doc_id, list(pos) AS kpos FROM fl WHERE keep GROUP BY doc_id)
+kpp AS (SELECT doc_id, list(pos) AS kpos FROM fl WHERE keep GROUP BY doc_id),
+-- kept-token indexes, computed only for docs carrying removable spans
+kept AS (
+  SELECT t.doc_id,
+         list_filter(range(1, len(t.torig) + 1),
+           i -> len(list_filter(r.rp,
+                      p -> i >= p AND i <= p + {Lm1})) = 0
+                OR len(list_filter(coalesce(k.kpos, []),
+                      p -> i >= p AND i <= p + {Lm1})) > 0) AS ki
+  FROM t JOIN rmp r USING (doc_id) LEFT JOIN kpp k USING (doc_id)
+)
 SELECT t.doc_id,
-       -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-       -- concat_ws is '' — a fully-cut document must hash md5('')
-       md5(CASE WHEN r.rp IS NULL THEN t.text
+       -- verbatim passthrough when NOTHING is effectively cut: no
+       -- removable spans (ki NULL) OR every removable token is
+       -- keeper-covered (len(ki) = token count) — matching the Spark
+       -- side's size(_cuts)=0 gate. coalesce: DuckDB's
+       -- array_to_string([]) is NULL where Spark's concat_ws is '' —
+       -- a fully-cut document must hash md5('')
+       md5(CASE WHEN ki.ki IS NULL OR len(ki.ki) = len(t.torig) THEN t.text
            ELSE coalesce(array_to_string(list_transform(
-             list_filter(range(1, len(t.torig) + 1),
-               i -> len(list_filter(r.rp,
-                          p -> i >= p AND i <= p + {Lm1})) = 0
-                    OR len(list_filter(coalesce(k.kpos, []),
-                          p -> i >= p AND i <= p + {Lm1})) > 0),
-             i -> t.torig[i::INT]), ' '), '')
+             ki.ki, i -> t.torig[i::INT]), ' '), '')
            END) AS cut_md5
-FROM t LEFT JOIN rmp r USING (doc_id) LEFT JOIN kpp k USING (doc_id)
+FROM t LEFT JOIN kept ki USING (doc_id)
 """
 
 

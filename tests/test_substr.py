@@ -182,12 +182,13 @@ def _naive_cut_once(docs: dict[int, str], L: int) -> dict[int, str]:
             (kp if (d, p) == keeper else rm)[d].update(range(p, p + L))
     out = {}
     for d, ts in toks.items():
-        if not rm[d]:
-            out[d] = docs[d]  # verbatim passthrough
+        cut = rm[d] - kp[d]
+        if not cut:
+            # verbatim passthrough — including removable spans entirely
+            # keeper-covered (nothing is EFFECTIVELY cut; the r9 gate)
+            out[d] = docs[d]
         else:
-            out[d] = " ".join(
-                t for i, t in enumerate(ts, 1) if i not in rm[d] or i in kp[d]
-            )
+            out[d] = " ".join(t for i, t in enumerate(ts, 1) if i not in cut)
     return out
 
 
@@ -234,6 +235,25 @@ def test_cut_preserves_original_case(spark):
     cut = {r["doc_id"]: r["text"] for r in S.exact_substr_cut(d, L).collect()}
     assert cut[1] == "Alpha BETA gamma DELTA epsilon"  # keeper, original case
     assert cut[2] == "unique"  # duplicated window cut, case kept
+
+
+def test_fully_keeper_covered_doc_keeps_bytes(spark):
+    """A document whose removable spans are ENTIRELY keeper-covered has
+    nothing effectively cut and must pass through byte-for-byte,
+    newline intact — the passthrough gates on the effective cut set
+    (size(_cuts)==0), not on the existence of removable spans (the _rm
+    gate whitespace-normalized exactly this case; r9 self-review)."""
+    L8 = 8
+    d_text = "u a b c\nd e f g h v"
+    docs = [
+        (1, "a b c d e f g h"),  # keeper of doc 2's pos-2 window
+        (2, d_text),  # removable [2,9] fully inside its keeper span [1,10]
+        (3, "u a b c d e f g qq b c d e f g h v"),  # doc 2 keeps pos-1/pos-3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cut = {r["doc_id"]: r["text"] for r in S.exact_substr_cut(df, L8).collect()}
+    assert cut[2] == d_text
+    assert cut == _naive_cut_once(dict(docs), L8)
 
 
 def test_cut_long_doc_many_spans_linear(spark):
