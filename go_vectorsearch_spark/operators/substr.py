@@ -35,6 +35,21 @@ Tokens come from the family-shared whitespace tokenizer
 (functions/text.ws_tokens, lowercased), so "duplicate" means the same
 thing here as in every other dedup variant, and the DuckDB oracle twin in
 queries.py reproduces each hash byte-for-byte.
+
+Why there is deliberately NO ingest-time exact-substring check (the analog
+of the near-dup band store, api.py's neardup_check): LSH banding works at
+the door because a document reduces to a FEW fixed keys (4 band rows), so
+an incoming batch prunes the store to the buckets it collides with. An
+exact-substring membership structure has no such reduction — every L-token
+window is a key, so any store (window table, sorted hash column, Bloom
+words at ~1.2 bytes/token) is corpus-scale, and a batch's windows hash
+into every partition of it, defeating pruning. Checking at the door would
+therefore scan corpus-sized state per upload. The scale-honest shape is
+the one implemented: cheap incremental NEAR-dup screening at ingest
+(upload(neardup="skip")), exact-substring dedup as periodic whole-corpus
+curation (exact_substr_stats / exact_substr_cut, amortized like the IVF
+refresh), and benchmark decontamination at the door only against the
+MB-scale broadcastable benchmark set (streaming/decontaminate.py).
 """
 
 from __future__ import annotations
