@@ -89,7 +89,20 @@ N_BAND_BUCKETS = 16  # near-dup band-store partitions (band-key hash)
 # split loop learned the same cap); above it everything stays
 # frame-shaped end-to-end — a realistic whole-corpus cut changes
 # 10-50% of documents, which at the 100 TB design point is 1e8+ ids
-# that must never be collect()ed, isin()ed, or written into a manifest
+# that must never be collect()ed, isin()ed, or written into a manifest.
+# Why 10k here while the registry plan lint caps IN literals at 256
+# (tests/test_plan_lint.py): the lint guards READ plans that execute
+# once per query over the full corpus, where a literal whose size
+# tracks the data is the smell being hunted — so its cap sits just
+# above the registry's bounded design constants (probe lists, bucket
+# sets). This cap bounds a WRITE-path literal that (a) is a fixed
+# engine constant, never data-derived growth, (b) executes once per
+# admin mutation, not per serving query, and (c) exists precisely to
+# keep the manifest tombstone list (one row per changed doc) worth
+# more than a rebuild — at 10k ids the serialized literal is ~100 KB
+# of plan, negligible against the rewrite it prunes. Lowering it to
+# 256 would push 99% of realistic targeted cuts onto the whole-store
+# rebuild path for no scan saving.
 BULK_REWRITE_CAP = 10_000
 _PARTITION_EXPRS = {
     "embeddings": "centroid_id",
@@ -1953,11 +1966,15 @@ class Engine:
         text, format-normalized before storage — token-level surgery
         cannot preserve arbitrary JSON structure, and the round-trip is
         exact: flatten(new payload) IS the stored text every text
-        consumer sees. Caveat (inherent, Lee et al.'s single-pass gap):
-        the fixpoint runs on pre-normalization text, so a cut that
-        removes the final period-bearing token can leave one duplicated
-        window involving the re-normalized last token; a further call
-        converges it.
+        consumer sees. Each fixpoint pass runs over STORAGE-NORMALIZED
+        text (normalize → re-window → cut, via the cut's ``normalize``
+        hook): a cut that removes a document's final period-bearing
+        token re-normalizes the new last token INSIDE the loop, so the
+        window it creates is seen and cut before convergence — a
+        converged fixpoint (iterate high enough that a pass changes
+        nothing) leaves zero flaggable windows for
+        :meth:`substr_dedup_report`. At iterate=1 the Lee et al.
+        single-pass gap remains, as documented there.
 
         Derived-store consistency, same contract as delete_documents:
         the text index tombstones the old postings (exact dls from the
@@ -1987,6 +2004,10 @@ class Engine:
         windows = SUB.window_hashes(
             texts, L=L, id_col="document_id", text_col="_text"
         ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        from go_vectorsearch_spark.operators.documents import (
+            format_rejoined_text,
+        )
+
         try:
             cut = SUB.exact_substr_cut(
                 texts,
@@ -1995,6 +2016,7 @@ class Engine:
                 text_col="_text",
                 iterate=iterate,
                 windows=windows,
+                normalize=format_rejoined_text,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts
@@ -2042,13 +2064,12 @@ class Engine:
         store rewrite anti-joins the changed frame. Cleaned text is
         :func:`~go_vectorsearch_spark.operators.documents.format_text_udf`
         normalized before storage, so flatten(new payload) round-trips
-        to EXACTLY the stored text; the fixpoint in
-        :func:`~go_vectorsearch_spark.operators.substr.exact_substr_cut`
-        runs pre-normalization, so a duplicated window involving the
-        re-normalized final token can in principle survive one call — a
-        further call converges it (same Lee-et-al single-pass caveat the
-        iterate= parameter documents). Returns the number of rewritten
-        documents."""
+        to EXACTLY the stored text. Both cut callers also normalize
+        INSIDE the cut itself (the ``normalize=format_rejoined_text``
+        hook), so the frame arriving here already carries storage-form
+        text and the UDF below is an idempotent final truth — the r9
+        pre-normalization fixpoint caveat is closed at the source.
+        Returns the number of rewritten documents."""
         from go_vectorsearch_spark.operators.documents import (
             format_text_udf,
             json_string_udf,
@@ -2331,8 +2352,11 @@ class Engine:
         (partition-scoped upsert of changed documents only, text-index
         tombstone + compact + append, band-row rewrite); benchmark texts
         are flatten()-normalized like the stored side, so end-of-document
-        quotes cut through their final period-bearing token. Returns the
-        number of rewritten documents."""
+        quotes cut through their final period-bearing token. The cut's
+        rebuilt text is storage-normalized inside the operator
+        (``normalize=format_rejoined_text``), so a cut document's frame
+        text IS its stored text — a report-after-cut sees exactly what
+        the cut saw. Returns the number of rewritten documents."""
         from go_vectorsearch_spark.operators import substr as SUB
         from go_vectorsearch_spark.operators.documents import flatten
 
@@ -2350,6 +2374,10 @@ class Engine:
         texts = self._category_doc_texts(cid).persist(
             StorageLevel.MEMORY_AND_DISK_DESER
         )
+        from go_vectorsearch_spark.operators.documents import (
+            format_rejoined_text,
+        )
+
         try:
             cut = SUB.decontaminate_cut(
                 texts,
@@ -2359,6 +2387,7 @@ class Engine:
                 text_col="_text",
                 bench_id_col="b_ix",
                 bench_text_col="_text",
+                normalize=format_rejoined_text,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

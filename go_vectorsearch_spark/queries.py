@@ -337,18 +337,19 @@ def q_topk_dedup_customer(spark, sf_dir):
     )
 
 
-@register(
-    "pagination_orders",
-    oracle="""
+# Demoted (r10) to tests/test_demoted_parity.py — ceded its window slot
+# to decontaminate_cut_docs (the benchmark-cut write path's full oracle,
+# the span family's last driver-unproved member). T3 pagination has been
+# green since round 1; the parity bar is unchanged there.
+PAGINATION_ORDERS_ORACLE = """
 SELECT o_orderkey, o_totalprice FROM (
   SELECT o_orderkey, o_totalprice,
          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS _rn
   FROM orders
 ) WHERE _rn > 10 AND _rn <= 20
-""",
-    doc="T3 offset/limit pagination with total order "
-    "(reference: server/search.go:312-331)",
-)
+"""
+
+
 def q_pagination_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     # limit upstream first so the single-partition window sort is tiny
@@ -1602,8 +1603,17 @@ def _substr_flags_cached(spark, sf_dir):
     # flags is the window frame's ONLY consumer now (both registry
     # entries read flags) — once flags' eager materialization completes,
     # release the O(corpus tokens) cached window frame instead of
-    # pinning it for the session (unpersist is a no-op on later calls)
-    _substr_windows_cached(spark, sf_dir).unpersist()
+    # pinning it for the session. EVICT the cache entry along with the
+    # unpersist: a stale handle left in _gvs_dedup_cache would look
+    # cached but silently recompute the corpus-scale window build per
+    # action for any future caller (the cache contract is "served
+    # frames are materialized"); popping restores it — a later
+    # _substr_windows_cached call rebuilds and re-persists honestly.
+    stale = _session_cache(spark, "_gvs_dedup_cache").pop(
+        ("substr_windows", sf_dir), None
+    )
+    if stale is not None:
+        stale.unpersist()
     return flags
 
 
@@ -2142,10 +2152,12 @@ def q_decontaminate_spans(spark, sf_dir):
     )
 
 
-# Demoted-parity twin (tests/test_demoted_parity.py, never windowed):
+# Rotated INTO the driver window r10 (slot ceded by pagination_orders):
 # the benchmark-cut write path at the full DuckDB bar — the no-keeper
 # simplification of the windowed substr_cut_docs oracle (every matched
 # window is removable; contaminated text has no copy worth keeping).
+# Added r8 as a demoted-parity twin; it was the span family's last
+# member without a driver-proved CORRECTNESS row.
 DECONTAMINATE_CUT_ORACLE = rf"""
 WITH t AS MATERIALIZED (
   SELECT doc_id, text,
@@ -2182,6 +2194,17 @@ WHERE t.doc_id % 97 <> 0
 """
 
 
+@register(
+    "decontaminate_cut_docs",
+    oracle=DECONTAMINATE_CUT_ORACLE,
+    doc="Benchmark-decontamination CUT (the write path's read side): "
+    f"every verbatim >={_DECON_L}-token benchmark window is removed "
+    "from the training split, no keeper protection — contaminated text "
+    "has no copy worth keeping. Benchmark hashes broadcast; the corpus "
+    "never shuffles on window hash. Output is scalar-only (doc_id, md5 "
+    "of the cleaned text) like substr_cut_docs "
+    "(operators/substr.decontaminate_cut)",
+)
 def q_decontaminate_cut_docs(spark, sf_dir):
     from go_vectorsearch_spark.operators import substr as SUB
 

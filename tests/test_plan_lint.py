@@ -46,27 +46,39 @@ _WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 # (default 25) and appends "... N more fields", so the count MUST add
 # that suffix back — a comma count alone can never exceed ~25 and the
 # gate would be dead code (caught by the r9 self-review; the positive
-# control below pins it against a real 300-element isin plan). Known
-# limit, documented honestly: the lint sees the literal's size AT SMOKE
-# SCALE — a collect()ed set that is small at sf0.001 passes here and
-# still scales with data; the engine write paths pin that shape
-# directly with Column.isin/DataFrame.collect spies
-# (tests/test_substr.py::test_engine_bulk_cut_frame_shaped).
+# control below pins it against a real 300-element isin plan). The
+# count therefore ANCHORS ON THE SUFFIX, not on a bracket-bounded body
+# capture: an earlier ([^)]*) capture stopped at the first ')' inside
+# an element, so paren-bearing literals (strings like "v(1)", struct
+# values) dropped the suffix and slipped under the cap (r9 advice; the
+# paren-bearing positive control below pins the fix). Any literal big
+# enough to breach 256 is ALWAYS truncated at maxToStringFields=25 and
+# so always carries the suffix; an untruncated literal has <= 25 shown
+# elements and clears the cap by 10x regardless of how its commas
+# parse. Residual honest limits: (a) commas INSIDE the 25 shown
+# elements (struct fields, quoted strings) inflate the head count —
+# conservative for a forbidden-shape gate; (b) the lint sees the
+# literal's size AT SMOKE SCALE — a collect()ed set that is small at
+# sf0.001 passes here and still scales with data; the engine write
+# paths pin that shape directly with Column.isin/DataFrame.collect
+# spies (tests/test_substr.py::test_engine_bulk_cut_frame_shaped).
 _IN_LITERAL_CAP = 256
-_INSET = re.compile(r"\b(?:IN|INSET)\s*\(([^)]*)\)|\bINSET\s+([^)\n]+)")
+_IN_SPLIT = re.compile(r"\b(?:IN|INSET)\b")
 _MORE_FIELDS = re.compile(r"\.\.\.\s*(\d+) more fields")
 
 
 def _big_in_literals(plan: str) -> list[int]:
     sizes = []
-    for m in _INSET.finditer(plan):
-        body = m.group(1) or m.group(2) or ""
-        n = body.count(",") + 1
-        more = _MORE_FIELDS.search(body)
-        if more:
-            n += int(more.group(1))
-        if n > _IN_LITERAL_CAP:
-            sizes.append(n)
+    for line in plan.splitlines():
+        # each IN/INSET owns the line segment up to the next one; a
+        # truncated literal's suffix always precedes the next keyword
+        for seg in _IN_SPLIT.split(line)[1:]:
+            more = _MORE_FIELDS.search(seg)
+            if not more:
+                continue  # untruncated: <= maxToStringFields elements
+            n = seg[: more.start()].count(",") + 1 + int(more.group(1))
+            if n > _IN_LITERAL_CAP:
+                sizes.append(n)
     return sizes
 
 
@@ -104,6 +116,17 @@ def test_lint_detectors_fire_on_planted_bad_plans(spark):
     df = spark.range(1000).filter(F.col("id").isin(list(range(300))))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert any("INSET" in b or "IN/" in b for b in _lint(plan)), plan[:1500]
+    # paren-bearing elements (the r9 advice gap): string literals like
+    # "v(1)" put a ')' inside every element, so a body capture bounded
+    # by the first ')' undercounted to 1 and a corpus-sized list slipped
+    # under the cap — the suffix-anchored count must still see ~300
+    pdf = spark.createDataFrame(
+        [("x",)], "id string"
+    ).filter(F.col("id").isin([f"v({i})" for i in range(300)]))
+    pplan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "more fields" in pplan  # the control is real: truncated form
+    big = _big_in_literals(pplan)
+    assert big and max(big) >= 300, pplan[:1500]
     # a 200-element isin stays under the cap — bounded lists are legal
     ok = spark.range(1000).filter(F.col("id").isin(list(range(200))))
     assert not _big_in_literals(
