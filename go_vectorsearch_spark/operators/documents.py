@@ -150,6 +150,30 @@ def format_text_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda s: _format_string(s) if s is not None else "")
 
 
+def format_rejoined_text(text: Column) -> Column:
+    """Pure-expression restatement of :func:`_format_string` for
+    token-REJOINED text — the shape the substring-cut rebuild produces
+    (``concat_ws(" ", tokens)`` over ``\\s+``-split tokens): no CR, no
+    LF, no leading/trailing ASCII whitespace by construction, so the
+    CR-strip / newline-collapse / trim steps are no-ops and only the
+    ensure-trailing-period step remains (including '' -> '.', matching
+    ``_format_string("")``).
+
+    Exists so the cut fixpoint can normalize each pass's rebuilt text
+    WITHOUT a pandas UDF: a ``when()`` branch around a Python UDF still
+    evaluates the UDF for every row (Python UDFs are extracted into an
+    unconditional ArrowEvalPython projection), which would add a full
+    Arrow round-trip of the corpus text per fixpoint pass. Exactly
+    :func:`format_text_udf` on rejoined input for ASCII-whitespace text;
+    a token carrying exotic unicode whitespace (which Java's ``\\s``
+    tokenizer does not split and Python's ``strip()`` would remove) is
+    the documented residue — absent from flatten output in practice,
+    and the storage write still applies the UDF as the final truth."""
+    return F.when(text.endswith("."), text).otherwise(
+        F.concat(text, F.lit("."))
+    )
+
+
 @F.pandas_udf(StringType())
 def json_string_udf(text: pd.Series) -> pd.Series:
     """Encode a plain-text column as its JSON string literal — the

@@ -277,6 +277,7 @@ def exact_substr_cut(
     iterate: int = 1,
     windows: DataFrame | None = None,
     flags: DataFrame | None = None,
+    normalize=None,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
 
@@ -314,17 +315,30 @@ def exact_substr_cut(
     ``flags`` — a prebuilt (persisted) :func:`duplicate_flags` frame,
     superseding ``windows`` for the first pass: when the stats path
     shares the corpus, the duplicate-set shuffle is paid once for both.
+
+    ``normalize`` — optional ``Column -> Column`` transform applied to
+    a CUT document's rebuilt text in EVERY pass (passthrough documents
+    keep their verbatim bytes). The Engine passes the storage
+    normalization (documents.format_rejoined_text) so the fixpoint
+    windows the text as it will be STORED: without it, a cut that
+    removes a document's final period-bearing token converges on the
+    un-normalized text, and the stored (re-normalized) last token can
+    still carry one duplicated window that a report-after-cut flags —
+    the r9 pre-normalization caveat, closed here. Registry oracles pass
+    None: their DuckDB twins hash the raw rebuilt token stream.
     """
     if iterate < 1:
         raise ValueError(f"exact_substr_cut: iterate must be >= 1, got {iterate}")
-    out = _cut_once(df, L, id_col, text_col, windows=windows, flags=flags)
+    out = _cut_once(
+        df, L, id_col, text_col, windows=windows, flags=flags, normalize=normalize
+    )
     if iterate == 1:
         return out
     from pyspark import StorageLevel
 
     cur = out.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     for _ in range(iterate - 1):
-        nxt = _cut_once(cur, L, id_col, "text").persist(
+        nxt = _cut_once(cur, L, id_col, "text", normalize=normalize).persist(
             StorageLevel.MEMORY_AND_DISK_DESER
         )
         changed = (
@@ -349,6 +363,7 @@ def _cut_once(
     text_col: str,
     windows: DataFrame | None = None,
     flags: DataFrame | None = None,
+    normalize=None,
 ) -> DataFrame:
     """One keeper-protected cut pass (see :func:`exact_substr_cut`)."""
     if flags is not None:
@@ -376,7 +391,7 @@ def _cut_once(
             F.collect_list(F.when(F.col("_keep"), F.struct("s_pos", "e_pos")))
         ).alias("_kp"),
     )
-    return _rebuild_without_spans(df, arrays, id_col, text_col)
+    return _rebuild_without_spans(df, arrays, id_col, text_col, normalize=normalize)
 
 
 def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
@@ -504,6 +519,7 @@ def _rebuild_without_spans(
     span_arrays: DataFrame,
     id_col: str,
     text_col: str,
+    normalize=None,
 ) -> DataFrame:
     """Rebuild each document's text dropping tokens covered by a _rm
     span and not protected by a _kp span. ``span_arrays`` carries one
@@ -570,6 +586,10 @@ def _rebuild_without_spans(
         F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice)
     )
     rebuilt = F.concat_ws(" ", kept_tokens)
+    # ``normalize`` applies to the REBUILT branch only — passthrough
+    # documents keep verbatim bytes (see exact_substr_cut's contract)
+    if normalize is not None:
+        rebuilt = normalize(rebuilt)
     # passthrough gates on the EFFECTIVE cut set, not on _rm: a document
     # whose removable spans are entirely keeper-covered has nothing cut
     # and must keep its bytes (the r9 self-review caught the _rm gate
@@ -634,13 +654,17 @@ def decontaminate_cut(
     bench_text_col: str = "text",
     corpus_tokenized: DataFrame | None = None,
     bench_tokenized: DataFrame | None = None,
+    normalize=None,
 ) -> DataFrame:
     """Cut every benchmark-contaminated span from the corpus (no keeper
     protection — contaminated text has no copy worth keeping). Returns
     (id_col, text) for EVERY corpus document, clean ones round-tripping
     their token stream. ``corpus_tokenized`` / ``bench_tokenized`` as in
     :func:`contaminated_spans` (a long-lived caller — the streaming
-    filter — persists the static benchmark's token frame once)."""
+    filter — persists the static benchmark's token frame once);
+    ``normalize`` as in :func:`exact_substr_cut` (the Engine write path
+    passes the storage normalization so a cut document's frame text IS
+    its stored text)."""
     spans = contaminated_spans(
         corpus,
         benchmark,
@@ -653,5 +677,5 @@ def decontaminate_cut(
         bench_tokenized=bench_tokenized,
     )
     return _rebuild_without_spans(
-        corpus, _span_arrays(spans, "_rm"), id_col, text_col
+        corpus, _span_arrays(spans, "_rm"), id_col, text_col, normalize=normalize
     )

@@ -161,6 +161,59 @@ def test_cut_fixpoint_catches_chained_duplicates(spark):
         S.exact_substr_cut(df, 4, iterate=0)
 
 
+def test_cut_fixpoint_sees_normalization_created_windows(spark):
+    """The r9 pre-normalization gap, closed: a cut that removes a
+    document's FINAL period-bearing token re-normalizes the new last
+    token ('b4' -> 'b4.'), which can create a duplicated window that
+    exists only in the STORED form. With normalize= the fixpoint
+    windows each pass's storage-form text, so the window is seen and
+    cut before convergence; without it, the fixpoint converges on the
+    un-normalized text and the window survives to storage."""
+    from go_vectorsearch_spark.operators.documents import (
+        format_rejoined_text,
+        format_text_udf,
+    )
+
+    rows = [
+        # keeper of P = "p1 p2 p3 p4." (mid-document, never cut)
+        (1, "a1 a2 a3 p1 p2 p3 p4. a4 a5 a6."),
+        # P at the END: pass 1 cuts it, leaving "b1 b2 b3 b4" whose
+        # normalized form "b1 b2 b3 b4." duplicates a window of doc 3
+        (2, "b1 b2 b3 b4 p1 p2 p3 p4."),
+        (3, "c1 c2 b1 b2 b3 b4. c3 c4 c5."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # WITHOUT normalize (the registry/oracle form): the fixpoint
+    # converges on "b1 b2 b3 b4" and doc 3 keeps the passage — the
+    # stored (normalized) corpus then still carries one duplicated
+    # window, pinning the gap the hook exists to close
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in S.exact_substr_cut(df, 4, iterate=5).collect()
+    }
+    assert raw[2] == "b1 b2 b3 b4" and raw[3] == rows[2][1]
+    stored = spark.createDataFrame(
+        list(raw.items()), "doc_id long, text string"
+    ).select("doc_id", format_text_udf(F.col("text")).alias("text"))
+    assert S.duplicated_windows(S.window_hashes(stored, 4)).count() > 0
+
+    # WITH normalize (the Engine form): pass 2 sees the re-normalized
+    # window, cuts doc 3's non-keeper occurrence, and the converged
+    # corpus IS its stored form — zero duplicated windows remain
+    fixed = {
+        r["doc_id"]: r["text"]
+        for r in S.exact_substr_cut(
+            df, 4, iterate=5, normalize=format_rejoined_text
+        ).collect()
+    }
+    assert fixed[1] == rows[0][1]          # keeper verbatim
+    assert fixed[2] == "b1 b2 b3 b4."      # normalized inside the loop
+    assert fixed[3] == "c1 c2 c3 c4 c5."   # normalization-created dup cut
+    clean = spark.createDataFrame(list(fixed.items()), "doc_id long, text string")
+    assert S.duplicated_windows(S.window_hashes(clean, 4)).count() == 0
+
+
 def _naive_cut_once(docs: dict[int, str], L: int) -> dict[int, str]:
     """Pure-Python reference of one keeper-protected cut pass: window
     token-range UNION equals the islands' span cover (windows merge iff
@@ -226,7 +279,40 @@ def test_cut_matches_naive_on_random_corpora(spark):
         assert got_fix == naive_fix, f"seed {seed} fixpoint"
 
 
-def test_cut_preserves_original_case(spark):
+def test_skewed_boilerplate_hot_key_bounded(spark):
+    """Adversarial skew: ONE passage duplicated across 10^4 documents
+    puts 10^4 rows behind a single ``_wh`` key in duplicate_flags'
+    groupBy + join-back (substr.py). Partial aggregation absorbs the
+    groupBy (map-side combine emits one (count, min) row per input
+    partition per key) and the join-back's dup side is a tiny aggregate
+    Spark broadcasts — so the skewed corpus must cost the same order as
+    a skew-free corpus of identical size, not degrade toward a
+    single-straggler shuffle. Pinned as a wall-ratio bound with a
+    generous factor (host jitter); the absolute decade figures live in
+    BASELINE.md's r10 section."""
+    import time
+
+    N = 10_000
+    boiler = "this boilerplate footer appears verbatim in every single document"
+    clean = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i") for i in range(N)]
+    skewed = [(i, f"u{i}a u{i}b u{i}c u{i}d {boiler}") for i in range(N)]
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        t0 = time.perf_counter()
+        out = S.exact_substr_stats(df, 8)
+        n = out.count()
+        return n, time.perf_counter() - t0
+
+    # warm both code paths once so codegen/compile noise cancels
+    run(clean[:100]); run(skewed[:100])
+    n_clean, w_clean = run(clean)
+    n_skew, w_skew = run(skewed)
+    assert n_clean == 0            # unique corpus: nothing flagged
+    assert n_skew == N             # every doc carries the hot passage
+    # the hot key costs the same order as the skew-free scan: generous
+    # 5x bound (observed ~1-2x; a straggler shape would be >>10x)
+    assert w_skew <= 5 * max(w_clean, 0.5), (w_clean, w_skew)
     # hashing is case-insensitive (family tokenizer), reconstruction is not
     d = spark.createDataFrame(
         [(1, "Alpha BETA gamma DELTA epsilon"), (2, "alpha beta GAMMA delta unique")],
@@ -477,6 +563,43 @@ def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
     assert aid not in cut_hits and bid in cut_hits
     with pytest.raises(ValueError, match="unknown"):
         e.substr_dedup_cut("o", "nope")
+
+
+def test_engine_cut_final_token_renormalization_converges(spark, tmp_path):
+    """The r9 verdict's done-criterion for the fixpoint gap: a cut that
+    removes a document's final period-bearing token must leave a corpus
+    substr_dedup_report flags NOTHING on — the fixpoint normalizes each
+    pass, so the window created by the re-normalized last token is cut
+    before convergence instead of surviving to storage."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    a_text = "a1 a2 a3 p1 p2 p3 p4. a4 a5 a6."          # keeper of P
+    b_text = "b1 b2 b3 b4 p1 p2 p3 p4."                 # P at the END
+    c_text = "c1 c2 b1 b2 b3 b4. c3 c4 c5."             # dup exists only post-normalization
+    aid, bid, ccid = e.upload(
+        "o",
+        "c",
+        [
+            {"name": n, "external_id": n, "document": _json.dumps(t)}
+            for n, t in (("a", a_text), ("b", b_text), ("c", c_text))
+        ],
+    )
+    n = e.substr_dedup_cut("o", "c", L=4, iterate=5)
+    assert n == 2  # b (pass 1) AND c (pass 2, the renormalized window)
+    after = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    assert _json.loads(after[aid]) == a_text            # keeper untouched
+    assert _json.loads(after[bid]) == "b1 b2 b3 b4."    # normalized form stored
+    assert _json.loads(after[ccid]) == "c1 c2 c3 c4 c5."
+    # the converged corpus is report-clean — the stored form has zero
+    # flaggable windows (this is the assertion the pre-normalization
+    # fixpoint could not satisfy)
+    assert e.substr_dedup_report("o", "c", L=4).count() == 0
 
 
 def test_engine_substr_cut_re_embed(spark, tmp_path):
