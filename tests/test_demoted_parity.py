@@ -61,13 +61,17 @@ DEMOTED = [
     # keeper-protected cut's full oracle); multimodal stays in-window
     # via multimodal_features
     (Q.q_multimodal_frame_sample, Q.MULTIMODAL_FRAME_SAMPLE_ORACLE),
-    # r8 addition (never windowed): the benchmark-cut write path at the
-    # full DuckDB bar — the no-keeper twin of substr_cut_docs
-    (Q.q_decontaminate_cut_docs, Q.DECONTAMINATE_CUT_ORACLE),
+    # (the r8-added decontaminate_cut_docs — the benchmark-cut write
+    # path's no-keeper twin — rotated INTO the window r10, ceding this
+    # list its pagination_orders slot below)
     # r9 demotion — ceded its window slot to ann_ivfpq_exact (the PQ
     # family's exactness anchor); quantized-search semantics stay
     # driver-proved via the in-window cosine_topk + quantize_roundtrip
     (Q.q_cosine_topk_quantized, Q.COSINE_TOPK_QUANTIZED_ORACLE),
+    # r10 demotion — ceded its window slot to decontaminate_cut_docs
+    # (the span family's last driver-unproved member); T3 pagination has
+    # been green since round 1 and keeps the identical bar here
+    (Q.q_pagination_orders, Q.PAGINATION_ORDERS_ORACLE),
 ]
 
 
