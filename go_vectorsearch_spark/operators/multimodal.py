@@ -158,10 +158,12 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real decoders for library-free formats (r5). The stub boundary above
-# remains for JPEG/PNG/MP3/H.264 — formats that genuinely need PIL/ffmpeg
-# — but netpbm images (PGM P5 / PPM P6) and PCM WAV audio decode with
-# numpy + the stdlib alone, so for THOSE the seam is real end to end.
+# Real decoders for library-free formats (r5, widened r10). The stub
+# boundary above remains for JPEG/PNG/MP3/H.264 — formats that genuinely
+# need PIL/ffmpeg — but netpbm images (PGM P5 / PPM P6), uncompressed
+# 24-bit BMP, and WAV audio in PCM-16 / IEEE-float32 / G.711 µ-law all
+# decode with numpy + the stdlib alone, so for THOSE the seam is real
+# end to end.
 # ---------------------------------------------------------------------------
 
 
@@ -207,47 +209,198 @@ def decode_image_netpbm(payload: bytes) -> np.ndarray:
     return raster.reshape((h, w, 3) if depth == 3 else (h, w))
 
 
-def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
-    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
-    import io
-    import wave
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (BI_RGB,
+    BITMAPINFOHEADER, bottom-up rows, BGR pixel order, rows padded to
+    4 bytes — the canonical Windows bitmap layout)."""
+    import struct
 
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as f:
-        f.setnchannels(1)
-        f.setsampwidth(2)
-        f.setframerate(int(sample_rate))
-        f.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
-    return buf.getvalue()
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # RGB -> BGR, bottom row first, per-row zero padding
+    bgr = a[::-1, :, ::-1]
+    raster = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
+def decode_image_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB. Supports
+    bottom-up (positive height, the common case) and top-down rows;
+    anything else (palettized, RLE, V4/V5 bitfields) raises — those are
+    the compressed/exotic variants the strict-mode seam covers."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
+    if dib_size < 40 or planes != 1 or bits != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+# --- WAV (RIFF) --------------------------------------------------------------
+# Decoded with a minimal RIFF chunk walk + numpy instead of stdlib
+# ``wave``: wave handles WAVE_FORMAT_PCM only, while the pipeline also
+# meets IEEE-float (format 3) and G.711 µ-law (format 7) corpora — both
+# decode library-free. (stdlib ``audioop`` was removed in Python 3.13,
+# so µ-law is vectorized numpy here, Sun g711.c ulaw2linear semantics.)
+
+_WAV_PCM, _WAV_IEEE_FLOAT, _WAV_MULAW = 1, 3, 7
+
+
+def mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes -> int16 linear samples (Sun g711.c
+    ulaw2linear: complement, (mantissa<<3)+0x84 biased magnitude shifted
+    by the segment, sign from bit 7; byte 0xFF decodes to 0, byte 0x80
+    to +32124, byte 0x00 to -32124 — the published table endpoints,
+    golden-pinned in tests)."""
+    u = ~np.asarray(u, dtype=np.uint8)
+    t = ((u & 0x0F).astype(np.int32) << 3) + 0x84
+    t <<= (u & 0x70).astype(np.int32) >> 4
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+_MULAW_TABLE = mulaw_decode(np.arange(256, dtype=np.uint8))
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> G.711 µ-law bytes: nearest decode-table entry
+    (exactly inverts :func:`mulaw_decode` on its own output values)."""
+    order = np.argsort(_MULAW_TABLE)
+    tbl = _MULAW_TABLE[order].astype(np.int32)
+    s = np.asarray(samples, dtype=np.int32)
+    idx = np.clip(np.searchsorted(tbl, s), 1, 255)
+    idx -= np.abs(tbl[idx - 1] - s) <= np.abs(tbl[idx] - s)
+    return order[idx].astype(np.uint8)
+
+
+def _wav_bytes(sample_rate: int, fmt_code: int, bits: int, data: bytes) -> bytes:
+    import struct
+
+    block = max(1, bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, 1, int(sample_rate),
+        int(sample_rate) * block, block, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """int16 mono samples -> PCM WAV bytes."""
+    return _wav_bytes(
+        sample_rate, _WAV_PCM, 16, np.asarray(samples, dtype="<i2").tobytes()
+    )
+
+
+def encode_wav_float(sample_rate: int, samples: np.ndarray) -> bytes:
+    """float32 mono samples (nominal [-1, 1]) -> IEEE-float WAV bytes."""
+    return _wav_bytes(
+        sample_rate, _WAV_IEEE_FLOAT, 32,
+        np.asarray(samples, dtype="<f4").tobytes(),
+    )
+
+
+def encode_wav_mulaw(sample_rate: int, samples: np.ndarray) -> bytes:
+    """int16 mono samples -> G.711 µ-law WAV bytes (8 bits/sample)."""
+    return _wav_bytes(
+        sample_rate, _WAV_MULAW, 8, mulaw_encode(samples).tobytes()
+    )
 
 
 def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """PCM WAV -> (sample_rate, int16 samples of channel 0)."""
-    import io
-    import wave
+    """WAV -> (sample_rate, samples of channel 0). Formats decoded
+    library-free: PCM 16-bit (-> int16), IEEE float32 (-> float32, the
+    format's native [-1, 1] units), G.711 µ-law (-> int16 linear via
+    :func:`mulaw_decode`). Anything else (ADPCM, extensible, 24-bit
+    packing) raises — the strict-mode seam's territory."""
+    import struct
 
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        if f.getsampwidth() != 2:
-            raise ValueError("only 16-bit PCM WAV supported")
-        sr = f.getframerate()
-        raw = f.readframes(f.getnframes())
-        a = np.frombuffer(raw, dtype=np.int16)
-        if f.getnchannels() > 1:
-            a = a[:: f.getnchannels()]
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, nch, sr = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if code == _WAV_PCM and bits == 16:
+        a = np.frombuffer(data, dtype="<i2")
+    elif code == _WAV_IEEE_FLOAT and bits == 32:
+        a = np.frombuffer(data, dtype="<f4")
+    elif code == _WAV_MULAW and bits == 8:
+        a = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(f"unsupported WAV format code={code} bits={bits}")
+    if nch > 1:
+        a = a[::nch]
     return sr, a
+
+
+def _wav_fmt_name(payload: bytes) -> str:
+    """'wav' / 'wav_f32' / 'wav_ulaw' from the fmt chunk's format code
+    (the payload already decoded, so the chunk walk is known-good)."""
+    import struct
+
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt ":
+            code = struct.unpack_from("<H", payload, i + 8)[0]
+            return {_WAV_IEEE_FLOAT: "wav_f32", _WAV_MULAW: "wav_ulaw"}.get(
+                code, "wav"
+            )
+        i += 8 + size + (size & 1)
+    return "wav"
 
 
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
-    allows: netpbm images (P5/P6 magic) yield true width/height and
-    pixel mean/std, PCM WAV ('RIFF..WAVE') yields true sample_rate,
-    sample count and RMS — both pure numpy/stdlib, decoded inside the
-    same Arrow-batched map as the stub path. Payloads in formats that
-    need external codec libraries fall through to the documented stub
-    boundary: ``strict=True`` raises ``NotImplementedError`` there,
-    else deterministic byte-level fake features with ``fmt='opaque'``.
-    One output row per media row; columns not applicable to a modality
-    are NULL."""
+    allows: netpbm images (P5/P6 magic) and uncompressed 24-bit BMP
+    ('BM') yield true width/height and pixel mean/std; WAV
+    ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law yields true
+    sample_rate, sample count and RMS (RMS in each format's native
+    units: int16 linear for PCM/µ-law, [-1, 1] float for f32) — all
+    pure numpy/stdlib, decoded inside the same Arrow-batched map as the
+    stub path. Payloads in formats that genuinely need external codec
+    libraries (JPEG/PNG/MP3, compressed BMP, ADPCM) fall through to the
+    documented stub boundary: ``strict=True`` raises
+    ``NotImplementedError`` there, else deterministic byte-level fake
+    features with ``fmt='opaque'``. One output row per media row;
+    columns not applicable to a modality are NULL."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,9 +423,34 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     row["height"], row["width"] = img.shape[0], img.shape[1]
                     row["px_mean"] = float(img.mean())
                     row["px_std"] = float(img.std())
+                elif p[:2] == b"BM" and len(p) >= 54:
+                    # 2-byte magic alone collides with random payloads
+                    # ~1/65k — the 54-byte header minimum plus the
+                    # decoder's own dib/bits/compression validation
+                    # gate the branch; a failed parse is an opaque (or
+                    # strict-raising) payload, never a worker crash
+                    try:
+                        img = decode_image_bmp(p)
+                    except ValueError:
+                        img = None
+                    if img is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "compressed/exotic BMP needs an external "
+                                "codec (PIL, not in container)"
+                            )
+                        a = np.frombuffer(p, dtype=np.uint8)
+                        row["fmt"] = "opaque"
+                        row["px_mean"] = float(a.mean()) if len(a) else 0.0
+                        row["n_samples"] = len(a)
+                    else:
+                        row["fmt"] = "bmp"
+                        row["height"], row["width"] = img.shape[0], img.shape[1]
+                        row["px_mean"] = float(img.mean())
+                        row["px_std"] = float(img.std())
                 elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     sr, samples = decode_audio_wav(p)
-                    row["fmt"] = "wav"
+                    row["fmt"] = _wav_fmt_name(p)
                     row["sample_rate"] = sr
                     row["n_samples"] = len(samples)
                     row["rms"] = float(

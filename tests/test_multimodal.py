@@ -109,6 +109,126 @@ class TestRealDecoders:
         got_sr, got = decode_audio_wav(encode_wav(sr, samples))
         assert got_sr == sr and (got == samples).all()
 
+    def test_bmp_roundtrip_and_variants(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            decode_image_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(11)
+        # widths 7 and 4: one needing row padding (21 bytes -> pad 3),
+        # one naturally aligned — both must round-trip exactly
+        for h, w in ((5, 7), (3, 4)):
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(rgb)
+            assert payload[:2] == b"BM"
+            assert (decode_image_bmp(payload) == rgb).all()
+        # top-down variant (negative height) decodes to the same image
+        rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        import struct
+
+        p = bytearray(encode_bmp(rgb[::-1]))  # encoder stores bottom-up
+        struct.pack_into("<i", p, 22, -4)     # flip to top-down
+        assert (decode_image_bmp(bytes(p)) == rgb[::-1][::-1]).all()
+        # exotic variants raise (the strict seam's territory)
+        with _pytest.raises(ValueError, match="24-bit"):
+            q = bytearray(encode_bmp(rgb))
+            struct.pack_into("<H", q, 28, 8)  # claim 8-bit
+            decode_image_bmp(bytes(q))
+        with _pytest.raises(ValueError, match="not a BMP"):
+            decode_image_bmp(b"BMshort")
+
+    def test_wav_mulaw_and_float_roundtrip(self):
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            _MULAW_TABLE,
+            decode_audio_wav,
+            encode_wav_float,
+            encode_wav_mulaw,
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        # published G.711 table endpoints (Sun g711.c ulaw2linear)
+        assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+        assert mulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+        assert mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+        # encode exactly inverts decode on the table's own values
+        all_bytes = np.arange(256, dtype=np.uint8)
+        assert (mulaw_decode(mulaw_encode(_MULAW_TABLE)) == _MULAW_TABLE).all()
+        # nearest-entry property on arbitrary linear input: the decoded
+        # error is bounded by the local quantization step
+        rng = np.random.default_rng(3)
+        lin = rng.integers(-30000, 30000, size=512).astype(np.int16)
+        dec = mulaw_decode(mulaw_encode(lin))
+        err = np.abs(dec.astype(np.int64) - lin.astype(np.int64))
+        steps = np.abs(np.diff(np.sort(_MULAW_TABLE.astype(np.int64)))).max()
+        assert err.max() <= steps  # max µ-law segment step
+        del all_bytes
+
+        # µ-law WAV round-trip: decode(encode) == table-quantized linear
+        sr = 8000
+        got_sr, got = decode_audio_wav(encode_wav_mulaw(sr, lin))
+        assert got_sr == sr and (got == dec).all()
+
+        # IEEE-float WAV round-trip, exact in float32
+        f = (rng.standard_normal(256) * 0.4).astype(np.float32)
+        got_sr, gotf = decode_audio_wav(encode_wav_float(44100, f))
+        assert got_sr == 44100 and gotf.dtype == np.float32 and (gotf == f).all()
+
+    def test_decode_real_features_new_formats(self, spark):
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            decode_real_features,
+            encode_bmp,
+            encode_wav_float,
+            encode_wav_mulaw,
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        rng = np.random.default_rng(13)
+        bmp = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        lin = (np.sin(np.arange(200) / 3.0) * 15000).astype(np.int16)
+        f32 = (np.cos(np.arange(128) / 7.0) * 0.5).astype(np.float32)
+        rows = [
+            (1, 1, "image", bytearray(encode_bmp(bmp)), None),
+            (2, 2, "audio", bytearray(encode_wav_mulaw(8000, lin)), None),
+            (3, 3, "audio", bytearray(encode_wav_float(22050, f32)), None),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        # strict mode: all three are REAL decodes now — nothing raises
+        got = {
+            r["media_id"]: r
+            for r in decode_real_features(media, strict=True).collect()
+        }
+        assert got[1]["fmt"] == "bmp"
+        assert (got[1]["width"], got[1]["height"]) == (5, 6)
+        assert got[1]["px_mean"] == pytest.approx(float(bmp.mean()))
+        assert got[1]["px_std"] == pytest.approx(float(bmp.std()))
+
+        dec = mulaw_decode(mulaw_encode(lin))
+        assert got[2]["fmt"] == "wav_ulaw"
+        assert got[2]["sample_rate"] == 8000 and got[2]["n_samples"] == 200
+        assert got[2]["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+        )
+
+        assert got[3]["fmt"] == "wav_f32"
+        assert got[3]["sample_rate"] == 22050 and got[3]["n_samples"] == 128
+        assert got[3]["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(f32.astype(np.float64) ** 2)))
+        )
+
     def test_decode_real_features_end_to_end(self, spark):
         import numpy as np
 
