@@ -144,13 +144,20 @@ def main() -> None:
     _copies(base, 10, distinct=True).repartition(32).write.parquet(
         f"{work}/distinct10"
     )
-    boiler = base.select(
-        "doc_id", F.concat(F.col("text"), F.lit(" " + BOILER)).alias("text")
-    )
-    boiler.write.parquet(f"{work}/boiler_base")
-    _copies(boiler, 10, distinct=True).repartition(32).write.parquet(
-        f"{work}/boiler10"
-    )
+    # the boilerplate appends AFTER the per-copy mangling, so it is
+    # byte-identical across the WHOLE 10x corpus (freq = 50k >> cap):
+    # appending before would mangle it positionally per copy, creating
+    # sub-cap same-length-doc footer families that measure genuine
+    # near-dup output growth instead of the cap's hot-key protection
+    def _with_boiler(df):
+        return df.select(
+            "doc_id", F.concat(F.col("text"), F.lit(" " + BOILER)).alias("text")
+        )
+
+    _with_boiler(base).write.parquet(f"{work}/boiler_base")
+    _with_boiler(_copies(base, 10, distinct=True)).repartition(
+        32
+    ).write.parquet(f"{work}/boiler10")
 
     all_rows = []
     all_rows += measure(spark, f"{work}/base", "base (sf0.1)")

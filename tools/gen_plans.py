@@ -120,6 +120,12 @@ PICKS = [
      "order cannot affect a full re-rank). Proves the coded store and the rerank "
      "stage's conventions round-trip the corpus, hash-checked vs the cosine_topk "
      "oracle."),
+    ("decontaminate_cut_docs", "Benchmark-decontamination cut (windowed r10): the "
+     "benchmark split's distinct window hashes BROADCAST into a left-semi probe of "
+     "the corpus-side window frame (the corpus never shuffles on window hash), "
+     "per-document islands merge under partitioned windows, and the cut is the same "
+     "linear merge-rank token filter as substr_cut_docs with an empty keeper set — "
+     "raw text moves only in the final rebuild projection."),
 ]
 
 out = []
