@@ -4,11 +4,14 @@ The reference is text-only; a 100 TB training-data pipeline carries media
 as ``binary`` payload columns with a typed metadata struct, decoding and
 feature-extracting inside Arrow-batched ``mapInPandas`` so bytes never
 round-trip through the driver. The media codec libraries (PIL, torchaudio,
-ffmpeg) are NOT in this container, so the decode step is STUBBED: when the
-real library is missing we either raise ``NotImplementedError`` (strict
-mode) or compute a clearly-named deterministic fake from the payload bytes
-(default) — the Spark-side plumbing (schema, partitioning, UDF signature,
-Arrow batch shape) is real and tested either way.
+ffmpeg) are NOT in this container, so the decode step is STUBBED only for
+formats that genuinely need them (JPEG/MP3/H.264, exotic PNG/BMP/WAV
+variants): there we either raise ``NotImplementedError`` (strict mode) or
+compute a clearly-named deterministic fake from the payload bytes
+(default). netpbm / 8-bit PNG / uncompressed BMP images and
+PCM / IEEE-float / µ-law WAV audio decode REAL, numpy+stdlib only — the
+Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+shape) is identical either way and tested end to end.
 
 Scale notes: payloads stay columnar in parquet (binary, zstd); decode
 parallelism = scan partitions; per-batch numpy work is vectorized; the
@@ -159,11 +162,11 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Real decoders for library-free formats (r5, widened r10). The stub
-# boundary above remains for JPEG/PNG/MP3/H.264 — formats that genuinely
-# need PIL/ffmpeg — but netpbm images (PGM P5 / PPM P6), uncompressed
-# 24-bit BMP, and WAV audio in PCM-16 / IEEE-float32 / G.711 µ-law all
-# decode with numpy + the stdlib alone, so for THOSE the seam is real
-# end to end.
+# boundary above remains for JPEG/MP3/H.264 — formats that genuinely
+# need PIL/ffmpeg — but netpbm images (PGM P5 / PPM P6), 8-bit
+# non-interlaced PNG (stdlib zlib), uncompressed 24-bit BMP, and WAV
+# audio in PCM-16 / IEEE-float32 / G.711 µ-law all decode with numpy +
+# the stdlib alone, so for THOSE the seam is real end to end.
 # ---------------------------------------------------------------------------
 
 
@@ -254,6 +257,117 @@ def decode_image_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1]  # BGR -> RGB
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 image -> PNG bytes: (h, w) gray, (h, w, 3) RGB or
+    (h, w, 4) RGBA; filter-0 rows, one zlib IDAT (stdlib only)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    depth = 1 if a.ndim == 2 else a.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[depth]
+    raw = b"".join(
+        b"\x00" + a[r].tobytes() for r in range(h)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 array: gray (h, w), RGB
+    (h, w, 3) or RGBA (h, w, 4). Pure stdlib zlib + numpy: chunk walk,
+    one inflate, then per-row de-filtering (None/Sub/Up/Average/Paeth
+    per the spec). Palette, 16-bit and interlaced variants raise — the
+    strict-mode seam's territory."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    i, idat, hdr = 8, [], None
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + body + crc
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color, _comp, _filt, interlace = hdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced gray/RGB(A) PNG supported"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for r in range(h):
+        f = int(filters[r])
+        cur = data[r].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f == 1:  # Sub: per-channel-lane prefix sum (vectorized)
+            lanes = cur.reshape(-1, bpp)
+            line = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
+        else:
+            # Average/Paeth reconstruct left-to-right (each byte needs
+            # the DECODED left neighbor) — sequential per row by
+            # construction; fine for the library-free seam's inputs,
+            # and a real high-volume PNG corpus belongs to the PIL
+            # strict seam anyway
+            line = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    c = int(out[r - 1, x - bpp]) if (r and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                # mod INSIDE the loop: the stored byte is the decoded
+                # value later reads use as their left neighbor
+                line[x] = (cur[x] + pred) & 0xFF
+        out[r] = line & 0xFF
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
 
 
 # --- WAV (RIFF) --------------------------------------------------------------
@@ -389,17 +503,18 @@ def _wav_fmt_name(payload: bytes) -> str:
 
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
-    allows: netpbm images (P5/P6 magic) and uncompressed 24-bit BMP
-    ('BM') yield true width/height and pixel mean/std; WAV
+    allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG
+    (stdlib zlib inflate + numpy de-filtering) and uncompressed 24-bit
+    BMP ('BM') yield true width/height and pixel mean/std; WAV
     ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law yields true
     sample_rate, sample count and RMS (RMS in each format's native
     units: int16 linear for PCM/µ-law, [-1, 1] float for f32) — all
     pure numpy/stdlib, decoded inside the same Arrow-batched map as the
     stub path. Payloads in formats that genuinely need external codec
-    libraries (JPEG/PNG/MP3, compressed BMP, ADPCM) fall through to the
-    documented stub boundary: ``strict=True`` raises
-    ``NotImplementedError`` there, else deterministic byte-level fake
-    features with ``fmt='opaque'``. One output row per media row;
+    libraries (JPEG/MP3, palette/16-bit/interlaced PNG, compressed BMP,
+    ADPCM) fall through to the documented stub boundary: ``strict=True``
+    raises ``NotImplementedError`` there, else deterministic byte-level
+    fake features with ``fmt='opaque'``. One output row per media row;
     columns not applicable to a modality are NULL."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -423,6 +538,29 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     row["height"], row["width"] = img.shape[0], img.shape[1]
                     row["px_mean"] = float(img.mean())
                     row["px_std"] = float(img.std())
+                elif p[:8] == _PNG_MAGIC:
+                    # 8-byte magic: collision-proof. Unsupported PNG
+                    # variants (palette/16-bit/interlaced) fall to the
+                    # strict seam like compressed BMP below
+                    try:
+                        img = decode_image_png(p)
+                    except ValueError:
+                        img = None
+                    if img is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "palette/16-bit/interlaced PNG needs an "
+                                "external codec (PIL, not in container)"
+                            )
+                        a = np.frombuffer(p, dtype=np.uint8)
+                        row["fmt"] = "opaque"
+                        row["px_mean"] = float(a.mean()) if len(a) else 0.0
+                        row["n_samples"] = len(a)
+                    else:
+                        row["fmt"] = "png"
+                        row["height"], row["width"] = img.shape[0], img.shape[1]
+                        row["px_mean"] = float(img.mean())
+                        row["px_std"] = float(img.std())
                 elif p[:2] == b"BM" and len(p) >= 54:
                     # 2-byte magic alone collides with random payloads
                     # ~1/65k — the 54-byte header minimum plus the

@@ -141,6 +141,80 @@ class TestRealDecoders:
         with _pytest.raises(ValueError, match="not a BMP"):
             decode_image_bmp(b"BMshort")
 
+    def test_png_roundtrip_and_filters(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest as _pytest
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            _PNG_MAGIC,
+            decode_image_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(17)
+        for shape in ((6, 9), (5, 7, 3), (4, 3, 4)):  # gray / RGB / RGBA
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            assert (decode_image_png(encode_png(img)) == img).all()
+
+        # filters 1-4: craft the filtered stream with an INDEPENDENT
+        # test-side filter implementation (spec direction: encoder
+        # subtracts the predictor), decode must invert it exactly
+        def crafted(img, filters):
+            h, w, ch = img.shape
+            stride = w * ch
+            flat = img.reshape(h, stride).astype(np.int32)
+            raw = b""
+            for r, f in enumerate(filters):
+                cur = flat[r]
+                prev = flat[r - 1] if r else np.zeros(stride, np.int32)
+                row = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if (r and x >= ch) else 0
+                    if f == 0:
+                        pred = 0
+                    elif f == 1:
+                        pred = a
+                    elif f == 2:
+                        pred = b
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (cur[x] - pred) & 0xFF
+                raw += bytes([f]) + row.astype(np.uint8).tobytes()
+
+            def chunk(tag, body):
+                return (
+                    struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                _PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        for filters in ([1, 2, 3, 4, 0], [4, 4, 4, 4, 4], [3, 1, 4, 2, 3]):
+            assert (decode_image_png(crafted(img, filters)) == img).all(), filters
+
+        # unsupported variants raise (strict seam's territory)
+        bad = bytearray(encode_png(img))
+        # IHDR bit-depth byte: 8 magic + 4 len + 4 tag + 8 (w, h)
+        bad[24] = 0x10  # claim 16-bit depth (decoder ignores CRC)
+        with _pytest.raises(ValueError, match="8-bit"):
+            decode_image_png(bytes(bad))
+        with _pytest.raises(ValueError, match="not a PNG"):
+            decode_image_png(b"\x89PNGnope")
+
     def test_wav_mulaw_and_float_roundtrip(self):
         import numpy as np
 
@@ -186,6 +260,7 @@ class TestRealDecoders:
         from go_vectorsearch_spark.operators.multimodal import (
             decode_real_features,
             encode_bmp,
+            encode_png,
             encode_wav_float,
             encode_wav_mulaw,
             mulaw_decode,
@@ -194,12 +269,14 @@ class TestRealDecoders:
 
         rng = np.random.default_rng(13)
         bmp = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        png = rng.integers(0, 256, size=(7, 4, 3), dtype=np.uint8)
         lin = (np.sin(np.arange(200) / 3.0) * 15000).astype(np.int16)
         f32 = (np.cos(np.arange(128) / 7.0) * 0.5).astype(np.float32)
         rows = [
             (1, 1, "image", bytearray(encode_bmp(bmp)), None),
             (2, 2, "audio", bytearray(encode_wav_mulaw(8000, lin)), None),
             (3, 3, "audio", bytearray(encode_wav_float(22050, f32)), None),
+            (4, 4, "image", bytearray(encode_png(png)), None),
         ]
         media = spark.createDataFrame(
             rows,
@@ -228,6 +305,11 @@ class TestRealDecoders:
         assert got[3]["rms"] == pytest.approx(
             float(np.sqrt(np.mean(f32.astype(np.float64) ** 2)))
         )
+
+        assert got[4]["fmt"] == "png"
+        assert (got[4]["width"], got[4]["height"]) == (4, 7)
+        assert got[4]["px_mean"] == pytest.approx(float(png.mean()))
+        assert got[4]["px_std"] == pytest.approx(float(png.std()))
 
     def test_decode_real_features_end_to_end(self, spark):
         import numpy as np
