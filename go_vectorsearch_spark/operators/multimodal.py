@@ -483,6 +483,196 @@ def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return sr, a
 
 
+# ---------------------------------------------------------------------------
+# Header-level metadata sniffing (r10). Even the codec-BOUND formats
+# (JPEG, MP3) expose dimensions / sample rate in their headers without
+# any pixel or audio decode — and a 100 TB ingest pipeline filters by
+# resolution/duration BEFORE paying for decode, so the sniff is its own
+# first-class operator. Library-free for every format below; the pixel/
+# sample DECODE seam (decode_real_features) is unchanged.
+# ---------------------------------------------------------------------------
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3): bitrate kbps by
+# (version-group, layer) and sample rate by version. Enough to identify
+# the stream and estimate duration from size/bitrate — not a decoder.
+_MP3_BITRATE = {
+    # (mpeg1?, layer): index 1..14
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _sniff_jpeg(p: bytes):
+    """(width, height, n_components) from the first SOF marker — a pure
+    segment walk (every JPEG segment between SOI and SOS is
+    [FF marker][2-byte length][payload]); no entropy decode."""
+    if p[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        size = int.from_bytes(p[i + 2 : i + 4], "big")
+        if size < 2 or i + 2 + size > n:
+            return None
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = p[i + 4 : i + 2 + size]
+            if len(body) < 6:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            return (w, h, body[5])
+        i += 2 + size
+    return None
+
+
+def _sniff_mp3(p: bytes):
+    """(sample_rate, n_channels, est_duration_ms) from the first MPEG
+    audio frame header (11-bit sync), skipping a leading ID3v2 tag.
+    Duration estimated as size/bitrate — exact for CBR, nominal for VBR
+    (a real pipeline treats it as a catalog hint, not a decode)."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        # syncsafe 28-bit tag size
+        i = 10 + ((p[6] << 21) | (p[7] << 14) | (p[8] << 7) | p[9])
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
+            version = (p[i + 1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer_code = (p[i + 1] >> 1) & 0x03  # 3=L1, 2=L2, 1=L3
+            br_ix = (p[i + 2] >> 4) & 0x0F
+            sr_ix = (p[i + 2] >> 2) & 0x03
+            if version != 1 and layer_code != 0 and 0 < br_ix < 15 and sr_ix < 3:
+                layer = 4 - layer_code  # 1/2/3
+                kbps = _MP3_BITRATE[(version == 3, layer)][br_ix]
+                sr = _MP3_SR[version][sr_ix]
+                channels = 1 if ((p[i + 3] >> 6) & 0x03) == 3 else 2
+                dur_ms = int((n - i) * 8 / kbps) if kbps else None
+                return (sr, channels, dur_ms)
+        i += 1
+    return None
+
+
+def sniff_media_meta(media: DataFrame) -> DataFrame:
+    """Header-level metadata for every payload — NO pixel/sample decode:
+    (media_id, kind, fmt, width, height, n_channels, sample_rate,
+    n_bytes, est_duration_ms), NULL where the format has no such field.
+    Formats sniffed library-free: JPEG (SOF segment walk), PNG (IHDR),
+    BMP (DIB), netpbm (text header), WAV (fmt+data chunks, exact
+    duration), MP3 (first frame header + size/bitrate estimate).
+    Unknown magics report fmt='opaque' with byte length only. The
+    ingest-side complement of :func:`decode_real_features`: resolution/
+    duration filters run on THIS, and only survivors pay the decode."""
+    import struct
+
+    def one(p: bytes) -> dict:
+        r: dict = {
+            "fmt": "opaque", "width": None, "height": None,
+            "n_channels": None, "sample_rate": None,
+            "n_bytes": len(p), "est_duration_ms": None,
+        }
+        try:
+            if p[:2] == b"\xff\xd8":
+                j = _sniff_jpeg(p)
+                r["fmt"] = "jpeg"
+                if j:
+                    r["width"], r["height"], r["n_channels"] = j
+            elif p[:8] == _PNG_MAGIC and len(p) >= 24:
+                w, h = struct.unpack_from(">II", p, 16)
+                color = p[25] if len(p) > 25 else None
+                r.update(fmt="png", width=w, height=h,
+                         n_channels={0: 1, 2: 3, 4: 2, 6: 4}.get(color))
+            elif p[:2] == b"BM" and len(p) >= 26:
+                _dib, w, h = struct.unpack_from("<Iii", p, 14)
+                r.update(fmt="bmp", width=w, height=abs(h))
+                if len(p) >= 30:
+                    r["n_channels"] = struct.unpack_from("<H", p, 28)[0] // 8
+            elif p[:2] in (b"P5", b"P6"):
+                img_fields = []
+                i, n = 2, len(p)
+                while len(img_fields) < 2 and i < n:
+                    while i < n and p[i : i + 1].isspace():
+                        i += 1
+                    if p[i : i + 1] == b"#":
+                        while i < n and p[i : i + 1] != b"\n":
+                            i += 1
+                        continue
+                    j = i
+                    while j < n and not p[j : j + 1].isspace():
+                        j += 1
+                    img_fields.append(int(p[i:j]))
+                    i = j
+                r.update(fmt="ppm" if p[:2] == b"P6" else "pgm",
+                         width=img_fields[0], height=img_fields[1],
+                         n_channels=3 if p[:2] == b"P6" else 1)
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                i, nlen = 12, len(p)
+                sr = nch = bits = None
+                data_len = None
+                while i + 8 <= nlen:
+                    cid = p[i : i + 4]
+                    size = struct.unpack_from("<I", p, i + 4)[0]
+                    if cid == b"fmt ":
+                        _code, nch, sr = struct.unpack_from("<HHI", p, i + 8)
+                        bits = struct.unpack_from("<H", p, i + 22)[0]
+                    elif cid == b"data":
+                        data_len = size
+                    i += 8 + size + (size & 1)
+                r.update(fmt="wav", sample_rate=sr, n_channels=nch)
+                if sr and nch and bits and data_len is not None:
+                    r["est_duration_ms"] = int(
+                        data_len * 8000 / (sr * nch * bits)
+                    )
+            else:
+                m = _sniff_mp3(p)
+                if m:
+                    r["fmt"] = "mp3"
+                    r["sample_rate"], r["n_channels"], r["est_duration_ms"] = m
+        except (ValueError, IndexError, struct.error):
+            pass  # malformed header: opaque with whatever parsed
+        return r
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "kind", "fmt", "width", "height",
+                    "n_channels", "sample_rate", "n_bytes", "est_duration_ms",
+                )
+            }
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                r = one(bytes(payload) if payload is not None else b"")
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                for k in ("fmt", "width", "height", "n_channels",
+                          "sample_rate", "n_bytes", "est_duration_ms"):
+                    out[k].append(r[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        sniff,
+        schema="media_id long, kind string, fmt string, width int, "
+        "height int, n_channels int, sample_rate int, n_bytes long, "
+        "est_duration_ms long",
+    )
+
+
 def _wav_fmt_name(payload: bytes) -> str:
     """'wav' / 'wav_f32' / 'wav_ulaw' from the fmt chunk's format code
     (the payload already decoded, so the chunk walk is known-good)."""

@@ -254,6 +254,69 @@ class TestRealDecoders:
         got_sr, gotf = decode_audio_wav(encode_wav_float(44100, f))
         assert got_sr == 44100 and gotf.dtype == np.float32 and (gotf == f).all()
 
+    def test_sniff_media_meta_headers_only(self, spark):
+        """Header-level sniffing yields true dims / sample rates for
+        EVERY format — including the codec-bound ones (JPEG via the SOF
+        segment walk, MP3 via the frame header) — without any pixel or
+        sample decode. Crafted headers are hand-built from the specs,
+        so the parser is pinned against an independent byte layout."""
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            encode_bmp,
+            encode_pgm,
+            encode_png,
+            encode_wav,
+            sniff_media_meta,
+        )
+
+        # minimal JPEG: SOI + APP0 + SOF0(h=480, w=640, 3 comps) + EOI
+        sof = (
+            b"\xff\xc0" + (17).to_bytes(2, "big")
+            + b"\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + sof + b"\xff\xd9"
+        )
+        # MP3: MPEG1 Layer III, 128 kbps, 44100 Hz, stereo; 404 bytes
+        mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 400
+        rng = np.random.default_rng(23)
+        png = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+        bmp = rng.integers(0, 256, size=(7, 3, 3), dtype=np.uint8)
+        pgm = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+        wav = (np.sin(np.arange(8000) / 9.0) * 9000).astype(np.int16)  # 1 s
+        rows = [
+            (1, "image", bytearray(jpeg)),
+            (2, "audio", bytearray(mp3)),
+            (3, "image", bytearray(encode_png(png))),
+            (4, "image", bytearray(encode_bmp(bmp))),
+            (5, "image", bytearray(encode_pgm(pgm))),
+            (6, "audio", bytearray(encode_wav(8000, wav))),
+            (7, "video", bytearray(b"\x00\x01\x02")),
+        ]
+        media = spark.createDataFrame(
+            [(i, i, k, p, None) for i, k, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in sniff_media_meta(media).collect()}
+
+        assert got[1]["fmt"] == "jpeg"
+        assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (640, 480, 3)
+        assert got[2]["fmt"] == "mp3"
+        assert (got[2]["sample_rate"], got[2]["n_channels"]) == (44100, 2)
+        assert got[2]["est_duration_ms"] == int(404 * 8 / 128)  # size/bitrate
+        assert (got[3]["fmt"], got[3]["width"], got[3]["height"], got[3]["n_channels"]) == ("png", 9, 5, 3)
+        assert (got[4]["fmt"], got[4]["width"], got[4]["height"], got[4]["n_channels"]) == ("bmp", 3, 7, 3)
+        assert (got[5]["fmt"], got[5]["width"], got[5]["height"], got[5]["n_channels"]) == ("pgm", 6, 4, 1)
+        assert got[6]["fmt"] == "wav" and got[6]["sample_rate"] == 8000
+        assert got[6]["n_channels"] == 1 and got[6]["est_duration_ms"] == 1000
+        assert got[7]["fmt"] == "opaque" and got[7]["n_bytes"] == 3
+        assert all(got[i]["n_bytes"] == len(rows[i - 1][2]) for i in got)
+
     def test_decode_real_features_new_formats(self, spark):
         import numpy as np
 
