@@ -207,6 +207,8 @@ def decode_image_netpbm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate netpbm dimensions")
     depth = 3 if payload[:2] == b"P6" else 1
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth, offset=i)
     return raster.reshape((h, w, 3) if depth == 3 else (h, w))
@@ -245,6 +247,8 @@ def decode_image_bmp(payload: bytes) -> np.ndarray:
     planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
     if dib_size < 40 or planes != 1 or bits != 24 or compression != 0:
         raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    if w <= 0 or h == 0:  # h < 0 is the legal top-down form
+        raise ValueError("degenerate BMP dimensions")
     top_down = h < 0
     h = abs(h)
     row_bytes = w * 3
@@ -324,6 +328,8 @@ def decode_image_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             "only 8-bit non-interlaced gray/RGB(A) PNG supported"
         )
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -445,41 +451,59 @@ def encode_wav_mulaw(sample_rate: int, samples: np.ndarray) -> bytes:
     )
 
 
-def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """WAV -> (sample_rate, samples of channel 0). Formats decoded
-    library-free: PCM 16-bit (-> int16), IEEE float32 (-> float32, the
-    format's native [-1, 1] units), G.711 µ-law (-> int16 linear via
-    :func:`mulaw_decode`). Anything else (ADPCM, extensible, 24-bit
-    packing) raises — the strict-mode seam's territory."""
+def _riff_chunks(payload: bytes):
+    """Yield (chunk_id, body) over a RIFF/WAVE payload — THE one chunk
+    walk (decode, format naming and the metadata sniff all consume it;
+    three hand-rolled copies drifted before r10's review). Raises
+    ValueError on a non-RIFF payload; tolerates a truncated final chunk
+    (yields the bytes present) like every mainstream reader."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = data = None
     i = 12
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = struct.unpack_from("<I", payload, i + 4)[0]
-        body = payload[i + 8 : i + 8 + size]
+        yield cid, payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV -> (format_code, sample_rate, samples of channel 0); see
+    :func:`decode_audio_wav` for the supported formats."""
+    import struct
+
+    fmt = data = None
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
             data = body
-        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing/short fmt or data chunk")
     code, nch, sr = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if code == _WAV_PCM and bits == 16:
-        a = np.frombuffer(data, dtype="<i2")
+        a = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     elif code == _WAV_IEEE_FLOAT and bits == 32:
-        a = np.frombuffer(data, dtype="<f4")
+        a = np.frombuffer(data[: len(data) - (len(data) % 4)], dtype="<f4")
     elif code == _WAV_MULAW and bits == 8:
         a = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
     else:
         raise ValueError(f"unsupported WAV format code={code} bits={bits}")
     if nch > 1:
         a = a[::nch]
+    return code, sr, a
+
+
+def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV -> (sample_rate, samples of channel 0). Formats decoded
+    library-free: PCM 16-bit (-> int16), IEEE float32 (-> float32, the
+    format's native [-1, 1] units), G.711 µ-law (-> int16 linear via
+    :func:`mulaw_decode`). Anything else (ADPCM, extensible, 24-bit
+    packing) raises — the strict-mode seam's territory."""
+    _code, sr, a = _parse_wav(payload)
     return sr, a
 
 
@@ -543,25 +567,57 @@ def _sniff_mp3(p: bytes):
     """(sample_rate, n_channels, est_duration_ms) from the first MPEG
     audio frame header (11-bit sync), skipping a leading ID3v2 tag.
     Duration estimated as size/bitrate — exact for CBR, nominal for VBR
-    (a real pipeline treats it as a catalog hint, not a decode)."""
+    (a real pipeline treats it as a catalog hint, not a decode).
+
+    Two guards against false syncs in arbitrary binary payloads (a lone
+    header match is ~13 bits of constraint — a 50 KB random payload
+    almost surely contains one): (a) the candidate's computed frame
+    length must land on a SECOND header with the same version/layer/
+    sample-rate (real sniffers' consecutive-frame test; a payload too
+    short to hold a second header — a truncated tail — is accepted on
+    the first), and (b) the scan is bounded to the first 64 KB after
+    the ID3 tag, so an unrecognized payload costs O(64KB), not O(n)."""
     i = 0
     if p[:3] == b"ID3" and len(p) >= 10:
         # syncsafe 28-bit tag size
         i = 10 + ((p[6] << 21) | (p[7] << 14) | (p[8] << 7) | p[9])
     n = len(p)
-    while i + 4 <= n:
-        if p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
-            version = (p[i + 1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-            layer_code = (p[i + 1] >> 1) & 0x03  # 3=L1, 2=L2, 1=L3
-            br_ix = (p[i + 2] >> 4) & 0x0F
-            sr_ix = (p[i + 2] >> 2) & 0x03
-            if version != 1 and layer_code != 0 and 0 < br_ix < 15 and sr_ix < 3:
-                layer = 4 - layer_code  # 1/2/3
-                kbps = _MP3_BITRATE[(version == 3, layer)][br_ix]
-                sr = _MP3_SR[version][sr_ix]
-                channels = 1 if ((p[i + 3] >> 6) & 0x03) == 3 else 2
-                dur_ms = int((n - i) * 8 / kbps) if kbps else None
-                return (sr, channels, dur_ms)
+    limit = min(n - 4, i + 65536)
+
+    def _header(j):
+        """(version, layer, kbps, sr, channels, frame_len) or None."""
+        if not (p[j] == 0xFF and (p[j + 1] & 0xE0) == 0xE0):
+            return None
+        version = (p[j + 1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_code = (p[j + 1] >> 1) & 0x03  # 3=L1, 2=L2, 1=L3
+        br_ix = (p[j + 2] >> 4) & 0x0F
+        sr_ix = (p[j + 2] >> 2) & 0x03
+        pad = (p[j + 2] >> 1) & 0x01
+        if version == 1 or layer_code == 0 or not 0 < br_ix < 15 or sr_ix >= 3:
+            return None
+        layer = 4 - layer_code  # 1/2/3
+        kbps = _MP3_BITRATE[(version == 3, layer)][br_ix]
+        sr = _MP3_SR[version][sr_ix]
+        channels = 1 if ((p[j + 3] >> 6) & 0x03) == 3 else 2
+        if layer == 1:
+            flen = (12000 * kbps // sr + pad) * 4
+        else:  # L2 always 144; L3 halves for MPEG2/2.5
+            per = 72000 if (layer == 3 and version != 3) else 144000
+            flen = per * kbps // sr + pad
+        return (version, layer, kbps, sr, channels, flen)
+
+    while i <= limit:
+        h = _header(i)
+        if h is not None:
+            version, layer, kbps, sr, channels, flen = h
+            j = i + flen
+            if j + 4 <= n:
+                h2 = _header(j)
+                if h2 is None or h2[0] != version or h2[1] != layer or h2[3] != sr:
+                    i += 1
+                    continue  # lone sync inside non-MP3 bytes
+            dur_ms = int((n - i) * 8 / kbps) if kbps else None
+            return (sr, channels, dur_ms)
         i += 1
     return None
 
@@ -619,18 +675,14 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                          width=img_fields[0], height=img_fields[1],
                          n_channels=3 if p[:2] == b"P6" else 1)
             elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                i, nlen = 12, len(p)
                 sr = nch = bits = None
                 data_len = None
-                while i + 8 <= nlen:
-                    cid = p[i : i + 4]
-                    size = struct.unpack_from("<I", p, i + 4)[0]
-                    if cid == b"fmt ":
-                        _code, nch, sr = struct.unpack_from("<HHI", p, i + 8)
-                        bits = struct.unpack_from("<H", p, i + 22)[0]
+                for cid, body in _riff_chunks(p):
+                    if cid == b"fmt " and len(body) >= 16:
+                        _code, nch, sr = struct.unpack_from("<HHI", body, 0)
+                        bits = struct.unpack_from("<H", body, 14)[0]
                     elif cid == b"data":
-                        data_len = size
-                    i += 8 + size + (size & 1)
+                        data_len = len(body)
                 r.update(fmt="wav", sample_rate=sr, n_channels=nch)
                 if sr and nch and bits and data_len is not None:
                     r["est_duration_ms"] = int(
@@ -673,24 +725,6 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def _wav_fmt_name(payload: bytes) -> str:
-    """'wav' / 'wav_f32' / 'wav_ulaw' from the fmt chunk's format code
-    (the payload already decoded, so the chunk walk is known-good)."""
-    import struct
-
-    i = 12
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        size = struct.unpack_from("<I", payload, i + 4)[0]
-        if cid == b"fmt ":
-            code = struct.unpack_from("<H", payload, i + 8)[0]
-            return {_WAV_IEEE_FLOAT: "wav_f32", _WAV_MULAW: "wav_ulaw"}.get(
-                code, "wav"
-            )
-        i += 8 + size + (size & 1)
-    return "wav"
-
-
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
     allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG
@@ -707,6 +741,39 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     fake features with ``fmt='opaque'``. One output row per media row;
     columns not applicable to a modality are NULL."""
 
+    import struct
+    import zlib
+
+    # every error a malformed-but-magic-bearing payload can raise inside
+    # the library-free decoders; anything here means "this payload needs
+    # the external-codec seam", NEVER a worker crash (the r10 review
+    # found the PNG branch catching only ValueError while zlib.error /
+    # struct.error aborted the whole job, and the WAV branch catching
+    # nothing at all)
+    _DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error)
+
+    def _try_decode(p: bytes) -> tuple | None:
+        """(fmt, img-or-None, audio-or-None) for a recognized magic that
+        parsed, None when no library-free decoder claims the payload;
+        raises one of _DECODE_ERRORS for a claimed-but-malformed one."""
+        if p[:2] in (b"P5", b"P6"):
+            img = decode_image_netpbm(p)
+            return ("ppm" if img.ndim == 3 else "pgm", img, None)
+        if p[:8] == _PNG_MAGIC:  # 8-byte magic: collision-proof
+            return ("png", decode_image_png(p), None)
+        if p[:2] == b"BM" and len(p) >= 54:
+            # 2-byte magic alone collides with random payloads ~1/65k —
+            # the 54-byte header minimum plus the decoder's own
+            # dib/bits/compression validation gate the branch
+            return ("bmp", decode_image_bmp(p), None)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            code, sr, samples = _parse_wav(p)
+            name = {_WAV_IEEE_FLOAT: "wav_f32", _WAV_MULAW: "wav_ulaw"}.get(
+                code, "wav"
+            )
+            return (name, None, (sr, samples))
+        return None
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -721,73 +788,29 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
             ):
                 row = dict.fromkeys(out)
                 row["media_id"], row["kind"] = media_id, kind
-                p = bytes(payload)
-                if p[:2] in (b"P5", b"P6"):
-                    img = decode_image_netpbm(p)
-                    row["fmt"] = "ppm" if img.ndim == 3 else "pgm"
-                    row["height"], row["width"] = img.shape[0], img.shape[1]
-                    row["px_mean"] = float(img.mean())
-                    row["px_std"] = float(img.std())
-                elif p[:8] == _PNG_MAGIC:
-                    # 8-byte magic: collision-proof. Unsupported PNG
-                    # variants (palette/16-bit/interlaced) fall to the
-                    # strict seam like compressed BMP below
-                    try:
-                        img = decode_image_png(p)
-                    except ValueError:
-                        img = None
-                    if img is None:
-                        if strict:
-                            raise NotImplementedError(
-                                "palette/16-bit/interlaced PNG needs an "
-                                "external codec (PIL, not in container)"
-                            )
-                        a = np.frombuffer(p, dtype=np.uint8)
-                        row["fmt"] = "opaque"
-                        row["px_mean"] = float(a.mean()) if len(a) else 0.0
-                        row["n_samples"] = len(a)
-                    else:
-                        row["fmt"] = "png"
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    decoded = _try_decode(p)
+                except _DECODE_ERRORS:
+                    decoded = None  # claimed magic, exotic/corrupt body
+                if decoded is not None:
+                    fmt, img, audio = decoded
+                    row["fmt"] = fmt
+                    if img is not None:
                         row["height"], row["width"] = img.shape[0], img.shape[1]
                         row["px_mean"] = float(img.mean())
                         row["px_std"] = float(img.std())
-                elif p[:2] == b"BM" and len(p) >= 54:
-                    # 2-byte magic alone collides with random payloads
-                    # ~1/65k — the 54-byte header minimum plus the
-                    # decoder's own dib/bits/compression validation
-                    # gate the branch; a failed parse is an opaque (or
-                    # strict-raising) payload, never a worker crash
-                    try:
-                        img = decode_image_bmp(p)
-                    except ValueError:
-                        img = None
-                    if img is None:
-                        if strict:
-                            raise NotImplementedError(
-                                "compressed/exotic BMP needs an external "
-                                "codec (PIL, not in container)"
-                            )
-                        a = np.frombuffer(p, dtype=np.uint8)
-                        row["fmt"] = "opaque"
-                        row["px_mean"] = float(a.mean()) if len(a) else 0.0
-                        row["n_samples"] = len(a)
                     else:
-                        row["fmt"] = "bmp"
-                        row["height"], row["width"] = img.shape[0], img.shape[1]
-                        row["px_mean"] = float(img.mean())
-                        row["px_std"] = float(img.std())
-                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                    sr, samples = decode_audio_wav(p)
-                    row["fmt"] = _wav_fmt_name(p)
-                    row["sample_rate"] = sr
-                    row["n_samples"] = len(samples)
-                    row["rms"] = float(
-                        np.sqrt(np.mean(samples.astype(np.float64) ** 2))
-                    ) if len(samples) else 0.0
+                        sr, samples = audio
+                        row["sample_rate"] = sr
+                        row["n_samples"] = len(samples)
+                        row["rms"] = float(
+                            np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                        ) if len(samples) else 0.0
                 elif strict:
                     raise NotImplementedError(
                         "payload format needs an external codec "
-                        "(PIL/ffmpeg, not in container)"
+                        "(PIL/ffmpeg, not in container) or is corrupt"
                     )
                 else:
                     a = np.frombuffer(p, dtype=np.uint8)

@@ -317,6 +317,95 @@ class TestRealDecoders:
         assert got[7]["fmt"] == "opaque" and got[7]["n_bytes"] == 3
         assert all(got[i]["n_bytes"] == len(rows[i - 1][2]) for i in got)
 
+    def test_malformed_magics_never_crash_default_mode(self, spark):
+        """The r10 review's bug class: a payload CLAIMING a decodable
+        magic but carrying a corrupt/exotic body must fall to the
+        opaque stub in default mode (never abort the job — zlib.error /
+        struct.error escaped the old per-branch ValueError catches) and
+        to NotImplementedError in strict mode."""
+        import numpy as np
+        import pytest as _pytest
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            _PNG_MAGIC,
+            decode_real_features,
+            encode_wav,
+        )
+        import struct as _struct
+
+        adpcm = (
+            b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", 16)
+            + _struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)  # code 2 = ADPCM
+            + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        )
+        zero_bmp = bytearray(
+            b"BM" + b"\x00" * 52
+        )
+        _struct.pack_into("<I", zero_bmp, 14, 40)   # dib size
+        _struct.pack_into("<i", zero_bmp, 18, 0)    # width 0
+        _struct.pack_into("<HHI", zero_bmp, 26, 1, 24, 0)
+        rows = [
+            # PNG magic + truncated IHDR -> struct.error inside decode
+            (1, "image", bytearray(_PNG_MAGIC + b"\x00\x00\x00\x0dIHDR\x01\x02")),
+            # PNG header + corrupt deflate stream -> zlib.error
+            (2, "image", bytearray(
+                _PNG_MAGIC
+                + _struct.pack(">I", 13) + b"IHDR"
+                + _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0) + b"\x00" * 4
+                + _struct.pack(">I", 5) + b"IDAT" + b"junk!" + b"\x00" * 4
+                + _struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+            )),
+            # WAV with an unsupported ADPCM format code -> ValueError
+            (3, "audio", bytearray(adpcm)),
+            # BMP claiming width 0 -> degenerate-dimension ValueError
+            (4, "image", bytearray(bytes(zero_bmp))),
+            # netpbm magic, garbage header -> int() ValueError
+            (5, "image", bytearray(b"P5 x y\n")),
+            # a healthy control row: the batch must still decode it
+            (6, "audio", bytearray(encode_wav(8000, np.arange(16, dtype=np.int16)))),
+        ]
+        media = spark.createDataFrame(
+            [(i, i, k, p, None) for i, k, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in decode_real_features(media).collect()}
+        for mid in (1, 2, 3, 4, 5):
+            assert got[mid]["fmt"] == "opaque", (mid, got[mid])
+            assert got[mid]["n_samples"] == len(rows[mid - 1][2])
+        assert got[6]["fmt"] == "wav" and got[6]["n_samples"] == 16
+        with _pytest.raises(Exception, match="NotImplementedError|external codec"):
+            decode_real_features(media, strict=True).collect()
+
+    def test_sniff_mp3_rejects_lone_false_syncs(self):
+        """A single frame-header bit pattern inside arbitrary binary is
+        NOT an MP3: the sniffer requires the computed frame length to
+        land on a second consistent header (or the payload to end before
+        one could exist). Pinned with a payload carrying a valid-looking
+        header whose next-frame position holds garbage."""
+        import numpy as np
+
+        from go_vectorsearch_spark.operators.multimodal import _sniff_mp3
+
+        # valid MPEG1 L3 128kbps header at offset 0, frame length 417 —
+        # but bytes continue past 421 with zeros (no second sync)
+        fake = b"\xff\xfb\x90\x00" + b"\x00" * 2000
+        assert _sniff_mp3(fake) is None
+        # truncated tail: payload ends before a second header could
+        # exist -> accepted on the first (the CBR-file head case)
+        head = b"\xff\xfb\x90\x00" + b"\x00" * 300
+        assert _sniff_mp3(head) == (44100, 2, int(304 * 8 / 128))
+        # two consecutive consistent frames -> accepted
+        frame = b"\xff\xfb\x90\x00" + b"\x00" * 413  # 417 bytes total
+        two = frame + frame
+        sr, ch, dur = _sniff_mp3(two)
+        assert (sr, ch) == (44100, 2)
+        # random bytes (seeded): no classification
+        rng = np.random.default_rng(29)
+        blob = rng.integers(0, 256, size=120_000, dtype=np.uint8).tobytes()
+        assert _sniff_mp3(blob) is None
+
     def test_decode_real_features_new_formats(self, spark):
         import numpy as np
 

@@ -102,6 +102,20 @@ def _lint(plan: str) -> list[str]:
     return bad
 
 
+def _assert_truncation_active(spark):
+    """The IN-literal gate counts via the '... N more fields' truncation
+    suffix, which only exists while spark.sql.debug.maxToStringFields
+    stays at (or below) its default of 25 — a session that raises it
+    (the common tweak to silence truncation warnings) would print big
+    literals in full, suffix-less, and silently disable the gate. Pin
+    the precondition WHERE the gate runs."""
+    v = int(spark.conf.get("spark.sql.debug.maxToStringFields", "25"))
+    assert v <= 25, (
+        f"maxToStringFields={v}: the IN-literal lint's truncation-suffix "
+        "count is dead above 25 — lower the conf or rework the counter"
+    )
+
+
 def test_lint_detectors_fire_on_planted_bad_plans(spark):
     """POSITIVE controls: each forbidden shape, planted deliberately,
     must be flagged — a detector that matches nothing passes every
@@ -112,6 +126,7 @@ def test_lint_detectors_fire_on_planted_bad_plans(spark):
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    _assert_truncation_active(spark)
     # >256-element isin → INSET with a "... N more fields" suffix
     df = spark.range(1000).filter(F.col("id").isin(list(range(300))))
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -147,6 +162,7 @@ def test_lint_detectors_fire_on_planted_bad_plans(spark):
 
 @pytest.mark.parametrize("name", sorted(R.REGISTRY))
 def test_registry_plan_has_no_scale_killers(spark, sf_smoke, name):
+    _assert_truncation_active(spark)
     df = R.REGISTRY[name].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"

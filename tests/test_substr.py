@@ -313,6 +313,9 @@ def test_skewed_boilerplate_hot_key_bounded(spark):
     # the hot key costs the same order as the skew-free scan: generous
     # 5x bound (observed ~1-2x; a straggler shape would be >>10x)
     assert w_skew <= 5 * max(w_clean, 0.5), (w_clean, w_skew)
+
+
+def test_cut_preserves_original_case(spark):
     # hashing is case-insensitive (family tokenizer), reconstruction is not
     d = spark.createDataFrame(
         [(1, "Alpha BETA gamma DELTA epsilon"), (2, "alpha beta GAMMA delta unique")],
