@@ -113,6 +113,94 @@ def contamination_flags(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+) -> DataFrame:
+    """(_lh, n_docs): md5 of every NORMALIZED line (lower + trim) that
+    appears in at least ``min_df`` DISTINCT documents — the corpus-level
+    boilerplate signal of CCNet §4.1 / C4-style span dedup at line
+    granularity (headers, footers, cookie banners, nav chrome: the text
+    that repeats across pages because of the SITE, not the content).
+    Normalized-empty lines never count (they are structure, not
+    boilerplate). Plan shape: explode → distinct (doc, 16-byte hash)
+    pairs → one hash groupBy; raw line text never shuffles here."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("_line"),
+    )
+    per_doc = (
+        lines.select("_id", F.lower(F.trim("_line")).alias("_n"))
+        .filter(F.length("_n") > 0)
+        .select("_id", F.md5("_n").alias("_lh"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("_lh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Remove EVERY occurrence of corpus-boilerplate lines (unlike the
+    substring cut there is no keeper — boilerplate has no copy worth
+    keeping, the contamination-cut convention). Returns (id_col, text)
+    for every input document: surviving lines re-joined with '\\n' in
+    their original order — byte-exact for untouched documents because
+    split('\\n', -1) / join('\\n') round-trips (trailing empties kept),
+    and '' for a document whose every line was boilerplate.
+    Normalized-empty lines are never cut (never counted as hot).
+
+    ``hot`` — a prebuilt :func:`boilerplate_lines` frame (pass it when
+    several consumers share the corpus scan). The hot set joins as a
+    FRAME on the 16-byte line hash — never a collected literal — so a
+    corpus with a million boilerplate lines costs one (auto-broadcast
+    when small) join, and the only text-bearing shuffle is the final
+    per-document regroup."""
+    if hot is None:
+        hot = boilerplate_lines(df, id_col, text_col, min_df)
+    with_ix = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("_ix", "_line"),
+    )
+    tagged = with_ix.withColumn("_lh", F.md5(F.lower(F.trim("_line"))))
+    kept = tagged.join(
+        hot.select("_lh", F.lit(True).alias("_hot")), "_lh", "left"
+    ).filter(F.col("_hot").isNull())
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ix", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text")
+    )
+    # left join from the full document list: an all-boilerplate doc has
+    # zero kept lines and must still appear, as ''
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2276,6 +2276,68 @@ def q_text_repetition(spark, sf_dir):
     return CUR.repetition_stats(docs, ngram=2, max_tokens=200)
 
 
+# Demoted-parity twin (tests/test_demoted_parity.py, added r10, never
+# windowed): corpus-level line/boilerplate dedup (CCNet §4.1 shape —
+# strip lines whose document frequency crosses a threshold). The fixture
+# documents are single-line with zero duplicated lines, so the query
+# DERIVES a lined corpus identically on both engines (a shared footer
+# keyed by doc_id % 7 → df ≈ 71 ≥ 10, cut everywhere; a unique trailer
+# and the original text line at df = 1, kept) — the cut path executes
+# for real under the full value-hash bar instead of a passthrough no-op.
+_LINE_DEDUP_MIN_DF = 10
+
+LINE_DEDUP_ORACLE = rf"""
+WITH lined AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared footer variant ' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+l AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS ix, unnest(ls) AS line
+  FROM t
+),
+n AS (SELECT doc_id, ix, line, lower(trim(line)) AS nn FROM l),
+hot AS (
+  SELECT md5(nn) AS lh
+  FROM (SELECT DISTINCT doc_id, nn FROM n WHERE len(nn) > 0)
+  GROUP BY 1 HAVING count(*) >= {_LINE_DEDUP_MIN_DF}
+),
+kept AS (
+  SELECT doc_id, ix, line FROM n
+  WHERE md5(nn) NOT IN (SELECT lh FROM hot)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(a.clean, '')) AS clean_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_line_dedup_docs(spark, sf_dir):
+    """Corpus-level boilerplate-line strip over the derived lined corpus
+    (operators/curation.strip_boilerplate_lines): hot set = normalized
+    lines in >= min_df distinct documents, joined back as a frame; output
+    is scalar-only (doc_id, md5 of the cleaned text), sequence-sensitive
+    like the other cut twins."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer variant "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nunique trailer "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = CUR.strip_boilerplate_lines(lined, min_df=_LINE_DEDUP_MIN_DF)
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
 # ---------------------------------------------------------------------------
 # Phase E-3: document ingest pipeline (SURVEY.md §2.9 X1-X3) — Flatten /
 # Split / task prefixes / deterministic embedder, driver-checked on the

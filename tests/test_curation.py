@@ -88,6 +88,56 @@ def test_stratified_sample_deterministic_and_quota_shaped(spark, sf_correct):
     assert fr_rate < 0.4
 
 
+def test_strip_boilerplate_lines_semantics(spark):
+    """CCNet-style line dedup on a planted corpus: a footer shared by
+    >= min_df docs is cut from EVERY document (no keeper), unique and
+    sub-threshold lines survive in order, normalized-empty lines are
+    structure (never counted, never cut), untouched documents round-trip
+    byte-for-byte (incl. trailing newline), and an all-boilerplate doc
+    comes back as ''."""
+    footer = "Standard Footer Line"
+    rows = [
+        (1, f"alpha one\n{footer}\nbeta"),
+        (2, f"{footer}\ngamma two"),
+        (3, f"delta\n\n{footer}"),          # empty line kept
+        (4, f"  {footer.upper()}  "),        # normalization: all-boilerplate
+        (5, "clean doc\nwith lines\n"),      # untouched, trailing \n
+        (6, "pair line\nsolo six"),          # df=2 < min_df=3: kept
+        (7, "pair line\nsolo seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = {r["_lh"] for r in CUR.boilerplate_lines(df, min_df=3).collect()}
+    assert len(hot) == 1  # only the footer crosses df >= 3
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in CUR.strip_boilerplate_lines(df, min_df=3).collect()
+    }
+    assert out[1] == "alpha one\nbeta"
+    assert out[2] == "gamma two"
+    assert out[3] == "delta\n"              # empty line survives
+    assert out[4] == ""                     # every line was boilerplate
+    assert out[5] == rows[4][1]             # byte-exact passthrough
+    assert out[6] == rows[5][1] and out[7] == rows[6][1]
+    # idempotence: a stripped corpus has no hot lines left
+    clean = spark.createDataFrame(list(out.items()), "doc_id long, text string")
+    assert CUR.boilerplate_lines(clean, min_df=3).count() == 0
+
+
+def test_strip_boilerplate_hot_set_joins_as_frame(spark):
+    """The hot set must reach the plan as a JOIN, not a collected
+    isin literal (a corpus can have millions of boilerplate lines)."""
+    df = spark.createDataFrame(
+        [(i, f"u{i}\ncommon line") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = CUR.strip_boilerplate_lines(df, min_df=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" not in plan and " IN (" not in plan
+    assert plan.count("Join") >= 2  # hot-flag join + doc-survival join
+    assert all(r["text"] == f"u{r['doc_id']}" for r in out.collect())
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     docs = spark.createDataFrame(
         [

@@ -72,6 +72,10 @@ DEMOTED = [
     # (the span family's last driver-unproved member); T3 pagination has
     # been green since round 1 and keeps the identical bar here
     (Q.q_pagination_orders, Q.PAGINATION_ORDERS_ORACLE),
+    # r10 addition (never windowed): corpus-level line/boilerplate dedup
+    # (CCNet-style) over a derived lined corpus — the cut path executes
+    # for real on the fixture at the full value-hash bar
+    (Q.q_line_dedup_docs, Q.LINE_DEDUP_ORACLE),
 ]
 
 
