@@ -749,6 +749,92 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pluggable external-codec adapters (r10 verdict task 3): the library-free
+# decoders above cover netpbm/PNG-8/BMP-24/WAV; JPEG, MP3 and the exotic
+# variants genuinely need an external codec (PIL, soundfile, ffmpeg — all
+# public), which this container does not ship. Instead of hard-coding that
+# boundary, deployments REGISTER an adapter per format: `claims(payload)`
+# decides by magic/header whether the adapter owns the payload, `decode`
+# returns the same (fmt, image-array-or-None, (sample_rate, samples)-or-
+# None) tuple the built-ins produce. Resolution order inside
+# decode_real_features: built-in library-free decoders first (tested,
+# deterministic), then registered adapters in registration order — both
+# on an unclaimed magic AND when a built-in raises on a claimed-but-
+# exotic body (e.g. 16-bit PNG, which PIL can decode). Strict mode raises
+# only when NEITHER a built-in NOR an adapter claims the payload.
+# ---------------------------------------------------------------------------
+
+_DECODER_REGISTRY: dict[str, tuple] = {}  # name -> (claims, decode)
+
+
+def register_decoder(name: str, claims, decode) -> None:
+    """Register (or replace, by name) an external-codec adapter.
+
+    ``claims(payload: bytes) -> bool`` must be a cheap header/magic test;
+    ``decode(payload: bytes) -> (fmt, img, audio)`` with ``img`` a numpy
+    HxW[xC] uint8 array or None and ``audio`` a ``(sample_rate,
+    samples-ndarray)`` tuple or None — the built-ins' contract. Any
+    exception an adapter raises is treated as "could not decode" for
+    that payload (third-party codecs throw freely on corrupt bodies; a
+    corrupt row must never abort the job)."""
+    _DECODER_REGISTRY[name] = (claims, decode)
+
+
+def unregister_decoder(name: str) -> None:
+    _DECODER_REGISTRY.pop(name, None)
+
+
+def register_default_adapters() -> list[str]:
+    """Best-effort registration of adapters over PUBLIC libraries when
+    importable — PIL (JPEG + every PNG/BMP variant) and soundfile
+    (MP3/OGG/FLAC). A no-op returning [] in environments without them
+    (this container); the pytest suite exercises the hook path with a
+    stub adapter instead, so the plumbing is tested either way."""
+    added: list[str] = []
+    try:  # pragma: no cover - PIL not in this container
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        def _pil_claims(p: bytes) -> bool:
+            return p[:2] == b"\xff\xd8" or p[:8] == _PNG_MAGIC or p[:2] == b"BM"
+
+        def _pil_decode(p: bytes):
+            img = Image.open(io.BytesIO(p))
+            arr = np.asarray(img.convert("RGB" if img.mode not in ("L", "I;16") else "L"))
+            return (img.format.lower() if img.format else "image", arr, None)
+
+        register_decoder("pil", _pil_claims, _pil_decode)
+        added.append("pil")
+    except ImportError:
+        pass
+    try:  # pragma: no cover - soundfile not in this container
+        import io
+
+        import soundfile  # noqa: PLC0415
+
+        def _sf_claims(p: bytes) -> bool:
+            return (
+                _sniff_mp3(p) is not None
+                or p[:4] == b"OggS"
+                or p[:4] == b"fLaC"
+                or (p[:4] == b"RIFF" and p[8:12] == b"WAVE")
+            )
+
+        def _sf_decode(p: bytes):
+            samples, sr = soundfile.read(io.BytesIO(p), dtype="float32")
+            if samples.ndim > 1:  # downmix to mono like the WAV built-in
+                samples = samples.mean(axis=1)
+            return ("audio", None, (int(sr), samples))
+
+        register_decoder("soundfile", _sf_claims, _sf_decode)
+        added.append("soundfile")
+    except ImportError:
+        pass
+    return added
+
+
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
     allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG
@@ -760,13 +846,22 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     pure numpy/stdlib, decoded inside the same Arrow-batched map as the
     stub path. Payloads in formats that genuinely need external codec
     libraries (JPEG/MP3, palette/16-bit/interlaced PNG, compressed BMP,
-    ADPCM) fall through to the documented stub boundary: ``strict=True``
+    ADPCM) consult the REGISTERED external-codec adapters
+    (:func:`register_decoder` / :func:`register_default_adapters`) next,
+    then fall through to the documented stub boundary: ``strict=True``
     raises ``NotImplementedError`` there, else deterministic byte-level
     fake features with ``fmt='opaque'``. One output row per media row;
-    columns not applicable to a modality are NULL."""
+    columns not applicable to a modality are NULL.
+
+    The adapter set is SNAPSHOTTED into the closure at plan-construction
+    time: cloudpickle ships the adapter callables with the task, so the
+    plan decodes identically on a multi-executor cluster where the
+    module global would re-import empty on each worker."""
 
     import struct
     import zlib
+
+    adapters = tuple(_DECODER_REGISTRY.items())
 
     # every error a malformed-but-magic-bearing payload can raise inside
     # the library-free decoders; anything here means "this payload needs
@@ -817,6 +912,17 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     decoded = _try_decode(p)
                 except _DECODE_ERRORS:
                     decoded = None  # claimed magic, exotic/corrupt body
+                if decoded is None:
+                    # registered external-codec adapters, registration
+                    # order; ANY adapter exception = "could not decode
+                    # this payload", never a job abort
+                    for _name, (claims, decode) in adapters:
+                        try:
+                            if claims(p):
+                                decoded = decode(p)
+                                break
+                        except Exception:
+                            continue
                 if decoded is not None:
                     fmt, img, audio = decoded
                     row["fmt"] = fmt
@@ -833,8 +939,10 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         ) if len(samples) else 0.0
                 elif strict:
                     raise NotImplementedError(
-                        "payload format needs an external codec "
-                        "(PIL/ffmpeg, not in container) or is corrupt"
+                        "no built-in decoder or registered adapter "
+                        "claims this payload: needs an external codec "
+                        "(register_decoder / register_default_adapters) "
+                        "or is corrupt"
                     )
                 else:
                     a = np.frombuffer(p, dtype=np.uint8)

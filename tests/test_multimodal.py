@@ -553,3 +553,149 @@ class TestRealDecoders:
         assert decode_real_features(real_only, strict=True).count() == 2
         with _pytest.raises(Exception, match="NotImplementedError|external codec"):
             decode_real_features(media, strict=True).collect()
+
+
+class TestDecoderRegistry:
+    """The pluggable external-codec seam (r10 verdict task 3):
+    register_decoder lets a deployment decode JPEG/MP3/exotic variants
+    with a real library (PIL/soundfile) without shipping a codec
+    in-repo; the container has neither, so a stub adapter proves the
+    hook path and the goldens stay unchanged without it."""
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, i, k, p, None) for i, k, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+
+    def test_stub_adapter_claims_unknown_magic(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        fake = b"FAKE" + bytes(range(16))
+        rows = [(1, "image", bytearray(fake))]
+        media = self._media(spark, rows)
+
+        # without the adapter: opaque in default mode, raises in strict
+        got = {r["media_id"]: r for r in MM.decode_real_features(media).collect()}
+        assert got[1]["fmt"] == "opaque"
+        with _pytest.raises(Exception, match="NotImplementedError|adapter"):
+            MM.decode_real_features(media, strict=True).collect()
+
+        def claims(p: bytes) -> bool:
+            return p[:4] == b"FAKE"
+
+        def decode(p: bytes):
+            body = np.frombuffer(p[4:], dtype=np.uint8).reshape(4, 4)
+            return ("fake", body, None)
+
+        MM.register_decoder("fake", claims, decode)
+        try:
+            got = {
+                r["media_id"]: r
+                for r in MM.decode_real_features(media, strict=True).collect()
+            }
+            assert got[1]["fmt"] == "fake"
+            assert (got[1]["width"], got[1]["height"]) == (4, 4)
+            assert got[1]["px_mean"] == float(np.arange(16).mean())
+        finally:
+            MM.unregister_decoder("fake")
+        # unregistered: goldens restored
+        got = {r["media_id"]: r for r in MM.decode_real_features(media).collect()}
+        assert got[1]["fmt"] == "opaque"
+
+    def test_builtin_decoders_precede_adapters(self, spark):
+        import numpy as np
+
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        pgm = np.arange(24, dtype=np.uint8).reshape(4, 6)
+        media = self._media(
+            spark, [(1, "image", bytearray(MM.encode_pgm(pgm)))]
+        )
+        MM.register_decoder(
+            "greedy", lambda p: True, lambda p: ("greedy", None, (1, np.zeros(1)))
+        )
+        try:
+            got = MM.decode_real_features(media).collect()[0]
+            assert got["fmt"] == "pgm"  # built-in won
+            assert (got["width"], got["height"]) == (6, 4)
+        finally:
+            MM.unregister_decoder("greedy")
+
+    def test_adapter_handles_builtin_claimed_but_exotic_body(self, spark):
+        """A 16-bit PNG: the built-in claims the 8-byte magic but raises
+        (bit depth unsupported) — the adapter must get its chance, the
+        PIL scenario for exotic variants."""
+        import struct as _struct
+
+        import numpy as np
+
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        ihdr = _struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)  # 16-bit gray
+        png16 = (
+            MM._PNG_MAGIC
+            + _struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+            + _struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+        )
+        media = self._media(spark, [(1, "image", bytearray(png16))])
+        got = MM.decode_real_features(media).collect()[0]
+        assert got["fmt"] == "opaque"  # built-in raised, no adapter
+
+        MM.register_decoder(
+            "png16",
+            lambda p: p[:8] == MM._PNG_MAGIC,
+            lambda p: ("png16", np.full((2, 3), 7, dtype=np.uint8), None),
+        )
+        try:
+            got = MM.decode_real_features(media, strict=True).collect()[0]
+            assert got["fmt"] == "png16"
+            assert (got["width"], got["height"], got["px_mean"]) == (3, 2, 7.0)
+        finally:
+            MM.unregister_decoder("png16")
+
+    def test_adapter_errors_never_abort_the_job(self, spark):
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        def boom(p: bytes):
+            raise RuntimeError("third-party codec crash")
+
+        media = self._media(spark, [(1, "image", bytearray(b"FAKEdata"))])
+        MM.register_decoder("boom", lambda p: p[:4] == b"FAKE", boom)
+        try:
+            got = MM.decode_real_features(media).collect()[0]
+            assert got["fmt"] == "opaque"  # fell through to the stub
+        finally:
+            MM.unregister_decoder("boom")
+
+    def test_adapter_set_snapshotted_at_plan_construction(self, spark):
+        """Cluster correctness: the closure captures the registry AT
+        decode_real_features() call time (cloudpickle ships the
+        callables); registering afterwards must not mutate an
+        already-built plan."""
+        import numpy as np
+
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        media = self._media(spark, [(1, "image", bytearray(b"FAKEdata"))])
+        df = MM.decode_real_features(media)  # snapshot: no adapters
+        MM.register_decoder(
+            "late", lambda p: True, lambda p: ("late", np.zeros((1, 1), np.uint8), None)
+        )
+        try:
+            assert df.collect()[0]["fmt"] == "opaque"
+            assert MM.decode_real_features(media).collect()[0]["fmt"] == "late"
+        finally:
+            MM.unregister_decoder("late")
+
+    def test_register_default_adapters_noop_without_libs(self):
+        from go_vectorsearch_spark.operators import multimodal as MM
+
+        added = MM.register_default_adapters()
+        for name in added:  # container has neither lib; tolerate either
+            MM.unregister_decoder(name)
+        assert added == [] or set(added) <= {"pil", "soundfile"}
