@@ -8,8 +8,9 @@ ffmpeg) are NOT in this container, so the decode step is STUBBED only for
 formats that genuinely need them (JPEG/MP3/H.264, exotic PNG/BMP/WAV
 variants): there we either raise ``NotImplementedError`` (strict mode) or
 compute a clearly-named deterministic fake from the payload bytes
-(default). netpbm / 8-bit PNG / uncompressed BMP images and
-PCM / IEEE-float / µ-law WAV audio decode REAL, numpy+stdlib only — the
+(default). netpbm / 8-bit PNG (incl. palette) / uncompressed BMP images
+and PCM / IEEE-float / µ-law WAV audio decode REAL, numpy+stdlib only,
+and external codecs plug in per-format via ``register_decoder`` — the
 Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
 shape) is identical either way and tested end to end.
 
@@ -299,22 +300,26 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image_png(payload: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG -> uint8 array: gray (h, w), RGB
-    (h, w, 3) or RGBA (h, w, 4). Pure stdlib zlib + numpy: chunk walk,
-    one inflate, then per-row de-filtering (None/Sub/Up/Average/Paeth
-    per the spec). Palette, 16-bit and interlaced variants raise — the
-    strict-mode seam's territory."""
+    (h, w, 3), RGBA (h, w, 4), or 8-bit PALETTE (color type 3, r11:
+    one-byte indexes de-filter like gray, then one numpy gather through
+    the PLTE table -> (h, w, 3) RGB). Pure stdlib zlib + numpy: chunk
+    walk, one inflate, then per-row de-filtering (None/Sub/Up/Average/
+    Paeth per the spec). Sub-byte-depth palette, 16-bit and interlaced
+    variants raise — the adapter/strict seam's territory."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    i, idat, hdr = 8, [], None
+    i, idat, hdr, plte = 8, [], None, None
     while i + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, i)
         tag = payload[i + 4 : i + 8]
         body = payload[i + 8 : i + 8 + size]
         if tag == b"IHDR":
             hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -323,11 +328,16 @@ def decode_image_png(payload: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, bit_depth, color, _comp, _filt, interlace = hdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    # palette rasters carry one index byte per pixel — de-filter at
+    # 1 byte/px exactly like grayscale, expand through PLTE afterwards
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if bit_depth != 8 or channels is None or interlace != 0:
         raise ValueError(
-            "only 8-bit non-interlaced gray/RGB(A) PNG supported"
+            "only 8-bit non-interlaced gray/RGB(A)/palette PNG supported"
         )
+    if color == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG missing/degenerate PLTE")
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(b"".join(idat))
@@ -373,6 +383,12 @@ def decode_image_png(payload: bytes) -> np.ndarray:
                 line[x] = (cur[x] + pred) & 0xFF
         out[r] = line & 0xFF
     img = out.reshape(h, w, channels)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette PNG index out of PLTE range")
+        return pal[idx]  # (h, w, 3) RGB via one numpy gather
     return img[:, :, 0] if channels == 1 else img
 
 
@@ -666,7 +682,8 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                 w, h = struct.unpack_from(">II", p, 16)
                 color = p[25] if len(p) > 25 else None
                 r.update(fmt="png", width=w, height=h,
-                         n_channels={0: 1, 2: 3, 4: 2, 6: 4}.get(color))
+                         # palette (3) expands to RGB on decode
+                         n_channels={0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(color))
             elif p[:2] == b"BM" and len(p) >= 26:
                 _dib, w, h = struct.unpack_from("<Iii", p, 14)
                 # header values are corruption-controlled: non-positive
@@ -837,16 +854,18 @@ def register_default_adapters() -> list[str]:
 
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
-    allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG
-    (stdlib zlib inflate + numpy de-filtering) and uncompressed 24-bit
-    BMP ('BM') yield true width/height and pixel mean/std; WAV
-    ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law yields true
-    sample_rate, sample count and RMS (RMS in each format's native
-    units: int16 linear for PCM/µ-law, [-1, 1] float for f32) — all
-    pure numpy/stdlib, decoded inside the same Arrow-batched map as the
-    stub path. Payloads in formats that genuinely need external codec
-    libraries (JPEG/MP3, palette/16-bit/interlaced PNG, compressed BMP,
-    ADPCM) consult the REGISTERED external-codec adapters
+    allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG —
+    gray/RGB(A) AND palette (stdlib zlib inflate + numpy de-filtering;
+    palette indexes expand through PLTE in one gather, r11) — and
+    uncompressed 24-bit BMP ('BM') yield true width/height and pixel
+    mean/std; WAV ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law
+    yields true sample_rate, sample count and RMS (RMS in each format's
+    native units: int16 linear for PCM/µ-law, [-1, 1] float for f32) —
+    all pure numpy/stdlib, decoded inside the same Arrow-batched map as
+    the stub path. Payloads in formats that genuinely need external
+    codec libraries (JPEG/MP3, sub-byte/16-bit/interlaced PNG,
+    compressed BMP, ADPCM) consult the REGISTERED external-codec
+    adapters
     (:func:`register_decoder` / :func:`register_default_adapters`) next,
     then fall through to the documented stub boundary: ``strict=True``
     raises ``NotImplementedError`` there, else deterministic byte-level

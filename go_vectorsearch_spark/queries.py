@@ -3124,10 +3124,24 @@ def q_pipeline_curate_docs(spark, sf_dir):
         ).alias("text"),
     )
     stripped = CUR.strip_boilerplate_lines(lined, min_df=_LINE_DEDUP_MIN_DF)
+    # the fixpoint's return frame is already persisted+materialized by
+    # exact_substr_cut (its convergence compare needs it), so the bench
+    # and train splits below read the cache, not a recomputed chain
     cut = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=3)
     bench = cut.filter(F.col("doc_id") % 97 == 0)
     train = cut.filter(F.col("doc_id") % 97 != 0)
-    decon = SUB.decontaminate_cut(train, bench, L=_DECON_L)
+    # persist the decontaminated corpus: three downstream consumers
+    # reference it (the shingle frame, the near-dup anti-join's row
+    # side, the quality/budget stages) — unpersisted, each would re-run
+    # the L=4 window pass + rebuild (~3x the stage's cost; measured
+    # ~4 s at sf0.1). Session-scoped like exact_substr_cut's fixpoint
+    # frame; a deployment checkpoints between stages instead.
+    from pyspark import StorageLevel
+
+    decon = SUB.decontaminate_cut(train, bench, L=_DECON_L).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    decon.count()
     # uncapped jaccard = oracle-parity mode (see _jaccard_pairs_cached);
     # a production run passes the default hot-shingle cap
     pairs = DD.jaccard_pairs(decon, threshold=0.2, max_shingle_freq=None)

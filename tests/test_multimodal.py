@@ -699,3 +699,73 @@ class TestDecoderRegistry:
         for name in added:  # container has neither lib; tolerate either
             MM.unregister_decoder(name)
         assert added == [] or set(added) <= {"pil", "soundfile"}
+
+
+def test_png_palette_decode(spark):
+    """8-bit palette PNG (color type 3, r11): the raster de-filters at
+    one byte per pixel and expands through PLTE to RGB. The payload is
+    crafted test-side from the spec (chunk layout, filter bytes,
+    palette table), independent of encode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_image_png,
+        decode_real_features,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 3, 0]], dtype=np.uint8)  # 3x2
+    # rows: filter 0 then filter 1 (Sub) — de-filtering must apply to
+    # the index bytes BEFORE the palette gather
+    row0 = b"\x00" + idx[0].tobytes()
+    subbed = np.diff(np.concatenate([[0], idx[1].astype(np.int32)])) & 0xFF
+    row1 = b"\x01" + subbed.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image_png(png)
+    assert got.shape == (2, 3, 3)
+    assert (got == pal[idx]).all()
+
+    # e2e through the Arrow map: real features, fmt='png'
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(png), None)],
+        "media_id long, doc_id long, kind string, payload binary, "
+        "meta struct<width:int>",
+    )
+    r = decode_real_features(media, strict=True).collect()[0]
+    assert (r["fmt"], r["width"], r["height"]) == ("png", 3, 2)
+    assert r["px_mean"] == _pytest.approx(float(pal[idx].mean()))
+
+    # degenerate variants stay at the seam: missing PLTE, short index
+    no_plte = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1)) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_image_png(no_plte)
+    oob = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal[:2].tobytes())  # only 2 entries, idx max 3
+        + chunk(b"IDAT", zlib.compress(row0 + row1)) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE range"):
+        decode_image_png(oob)

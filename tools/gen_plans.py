@@ -126,6 +126,19 @@ PICKS = [
      "per-document islands merge under partitioned windows, and the cut is the same "
      "linear merge-rank token filter as substr_cut_docs with an empty keeper set — "
      "raw text moves only in the final rebuild projection."),
+    ("line_dedup_docs", "Corpus-level line/boilerplate dedup (windowed r11, CCNet "
+     "§4.1): lines explode to (id, ix, 16-byte line-hash) rows; the hot set is a "
+     "HAVING count>=min_df aggregate over DISTINCT (doc, hash) joining back as a "
+     "FRAME (auto-broadcast while small, never a collected literal); the only "
+     "text-bearing shuffle is the final per-document regroup."),
+    ("pipeline_curate_docs", "END-TO-END curation composition (windowed r11): "
+     "boilerplate-line strip -> keeper-protected substring fixpoint cut -> "
+     "decontamination cut -> Jaccard near-dup dedup -> quality filter -> "
+     "token-budget mix, chained over the same frame. Raw text reaches an Exchange "
+     "only at the per-document rebuild points (line regroup, cut rebuilds); every "
+     "other shuffle carries int/hash keys (window hashes, shingle ints, pair ids, "
+     "budget-window rows) — each stage keeps its standalone plan shape under "
+     "composition."),
 ]
 
 out = []
@@ -155,6 +168,17 @@ for name, blurb in PICKS:
                ln.startswith("PartitionFilters") or ln.startswith("Arguments: hashpartitioning") or \
                ln.startswith("Condition"):
                 keep.append(ln)
+    # cap each section: only the composed curation pipeline exceeds this
+    # (6 chained stage plans); its stages' standalone shapes have their
+    # own sections, so the head — the output aggregate down through the
+    # budget window and the dedup joins — carries the composition story
+    CAP = 250
+    if len(keep) > CAP:
+        keep = keep[:CAP] + [
+            f"... ({len(keep) - CAP} more plan lines elided — chained "
+            "stage subtrees whose standalone shapes appear in their own "
+            "sections above)"
+        ]
     out.append(f"\n## {name}\n\n{blurb}\n\n```\n" + "\n".join(keep).strip() + "\n```\n")
 open("PLANS.md", "w").write("\n".join(out))
 print("written", sum(len(o) for o in out), "chars")
