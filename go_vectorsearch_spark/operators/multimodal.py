@@ -715,6 +715,14 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                 r.update(fmt="ppm" if p[:2] == b"P6" else "pgm",
                          width=img_fields[0], height=img_fields[1],
                          n_channels=3 if p[:2] == b"P6" else 1)
+            elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+                # logical screen descriptor: little-endian u16 dims at
+                # 6/8; palette-based like PNG type 3 → 3 channels after
+                # expansion. LZW pixel decode stays at the adapter seam.
+                w, h = struct.unpack_from("<HH", p, 6)
+                r["fmt"] = "gif"
+                if w > 0 and h > 0:
+                    r.update(width=w, height=h, n_channels=3)
             elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 sr = nch = bits = None
                 data_len = None

@@ -451,6 +451,28 @@ class TestRealDecoders:
         assert got[3]["fmt"] == "opaque"
         assert got[3]["width"] is None
 
+    def test_sniff_gif_header(self, spark):
+        """GIF87a/89a logical-screen dims (r11): header-only, LZW pixel
+        decode stays at the adapter seam; zero-dim headers report NULL."""
+        import struct as _struct
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            sniff_media_meta,
+        )
+
+        gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+        zero = b"GIF87a" + _struct.pack("<HH", 0, 200) + b"\x00\x00\x00"
+        media = spark.createDataFrame(
+            [(1, 1, "image", bytearray(gif), None),
+             (2, 2, "image", bytearray(zero), None)],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in sniff_media_meta(media).collect()}
+        assert (got[1]["fmt"], got[1]["width"], got[1]["height"],
+                got[1]["n_channels"]) == ("gif", 320, 200, 3)
+        assert got[2]["fmt"] == "gif" and got[2]["width"] is None
+
     def test_decode_real_features_new_formats(self, spark):
         import numpy as np
 
