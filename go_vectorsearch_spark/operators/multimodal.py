@@ -302,10 +302,13 @@ def decode_image_png(payload: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG -> uint8 array: gray (h, w), RGB
     (h, w, 3), RGBA (h, w, 4), or 8-bit PALETTE (color type 3, r11:
     one-byte indexes de-filter like gray, then one numpy gather through
-    the PLTE table -> (h, w, 3) RGB). Pure stdlib zlib + numpy: chunk
-    walk, one inflate, then per-row de-filtering (None/Sub/Up/Average/
-    Paeth per the spec). Sub-byte-depth palette, 16-bit and interlaced
-    variants raise — the adapter/strict seam's territory."""
+    the PLTE table -> (h, w, 3) RGB); 16-bit gray/RGB(A) decodes to the
+    same shapes in uint16 (r11 — the spec defines filters over raster
+    BYTES, so the identical de-filter runs at bpp = 2 x channels and the
+    big-endian sample pairs recombine after). Pure stdlib zlib + numpy:
+    chunk walk, one inflate, then per-row de-filtering (None/Sub/Up/
+    Average/Paeth per the spec). Sub-byte-depth and interlaced variants
+    raise — the adapter/strict seam's territory."""
     import struct
     import zlib
 
@@ -331,9 +334,19 @@ def decode_image_png(payload: bytes) -> np.ndarray:
     # palette rasters carry one index byte per pixel — de-filter at
     # 1 byte/px exactly like grayscale, expand through PLTE afterwards
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if bit_depth != 8 or channels is None or interlace != 0:
+    # PNG filters are defined over raster BYTES with the left neighbor
+    # bpp bytes back (spec §6.2), so 16-bit rasters de-filter with the
+    # same code at bpp = 2 × channels and recombine to uint16 after
+    # (r11; palette stays 8-bit — sub-byte depths are the adapter seam)
+    if (
+        bit_depth not in (8, 16)
+        or channels is None
+        or interlace != 0
+        or (color == 3 and bit_depth != 8)
+    ):
         raise ValueError(
-            "only 8-bit non-interlaced gray/RGB(A)/palette PNG supported"
+            "only 8/16-bit non-interlaced gray/RGB(A)/8-bit-palette "
+            "PNG supported"
         )
     if color == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
@@ -341,13 +354,14 @@ def decode_image_png(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    sample_bytes = bit_depth // 8
+    stride = w * channels * sample_bytes
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
+    bpp = channels * sample_bytes  # filter offset, in bytes per pixel
     for r in range(h):
         f = int(filters[r])
         cur = data[r].astype(np.int32)
@@ -382,6 +396,11 @@ def decode_image_png(payload: bytes) -> np.ndarray:
                 # value later reads use as their left neighbor
                 line[x] = (cur[x] + pred) & 0xFF
         out[r] = line & 0xFF
+    if bit_depth == 16:
+        # network byte order per the spec: (hi << 8) | lo
+        pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
+        img16 = (pairs[..., 0] << 8) | pairs[..., 1]
+        return img16[:, :, 0] if channels == 1 else img16
     img = out.reshape(h, w, channels)
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -862,18 +881,18 @@ def register_default_adapters() -> list[str]:
 
 def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract with REAL decoders where the format
-    allows: netpbm images (P5/P6 magic), 8-bit non-interlaced PNG —
-    gray/RGB(A) AND palette (stdlib zlib inflate + numpy de-filtering;
-    palette indexes expand through PLTE in one gather, r11) — and
+    allows: netpbm images (P5/P6 magic), 8/16-bit non-interlaced PNG —
+    gray/RGB(A), 8-bit palette (stdlib zlib inflate + numpy
+    de-filtering; palette indexes expand through PLTE in one gather,
+    16-bit samples recombine big-endian, r11) — and
     uncompressed 24-bit BMP ('BM') yield true width/height and pixel
     mean/std; WAV ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law
     yields true sample_rate, sample count and RMS (RMS in each format's
     native units: int16 linear for PCM/µ-law, [-1, 1] float for f32) —
     all pure numpy/stdlib, decoded inside the same Arrow-batched map as
     the stub path. Payloads in formats that genuinely need external
-    codec libraries (JPEG/MP3, sub-byte/16-bit/interlaced PNG,
-    compressed BMP, ADPCM) consult the REGISTERED external-codec
-    adapters
+    codec libraries (JPEG/MP3, sub-byte/interlaced PNG, compressed
+    BMP, ADPCM) consult the REGISTERED external-codec adapters
     (:func:`register_decoder` / :func:`register_default_adapters`) next,
     then fall through to the documented stub boundary: ``strict=True``
     raises ``NotImplementedError`` there, else deterministic byte-level

@@ -209,8 +209,10 @@ class TestRealDecoders:
         # unsupported variants raise (strict seam's territory)
         bad = bytearray(encode_png(img))
         # IHDR bit-depth byte: 8 magic + 4 len + 4 tag + 8 (w, h)
-        bad[24] = 0x10  # claim 16-bit depth (decoder ignores CRC)
-        with _pytest.raises(ValueError, match="8-bit"):
+        bad[24] = 0x04  # claim 4-bit depth (sub-byte stays unsupported;
+        #                 16-bit decodes real as of r11 — see
+        #                 test_png_16bit_decode)
+        with _pytest.raises(ValueError, match="8/16-bit"):
             decode_image_png(bytes(bad))
         with _pytest.raises(ValueError, match="not a PNG"):
             decode_image_png(b"\x89PNGnope")
@@ -649,9 +651,10 @@ class TestDecoderRegistry:
             MM.unregister_decoder("greedy")
 
     def test_adapter_handles_builtin_claimed_but_exotic_body(self, spark):
-        """A 16-bit PNG: the built-in claims the 8-byte magic but raises
-        (bit depth unsupported) — the adapter must get its chance, the
-        PIL scenario for exotic variants."""
+        """A PNG the built-in claims (8-byte magic) but raises on — this
+        fixture has a valid 16-bit IHDR and NO IDAT ("missing IDAT";
+        16-bit rasters themselves decode real as of r11) — the adapter
+        must get its chance, the PIL scenario for exotic variants."""
         import struct as _struct
 
         import numpy as np
@@ -791,3 +794,77 @@ def test_png_palette_decode(spark):
     )
     with _pytest.raises(ValueError, match="PLTE range"):
         decode_image_png(oob)
+
+
+def test_png_16bit_decode(spark):
+    """16-bit gray and RGB PNG (r11): the spec defines filters over
+    raster BYTES, so the byte-wise de-filter runs at bpp = 2 x channels
+    and big-endian sample pairs recombine to uint16. Payloads crafted
+    test-side from the spec, values above 255 prove real 16-bit reads."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_image_png,
+        decode_real_features,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png16(img, color):
+        h, w = img.shape[:2]
+        raw = b"".join(
+            b"\x00" + img[r].astype(">u2").tobytes() for r in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        return (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 65536, size=(4, 5), dtype=np.uint16)
+    got = decode_image_png(png16(gray, 0))
+    assert got.dtype == np.uint16 and (got == gray).all()
+
+    rgb = rng.integers(0, 65536, size=(3, 2, 3), dtype=np.uint16)
+    got = decode_image_png(png16(rgb, 2))
+    assert got.shape == (3, 2, 3) and (got == rgb).all()
+
+    # Up-filtered 16-bit row: byte-wise filtering must still invert
+    h, w = 2, 3
+    r0 = gray[:1, :3]
+    r1 = gray[1:2, :3]
+    raw = (
+        b"\x00" + r0.astype(">u2").tobytes()
+        + b"\x02" + (
+            (r1.astype(">u2").view(np.uint8).astype(np.int32)
+             - r0.astype(">u2").view(np.uint8).astype(np.int32)) & 0xFF
+        ).astype(np.uint8).tobytes()
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    up = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = decode_image_png(up)
+    assert (got == np.vstack([r0, r1])).all()
+
+    # e2e: the Arrow map reports 16-bit stats (mean above any uint8)
+    big = np.full((2, 2), 60000, dtype=np.uint16)
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(png16(big, 0)), None)],
+        "media_id long, doc_id long, kind string, payload binary, "
+        "meta struct<width:int>",
+    )
+    r = decode_real_features(media, strict=True).collect()[0]
+    assert (r["fmt"], r["width"], r["height"]) == ("png", 2, 2)
+    assert r["px_mean"] == _pytest.approx(60000.0)
