@@ -155,11 +155,12 @@ def test_no_forced_broadcast_over_sf_scaling_frames(spark, sf_correct):
     # registry level: no hint subtree may contain an SF-scaling table.
     # The 3 lines after a ResolvedHint node are its subtree (a Relation,
     # optionally under a Filter/Project) in the pre-order tree print.
-    # multi_star_revenue is demoted out of the registry (r5) but keeps
-    # this scale guard — reference it by function.
+    # multi_star_revenue (r5) and join_semi_segment (r11) are demoted
+    # out of the registry but keep this scale guard — reference them by
+    # function.
     for name, fn in (
         ("cascade_delete_survivors", Q.REGISTRY["cascade_delete_survivors"].fn),
-        ("join_semi_segment", Q.REGISTRY["join_semi_segment"].fn),
+        ("join_semi_segment", Q.q_join_semi_segment),
         ("multi_star_revenue", Q.q_multi_star_revenue),
     ):
         df = fn(spark, sf_correct)
