@@ -235,10 +235,12 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_image_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB. Supports
-    bottom-up (positive height, the common case) and top-down rows;
-    anything else (palettized, RLE, V4/V5 bitfields) raises — those are
-    the compressed/exotic variants the strict-mode seam covers."""
+    """Uncompressed BMP -> (h, w, 3) uint8 RGB: 24-bit BI_RGB, or 8-bit
+    palettized (r11 — index raster + BGR0 color-table gather, the
+    classic screenshot/icon form). Supports bottom-up (positive height,
+    the common case) and top-down rows; anything else (sub-byte
+    palette, RLE, 16/32-bit bitfields) raises — the compressed/exotic
+    variants the adapter/strict seam covers."""
     import struct
 
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -246,22 +248,39 @@ def decode_image_bmp(payload: bytes) -> np.ndarray:
     data_off = struct.unpack_from("<I", payload, 10)[0]
     dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
-    if dib_size < 40 or planes != 1 or bits != 24 or compression != 0:
-        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    if dib_size < 40 or planes != 1 or bits not in (8, 24) or compression != 0:
+        raise ValueError("only uncompressed 24-bit/8-bit-palette BI_RGB BMP supported")
     if w <= 0 or h == 0:  # h < 0 is the legal top-down form
         raise ValueError("degenerate BMP dimensions")
     top_down = h < 0
     h = abs(h)
-    row_bytes = w * 3
+    row_bytes = w * (bits // 8)
     stride = row_bytes + ((-row_bytes) % 4)
     if data_off + stride * h > len(payload):
         raise ValueError("truncated BMP raster")
-    rows = np.frombuffer(
+    raster = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    ).reshape(h, stride)[:, :row_bytes]
+    if bits == 8:
+        # color table: biClrUsed BGR0 quads right after the DIB header
+        # (0 means the full 256); indexes gather through it like PNG's
+        # PLTE, colors stored blue-first like the 24-bit raster
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        tbl_off = 14 + dib_size
+        if tbl_off + 4 * n_colors > len(payload):
+            raise ValueError("truncated BMP color table")
+        table = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=tbl_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGR0 -> RGB
+        if int(raster.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of color-table range")
+        rows = table[raster]
+    else:
+        rows = raster.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     if not top_down:
         rows = rows[::-1]
-    return rows[:, :, ::-1]  # BGR -> RGB
+    return rows
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -885,13 +904,13 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
     gray/RGB(A), 8-bit palette (stdlib zlib inflate + numpy
     de-filtering; palette indexes expand through PLTE in one gather,
     16-bit samples recombine big-endian, r11) — and
-    uncompressed 24-bit BMP ('BM') yield true width/height and pixel
-    mean/std; WAV ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law
+    uncompressed 24-bit or 8-bit-palette BMP ('BM', color-table gather,
+    r11) yield true width/height and pixel mean/std; WAV ('RIFF..WAVE') in PCM-16, IEEE-float32 or G.711 µ-law
     yields true sample_rate, sample count and RMS (RMS in each format's
     native units: int16 linear for PCM/µ-law, [-1, 1] float for f32) —
     all pure numpy/stdlib, decoded inside the same Arrow-batched map as
     the stub path. Payloads in formats that genuinely need external
-    codec libraries (JPEG/MP3, sub-byte/interlaced PNG, compressed
+    codec libraries (JPEG/MP3, sub-byte/interlaced PNG, RLE/bitfield
     BMP, ADPCM) consult the REGISTERED external-codec adapters
     (:func:`register_decoder` / :func:`register_default_adapters`) next,
     then fall through to the documented stub boundary: ``strict=True``

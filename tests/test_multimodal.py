@@ -133,13 +133,58 @@ class TestRealDecoders:
         p = bytearray(encode_bmp(rgb[::-1]))  # encoder stores bottom-up
         struct.pack_into("<i", p, 22, -4)     # flip to top-down
         assert (decode_image_bmp(bytes(p)) == rgb[::-1][::-1]).all()
-        # exotic variants raise (the strict seam's territory)
+        # exotic variants raise (the adapter seam's territory; 8-bit
+        # palette decodes real as of r11 — see test_bmp_palette_decode)
         with _pytest.raises(ValueError, match="24-bit"):
             q = bytearray(encode_bmp(rgb))
-            struct.pack_into("<H", q, 28, 8)  # claim 8-bit
+            struct.pack_into("<H", q, 28, 16)  # claim 16-bit bitfields
             decode_image_bmp(bytes(q))
         with _pytest.raises(ValueError, match="not a BMP"):
             decode_image_bmp(b"BMshort")
+
+    def test_bmp_palette_decode(self):
+        """8-bit palettized BMP (r11): index raster (4-byte-aligned
+        rows, bottom-up) gathers through the BGR0 color table. Crafted
+        spec-side, independent of encode_bmp."""
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        pal = np.array(
+            [[10, 20, 30], [200, 100, 0], [0, 0, 255], [77, 88, 99]],
+            dtype=np.uint8,
+        )
+        idx = np.array([[0, 1, 2], [3, 0, 1]], dtype=np.uint8)  # 3x2
+        h, w = idx.shape
+        stride = w + ((-w) % 4)
+        raster = b"".join(
+            idx[r].tobytes() + b"\x00" * (stride - w)
+            for r in range(h - 1, -1, -1)  # bottom-up storage
+        )
+        table = b"".join(
+            bytes([b, g, rr, 0]) for rr, g, b in pal.tolist()
+        )
+        data_off = 14 + 40 + len(table)
+        header = (
+            b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+            + struct.pack("<Iii", 40, w, h)
+            + struct.pack("<HHI", 1, 8, 0)
+            + struct.pack("<IiiII", len(raster), 0, 0, len(pal), 0)
+        )
+        payload = header + table + raster
+        from go_vectorsearch_spark.operators.multimodal import (
+            decode_image_bmp,
+        )
+
+        got = decode_image_bmp(payload)
+        assert got.shape == (2, 3, 3)
+        assert (got == pal[idx]).all()
+        # out-of-range index against a short color table raises
+        short = bytearray(payload)
+        struct.pack_into("<I", short, 46, 2)  # claim 2 colors, idx max 3
+        with _pytest.raises(ValueError, match="color-table range"):
+            decode_image_bmp(bytes(short))
 
     def test_png_roundtrip_and_filters(self):
         import struct
