@@ -2395,6 +2395,105 @@ class Engine:
         finally:
             texts.unpersist()
 
+    def boilerplate_report(
+        self, owner: str, category: str, min_df: int = 10
+    ) -> DataFrame:
+        """Corpus-level boilerplate-line report over a stored category
+        (CCNet §4.1 at the serving layer): ``(line, n_docs)`` for every
+        normalized line (lower + trim) appearing in at least ``min_df``
+        DISTINCT stored documents — flatten() joins payload fields and
+        list items with newlines, so "lines" here are the stored
+        corpus's field/item granularity (shared footers, nav chrome,
+        repeated disclaimers). Plan shape: the hot set is the operator's
+        16-byte-hash aggregate (raw line text never shuffles to find
+        it); only the HOT lines' text then survives a hash join out of
+        a second scan into the tiny representative aggregate."""
+        from go_vectorsearch_spark.operators.curation import (
+            boilerplate_lines,
+        )
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"boilerplate_report: unknown {owner}/{category}")
+        texts = self._category_doc_texts(cid)
+        hot = boilerplate_lines(
+            texts, id_col="document_id", text_col="_text", min_df=min_df
+        )
+        tagged = (
+            texts.select(
+                F.explode(
+                    F.split(F.coalesce(F.col("_text"), F.lit("")), "\n", -1)
+                ).alias("_line")
+            )
+            .select(F.lower(F.trim("_line")).alias("_n"))
+            .withColumn("_lh", F.md5("_n"))
+        )
+        # no forced broadcast: hot is output-bounded, not corpus-bounded,
+        # but AQE should make the call (the scale-guard discipline)
+        return (
+            tagged.join(hot, "_lh")
+            .groupBy("_lh")
+            .agg(F.min("_n").alias("line"), F.min("n_docs").alias("n_docs"))
+            .select("line", "n_docs")
+        )
+
+    def boilerplate_cut(
+        self,
+        owner: str,
+        category: str,
+        min_df: int = 10,
+        iterate: int = 3,
+        re_embed: bool = False,
+    ) -> int:
+        """CUT every corpus-boilerplate line from a stored category —
+        the write-path complement of :meth:`boilerplate_report` and the
+        line-level sibling of :meth:`substr_dedup_cut` (no keeper:
+        boilerplate has no copy worth keeping, the contamination-cut
+        convention). Same rewrite machinery and derived-store contract
+        (partition-scoped upsert of changed documents only, text-index
+        tombstone/rebuild, band-row rewrite, optional ``re_embed``).
+
+        Runs the operator FIXPOINT
+        (:func:`~go_vectorsearch_spark.operators.curation.
+        strip_boilerplate_fixpoint`) with the storage normalization's
+        one live step on this domain (``format_rejoined_text`` — stored
+        texts carry no empty lines and no leading/trailing newlines and
+        the strip rebuild cannot create them, so only
+        ensure-trailing-period can act) applied to changed documents
+        INSIDE the loop: cutting a document's final line can
+        period-migrate the new last line's normalized form across
+        ``min_df``, and each pass re-fits on exactly the text the store
+        would hold — a converged cut leaves :meth:`boilerplate_report`
+        empty by construction. Returns the number of rewritten
+        documents."""
+        from go_vectorsearch_spark.operators.curation import (
+            strip_boilerplate_fixpoint,
+        )
+        from go_vectorsearch_spark.operators.documents import (
+            format_rejoined_text,
+        )
+
+        cid = self._category_id(owner, category)
+        if cid is None:
+            raise ValueError(f"boilerplate_cut: unknown {owner}/{category}")
+        texts = self._category_doc_texts(cid).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
+        try:
+            cut = strip_boilerplate_fixpoint(
+                texts,
+                id_col="document_id",
+                text_col="_text",
+                min_df=min_df,
+                iterate=iterate,
+                normalize=format_rejoined_text,
+            )
+            return self._rewrite_category_texts(
+                owner, category, cid, cut, re_embed=re_embed, texts=texts
+            )
+        finally:
+            texts.unpersist()
+
     def build_neardup_index(self, owner: str, category: str) -> int:
         """Build (or rebuild) the category's persisted near-dup band
         index over the flattened document texts. Returns the number of

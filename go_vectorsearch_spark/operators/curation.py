@@ -201,6 +201,118 @@ def strip_boilerplate_lines(
     )
 
 
+def strip_boilerplate_fixpoint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    iterate: int = 3,
+    normalize=None,
+) -> DataFrame:
+    """Repeat hot-fit → :func:`strip_boilerplate_lines` until NO line
+    crosses ``min_df`` (or ``iterate`` passes) — the line-level analog
+    of the substring family's cut fixpoint. Returns ``(id_col, text)``.
+
+    ``normalize`` — optional ``Column -> Column`` transform applied to a
+    CHANGED document's rebuilt text in EVERY pass (passthrough
+    documents keep their verbatim bytes). The Engine write path passes
+    the storage normalization's one live step on this domain
+    (``documents.format_rejoined_text`` — stored texts carry no empty
+    lines and no leading/trailing newlines, and the strip rebuild
+    cannot create them, so of the full storage normalization only
+    ensure-trailing-period can act): without it, a pass that cuts a
+    document's FINAL line stores a text whose new last line the storage
+    write period-appends, and that migrated normalized form can push a
+    sub-``min_df`` line family over the threshold AFTER the pass's fit
+    ran — the same pre-normalization class the substring fixpoint
+    closed in r10, closed here inside the loop.
+
+    FULLY-CUT documents freeze: a document whose every line was hot
+    rebuilds to ``''``, which the storage normalization turns into the
+    empty-document marker (``'.'``). That marker is IRREMOVABLE by
+    construction — cutting it re-empties the document and normalization
+    restores it — so once a document empties it is final, leaves the
+    fit (its marker line would otherwise read as instant boilerplate
+    the moment ``min_df`` documents empty, and cutting it cycles
+    ``'.' → '' → '.'`` forever), and rejoins the output unchanged.
+
+    Termination: every pass with a non-empty hot set removes at least
+    one line from every still-active document carrying one, and a
+    document leaves the loop when it empties, so per-document passes
+    are bounded by its line count; ``iterate`` bounds the loop like the
+    substring cut's. Each pass costs one hot-set aggregate (a driver
+    ``isEmpty`` on the tiny hot frame — the k-means loop's
+    bounded-driver-check shape) plus one strip; intermediates persist
+    for their pass and release when superseded. A converged result
+    re-fit yields an EMPTY hot set over the still-active documents:
+    stripped lines reach document frequency zero, survivors kept their
+    sub-threshold frequencies, and normalization-migrated forms were
+    re-checked by the next pass — only the frozen empty-document
+    markers (reported but irremovable) can remain frequent."""
+    from pyspark import StorageLevel
+
+    if iterate < 1:
+        raise ValueError(
+            f"strip_boilerplate_fixpoint: iterate must be >= 1, got {iterate}"
+        )
+
+    def _hold(frame: DataFrame) -> DataFrame:
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        frame.count()
+        return frame
+
+    cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    done: DataFrame | None = None
+    held: list[DataFrame] = []
+    for _ in range(iterate):
+        hot = boilerplate_lines(cur, id_col, "text", min_df)
+        if hot.isEmpty():
+            break
+        stripped = strip_boilerplate_lines(
+            cur, id_col, "text", min_df, hot=hot
+        )
+        if normalize is None:
+            # no storage convention in play: '' documents stay '' and
+            # contribute no countable lines — no freeze needed
+            nxt = _hold(stripped)
+            held.append(nxt)
+            cur = nxt
+            continue
+        emptied = stripped.filter(F.col("text") == "").select(id_col)
+        prev = cur.select(F.col(id_col), F.col("text").alias("__prev"))
+        nxt = _hold(
+            stripped.join(prev, id_col).select(
+                F.col(id_col),
+                F.when(
+                    F.col("text") != F.col("__prev"),
+                    normalize(F.col("text")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        held.append(nxt)
+        pass_done = nxt.join(emptied, id_col, "left_semi")
+        if done is not None:
+            old_done = done
+            done = _hold(done.unionByName(pass_done))
+            old_done.unpersist()
+        else:
+            done = _hold(pass_done)
+        held.append(done)
+        cur = nxt.join(emptied, id_col, "left_anti")
+    out = cur if done is None else cur.unionByName(done)
+    if held:
+        # persist + materialize the RESULT itself, then release every
+        # pass intermediate (their rows now live in out's cache) — the
+        # caller releases out (the substr fixpoint's contract:
+        # _rewrite_category_texts unpersists the cut frame it was given)
+        out = _hold(out)
+        for frame in held:
+            frame.unpersist()
+    return out
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -720,10 +720,16 @@ class Service:
         (Engine.substr_dedup_cut; optional "iterate" re-checks
         cut-created adjacencies to a fixpoint); {"decontaminate":
         [texts...]} reports contaminated spans, or CUTS them when
-        combined with "cut" (Engine.decontaminate_cut). Optional "L"
-        is the minimum duplicated run in tokens (default 8);
-        "re_embed": true swaps cut documents' embedding rows for fresh
-        ones derived from the cleaned text (one atomic commit)."""
+        combined with "cut" (Engine.decontaminate_cut); line-level
+        curation rides the same route with {"boilerplate_report": true}
+        (hot corpus lines >= "min_df" distinct docs,
+        Engine.boilerplate_report) and {"boilerplate_cut": true}
+        (fixpoint strip through the same write path,
+        Engine.boilerplate_cut). Optional "L" is the minimum duplicated
+        run in tokens (default 8); "min_df" the line-hotness threshold
+        (default 10); "re_embed": true swaps cut documents' embedding
+        rows for fresh ones derived from the cleaned text (one atomic
+        commit)."""
         owner, category = req.get("owner", ""), req.get("category", "")
         L = req.get("L", 8)
         if isinstance(L, bool) or not isinstance(L, int) or L < 2:
@@ -731,6 +737,9 @@ class Service:
         iterate = req.get("iterate", 1)
         if isinstance(iterate, bool) or not isinstance(iterate, int) or iterate < 1:
             raise BadRequest("'iterate' must be an integer >= 1")
+        min_df = req.get("min_df", 10)
+        if isinstance(min_df, bool) or not isinstance(min_df, int) or min_df < 2:
+            raise BadRequest("'min_df' must be an integer >= 2")
         re_embed = req.get("re_embed", False)
         if not isinstance(re_embed, bool):
             raise BadRequest("'re_embed' must be a boolean")
@@ -772,6 +781,24 @@ class Service:
                     owner, category, bench, L=L
                 ).collect()
             ]
+        if req.get("boilerplate_report"):
+            out["boilerplate"] = [
+                {"line": r["line"], "n_docs": r["n_docs"]}
+                for r in self.engine.boilerplate_report(
+                    owner, category, min_df=min_df
+                ).collect()
+            ]
+        if req.get("boilerplate_cut"):
+            # the wire "iterate" default of 1 is the substring cut's
+            # Lee-et-al single pass; the line strip defaults to its own
+            # fixpoint bound unless the client set iterate explicitly
+            out["boilerplate_cut_documents"] = self.engine.boilerplate_cut(
+                owner,
+                category,
+                min_df=min_df,
+                iterate=iterate if "iterate" in req else 3,
+                re_embed=re_embed,
+            )
         if req.get("cut"):
             if bench is not None:
                 out["cut_documents"] = self.engine.decontaminate_cut(

@@ -471,3 +471,133 @@ def test_curate_pipeline_quality_stage_not_degenerate(spark, sf_correct):
     }
     assert sum(out.values()) > 50      # the mix kept a real corpus
     assert len(out) >= 3               # several language strata survive
+
+
+def test_strip_boilerplate_fixpoint_period_migration_and_freeze(spark):
+    """The line-level analog of the substring family's r10
+    pre-normalization close, plus the empty-document freeze:
+      pass 1 cuts the hot 'zap.' footer; the two documents it was LAST
+        line of get their new last line period-appended INSIDE the loop,
+        which pushes 'shared tail.' from df 2+2 over min_df=3 — a fit
+        on un-normalized text would never see it;
+      pass 2 cuts 'shared tail.' everywhere, fully emptying four
+        documents — they freeze as the irremovable '.' marker instead
+        of feeding a '.' boilerplate family back into the fit (the
+        '.' -> '' -> '.' cycle);
+      pass 3 finds nothing hot among the still-active documents."""
+    from go_vectorsearch_spark.operators.curation import (
+        boilerplate_lines,
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_rejoined_text,
+    )
+
+    docs = [
+        (1, "shared tail\nzap."),
+        (2, "shared tail\nzap."),
+        (3, "unique three\nzap."),
+        (4, "shared tail."),
+        (5, "shared tail."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = strip_boilerplate_fixpoint(
+        df, min_df=3, iterate=5, normalize=format_rejoined_text
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {1: ".", 2: ".", 3: "unique three.", 4: ".", 5: "."}
+    # converged: nothing hot among non-marker documents
+    assert boilerplate_lines(
+        out.filter(F.col("text") != "."), min_df=3
+    ).isEmpty()
+    out.unpersist()
+
+    # WITHOUT the storage convention the migration never happens: the
+    # un-normalized 'shared tail' (df 2) and 'shared tail.' (df 2) stay
+    # distinct sub-threshold families
+    plain = strip_boilerplate_fixpoint(df, min_df=3, iterate=5)
+    got = {r["doc_id"]: r["text"] for r in plain.collect()}
+    assert got == {
+        1: "shared tail",
+        2: "shared tail",
+        3: "unique three",
+        4: "shared tail.",
+        5: "shared tail.",
+    }
+    plain.unpersist()
+
+
+def test_engine_boilerplate_report_and_cut(spark, tmp_path):
+    """Engine write path for the line-dedup family (the substring /
+    decontamination cut families' sibling): report finds the shared
+    footer line flatten() placed in every list payload, the cut rewrites
+    ONLY the carrying documents through the partition-scoped upsert,
+    report-after-cut is empty, and the text index serves the cut
+    corpus."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+    from go_vectorsearch_spark.operators.fulltext import bm25_search_stored
+
+    e = Engine(spark, str(tmp_path))
+    footer = "subscribe to our newsletter"
+    rows = [
+        {
+            "name": f"d{i}",
+            "external_id": str(i),
+            "document": _json.dumps([f"unique body {i}", footer]),
+        }
+        for i in range(4)
+    ]
+    rows.append(
+        {
+            "name": "solo",
+            "external_id": "s",
+            "document": _json.dumps("standalone text"),
+        }
+    )
+    ids = e.upload("o", "c", rows)
+    e.build_text_index("o", "c")
+
+    rep = {
+        r["line"]: r["n_docs"]
+        for r in e.boilerplate_report("o", "c", min_df=3).collect()
+    }
+    assert rep == {f"{footer}.": 4}
+
+    before = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    n = e.boilerplate_cut("o", "c", min_df=3)
+    assert n == 4
+    cid = e._category_id("o", "c")
+    texts = {
+        r["document_id"]: r["_text"]
+        for r in e._category_doc_texts(cid).collect()
+    }
+    for i, did in enumerate(ids[:4]):
+        assert texts[did] == f"unique body {i}."
+    after = {
+        r["document_id"]: r["payload_json"]
+        for r in e.t["documents"].read().collect()
+    }
+    assert after[ids[4]] == before[ids[4]]  # untouched doc byte-exact
+    assert e.boilerplate_report("o", "c", min_df=3).count() == 0
+    # text index: the footer tokens no longer find the cut docs; the
+    # surviving body tokens still do
+    tpath = e._text_index_path(cid)
+    foot_hits = {
+        r["doc_id"]
+        for r in bm25_search_stored(spark, tpath, "subscribe newsletter", k=9).collect()
+    }
+    assert not (foot_hits & set(ids[:4]))
+    body_hits = {
+        r["doc_id"]
+        for r in bm25_search_stored(spark, tpath, "unique body", k=9).collect()
+    }
+    assert set(ids[:4]) <= body_hits
+    with pytest.raises(ValueError, match="unknown"):
+        e.boilerplate_cut("o", "nope")
+    with pytest.raises(ValueError, match="unknown"):
+        e.boilerplate_report("o", "nope")

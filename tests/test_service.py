@@ -516,6 +516,47 @@ def test_admin_substr_route(served):
         eng.substr_dedup_cut = orig
 
 
+def test_admin_substr_boilerplate_keys(served):
+    """Line-level curation on the same route: {"boilerplate_report"}
+    lists hot corpus lines at "min_df", {"boilerplate_cut"} strips them
+    through the write path; min_df is validated like L."""
+    eng, port, _ = served
+    foot = "shared footer every page carries"
+    eng.upload(
+        "acme", "bpcat",
+        [{"name": f"d{i}", "external_id": f"bp{i}",
+          "document": json.dumps([f"article body number {i}", foot])}
+         for i in range(3)],
+    )
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "bpcat",
+         "boilerplate_report": True, "min_df": 3},
+    )
+    assert resp.status == 200
+    rep = json.loads(body)["boilerplate"]
+    assert rep == [{"line": f"{foot}.", "n_docs": 3}]
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "bpcat",
+         "boilerplate_cut": True, "min_df": 3},
+    )
+    assert resp.status == 200
+    assert json.loads(body)["boilerplate_cut_documents"] == 3
+    resp, body = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "bpcat",
+         "boilerplate_report": True, "min_df": 3},
+    )
+    assert json.loads(body)["boilerplate"] == []
+    resp, _ = _call(
+        port, "/api/admin/substr",
+        {"owner": "acme", "category": "bpcat",
+         "boilerplate_report": True, "min_df": 1},
+    )
+    assert resp.status == 400  # min_df >= 2, like L
+
+
 def test_admin_compact_route(served):
     """/api/admin/compact sweeps table fragmentation and, per category,
     the postings and band stores."""
