@@ -278,6 +278,12 @@ def strip_boilerplate_fixpoint(
             held.append(nxt)
             cur = nxt
             continue
+        # hold the pass's strip result: the emptied split, the
+        # normalize join and the freeze joins below all reference it —
+        # unpersisted, each consumer would re-run the strip (hot fit
+        # included)
+        stripped = _hold(stripped)
+        held.append(stripped)
         emptied = stripped.filter(F.col("text") == "").select(id_col)
         prev = cur.select(F.col(id_col), F.col("text").alias("__prev"))
         nxt = _hold(
