@@ -601,3 +601,83 @@ def test_engine_boilerplate_report_and_cut(spark, tmp_path):
         e.boilerplate_cut("o", "nope")
     with pytest.raises(ValueError, match="unknown"):
         e.boilerplate_report("o", "nope")
+
+
+def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
+    """Distributed fixpoint ≡ an independent driver-side reference
+    (hot-fit → strip → normalize-changed → freeze-emptied, looped) over
+    seeded random small corpora with dense line sharing — the substring
+    family's naive-reference discipline applied to the line family.
+    Covers hot/empty/normalized-empty lines, period migration chains,
+    and mass-emptied documents."""
+    import random
+
+    from go_vectorsearch_spark.operators.curation import (
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_rejoined_text,
+    )
+
+    def naive(docs: dict, min_df: int, iterate: int, normalize: bool):
+        cur = dict(docs)
+        done: dict = {}
+        for _ in range(iterate):
+            df_count: dict = {}
+            for t in cur.values():
+                forms = {
+                    ln.strip().lower()
+                    for ln in t.split("\n")
+                    if ln.strip().lower()
+                }
+                for nn in forms:
+                    df_count[nn] = df_count.get(nn, 0) + 1
+            hot = {nn for nn, c in df_count.items() if c >= min_df}
+            if not hot:
+                break
+            nxt: dict = {}
+            emptied = set()
+            for i, t in cur.items():
+                kept = [
+                    ln for ln in t.split("\n")
+                    if ln.strip().lower() not in hot
+                ]
+                new = "\n".join(kept)
+                if not normalize:
+                    nxt[i] = new
+                    continue
+                if new == "":
+                    emptied.add(i)
+                if new != t:
+                    new = new if new.endswith(".") else new + "."
+                nxt[i] = new
+            if normalize:
+                for i in emptied:
+                    done[i] = nxt.pop(i)
+            cur = nxt
+        cur.update(done)
+        return cur
+
+    lines = ["alpha beta", "Alpha Beta", "  spaced  ", "", "tail.", "x y z", "q"]
+    for seed in range(8):
+        rng = random.Random(seed)
+        docs = {
+            d: "\n".join(
+                rng.choice(lines) for _ in range(rng.randint(1, 4))
+            )
+            for d in range(1, 8)
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        for normalize in (False, True):
+            want = naive(docs, min_df=2, iterate=4, normalize=normalize)
+            out = strip_boilerplate_fixpoint(
+                df,
+                min_df=2,
+                iterate=4,
+                normalize=format_rejoined_text if normalize else None,
+            )
+            got = {r["doc_id"]: r["text"] for r in out.collect()}
+            out.unpersist()
+            assert got == want, (seed, normalize, docs)
