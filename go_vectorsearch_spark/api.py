@@ -2415,7 +2415,14 @@ class Engine:
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"boilerplate_report: unknown {owner}/{category}")
-        texts = self._category_doc_texts(cid)
+        # empty-document markers ('.' — what the storage normalization
+        # makes of a fully-cut document) are excluded from the fit: the
+        # marker is IRREMOVABLE (cutting it re-empties the document and
+        # normalization restores it), so reporting it as hot would send
+        # a report→cut→report runbook into a loop where the cut returns
+        # 0 forever while the report stays non-empty (r11 review). The
+        # cut's fixpoint freezes the same documents for the same reason.
+        texts = self._category_doc_texts(cid).filter(F.col("_text") != ".")
         hot = boilerplate_lines(
             texts, id_col="document_id", text_col="_text", min_df=min_df
         )
@@ -2464,8 +2471,10 @@ class Engine:
         period-migrate the new last line's normalized form across
         ``min_df``, and each pass re-fits on exactly the text the store
         would hold — a converged cut leaves :meth:`boilerplate_report`
-        empty by construction. Returns the number of rewritten
-        documents."""
+        empty by construction (both sides exclude the irremovable '.'
+        empty-document marker from the fit, so the report→cut runbook
+        terminates even after a mass-emptying cut). Returns the number
+        of rewritten documents."""
         from go_vectorsearch_spark.operators.curation import (
             strip_boilerplate_fixpoint,
         )

@@ -264,8 +264,28 @@ def strip_boilerplate_fixpoint(
     cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
     done: DataFrame | None = None
     held: list[DataFrame] = []
+    if normalize is not None:
+        # freeze PRE-EXISTING empty-document markers up front, not just
+        # the ones a pass creates: without this, a category that was
+        # mass-cut in an earlier call re-enters with >= min_df stored
+        # '.' docs, the marker line reads as hot, and OTHER documents'
+        # legitimate marker-form lines get stripped — behavior that
+        # would differ between a first and a second invocation (r11
+        # review). One 1-row driver query resolves the marker from the
+        # normalize hook itself.
+        marker = (
+            df.sparkSession.range(1)
+            .select(normalize(F.lit("")).alias("m"))
+            .head()[0]
+        )
+        done = cur.filter(F.col("text") == F.lit(marker))
+        cur = cur.filter(F.col("text") != F.lit(marker))
     for _ in range(iterate):
-        hot = boilerplate_lines(cur, id_col, "text", min_df)
+        # hold the tiny hot frame: isEmpty() below AND the strip's join
+        # both read it — unpersisted, the corpus-wide fit aggregate ran
+        # twice per pass (r11 review)
+        hot = _hold(boilerplate_lines(cur, id_col, "text", min_df))
+        held.append(hot)
         if hot.isEmpty():
             break
         stripped = strip_boilerplate_lines(
@@ -312,10 +332,15 @@ def strip_boilerplate_fixpoint(
         # persist + materialize the RESULT itself, then release every
         # pass intermediate (their rows now live in out's cache) — the
         # caller releases out (the substr fixpoint's contract:
-        # _rewrite_category_texts unpersists the cut frame it was given)
+        # _rewrite_category_texts unpersists the cut frame it was given).
+        # When out IS the last pass frame (the normalize-free branch),
+        # re-holding is a no-op and it must NOT be released with the
+        # intermediates (r11 review: the returned frame came back
+        # unpersisted, re-running every pass per downstream action)
         out = _hold(out)
         for frame in held:
-            frame.unpersist()
+            if frame is not out:
+                frame.unpersist()
     return out
 
 

@@ -333,7 +333,7 @@ def decode_image_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    i, idat, hdr, plte = 8, [], None, None
+    i, idat, hdr, plte, trns = 8, [], None, None, None
     while i + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, i)
         tag = payload[i + 4 : i + 8]
@@ -342,6 +342,8 @@ def decode_image_png(payload: bytes) -> np.ndarray:
             hdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -370,6 +372,12 @@ def decode_image_png(payload: bytes) -> np.ndarray:
     if color == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/degenerate PLTE")
+        if trns is not None:
+            # transparency would be silently DISCARDED by the opaque-RGB
+            # gather below (wrong pixel statistics over transparent
+            # regions) — route to the adapter/strict seam instead
+            raise ValueError("palette PNG with tRNS transparency "
+                             "needs an adapter")
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(b"".join(idat))
@@ -733,7 +741,15 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                     r.update(width=w, height=abs(h))
                 if len(p) >= 30:
                     bits = struct.unpack_from("<H", p, 28)[0]
-                    if bits >= 8:
+                    if bits == 8:
+                        # palettized: expands through the color table to
+                        # RGB on decode — report what the decode yields,
+                        # matching the palette-PNG convention (r11
+                        # review: a bits//8=1 here made a n_channels==3
+                        # pre-decode filter drop every palette BMP that
+                        # decodes to 3 channels)
+                        r["n_channels"] = 3
+                    elif bits > 8:
                         r["n_channels"] = bits // 8
             elif p[:2] in (b"P5", b"P6"):
                 img_fields = []
@@ -983,9 +999,26 @@ def decode_real_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     # this payload", never a job abort
                     for _name, (claims, decode) in adapters:
                         try:
-                            if claims(p):
-                                decoded = decode(p)
-                                break
+                            if not claims(p):
+                                continue
+                            fmt_c, img_c, audio_c = decode(p)
+                            # validate the contract HERE: a malformed
+                            # adapter result (None/None media, bad array
+                            # rank, non-numeric audio) is "could not
+                            # decode this payload" for THIS adapter —
+                            # never a TypeError that aborts the job at
+                            # the feature step below (r11 review)
+                            if img_c is not None:
+                                img_c = np.asarray(img_c)
+                                if img_c.ndim not in (2, 3) or img_c.size == 0:
+                                    raise ValueError("bad adapter image")
+                            if audio_c is not None:
+                                sr_c, samples_c = audio_c
+                                audio_c = (int(sr_c), np.asarray(samples_c))
+                            if img_c is None and audio_c is None:
+                                raise ValueError("adapter returned no media")
+                            decoded = (str(fmt_c), img_c, audio_c)
+                            break
                         except Exception:
                             continue
                 if decoded is not None:

@@ -2329,6 +2329,27 @@ def q_text_repetition(spark, sf_dir):
 # passthrough no-op.
 _LINE_DEDUP_MIN_DF = 10
 
+
+def _lined_corpus(docs: DataFrame) -> DataFrame:
+    """THE derived lined-corpus fixture (shared footer keyed by
+    doc_id % 7 → df ≈ corpus/7 ≥ min_df, cut everywhere; a unique
+    trailer and the original text line at df = 1, kept) — ONE
+    definition for every consumer: line_dedup_docs, the composed
+    curation pipeline, the decade tool and the convergence-pin test
+    all derive the corpus through this function, and the DuckDB
+    oracles mirror it textually — a tweak here must change them too
+    (the seeded_hash single-definition discipline)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer variant "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nunique trailer "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+
 LINE_DEDUP_ORACLE = rf"""
 WITH lined AS (
   SELECT doc_id,
@@ -2375,17 +2396,9 @@ def q_line_dedup_docs(spark, sf_dir):
     is scalar-only (doc_id, md5 of the cleaned text), sequence-sensitive
     like the other cut twins."""
     docs = _t(spark, sf_dir, "documents")
-    lined = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\nshared footer variant "),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit("\nunique trailer "),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
+    out = CUR.strip_boilerplate_lines(
+        _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
     )
-    out = CUR.strip_boilerplate_lines(lined, min_df=_LINE_DEDUP_MIN_DF)
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
@@ -3113,17 +3126,9 @@ def q_pipeline_curate_docs(spark, sf_dir):
     from go_vectorsearch_spark.operators import substr as SUB
 
     docs = _t(spark, sf_dir, "documents")
-    lined = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\nshared footer variant "),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit("\nunique trailer "),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
+    stripped = CUR.strip_boilerplate_lines(
+        _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
     )
-    stripped = CUR.strip_boilerplate_lines(lined, min_df=_LINE_DEDUP_MIN_DF)
     # the fixpoint's return frame is already persisted+materialized by
     # exact_substr_cut (its convergence compare needs it), so the bench
     # and train splits below read the cache, not a recomputed chain
@@ -3134,14 +3139,20 @@ def q_pipeline_curate_docs(spark, sf_dir):
     # reference it (the shingle frame, the near-dup anti-join's row
     # side, the quality/budget stages) — unpersisted, each would re-run
     # the L=4 window pass + rebuild (~3x the stage's cost; measured
-    # ~4 s at sf0.1). Session-scoped like exact_substr_cut's fixpoint
-    # frame; a deployment checkpoints between stages instead.
-    from pyspark import StorageLevel
-
-    decon = SUB.decontaminate_cut(train, bench, L=_DECON_L).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
+    # ~4 s at sf0.1). Cached through _dedup_cached so repeated
+    # invocations (bench cold+warm runs, decade sampling) REUSE one
+    # materialized copy per corpus with the family's session-scoped
+    # lifecycle instead of issuing a fresh persist per call (Spark's
+    # CacheManager would dedup the identical plan anyway, but the
+    # session cache makes the lifecycle explicit); the fixpoint's
+    # internal persists dedup the same way. A deployment checkpoints
+    # between stages instead.
+    decon = _dedup_cached(
+        spark,
+        "curate_decon",
+        sf_dir,
+        lambda: SUB.decontaminate_cut(train, bench, L=_DECON_L),
     )
-    decon.count()
     # uncapped jaccard = oracle-parity mode (see _jaccard_pairs_cached);
     # a production run passes the default hot-shingle cap
     pairs = DD.jaccard_pairs(decon, threshold=0.2, max_shingle_freq=None)

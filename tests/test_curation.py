@@ -422,20 +422,12 @@ def test_curate_pipeline_substr_stage_converges_in_one_pass(spark, sf_smoke, sf_
     )
     from go_vectorsearch_spark.sources.tables import load_table
 
+    from go_vectorsearch_spark.queries import _lined_corpus
+
     for sf in (sf_smoke, sf_correct):
         docs = load_table(spark, sf, "documents")
-        lined = docs.select(
-            "doc_id",
-            F.concat(
-                F.col("text"),
-                F.lit("\nshared footer variant "),
-                (F.col("doc_id") % 7).cast("string"),
-                F.lit("\nunique trailer "),
-                F.col("doc_id").cast("string"),
-            ).alias("text"),
-        )
         stripped = CUR.strip_boilerplate_lines(
-            lined, min_df=_LINE_DEDUP_MIN_DF
+            _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
         )
         p1 = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=1)
         p2 = SUB.exact_substr_cut(p1, L=_SUBSTR_L, iterate=1)
@@ -622,6 +614,9 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
     def naive(docs: dict, min_df: int, iterate: int, normalize: bool):
         cur = dict(docs)
         done: dict = {}
+        if normalize:  # pre-existing empty-document markers freeze upfront
+            done = {i: t for i, t in cur.items() if t == "."}
+            cur = {i: t for i, t in cur.items() if t != "."}
         for _ in range(iterate):
             df_count: dict = {}
             for t in cur.values():
@@ -681,3 +676,65 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
             got = {r["doc_id"]: r["text"] for r in out.collect()}
             out.unpersist()
             assert got == want, (seed, normalize, docs)
+
+
+def test_strip_boilerplate_fixpoint_marker_docs_invariant_across_calls(spark):
+    """r11 review: pre-existing '.' empty-document markers (what an
+    EARLIER mass-emptying cut stored) must freeze upfront — otherwise a
+    second invocation would see the marker line as hot and strip
+    legitimate '.' lines out of CONTENT documents, behaving differently
+    from the first invocation on the same corpus."""
+    from go_vectorsearch_spark.operators.curation import (
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_rejoined_text,
+    )
+
+    docs = [
+        (1, "."), (2, "."), (3, "."),      # frozen markers (df 3)
+        (4, "real content line.\n."),       # content doc WITH a '.' line
+        (5, "other content here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = strip_boilerplate_fixpoint(
+        df, min_df=3, iterate=4, normalize=format_rejoined_text
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    out.unpersist()
+    # markers untouched; doc 4's legitimate '.' line NOT stripped (the
+    # marker family is excluded from the fit, and '.' among content
+    # lines has df 1 on its own)
+    assert got == {r[0]: r[1] for r in docs}
+
+
+def test_engine_boilerplate_marker_runbook_terminates(spark, tmp_path):
+    """A mass-emptying cut leaves >= min_df '.' marker documents; the
+    report must NOT list the irremovable marker as hot (a report->cut
+    runbook would loop forever on cut=0 / report non-empty — r11
+    review)."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+
+    e = Engine(spark, str(tmp_path))
+    boiler = "every document is exactly this boilerplate"
+    rows = [
+        {"name": f"d{i}", "external_id": str(i),
+         "document": _json.dumps(boiler)}
+        for i in range(3)
+    ]
+    rows.append({"name": "k", "external_id": "k",
+                 "document": _json.dumps("one real survivor text")})
+    ids = e.upload("o", "c", rows)
+    n = e.boilerplate_cut("o", "c", min_df=3)
+    assert n == 3
+    texts = {
+        r["document_id"]: r["_text"]
+        for r in e._category_doc_texts(e._category_id("o", "c")).collect()
+    }
+    assert all(texts[d] == "." for d in ids[:3])
+    assert texts[ids[3]] == "one real survivor text."
+    # runbook terminates: report empty, second cut rewrites nothing
+    assert e.boilerplate_report("o", "c", min_df=3).count() == 0
+    assert e.boilerplate_cut("o", "c", min_df=3) == 0

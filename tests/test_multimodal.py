@@ -913,3 +913,104 @@ def test_png_16bit_decode(spark):
     r = decode_real_features(media, strict=True).collect()[0]
     assert (r["fmt"], r["width"], r["height"]) == ("png", 2, 2)
     assert r["px_mean"] == _pytest.approx(60000.0)
+
+
+def test_malformed_adapter_results_never_abort(spark):
+    """r11 review: an adapter that CLAIMS a payload but returns a
+    malformed result — (fmt, None, None), a non-tuple, a bad-rank
+    image, junk audio — is 'could not decode' for that adapter (next
+    adapter / stub / strict path), never a TypeError that aborts the
+    whole job at the feature step."""
+    import numpy as np
+
+    from go_vectorsearch_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(b"FAKEdata"), None)],
+        "media_id long, doc_id long, kind string, payload binary, "
+        "meta struct<width:int>",
+    )
+    claims = lambda p: p[:4] == b"FAKE"  # noqa: E731
+    bad_results = [
+        lambda p: ("x", None, None),              # no media at all
+        lambda p: "not a tuple",                  # wrong shape entirely
+        lambda p: ("x", np.zeros((2, 2, 2, 2)), None),  # bad image rank
+        lambda p: ("x", np.array([]), None),      # empty image
+        lambda p: ("x", None, ("notanint", "y")), # junk audio tuple
+        lambda p: ("x", None, 44100),             # audio not a tuple
+    ]
+    for i, bad in enumerate(bad_results):
+        MM.register_decoder("bad", claims, bad)
+        try:
+            got = MM.decode_real_features(media).collect()[0]
+            assert got["fmt"] == "opaque", (i, got)
+        finally:
+            MM.unregister_decoder("bad")
+    # a malformed adapter registered BEFORE a good one: the good one
+    # still gets the payload
+    MM.register_decoder("bad", claims, bad_results[0])
+    MM.register_decoder(
+        "good", claims, lambda p: ("good", np.full((1, 2), 5, np.uint8), None)
+    )
+    try:
+        got = MM.decode_real_features(media, strict=True).collect()[0]
+        assert (got["fmt"], got["px_mean"]) == ("good", 5.0)
+    finally:
+        MM.unregister_decoder("bad")
+        MM.unregister_decoder("good")
+
+
+def test_png_palette_trns_routes_to_adapter_seam(spark):
+    """A palette PNG carrying tRNS transparency must NOT silently decode
+    to opaque RGB (wrong pixel statistics over transparent regions) —
+    it raises to the adapter/strict seam (r11 review)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_image_png,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x01"
+    png = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+        + chunk(b"tRNS", bytes([0]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_image_png(png)
+
+
+def test_sniff_bmp_palette_reports_decode_channels(spark):
+    """Sniffed n_channels for an 8-bit palette BMP is 3 — what the
+    decode yields after the color-table gather — matching the palette
+    PNG convention, so a pre-decode n_channels filter treats both
+    palette forms identically (r11 review)."""
+    import struct as _struct
+
+    from go_vectorsearch_spark.operators.multimodal import sniff_media_meta
+
+    pal_bmp = bytearray(b"BM" + b"\x00" * 52)
+    _struct.pack_into("<I", pal_bmp, 14, 40)
+    _struct.pack_into("<ii", pal_bmp, 18, 6, 4)
+    _struct.pack_into("<HHI", pal_bmp, 26, 1, 8, 0)  # 8-bit palette
+    media = spark.createDataFrame(
+        [(1, 1, "image", bytearray(bytes(pal_bmp)), None)],
+        "media_id long, doc_id long, kind string, payload binary, "
+        "meta struct<width:int>",
+    )
+    got = sniff_media_meta(media).collect()[0]
+    assert (got["fmt"], got["n_channels"]) == ("bmp", 3)

@@ -26,21 +26,9 @@ from go_vectorsearch_spark import get_spark  # noqa: E402
 from go_vectorsearch_spark.operators.curation import (  # noqa: E402
     strip_boilerplate_lines,
 )
+from go_vectorsearch_spark.queries import _lined_corpus as _lined  # noqa: E402
 from go_vectorsearch_spark.sources.tables import load_table  # noqa: E402
 from tools.decade_dedup import _copies, _timed  # noqa: E402
-
-
-def _lined(docs):
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\nshared footer variant "),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit("\nunique trailer "),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
-    )
 
 
 def main() -> None:
