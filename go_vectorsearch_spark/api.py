@@ -2412,17 +2412,34 @@ class Engine:
             boilerplate_lines,
         )
 
+        from go_vectorsearch_spark.operators.documents import (
+            EMPTY_DOC_MARKER,
+        )
+
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"boilerplate_report: unknown {owner}/{category}")
-        # empty-document markers ('.' — what the storage normalization
-        # makes of a fully-cut document) are excluded from the fit: the
-        # marker is IRREMOVABLE (cutting it re-empties the document and
-        # normalization restores it), so reporting it as hot would send
-        # a report→cut→report runbook into a loop where the cut returns
-        # 0 forever while the report stays non-empty (r11 review). The
-        # cut's fixpoint freezes the same documents for the same reason.
-        texts = self._category_doc_texts(cid).filter(F.col("_text") != ".")
+        if min_df < 2:
+            # min_df=1 marks EVERY line hot (each line trivially appears
+            # in >= 1 document) — the service route rejected this but a
+            # direct Engine call did not (r11 advice); same guard as the
+            # substring family's L >= 2
+            raise ValueError(
+                f"boilerplate_report: min_df must be >= 2, got {min_df}"
+            )
+        # empty-document markers (documents.EMPTY_DOC_MARKER — what the
+        # storage normalization makes of a fully-cut document; shared
+        # constant so this filter and the cut fixpoint's normalize-derived
+        # marker can never desync, r11 advice) are excluded from the fit:
+        # the marker is IRREMOVABLE (cutting it re-empties the document
+        # and normalization restores it), so reporting it as hot would
+        # send a report→cut→report runbook into a loop where the cut
+        # returns 0 forever while the report stays non-empty (r11
+        # review). The cut's fixpoint freezes the same documents for the
+        # same reason.
+        texts = self._category_doc_texts(cid).filter(
+            F.col("_text") != EMPTY_DOC_MARKER
+        )
         hot = boilerplate_lines(
             texts, id_col="document_id", text_col="_text", min_df=min_df
         )
@@ -2462,29 +2479,38 @@ class Engine:
 
         Runs the operator FIXPOINT
         (:func:`~go_vectorsearch_spark.operators.curation.
-        strip_boilerplate_fixpoint`) with the storage normalization's
-        one live step on this domain (``format_rejoined_text`` — stored
-        texts carry no empty lines and no leading/trailing newlines and
-        the strip rebuild cannot create them, so only
-        ensure-trailing-period can act) applied to changed documents
-        INSIDE the loop: cutting a document's final line can
-        period-migrate the new last line's normalized form across
-        ``min_df``, and each pass re-fits on exactly the text the store
-        would hold — a converged cut leaves :meth:`boilerplate_report`
-        empty by construction (both sides exclude the irremovable '.'
-        empty-document marker from the fit, so the report→cut runbook
-        terminates even after a mass-emptying cut). Returns the number
-        of rewritten documents."""
+        strip_boilerplate_fixpoint`) with the FULL storage normalization
+        as a pure expression (``format_multiline_text`` — unlike the
+        substring cut's token-rejoined output, a LINE cut can leave
+        edges _format_string would clean: stored texts may carry empty
+        lines from flatten's empty-list/empty-dict items, and cutting a
+        document's final line leaves a trailing newline that
+        period-append alone would turn into a phantom ``'.'`` line, r11
+        advice) applied to changed documents INSIDE the loop: cutting a
+        document's final line can period-migrate the new last line's
+        normalized form across ``min_df``, and each pass re-fits on
+        exactly the text the store would hold — a converged cut leaves
+        :meth:`boilerplate_report` empty by construction (both sides
+        exclude the irremovable empty-document marker from the fit, so
+        the report→cut runbook terminates even after a mass-emptying
+        cut). Returns the number of rewritten documents."""
         from go_vectorsearch_spark.operators.curation import (
             strip_boilerplate_fixpoint,
         )
         from go_vectorsearch_spark.operators.documents import (
-            format_rejoined_text,
+            format_multiline_text,
         )
 
         cid = self._category_id(owner, category)
         if cid is None:
             raise ValueError(f"boilerplate_cut: unknown {owner}/{category}")
+        if min_df < 2:
+            # mirror boilerplate_report: min_df=1 would mark every line
+            # hot and rewrite the entire category to empty-document
+            # markers (r11 advice — only the service route validated)
+            raise ValueError(
+                f"boilerplate_cut: min_df must be >= 2, got {min_df}"
+            )
         texts = self._category_doc_texts(cid).persist(
             StorageLevel.MEMORY_AND_DISK_DESER
         )
@@ -2495,7 +2521,7 @@ class Engine:
                 text_col="_text",
                 min_df=min_df,
                 iterate=iterate,
-                normalize=format_rejoined_text,
+                normalize=format_multiline_text,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

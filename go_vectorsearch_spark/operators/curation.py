@@ -216,16 +216,21 @@ def strip_boilerplate_fixpoint(
     ``normalize`` — optional ``Column -> Column`` transform applied to a
     CHANGED document's rebuilt text in EVERY pass (passthrough
     documents keep their verbatim bytes). The Engine write path passes
-    the storage normalization's one live step on this domain
-    (``documents.format_rejoined_text`` — stored texts carry no empty
-    lines and no leading/trailing newlines, and the strip rebuild
-    cannot create them, so of the full storage normalization only
-    ensure-trailing-period can act): without it, a pass that cuts a
-    document's FINAL line stores a text whose new last line the storage
-    write period-appends, and that migrated normalized form can push a
-    sub-``min_df`` line family over the threshold AFTER the pass's fit
-    ran — the same pre-normalization class the substring fixpoint
-    closed in r10, closed here inside the loop.
+    the FULL storage normalization as a pure expression
+    (``documents.format_multiline_text`` — CR-strip, newline collapse,
+    trim, trailing period): a LINE cut can leave every edge
+    ``_format_string`` would clean — stored texts may carry empty lines
+    (flatten emits one for an empty-list/empty-dict item inside a JSON
+    list), and cutting a document's final line leaves a trailing
+    newline that period-append alone would turn into a phantom
+    standalone ``'.'`` line (``"a.\\n" -> "a.\\n."``) the real storage
+    write never produces (r11 advice). Without in-loop normalization at
+    all, a pass that cuts a document's FINAL line stores a text whose
+    new last line the storage write period-appends, and that migrated
+    normalized form can push a sub-``min_df`` line family over the
+    threshold AFTER the pass's fit ran — the same pre-normalization
+    class the substring fixpoint closed in r10, closed here inside the
+    loop.
 
     FULLY-CUT documents freeze: a document whose every line was hot
     rebuilds to ``''``, which the storage normalization turns into the
@@ -243,7 +248,12 @@ def strip_boilerplate_fixpoint(
     substring cut's. Each pass costs one hot-set aggregate (a driver
     ``isEmpty`` on the tiny hot frame — the k-means loop's
     bounded-driver-check shape) plus one strip; intermediates persist
-    for their pass and release when superseded. A converged result
+    for their pass and release AS SUPERSEDED — the moment a pass's
+    result frames are materialized, the previous pass's cached
+    intermediates unpersist (r11 advice: the old accumulate-until-return
+    shape held ~3 corpus-sized cached frames per pass concurrently at
+    iterate=3), so the cache footprint is bounded by one pass's working
+    set regardless of ``iterate``. A converged result
     re-fit yields an EMPTY hot set over the still-active documents:
     stripped lines reach document frequency zero, survivors kept their
     sub-threshold frequencies, and normalization-migrated forms were
@@ -263,7 +273,11 @@ def strip_boilerplate_fixpoint(
 
     cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
     done: DataFrame | None = None
-    held: list[DataFrame] = []
+    # frames backing the CURRENT ``cur``'s plan (this pass's strip
+    # result + normalized rebuild): the only intermediates that must
+    # stay cached across the pass boundary — everything older is
+    # released the moment the next pass's frames materialize
+    live: list[DataFrame] = []
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just
         # the ones a pass creates: without this, a category that was
@@ -285,8 +299,8 @@ def strip_boilerplate_fixpoint(
         # both read it — unpersisted, the corpus-wide fit aggregate ran
         # twice per pass (r11 review)
         hot = _hold(boilerplate_lines(cur, id_col, "text", min_df))
-        held.append(hot)
         if hot.isEmpty():
+            hot.unpersist()
             break
         stripped = strip_boilerplate_lines(
             cur, id_col, "text", min_df, hot=hot
@@ -295,7 +309,10 @@ def strip_boilerplate_fixpoint(
             # no storage convention in play: '' documents stay '' and
             # contribute no countable lines — no freeze needed
             nxt = _hold(stripped)
-            held.append(nxt)
+            hot.unpersist()  # strip materialized; the fit is consumed
+            for frame in live:
+                frame.unpersist()
+            live = [nxt]
             cur = nxt
             continue
         # hold the pass's strip result: the emptied split, the
@@ -303,7 +320,7 @@ def strip_boilerplate_fixpoint(
         # unpersisted, each consumer would re-run the strip (hot fit
         # included)
         stripped = _hold(stripped)
-        held.append(stripped)
+        hot.unpersist()  # strip materialized; the fit is consumed
         emptied = stripped.filter(F.col("text") == "").select(id_col)
         prev = cur.select(F.col(id_col), F.col("text").alias("__prev"))
         nxt = _hold(
@@ -317,7 +334,6 @@ def strip_boilerplate_fixpoint(
                 .alias("text"),
             )
         )
-        held.append(nxt)
         pass_done = nxt.join(emptied, id_col, "left_semi")
         if done is not None:
             old_done = done
@@ -325,22 +341,32 @@ def strip_boilerplate_fixpoint(
             old_done.unpersist()
         else:
             done = _hold(pass_done)
-        held.append(done)
+        # this pass's result frames are materialized — the PREVIOUS
+        # pass's strip/rebuild caches are superseded (r11 advice: they
+        # used to accumulate until return). The new ``cur`` plan below
+        # references only nxt (cached) and emptied -> stripped (cached),
+        # which stay live into the next pass.
+        for frame in live:
+            frame.unpersist()
+        live = [stripped, nxt]
         cur = nxt.join(emptied, id_col, "left_anti")
     out = cur if done is None else cur.unionByName(done)
-    if held:
-        # persist + materialize the RESULT itself, then release every
-        # pass intermediate (their rows now live in out's cache) — the
-        # caller releases out (the substr fixpoint's contract:
-        # _rewrite_category_texts unpersists the cut frame it was given).
-        # When out IS the last pass frame (the normalize-free branch),
-        # re-holding is a no-op and it must NOT be released with the
-        # intermediates (r11 review: the returned frame came back
-        # unpersisted, re-running every pass per downstream action)
+    if live or done is not None:
+        # persist + materialize the RESULT itself, then release the
+        # final pass's intermediates (their rows now live in out's
+        # cache) — the caller releases out (the substr fixpoint's
+        # contract: _rewrite_category_texts unpersists the cut frame it
+        # was given). When out IS the last pass frame (the
+        # normalize-free branch), re-holding is a no-op and it must NOT
+        # be released with the intermediates (r11 review: the returned
+        # frame came back unpersisted, re-running every pass per
+        # downstream action)
         out = _hold(out)
-        for frame in held:
+        for frame in live:
             if frame is not out:
                 frame.unpersist()
+        if done is not None and done is not out:
+            done.unpersist()
     return out
 
 
@@ -680,6 +706,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "budget",
+    n_shards: int = 256,
 ) -> DataFrame:
     """Per-stratum TOKEN-budget sampling — mixture construction by the
     unit that actually matters for training ("10B tokens of code, 5B of
@@ -697,31 +724,90 @@ def token_budget_sample(
     order — never exceeding the budget, matching how a dataloader cuts.
     Strata absent from ``budgets`` use ``default_budget``.
 
-    Shape: token counts are one codegen'd projection; the ONLY shuffle
-    is the hash-partition for the per-stratum running-sum window
-    (partitioned by stratum — plan-lint-legal; skew = a stratum's row
-    count, the same profile as every per-stratum op here). Raw text
-    never moves: the window runs over (id, stratum, n_tokens, addr)."""
+    Shape (r12 — the r11 verdict's one perf-weak flag): the prefix sum
+    is TWO-LEVEL, never a per-stratum single-task sort. A corpus has
+    ~4 language strata, so ``Window.partitionBy(stratum)`` alone would
+    land each stratum's ENTIRE corpus in one task (narrow rows, but
+    one task doing corpus-scale sort+scan at 100 TB —
+    :func:`pack_sequences`' shard rationale, applied to the one place
+    that genuinely needs a global per-stratum order). Instead:
+
+    1. range-shard the hash order: ``_shard = (addr + 2^31) div
+       ceil(2^32 / n_shards)`` — md5_int32 is uniform over the int32
+       domain, and fixed-width buckets are ORDER-PRESERVING (every
+       address in shard s sorts before every address in shard s+1), so
+       each (stratum, shard) holds one contiguous run of the stratum's
+       hash order;
+    2. ONE exchange on (stratum, shard) feeds both consumers (Catalyst
+       reuses it): a per-(stratum, shard) token-total aggregate — at
+       most ``n_strata x n_shards`` rows — whose per-stratum running
+       sum (a window over that TINY frame) yields each shard's
+       cumulative OFFSET, and the per-(stratum, shard) local running
+       sum window (skew = stratum/n_shards, not stratum);
+    3. broadcast the offsets back: global cum = local cum + offset,
+       bit-identical to the single-window sum because token counts
+       only reassociate, never reorder.
+
+    Raw text never moves: everything past the token-count projection
+    runs over (id, stratum, n_tokens, addr) rows."""
     from pyspark.sql import Window
 
-    budget: Column = F.lit(default_budget)
-    for stratum, b in sorted(budgets.items()):
-        budget = F.when(F.col(strata_col) == stratum, F.lit(b)).otherwise(budget)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    span = -((1 << 32) // -n_shards)  # ceil: shard ids stay < n_shards
     narrow = df.select(
         id_col,
         strata_col,
         F.size(ws_tokens(F.col(text_col))).alias("_n_tok"),
         seeded_hash(id_col, seed).alias("_addr"),
-        budget.alias("_budget"),
+    ).withColumn(
+        "_shard",
+        F.floor(
+            (F.col("_addr").cast("bigint") + F.lit(1 << 31)) / F.lit(span)
+        ).cast("int"),
+    ).filter(
+        # never-null by construction; stated EXPLICITLY so the keep
+        # branch's join-inferred isnotnull filters match this branch
+        # verbatim and the two consumers' exchanges stay canonically
+        # EQUAL — the precondition for ReuseExchange below
+        F.col(strata_col).isNotNull() & F.col("_shard").isNotNull()
     )
-    w = (
-        Window.partitionBy(strata_col)
+    # ONE exchange + ONE local-window pass feeds both consumers: the
+    # shard total is max(local running sum), so the offsets branch and
+    # the keep branch share the identical Exchange→Sort→Window subtree
+    # (same columns — the budget literal is applied after the join,
+    # keeping column pruning symmetric) and Spark's ReuseExchange
+    # shuffles the token-count projection ONCE; the offsets branch then
+    # only re-reads narrow shuffle files, never re-tokenizes text.
+    w_local = (
+        Window.partitionBy(strata_col, "_shard")
         .orderBy("_addr", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = narrow.repartition(strata_col, "_shard").withColumn(
+        "_local", F.sum("_n_tok").over(w_local)
+    )
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        local.groupBy(strata_col, "_shard")
+        .agg(F.max("_local").alias("_tot"))
+        # window over <= n_strata x n_shards rows — bounded by
+        # construction, not by the corpus (the plan pin in
+        # test_plan_lint distinguishes this from the corpus-side window
+        # by its aggregate child)
+        .withColumn("_off", F.sum("_tot").over(w_off) - F.col("_tot"))
+        .select(strata_col, "_shard", "_off")
+    )
+    budget: Column = F.lit(default_budget)
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum, F.lit(b)).otherwise(budget)
     kept = (
-        narrow.withColumn("_cum", F.sum("_n_tok").over(w))
-        .filter(F.col("_cum") <= F.col("_budget"))
+        local.join(F.broadcast(offsets), [strata_col, "_shard"])
+        .filter((F.col("_local") + F.col("_off")) <= budget)
         .select(id_col)
     )
     return df.join(kept, id_col, "left_semi")

@@ -174,6 +174,41 @@ def format_rejoined_text(text: Column) -> Column:
     )
 
 
+#: What the storage normalization makes of an empty document —
+#: ``_format_string("") == "."`` — shared by every consumer that must
+#: recognize (and freeze / exclude) empty-document markers so the two
+#: sides can never silently desync (r11 advice: boilerplate_report
+#: hard-coded the literal while the cut fixpoint derived it from its
+#: normalize hook).
+EMPTY_DOC_MARKER = _format_string("")
+
+
+def format_multiline_text(text: Column) -> Column:
+    """Pure-expression restatement of the FULL :func:`_format_string`
+    for line-REJOINED text — the shape the boilerplate-line strip
+    rebuild produces (``'\\n'.join(surviving lines)``). Unlike the
+    token-rejoined case (:func:`format_rejoined_text`), cutting lines
+    CAN leave the edges _format_string would clean: stored texts may
+    carry empty lines (``flatten`` emits one for an empty-list /
+    empty-dict item inside a JSON list — ``["a", [], "x"]`` flattens to
+    ``"a.\\n\\nx."``), and cutting a document's last line leaves a
+    trailing ``"\\n"`` that period-append alone would turn into a
+    phantom standalone ``'.'`` line (``"a.\\n" -> "a.\\n."``) the real
+    storage write (:func:`format_text_udf`) never produces. So all of
+    _format_string runs here, in its exact order: CR-strip (dict KEYS
+    can smuggle a CR into flatten output), ``\\n\\n+`` collapse,
+    whitespace trim, ensure-trailing-period (including ``'' -> '.'``).
+
+    Same Java-``\\s``-vs-Python-``strip()`` unicode-whitespace residue
+    as :func:`format_rejoined_text` documents — absent from flatten
+    output in practice, and the storage write still applies the UDF as
+    the final truth."""
+    t = F.regexp_replace(text, "\r", "")
+    t = F.regexp_replace(t, "\n\n+", "\n")
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    return F.when(t.endswith("."), t).otherwise(F.concat(t, F.lit(".")))
+
+
 @F.pandas_udf(StringType())
 def json_string_udf(text: pd.Series) -> pd.Series:
     """Encode a plain-text column as its JSON string literal — the

@@ -369,15 +369,18 @@ def decode_image_png(payload: bytes) -> np.ndarray:
             "only 8/16-bit non-interlaced gray/RGB(A)/8-bit-palette "
             "PNG supported"
         )
+    if trns is not None and color in (0, 2, 3):
+        # transparency would be silently DISCARDED (wrong pixel
+        # statistics over transparent regions) — route to the
+        # adapter/strict seam instead. Not just palette alpha: color
+        # types 0 and 2 carry tRNS as COLOR-KEYED transparency (spec
+        # §11.3.2) and decoded just as silently opaque (r11 advice).
+        raise ValueError(
+            "PNG with tRNS transparency needs an adapter"
+        )
     if color == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/degenerate PLTE")
-        if trns is not None:
-            # transparency would be silently DISCARDED by the opaque-RGB
-            # gather below (wrong pixel statistics over transparent
-            # regions) — route to the adapter/strict seam instead
-            raise ValueError("palette PNG with tRNS transparency "
-                             "needs an adapter")
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(b"".join(idat))

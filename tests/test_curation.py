@@ -403,6 +403,25 @@ SELECT doc_id FROM c WHERE cum <= budget
             df.repartition(7), "domain", {}, default_budget=30).collect()}
         assert again == small
 
+    def test_shard_count_invariant(self, spark):
+        """The r12 two-level prefix sum is an EXECUTION shape, not a
+        semantic: the selected set is bit-identical for any n_shards
+        (1 = the old single-window degenerate case), because the range
+        shards split each stratum's hash order into contiguous runs and
+        token sums only reassociate."""
+        from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+        df = self._docs(spark)
+        sets = [
+            {r["doc_id"] for r in token_budget_sample(
+                df, "domain", {"code": 40}, default_budget=30,
+                n_shards=n).collect()}
+            for n in (1, 7, 256)
+        ]
+        assert sets[0] == sets[1] == sets[2] and sets[0]
+        with pytest.raises(ValueError, match="n_shards"):
+            token_budget_sample(df, "domain", {}, 30, n_shards=0)
+
 
 def test_curate_pipeline_substr_stage_converges_in_one_pass(spark, sf_smoke, sf_correct):
     """The pipeline_curate_docs oracle derives the exact-substring cut as
@@ -533,11 +552,18 @@ def test_engine_boilerplate_report_and_cut(spark, tmp_path):
 
     e = Engine(spark, str(tmp_path))
     footer = "subscribe to our newsletter"
+    # empty-list/empty-dict payload items make flatten() emit an EMPTY
+    # line before the footer ("body.\n\nfooter.") — the r11-advice
+    # fixture: cutting the footer then leaves a trailing newline that a
+    # period-append-only normalize would turn into a phantom standalone
+    # '.' line ("body.\n."), which format_multiline_text must clean
     rows = [
         {
             "name": f"d{i}",
             "external_id": str(i),
-            "document": _json.dumps([f"unique body {i}", footer]),
+            "document": _json.dumps(
+                [f"unique body {i}", [] if i % 2 else {}, footer]
+            ),
         }
         for i in range(4)
     ]
@@ -593,6 +619,79 @@ def test_engine_boilerplate_report_and_cut(spark, tmp_path):
         e.boilerplate_cut("o", "nope")
     with pytest.raises(ValueError, match="unknown"):
         e.boilerplate_report("o", "nope")
+    # min_df=1 marks every line hot (boilerplate_cut would rewrite the
+    # whole category to empty-document markers) — validated at the
+    # Engine, not just the service route (r11 advice)
+    with pytest.raises(ValueError, match="min_df"):
+        e.boilerplate_cut("o", "c", min_df=1)
+    with pytest.raises(ValueError, match="min_df"):
+        e.boilerplate_report("o", "c", min_df=0)
+
+
+def test_format_multiline_text_matches_format_string(spark):
+    """The boilerplate fixpoint's in-loop normalize
+    (documents.format_multiline_text) must agree with the REAL storage
+    normalization (documents._format_string) on every shape a line cut
+    can produce: trailing newline after a final-line cut, empty lines
+    from flatten's empty-list/empty-dict items, CRs smuggled in via
+    dict keys, whitespace edges, and the empty document (r11 advice —
+    the period-append-only hook produced phantom '.' lines here)."""
+    from go_vectorsearch_spark.operators.documents import (
+        EMPTY_DOC_MARKER,
+        _format_string,
+        format_multiline_text,
+    )
+
+    cases = [
+        "a.\n",              # final line cut: trailing newline
+        "a.\n\nhot footer.",  # empty line mid-document
+        "a.\n\n",            # empty line + trailing newline
+        "\nx.",              # leading newline after a first-line cut
+        "",                  # fully-cut document -> marker
+        "\n",                # only an empty line survived
+        "  x  ",             # whitespace edges
+        "k\r: v.",           # CR via a dict key
+        "a.\n\n\n\nb.",      # excess newlines collapse
+        "already ends.",     # idempotent passthrough
+        "no period",         # ensure-trailing-period
+        "a.\n.",             # phantom form itself, re-normalized
+    ]
+    assert _format_string("") == EMPTY_DOC_MARKER
+    df = spark.createDataFrame([(s,) for s in cases], "t string")
+    got = [
+        r["out"]
+        for r in df.select(
+            format_multiline_text(F.col("t")).alias("out")
+        ).collect()
+    ]
+    assert got == [_format_string(s) for s in cases]
+
+
+def test_strip_boilerplate_fixpoint_no_phantom_period_line(spark):
+    """The r11-advice scenario end-to-end at iterate=1: documents shaped
+    'body.\\n\\nfooter.' (flatten of ["body", [], "footer"]) whose hot
+    footer is the LAST line — the rebuild leaves 'body.\\n', and the
+    full-expression normalize must store 'body.', never the phantom
+    'body.\\n.' a period-append-only hook produced."""
+    from go_vectorsearch_spark.operators.curation import (
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_multiline_text,
+    )
+
+    docs = [
+        (1, "one body.\n\nhot footer."),
+        (2, "two body.\n\nhot footer."),
+        (3, "three body.\n\nhot footer."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = strip_boilerplate_fixpoint(
+        df, min_df=3, iterate=1, normalize=format_multiline_text
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {1: "one body.", 2: "two body.", 3: "three body."}
+    out.unpersist()
 
 
 def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):

@@ -994,6 +994,44 @@ def test_png_palette_trns_routes_to_adapter_seam(spark):
         decode_image_png(png)
 
 
+def test_png_color_keyed_trns_routes_to_adapter_seam(spark):
+    """tRNS on color types 0 (gray) and 2 (RGB) is COLOR-KEYED
+    transparency (PNG spec §11.3.2) — decoding it silently opaque has
+    the same wrong-pixel-statistics failure the palette guard closed,
+    so those payloads also raise to the adapter/strict seam (r11
+    advice)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_image_png,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for color, raw, trns in (
+        (0, b"\x00\x07\x09", struct.pack(">H", 7)),          # gray key
+        (2, b"\x00" + bytes(6), struct.pack(">HHH", 0, 0, 0)),  # RGB key
+    ):
+        ihdr = struct.pack(">IIBBBBB", 2 if color == 0 else 2, 1, 8, color, 0, 0, 0)
+        png = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"tRNS", trns)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="tRNS"):
+            decode_image_png(png)
+
+
 def test_sniff_bmp_palette_reports_decode_channels(spark):
     """Sniffed n_channels for an 8-bit palette BMP is 3 — what the
     decode yields after the color-table gather — matching the palette
