@@ -699,16 +699,162 @@ def _sniff_mp3(p: bytes):
     return None
 
 
+def _sniff_mp4(p: bytes):
+    """(width, height, est_duration_ms) from an ISO-BMFF (MP4/MOV, ISO
+    14496-12) box walk: mvhd gives duration/timescale, the first video
+    trak's tkhd gives presentation dimensions (16.16 fixed point) — no
+    sample decode, no codec. The walk recurses ONLY into moov/trak and
+    is bounded by a box-count cap, so a corrupt size field costs O(cap),
+    never O(n)."""
+    import struct
+
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+
+    budget = [256]  # total boxes visited, shared across recursion
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi and budget[0] > 0:
+            budget[0] -= 1
+            (size,) = struct.unpack_from(">I", p, i)
+            tag = p[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", p, i + 8)
+                body = i + 16
+            elif size == 0:
+                size = hi - i  # box runs to end of enclosing scope
+            if size < 8 or i + size > hi:
+                return  # corrupt size: stop the walk, keep what parsed
+            yield tag, body, i + size
+            i += size
+
+    dur_ms = None
+    width = height = None
+    for tag, body, end in boxes(0, len(p)):
+        if tag != b"moov":
+            continue
+        for t2, b2, e2 in boxes(body, end):
+            if t2 == b"mvhd" and dur_ms is None and b2 + 4 <= e2:
+                ver = p[b2]
+                if ver == 0 and b2 + 20 <= e2:
+                    ts, dur = struct.unpack_from(">II", p, b2 + 12)
+                elif ver == 1 and b2 + 32 <= e2:
+                    (ts,) = struct.unpack_from(">I", p, b2 + 20)
+                    (dur,) = struct.unpack_from(">Q", p, b2 + 24)
+                else:
+                    continue
+                if ts > 0:
+                    dur_ms = int(dur * 1000 / ts)
+            elif t2 == b"trak" and width is None:
+                for t3, b3, e3 in boxes(b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    # width/height follow ver+flags(4) + times/id/
+                    # duration (20 v0 / 32 v1) + reserved(8) + layer/
+                    # group/volume/reserved(8) + matrix(36)
+                    ver = p[b3]
+                    off = b3 + (88 if ver == 1 else 76)
+                    if off + 8 > e3:
+                        continue
+                    w, h = struct.unpack_from(">II", p, off)
+                    if w > 0 and h > 0:  # audio traks carry 0x0
+                        width, height = w >> 16, h >> 16
+        break
+    return (width, height, dur_ms)
+
+
+def _sniff_ogg(p: bytes):
+    """(sample_rate, n_channels, est_duration_ms) from an Ogg container
+    (RFC 3533): the first page's payload carries the codec ID header —
+    Vorbis ('\\x01vorbis') or Opus ('OpusHead') — and the LAST page's
+    granule position counts total PCM samples (at 48 kHz for Opus), so
+    duration needs only a bounded tail scan, no packet decode."""
+    import struct
+
+    if p[:4] != b"OggS" or len(p) < 28:
+        return None
+    nsegs = p[26]
+    seg_table = p[27 : 27 + nsegs]
+    if len(seg_table) < nsegs:
+        return None
+    payload = p[27 + nsegs : 27 + nsegs + sum(seg_table)]
+    sr = ch = None
+    granule_rate = None
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+        ch = payload[11]
+        (sr,) = struct.unpack_from("<I", payload, 12)
+        granule_rate = sr  # granules are PCM samples at sr
+    elif payload[:8] == b"OpusHead" and len(payload) >= 13:
+        ch = payload[9]
+        (sr,) = struct.unpack_from("<I", payload, 12)  # input rate
+        granule_rate = 48000  # Opus granules are always 48 kHz
+    else:
+        return None
+    if not sr or not ch:
+        return None
+    dur_ms = None
+    tail = p[max(0, len(p) - 65536) :]
+    last = tail.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(tail):
+        (granule,) = struct.unpack_from("<q", tail, last + 6)
+        if granule > 0:
+            dur_ms = int(granule * 1000 / granule_rate)
+    return (sr, ch, dur_ms)
+
+
+def _sniff_flac(p: bytes):
+    """(sample_rate, n_channels, est_duration_ms) from the FLAC
+    STREAMINFO metadata block (format spec: 'fLaC', then typed blocks;
+    STREAMINFO packs 20-bit sample rate, 3-bit channels-1 and a 36-bit
+    total-sample count into its final 8-byte bitfield)."""
+    if p[:4] != b"fLaC" or len(p) < 8:
+        return None
+    i, n = 4, len(p)
+    while i + 4 <= n:
+        last = p[i] & 0x80
+        btype = p[i] & 0x7F
+        size = int.from_bytes(p[i + 1 : i + 4], "big")
+        body = p[i + 4 : i + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                return None
+            b = body[10:18]
+            # bitfield: sr 20 | channels-1 3 | bps-1 5 | total-samples 36
+            sr = (b[0] << 12) | (b[1] << 4) | (b[2] >> 4)
+            ch = ((b[2] >> 1) & 0x07) + 1
+            total = (
+                ((b[3] & 0x0F) << 32)
+                | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+            )
+            if sr == 0:
+                return None  # spec: 0 is invalid
+            dur_ms = int(total * 1000 / sr) if total else None
+            return (sr, ch, dur_ms)
+        i += 4 + size
+        if last:
+            break
+    return None
+
+
 def sniff_media_meta(media: DataFrame) -> DataFrame:
     """Header-level metadata for every payload — NO pixel/sample decode:
     (media_id, kind, fmt, width, height, n_channels, sample_rate,
     n_bytes, est_duration_ms), NULL where the format has no such field.
     Formats sniffed library-free: JPEG (SOF segment walk), PNG (IHDR),
     BMP (DIB), netpbm (text header), WAV (fmt+data chunks, exact
-    duration), MP3 (first frame header + size/bitrate estimate).
-    Unknown magics report fmt='opaque' with byte length only. The
-    ingest-side complement of :func:`decode_real_features`: resolution/
-    duration filters run on THIS, and only survivors pay the decode."""
+    duration), MP3 (first frame header + size/bitrate estimate), and
+    the remaining real-corpus container magics (r12): MP4/ISO-BMFF
+    (mvhd duration + first video tkhd dims), Ogg Vorbis/Opus (ID-header
+    rate/channels + last-page granule duration), FLAC (STREAMINFO
+    bitfield). Unknown magics report fmt='opaque' with byte length
+    only. The ingest-side complement of :func:`decode_real_features`:
+    resolution/duration filters run on THIS, and only survivors pay
+    the decode (sample/pixel decode for these containers stays at the
+    adapter seam — soundfile/ffmpeg territory)."""
     import struct
 
     def one(p: bytes) -> dict:
@@ -794,6 +940,21 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
                     r["est_duration_ms"] = int(
                         data_len * 8000 / (sr * nch * bits)
                     )
+            elif len(p) >= 12 and p[4:8] == b"ftyp":
+                m = _sniff_mp4(p)
+                if m:
+                    r["fmt"] = "mp4"
+                    r["width"], r["height"], r["est_duration_ms"] = m
+            elif p[:4] == b"OggS":
+                m = _sniff_ogg(p)
+                if m:
+                    r["fmt"] = "ogg"
+                    r["sample_rate"], r["n_channels"], r["est_duration_ms"] = m
+            elif p[:4] == b"fLaC":
+                m = _sniff_flac(p)
+                if m:
+                    r["fmt"] = "flac"
+                    r["sample_rate"], r["n_channels"], r["est_duration_ms"] = m
             else:
                 m = _sniff_mp3(p)
                 if m:

@@ -210,10 +210,10 @@ def q_scan_projection(spark, sf_dir):
 
 @register(
     "point_lookup",
-    oracle="""
-SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_name = 'Customer#000000042' LIMIT 1
-""",
+    # demoted r12 after 11 green rounds (slot ceded to the
+    # boilerplate_cut_docs fixpoint oracle); the identical parity bar
+    # lives in tests/test_demoted_parity.py via POINT_LOOKUP_ORACLE
+    oracle=None,
     doc="S3 single-row lookup by unique name (reference: server/search.go:149-168)",
 )
 def q_point_lookup(spark, sf_dir):
@@ -221,6 +221,12 @@ def q_point_lookup(spark, sf_dir):
     return point_lookup(cust, "c_name", "Customer#000000042").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+
+
+POINT_LOOKUP_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_name = 'Customer#000000042' LIMIT 1
+"""
 
 
 # S4/F2 multi-row lookup by PK list (reference: server/search.go:291).
@@ -2400,6 +2406,162 @@ def q_line_dedup_docs(spark, sf_dir):
         _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
     )
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
+# --- boilerplate_cut FIXPOINT oracle (r12) -------------------------------
+# line_dedup_docs proves the single-pass strip; this entry windows the
+# FIXPOINT machinery (curation.strip_boilerplate_fixpoint with the
+# Engine's normalize=format_multiline_text hook, api.py boilerplate_cut's
+# exact configuration): in-loop storage normalization, period-migration
+# across min_df, and the irremovable empty-document-marker freeze. The
+# derived corpus stages a cascade that NEEDS the fixpoint:
+#   * 'zap footer' — hot everywhere (df ~ N/2), cut in pass 1; docs with
+#     doc_id % 50 == 0 are zap-ONLY and fully empty -> frozen '.' marker;
+#   * 'common tail <b>' (even docs, b = doc_id div 12, NO period) and
+#     'common tail <b>.' (odd docs) — each form df ~ 6 < min_df, but
+#     cutting the even docs' final zap line period-migrates their form
+#     onto the odd docs' ('a\nb' -> 'a\nb.'), merging the family to
+#     ~12 >= min_df: hot only in the PASS-2 fit, cut in pass 2;
+#   * 'body <id> <md5(text)>' — unique per document (df = 1, carries the
+#     real text through the hash), so pass 3's fit is EMPTY and the
+#     2-pass DuckDB unroll below is exact. The convergence pin lives in
+#     tests/test_curation.py (pass-3 hot set empty at sf0.01), the
+#     curate-oracle precedent.
+_BP_MIN_DF = 10
+
+
+def _bp_corpus(docs: DataFrame) -> DataFrame:
+    """THE derived fixpoint-cascade corpus — one definition shared by
+    q_boilerplate_cut_docs, its convergence pin and the decade tool;
+    the DuckDB oracle mirrors it textually (the _lined_corpus
+    discipline)."""
+    body = F.concat(
+        F.lit("body "), F.col("doc_id").cast("string"),
+        F.lit(" "), F.md5(F.col("text")),
+    )
+    tail = F.concat(
+        F.lit("common tail "), F.expr("doc_id div 12").cast("string")
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("zap footer"))
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(body, F.lit("\n"), tail, F.lit("\nzap footer")),
+        )
+        .otherwise(F.concat(body, F.lit("\n"), tail, F.lit(".")))
+        .alias("text"),
+    )
+
+
+def _sql_fmt_multiline(x: str) -> str:
+    """DuckDB restatement of documents._format_string (the storage
+    normalization the fixpoint applies in-loop): CR-strip, newline
+    collapse, whitespace trim, ensure trailing period ('' -> '.')."""
+    t = (
+        f"regexp_replace(regexp_replace(replace({x}, chr(13), ''), "
+        f"'\\n\\n+', chr(10), 'g'), '^\\s+|\\s+$', '', 'g')"
+    )
+    return f"CASE WHEN {t} LIKE '%.' THEN {t} ELSE {t} || '.' END"
+
+
+def _sql_bp_pass(k: int, src: str) -> str:
+    """One unrolled fixpoint pass over active{k-1} -> active{k}/done{k}:
+    fit hot lines (>= min_df distinct docs, normalized-nonempty), strip
+    every occurrence, normalize CHANGED docs with the storage
+    normalization, freeze docs that stripped to ''."""
+    return f"""
+l{k} AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS ix, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {src})
+),
+n{k} AS (SELECT doc_id, ix, line, lower(trim(line)) AS nn FROM l{k}),
+hot{k} AS (
+  SELECT md5(nn) AS lh
+  FROM (SELECT DISTINCT doc_id, nn FROM n{k} WHERE len(nn) > 0)
+  GROUP BY 1 HAVING count(*) >= {_BP_MIN_DF}
+),
+agg{k} AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean
+  FROM n{k} WHERE md5(nn) NOT IN (SELECT lh FROM hot{k})
+  GROUP BY doc_id
+),
+r{k} AS (
+  SELECT a.doc_id, a.text AS prev, coalesce(g.clean, '') AS clean
+  FROM {src} a LEFT JOIN agg{k} g USING (doc_id)
+),
+p{k} AS (
+  SELECT doc_id, clean,
+         CASE WHEN clean = prev THEN prev
+              ELSE {_sql_fmt_multiline('clean')} END AS text
+  FROM r{k}
+),
+done{k} AS (
+  SELECT doc_id, text FROM done{k - 1}
+  UNION ALL SELECT doc_id, text FROM p{k} WHERE clean = ''
+),
+active{k} AS (SELECT doc_id, text FROM p{k} WHERE clean <> '')"""
+
+
+BOILERPLATE_CUT_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN 'zap footer'
+              WHEN doc_id % 2 = 0 THEN
+                'body ' || CAST(doc_id AS VARCHAR) || ' ' || md5(text)
+                || chr(10) || 'common tail ' || CAST(doc_id // 12 AS VARCHAR)
+                || chr(10) || 'zap footer'
+              ELSE
+                'body ' || CAST(doc_id AS VARCHAR) || ' ' || md5(text)
+                || chr(10) || 'common tail ' || CAST(doc_id // 12 AS VARCHAR)
+                || '.'
+         END AS text
+  FROM documents
+),
+done0 AS (SELECT doc_id, text FROM src WHERE text = '.'),
+active0 AS (SELECT doc_id, text FROM src WHERE text <> '.'),
+{_sql_bp_pass(1, 'active0')},
+{_sql_bp_pass(2, 'active1')}
+SELECT doc_id, md5(text) AS clean_md5
+FROM (SELECT * FROM active2 UNION ALL SELECT * FROM done2)
+"""
+
+
+@register(
+    "boilerplate_cut_docs",
+    oracle=BOILERPLATE_CUT_ORACLE,
+    doc="Line/boilerplate-cut FIXPOINT (CCNet §4.1 iterated, the Engine "
+    "boilerplate_cut configuration): in-loop storage normalization "
+    "period-migrates a split line family across min_df between passes, "
+    "fully-cut docs freeze as irremovable '.' markers; DuckDB twin "
+    "unrolls the two cutting passes exactly "
+    "(operators/curation.strip_boilerplate_fixpoint)",
+)
+def q_boilerplate_cut_docs(spark, sf_dir):
+    """Fixpoint boilerplate cut over the derived cascade corpus — the
+    windowed twin of Engine.boilerplate_cut (api.py): pass 1 cuts the
+    corpus-hot footer (emptying the footer-only docs into frozen
+    markers), the in-loop normalization merges the staged tail family
+    across min_df, pass 2 cuts it, pass 3's fit is empty (pinned).
+    Output is scalar-only (doc_id, md5 of final text) like the other
+    cut twins."""
+    from go_vectorsearch_spark.operators.documents import (
+        format_multiline_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = CUR.strip_boilerplate_fixpoint(
+        _bp_corpus(docs),
+        min_df=_BP_MIN_DF,
+        iterate=3,
+        normalize=format_multiline_text,
+    )
+    res = out.select("doc_id", F.md5("text").alias("clean_md5"))
+    # the fixpoint returns its result persisted (callers own the
+    # release); a registry entry is consumed once by the driver, so
+    # hand the projection over and release the cache afterwards is the
+    # session's job — matches pipeline_curate_docs' fixpoint usage
+    return res
 
 
 # ---------------------------------------------------------------------------

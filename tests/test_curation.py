@@ -423,6 +423,64 @@ SELECT doc_id FROM c WHERE cum <= budget
             token_budget_sample(df, "domain", {}, 30, n_shards=0)
 
 
+def test_boilerplate_cut_docs_converges_in_two_passes(spark, sf_correct):
+    """The boilerplate_cut_docs oracle unrolls the fixpoint as exactly
+    TWO SQL passes — valid only because the derived cascade corpus's
+    pass-3 fit is empty. Pin that directly at the driver's correctness
+    scale (the curate-oracle precedent: a fixture change fails HERE
+    with a named reason, not as an opaque oracle hash-mismatch), and
+    pin that the cascade really happens: pass 1 empties the footer-only
+    docs into frozen '.' markers, and the staged 'common tail' family
+    is cut only AFTER the period migration (pass 2), so a single-pass
+    run still carries it."""
+    from go_vectorsearch_spark.operators.curation import (
+        boilerplate_lines,
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_multiline_text,
+    )
+    from go_vectorsearch_spark.queries import _BP_MIN_DF, _bp_corpus
+    from go_vectorsearch_spark.sources.tables import load_table
+
+    corpus = _bp_corpus(load_table(spark, sf_correct, "documents"))
+    out = strip_boilerplate_fixpoint(
+        corpus, min_df=_BP_MIN_DF, iterate=3,
+        normalize=format_multiline_text,
+    )
+    # pass-3 fit empty over the still-active (non-marker) documents —
+    # the 2-pass SQL unroll's exactness condition
+    assert boilerplate_lines(
+        out.filter(F.col("text") != "."), min_df=_BP_MIN_DF
+    ).isEmpty(), "cascade corpus no longer converges in two passes"
+    texts = [r["text"] for r in out.collect()]
+    out.unpersist()
+    n_markers = sum(t == "." for t in texts)
+    assert n_markers == sum(
+        1 for r in corpus.collect() if r["text"] == "zap footer"
+    ) > 0, "footer-only docs must freeze as markers"
+    # full buckets' tails are gone; the trailing partial bucket (< min_df
+    # members) legitimately keeps its sub-threshold tail
+    survivors = [t for t in texts if "common tail" in t]
+    n_docs = len(texts)
+    assert all(
+        int(t.split("common tail ")[1].split(".")[0]) == (n_docs - 1) // 12
+        for t in survivors
+    ), "a full bucket's tail survived the pass-2 cut"
+    # ...and a SINGLE pass leaves every tail in place (the migration is
+    # what merges the family across min_df — the fixpoint is load-bearing)
+    one_pass = strip_boilerplate_fixpoint(
+        corpus, min_df=_BP_MIN_DF, iterate=1,
+        normalize=format_multiline_text,
+    )
+    n_tails_p1 = one_pass.filter(F.col("text").contains("common tail")).count()
+    one_pass.unpersist()
+    assert n_tails_p1 > len(survivors), (
+        "pass 1 already cut the staged family — the fixture no longer "
+        "exercises the fixpoint"
+    )
+
+
 def test_curate_pipeline_substr_stage_converges_in_one_pass(spark, sf_smoke, sf_correct):
     """The pipeline_curate_docs oracle derives the exact-substring cut as
     ONE SQL pass while the Spark side runs the fixpoint (iterate=3) —

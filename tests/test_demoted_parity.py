@@ -82,6 +82,10 @@ DEMOTED = [
     # end-to-end curation composition's oracle); A1 count+join keeps
     # the identical bar here
     (Q.q_agg_count_join, Q.AGG_COUNT_JOIN_ORACLE),
+    # r12 demotion — ceded its window slot to boilerplate_cut_docs (the
+    # line-dedup family's fixpoint oracle); S3 point lookup has been
+    # green since round 1 and keeps the identical bar here
+    (Q.q_point_lookup, Q.POINT_LOOKUP_ORACLE),
 ]
 
 

@@ -520,6 +520,121 @@ class TestRealDecoders:
                 got[1]["n_channels"]) == ("gif", 320, 200, 3)
         assert got[2]["fmt"] == "gif" and got[2]["width"] is None
 
+    def test_sniff_container_formats(self, spark):
+        """MP4/ISO-BMFF, Ogg (Vorbis + Opus) and FLAC header sniffs
+        (r12): duration/dims/rate from pure header walks — the
+        filter-before-decode story extended to the remaining
+        real-corpus container magics; sample decode for all three
+        stays at the adapter seam. Corruption-controlled: a box whose
+        size overruns its scope stops the walk with NULLs, a FLAC
+        STREAMINFO with the invalid sample-rate 0 reports opaque, an
+        Ogg page carrying an unknown codec id reports opaque."""
+        import struct as _struct
+
+        from go_vectorsearch_spark.operators.multimodal import (
+            sniff_media_meta,
+        )
+
+        def box(tag, body):
+            return _struct.pack(">I", len(body) + 8) + tag + body
+
+        ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"iso2mp41")
+        mvhd = box(
+            b"mvhd",
+            bytes(4)  # version 0 + flags
+            + _struct.pack(">IIII", 0, 0, 1000, 5500)  # timescale, duration
+            + bytes(80),
+        )
+        tkhd = box(
+            b"tkhd",
+            bytes(4)
+            + _struct.pack(">IIIII", 0, 0, 1, 0, 5500)
+            + bytes(8)  # reserved
+            + bytes(8)  # layer/group/volume/reserved
+            + bytes(36)  # matrix
+            + _struct.pack(">II", 640 << 16, 360 << 16),
+        )
+        # an audio trak first (0x0 dims) — the sniff must skip to the
+        # video trak
+        atkhd = box(
+            b"tkhd",
+            bytes(4) + _struct.pack(">IIIII", 0, 0, 2, 0, 5500)
+            + bytes(8) + bytes(8) + bytes(36) + _struct.pack(">II", 0, 0),
+        )
+        mp4 = ftyp + box(
+            b"moov", mvhd + box(b"trak", atkhd) + box(b"trak", tkhd)
+        )
+        # corrupt: moov's inner box claims a size past its scope
+        bad_mp4 = ftyp + box(b"moov", _struct.pack(">I", 1 << 30) + b"mvhd")
+
+        def ogg_page(payload, granule=0, htype=2):
+            seg = bytes([len(payload)])
+            return (
+                b"OggS\x00" + bytes([htype])
+                + _struct.pack("<q", granule)
+                + _struct.pack("<III", 1, 0, 0)
+                + bytes([1]) + seg + payload
+            )
+
+        vorbis_id = (
+            b"\x01vorbis" + _struct.pack("<I", 0) + bytes([2])
+            + _struct.pack("<I", 44100) + bytes(13)
+        )
+        ogg_v = ogg_page(vorbis_id) + ogg_page(b"\x05vorbis", granule=441000, htype=4)
+        opus_id = (
+            b"OpusHead" + bytes([1, 1]) + _struct.pack("<H", 312)
+            + _struct.pack("<I", 16000) + bytes(3)
+        )
+        ogg_o = ogg_page(opus_id) + ogg_page(b"x", granule=96000, htype=4)
+        ogg_bad = ogg_page(b"\x01notacodec" + bytes(20))
+
+        def flac_si(sr, ch, bps, total):
+            b = bytearray(8)
+            b[0] = (sr >> 12) & 0xFF
+            b[1] = (sr >> 4) & 0xFF
+            b[2] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+            b[3] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+            b[4:8] = _struct.pack(">I", total & 0xFFFFFFFF)
+            body = _struct.pack(">HH", 1024, 1024) + bytes(6) + bytes(b) + bytes(16)
+            return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+        flac = flac_si(22050, 2, 16, 66150)
+        flac_bad = flac_si(0, 1, 16, 100)
+
+        media = spark.createDataFrame(
+            [
+                (1, 1, "video", bytearray(mp4), None),
+                (2, 2, "video", bytearray(bad_mp4), None),
+                (3, 3, "audio", bytearray(ogg_v), None),
+                (4, 4, "audio", bytearray(ogg_o), None),
+                (5, 5, "audio", bytearray(ogg_bad), None),
+                (6, 6, "audio", bytearray(flac), None),
+                (7, 7, "audio", bytearray(flac_bad), None),
+            ],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+        got = {r["media_id"]: r for r in sniff_media_meta(media).collect()}
+        assert (
+            got[1]["fmt"], got[1]["width"], got[1]["height"],
+            got[1]["est_duration_ms"],
+        ) == ("mp4", 640, 360, 5500)
+        assert got[2]["fmt"] == "mp4" and got[2]["width"] is None
+        assert (
+            got[3]["fmt"], got[3]["sample_rate"], got[3]["n_channels"],
+            got[3]["est_duration_ms"],
+        ) == ("ogg", 44100, 2, 10000)
+        # Opus granules count at 48 kHz regardless of the input rate
+        assert (
+            got[4]["fmt"], got[4]["sample_rate"], got[4]["est_duration_ms"]
+        ) == ("ogg", 16000, 2000)
+        assert got[5]["fmt"] == "opaque"
+        assert (
+            got[6]["fmt"], got[6]["sample_rate"], got[6]["n_channels"],
+            got[6]["est_duration_ms"],
+        ) == ("flac", 22050, 2, 3000)
+        assert got[7]["fmt"] == "opaque"
+
     def test_decode_real_features_new_formats(self, spark):
         import numpy as np
 
@@ -1030,6 +1145,143 @@ def test_png_color_keyed_trns_routes_to_adapter_seam(spark):
         )
         with _pytest.raises(ValueError, match="tRNS"):
             decode_image_png(png)
+
+
+def test_jpegref_codec_roundtrip():
+    """The vendored T.81 baseline codec round-trips within DCT/rounding
+    tolerance on all three supported layouts (gray, 4:4:4, 4:2:0), at
+    non-multiple-of-8 dimensions (MCU edge padding + crop), and rejects
+    the unsupported envelope with ValueError (the adapter contract's
+    could-not-decode signal)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.jpegref import decode_baseline_jpeg, encode_baseline_jpeg
+
+    rng = np.random.default_rng(3)
+    gray = (
+        np.add.outer(np.linspace(0, 200, 13), np.linspace(0, 255, 21)) / 2
+        + rng.integers(0, 8, (13, 21))
+    ).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(gray, q=1))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+
+    rgb = np.stack(
+        [
+            np.tile(np.linspace(0, 255, 24), (18, 1)),
+            np.tile(np.linspace(255, 0, 24), (18, 1)),
+            np.full((18, 24), 99.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, q=1))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+    out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, q=1, subsampling="420"))
+    # chroma is 2x2-averaged: exact on the constant-B channel, bounded
+    # on the gradients of this fixture
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 12
+
+    # a coarser step still decodes to the same raster geometry
+    out = decode_baseline_jpeg(encode_baseline_jpeg(gray, q=8))
+    assert out.shape == gray.shape
+
+    with _pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\x89PNG not a jpeg")
+    # progressive (SOF2) is outside the envelope: splice the marker
+    good = bytearray(encode_baseline_jpeg(gray, q=1))
+    good[good.index(b"\xff\xc0")+1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_baseline_jpeg(bytes(good))
+
+
+def test_real_jpeg_decodes_through_adapter_registry(spark):
+    """The adapter seam proved against a GENUINE codec (r11 verdict task
+    5): tests/jpegref.py is a vendored pure-numpy baseline-JPEG decoder
+    (ITU-T T.81, public spec), registered exactly like production would
+    register PIL. End-to-end through the registry mapInPandas path:
+
+    * the built-ins refuse JPEG (fmt='opaque' unregistered; strict mode
+      raises NotImplementedError at the documented boundary);
+    * with the adapter registered, real grayscale AND 4:2:0-subsampled
+      color JPEGs decode to true dimensions and pixel statistics;
+    * sniff_media_meta's header dims agree with the decoded raster;
+    * a truncated JPEG body raises inside the adapter and degrades to
+      could-not-decode, never a job abort."""
+    import numpy as np
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators import multimodal as MM
+    from tests.jpegref import decode_baseline_jpeg, encode_baseline_jpeg
+
+    rng = np.random.default_rng(12)
+    gray = (
+        np.add.outer(np.linspace(0, 200, 13), np.linspace(0, 255, 21)) / 2
+        + rng.integers(0, 8, (13, 21))
+    ).astype(np.uint8)
+    rgb = np.stack(
+        [
+            np.tile(np.linspace(0, 255, 24), (18, 1)),
+            np.tile(np.linspace(255, 0, 24), (18, 1)),
+            np.full((18, 24), 99.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    jg = encode_baseline_jpeg(gray, q=1)
+    jc = encode_baseline_jpeg(rgb, q=1, subsampling="420")
+
+    def media(rows):
+        return spark.createDataFrame(
+            [(i, i, "image", bytearray(p), None) for i, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+
+    # header sniff agrees with the encoder's SOF before any decode
+    sniffed = {
+        r["media_id"]: r
+        for r in MM.sniff_media_meta(media([(1, jg), (2, jc)])).collect()
+    }
+    assert (
+        sniffed[1]["fmt"], sniffed[1]["width"], sniffed[1]["height"],
+        sniffed[1]["n_channels"],
+    ) == ("jpeg", 21, 13, 1)
+    assert (
+        sniffed[2]["width"], sniffed[2]["height"], sniffed[2]["n_channels"]
+    ) == (24, 18, 3)
+
+    # unregistered: the documented JPEG boundary
+    got = MM.decode_real_features(media([(1, jg)])).collect()[0]
+    assert got["fmt"] == "opaque"
+    with _pytest.raises(Exception, match="NotImplementedError|adapter"):
+        MM.decode_real_features(media([(1, jg)]), strict=True).collect()
+
+    def _claims(p: bytes) -> bool:
+        return p[:2] == b"\xff\xd8"
+
+    def _decode(p: bytes):
+        return ("jpeg", decode_baseline_jpeg(p), None)
+
+    MM.register_decoder("jpegref", _claims, _decode)
+    try:
+        rows = {
+            r["media_id"]: r
+            for r in MM.decode_real_features(
+                media([(1, jg), (2, jc)]), strict=True
+            ).collect()
+        }
+        g, c = rows[1], rows[2]
+        assert (g["fmt"], g["width"], g["height"]) == ("jpeg", 21, 13)
+        assert abs(g["px_mean"] - gray.mean()) < 1.5
+        assert (c["fmt"], c["width"], c["height"]) == ("jpeg", 24, 18)
+        assert abs(c["px_mean"] - rgb.mean()) < 4.0  # 4:2:0 chroma loss
+        # adapter exception on a corrupt body = could-not-decode
+        bad = jg[: len(jg) // 2]
+        got = MM.decode_real_features(media([(3, bad)])).collect()[0]
+        assert got["fmt"] == "opaque"
+    finally:
+        MM.unregister_decoder("jpegref")
 
 
 def test_sniff_bmp_palette_reports_decode_channels(spark):

@@ -43,18 +43,29 @@ def main() -> None:
     # the shifted ids back to their source doc's row)
     os.makedirs(f"{work}/base")
     docs.write.parquet(f"{work}/base/documents.parquet")
-    ten = _copies(docs.select("doc_id", "text"), 10, distinct=True)
-    ten = ten.withColumn(
-        "src_id", ten.doc_id % 10_000_000
-    ).join(
-        docs.selectExpr("doc_id AS src_id", "lang", "n_chars"), "src_id"
-    ).select("doc_id", "text", "lang", "n_chars")
-    os.makedirs(f"{work}/x10")
-    ten.repartition(32).write.parquet(f"{work}/x10/documents.parquet")
+    def corpus(n_copies: int, parts: int, dest: str) -> None:
+        c = _copies(docs.select("doc_id", "text"), n_copies, distinct=True)
+        c = c.withColumn(
+            "src_id", c.doc_id % 10_000_000
+        ).join(
+            docs.selectExpr("doc_id AS src_id", "lang", "n_chars"), "src_id"
+        ).select("doc_id", "text", "lang", "n_chars")
+        os.makedirs(dest)
+        c.repartition(parts).write.parquet(f"{dest}/documents.parquet")
+
+    corpus(10, 32, f"{work}/x10")
+    # second decade (r12): the composition's 10x ratio was the repo's
+    # highest first-decade number (4.5x, r11) — the 50k -> 500k step
+    # shows whether a super-linear term hides in the six-stage chain
+    corpus(100, 64, f"{work}/x100")
 
     fn = R.REGISTRY["pipeline_curate_docs"].fn
     rows = []
-    for label, d in (("base (sf0.1, 5k)", f"{work}/base"), ("10x (50k)", f"{work}/x10")):
+    for label, d in (
+        ("base (sf0.1, 5k)", f"{work}/base"),
+        ("10x (50k)", f"{work}/x10"),
+        ("100x (500k, ~sf10)", f"{work}/x100"),
+    ):
         w, n = _timed(lambda: fn(spark, d).count())
         rows.append((label, w, n))
     print("\n| corpus | wall | result rows (lang strata) |")

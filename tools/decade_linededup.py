@@ -43,9 +43,18 @@ def main() -> None:
     _lined(_copies(base, 10, distinct=True)).repartition(32).write.parquet(
         f"{work}/x10"
     )
+    # second decade (r12): 100x = 500k docs ~ sf10 — two chained decades
+    # catch a log factor a single 10x step hides in scheduling noise
+    _lined(_copies(base, 100, distinct=True)).repartition(64).write.parquet(
+        f"{work}/x100"
+    )
 
     rows = []
-    for label, p in (("base (sf0.1, 5k)", f"{work}/base"), ("10x (50k)", f"{work}/x10")):
+    for label, p in (
+        ("base (sf0.1, 5k)", f"{work}/base"),
+        ("10x (50k)", f"{work}/x10"),
+        ("100x (500k, ~sf10)", f"{work}/x100"),
+    ):
         docs = spark.read.parquet(p)
         w, n = _timed(
             lambda: strip_boilerplate_lines(docs, min_df=10)
