@@ -208,15 +208,12 @@ def q_scan_projection(spark, sf_dir):
     )
 
 
-@register(
-    "point_lookup",
-    # demoted r12 after 11 green rounds (slot ceded to the
-    # boilerplate_cut_docs fixpoint oracle); the identical parity bar
-    # lives in tests/test_demoted_parity.py via POINT_LOOKUP_ORACLE
-    oracle=None,
-    doc="S3 single-row lookup by unique name (reference: server/search.go:149-168)",
-)
 def q_point_lookup(spark, sf_dir):
+    """S3 single-row lookup by unique name (reference:
+    server/search.go:149-168). Demoted out of the 50-entry driver
+    window r12 after 11 green rounds (slot ceded to the
+    boilerplate_cut_docs fixpoint oracle); the identical parity bar
+    lives in tests/test_demoted_parity.py via POINT_LOOKUP_ORACLE."""
     cust = _t(spark, sf_dir, "customer")
     return point_lookup(cust, "c_name", "Customer#000000042").select(
         "c_custkey", "c_name", "c_mktsegment"
@@ -3292,8 +3289,11 @@ def q_pipeline_curate_docs(spark, sf_dir):
         _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
     )
     # the fixpoint's return frame is already persisted+materialized by
-    # exact_substr_cut (its convergence compare needs it), so the bench
-    # and train splits below read the cache, not a recomputed chain
+    # exact_substr_cut (its convergence PROBE windows it — r12: the
+    # probe checks effective-cut-span existence over the duplicate
+    # flags, so the converged round never rebuilds or re-compares the
+    # corpus text), so the bench and train splits below read the cache,
+    # not a recomputed chain
     cut = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=3)
     bench = cut.filter(F.col("doc_id") % 97 == 0)
     train = cut.filter(F.col("doc_id") % 97 != 0)

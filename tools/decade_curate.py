@@ -61,12 +61,15 @@ def main() -> None:
 
     fn = R.REGISTRY["pipeline_curate_docs"].fn
     rows = []
-    for label, d in (
-        ("base (sf0.1, 5k)", f"{work}/base"),
-        ("10x (50k)", f"{work}/x10"),
-        ("100x (500k, ~sf10)", f"{work}/x100"),
+    for label, d, runs in (
+        ("base (sf0.1, 5k)", f"{work}/base", 3),
+        ("10x (50k)", f"{work}/x10", 3),
+        # the ~sf10 rung runs the full six-stage chain minutes per pass:
+        # one timed run after the cold (the decade100 protocol relaxed
+        # one notch; noted in BASELINE.md)
+        ("100x (500k, ~sf10)", f"{work}/x100", 1),
     ):
-        w, n = _timed(lambda: fn(spark, d).count())
+        w, n = _timed(lambda: fn(spark, d).count(), runs=runs)
         rows.append((label, w, n))
     print("\n| corpus | wall | result rows (lang strata) |")
     print("|---|---|---|")

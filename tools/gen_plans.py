@@ -79,10 +79,12 @@ PICKS = [
     ("ngram_perplexity", "n-gram LM perplexity scoring: ONE narrow mapInPandas with the "
      "bounded model in the closure — zero exchanges on the candidate corpus; training's "
      "per-order gram groupBys are the amortized build billed separately."),
-    ("token_budget_sample", "Token-budget sampling: one codegen'd projection for counts + "
-     "addressing, ONE hash-partition exchange on the stratum for the running-sum window "
-     "(plan-lint-legal partitioned Window), then a left-semi join back — raw text rides "
-     "only the final semi-joined rows."),
+    ("token_budget_sample", "Token-budget sampling (resharded r12): one codegen'd projection "
+     "for counts + addressing, then a TWO-LEVEL prefix sum — the hash order range-shards into "
+     "contiguous (stratum, shard) runs, ONE exchange feeds both the local running-sum window "
+     "and the shard-total aggregate (ReusedExchange in the final adaptive plan), broadcast "
+     "offsets complete the prefix — so no stratum ever lands a corpus-scale single-task "
+     "sort; then a left-semi join back. Raw text rides only the final semi-joined rows."),
     ("profile_documents_approx", "One-scan table profile (HLL-distinct scale mode): every "
      "per-column statistic is a mergeable aggregate in a single aggregate pair "
      "(partial+final, one Exchange of one row per partition); the long-format explode runs "
@@ -131,6 +133,12 @@ PICKS = [
      "HAVING count>=min_df aggregate over DISTINCT (doc, hash) joining back as a "
      "FRAME (auto-broadcast while small, never a collected literal); the only "
      "text-bearing shuffle is the final per-document regroup."),
+    ("boilerplate_cut_docs", "Line/boilerplate-cut FIXPOINT (windowed r12): each pass is the "
+     "line_dedup shape (hot fit = HAVING aggregate over DISTINCT (doc, 16-byte hash), frame "
+     "join, per-document regroup) plus a pure-expression storage normalization on CHANGED "
+     "docs; the loop is a bounded driver check (tiny hot-frame isEmpty per pass, the k-means "
+     "discipline), pass intermediates persist and release AS SUPERSEDED, and frozen "
+     "empty-document markers leave the fit by an anti-join — never a collected literal."),
     ("pipeline_curate_docs", "END-TO-END curation composition (windowed r11): "
      "boilerplate-line strip -> keeper-protected substring fixpoint cut -> "
      "decontamination cut -> Jaccard near-dup dedup -> quality filter -> "
