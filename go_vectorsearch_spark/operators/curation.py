@@ -273,10 +273,16 @@ def strip_boilerplate_fixpoint(
 
     cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
     done: DataFrame | None = None
-    # frames backing the CURRENT ``cur``'s plan (this pass's strip
-    # result + normalized rebuild): the only intermediates that must
-    # stay cached across the pass boundary — everything older is
-    # released the moment the next pass's frames materialize
+    # pre-existing marker docs split off LAZILY and rejoin at the FINAL
+    # union (r12): they were unioned into ``done`` inside the loop, so
+    # every pass's done materialization re-scanned the SOURCE for the
+    # marker filter — deferring it folds that one scan into the final
+    # hold
+    pre_done: DataFrame | None = None
+    # frames backing the CURRENT ``cur``'s plan (this pass's fused
+    # strip+normalize rebuild): the only intermediate that must stay
+    # cached across the pass boundary — everything older is released
+    # the moment the next pass's frames materialize
     live: list[DataFrame] = []
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just
@@ -292,14 +298,17 @@ def strip_boilerplate_fixpoint(
             .select(normalize(F.lit("")).alias("m"))
             .head()[0]
         )
-        done = cur.filter(F.col("text") == F.lit(marker))
+        pre_done = cur.filter(F.col("text") == F.lit(marker))
         cur = cur.filter(F.col("text") != F.lit(marker))
     for _ in range(iterate):
-        # hold the tiny hot frame: isEmpty() below AND the strip's join
-        # both read it — unpersisted, the corpus-wide fit aggregate ran
-        # twice per pass (r11 review)
-        hot = _hold(boilerplate_lines(cur, id_col, "text", min_df))
-        if hot.isEmpty():
+        # hold the tiny hot frame: the count below (which IS the
+        # convergence decision — one action, not persist-count-then-
+        # isEmpty, r12) and the strip's join both read it — unpersisted,
+        # the corpus-wide fit aggregate ran twice per pass (r11 review)
+        hot = boilerplate_lines(cur, id_col, "text", min_df).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
+        if hot.count() == 0:
             hot.unpersist()
             break
         stripped = strip_boilerplate_lines(
@@ -315,15 +324,13 @@ def strip_boilerplate_fixpoint(
             live = [nxt]
             cur = nxt
             continue
-        # hold the pass's strip result: the emptied split, the
-        # normalize join and the freeze joins below all reference it —
-        # unpersisted, each consumer would re-run the strip (hot fit
-        # included)
-        stripped = _hold(stripped)
-        hot.unpersist()  # strip materialized; the fit is consumed
-        emptied = stripped.filter(F.col("text") == "").select(id_col)
+        # ONE materialization per pass (r12 — the strip result, the
+        # normalize join and the emptied flag used to be two held
+        # frames and four actions): the fused projection carries the
+        # normalized text AND a pre-normalize emptiness marker, so the
+        # freeze split below is two filters over one cached frame
         prev = cur.select(F.col(id_col), F.col("text").alias("__prev"))
-        nxt = _hold(
+        staged = _hold(
             stripped.join(prev, id_col).select(
                 F.col(id_col),
                 F.when(
@@ -332,9 +339,11 @@ def strip_boilerplate_fixpoint(
                 )
                 .otherwise(F.col("text"))
                 .alias("text"),
+                (F.col("text") == "").alias("__emptied"),
             )
         )
-        pass_done = nxt.join(emptied, id_col, "left_semi")
+        hot.unpersist()  # strip materialized; the fit is consumed
+        pass_done = staged.filter(F.col("__emptied")).select(id_col, "text")
         if done is not None:
             old_done = done
             done = _hold(done.unionByName(pass_done))
@@ -342,16 +351,17 @@ def strip_boilerplate_fixpoint(
         else:
             done = _hold(pass_done)
         # this pass's result frames are materialized — the PREVIOUS
-        # pass's strip/rebuild caches are superseded (r11 advice: they
-        # used to accumulate until return). The new ``cur`` plan below
-        # references only nxt (cached) and emptied -> stripped (cached),
-        # which stay live into the next pass.
+        # pass's staged cache is superseded (r11 advice: they used to
+        # accumulate until return). The new ``cur`` plan below is a
+        # filter-projection over this pass's cached frame.
         for frame in live:
             frame.unpersist()
-        live = [stripped, nxt]
-        cur = nxt.join(emptied, id_col, "left_anti")
+        live = [staged]
+        cur = staged.filter(~F.col("__emptied")).select(id_col, "text")
     out = cur if done is None else cur.unionByName(done)
-    if live or done is not None:
+    if pre_done is not None:
+        out = out.unionByName(pre_done)
+    if live or done is not None or pre_done is not None:
         # persist + materialize the RESULT itself, then release the
         # final pass's intermediates (their rows now live in out's
         # cache) — the caller releases out (the substr fixpoint's

@@ -2547,8 +2547,14 @@ def q_boilerplate_cut_docs(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # the derived corpus is read ~3x inside the fixpoint's first pass
+    # (hot fit, strip subtree, normalize-join prev subtree) — session-
+    # cache it so the md5 derivation and parquet scan run once (the
+    # curate entry's stripped-frame precedent); the Engine path gets
+    # the same effect from boilerplate_cut's persisted texts frame
+    corpus = _dedup_cached(spark, "bp_corpus", sf_dir, lambda: _bp_corpus(docs))
     out = CUR.strip_boilerplate_fixpoint(
-        _bp_corpus(docs),
+        corpus,
         min_df=_BP_MIN_DF,
         iterate=3,
         normalize=format_multiline_text,
@@ -3285,8 +3291,18 @@ def q_pipeline_curate_docs(spark, sf_dir):
     from go_vectorsearch_spark.operators import substr as SUB
 
     docs = _t(spark, sf_dir, "documents")
-    stripped = CUR.strip_boilerplate_lines(
-        _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
+    # the stripped frame is read TWICE inside the substring cut's first
+    # pass (the window-hash side and the token-rebuild side are separate
+    # subtrees — no exchange between them to reuse), so it rides the
+    # session cache like the decon frame below; unpersisted, pass 1 ran
+    # the line-strip regroup twice per cold entry (r12)
+    stripped = _dedup_cached(
+        spark,
+        "curate_stripped",
+        sf_dir,
+        lambda: CUR.strip_boilerplate_lines(
+            _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
+        ),
     )
     # the fixpoint's return frame is already persisted+materialized by
     # exact_substr_cut (its convergence PROBE windows it — r12: the
