@@ -765,9 +765,24 @@ def token_budget_sample(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     span = -((1 << 32) // -n_shards)  # ceil: shard ids stay < n_shards
+    # the shard/window/join key is a NULL-SENTINEL copy of the stratum:
+    # a NULL stratum is a real partition under the old single-window
+    # shape (and under SQL's PARTITION BY) sampled at the default
+    # budget, but an inner equi-join key of NULL matches nothing — the
+    # sentinel keeps those rows flowing through the two-level plan with
+    # identical semantics (r12 self-review; the sentinel never collides
+    # with a real stratum because it is not a value `budgets` can key)
+    skey = F.coalesce(
+        F.col(strata_col).cast("string"), F.lit("\x00__null_stratum__")
+    )
+    # the raw stratum column does NOT ride along: only the keep branch
+    # would read it (for the budget case), which prunes it out of the
+    # offsets branch's exchange input and breaks exchange reuse — the
+    # budget case matches on the sentinel key instead (same cast on
+    # both sides, so the mapping is 1:1 with the raw values)
     narrow = df.select(
         id_col,
-        strata_col,
+        skey.alias("_skey"),
         F.size(ws_tokens(F.col(text_col))).alias("_n_tok"),
         seeded_hash(id_col, seed).alias("_addr"),
     ).withColumn(
@@ -780,7 +795,7 @@ def token_budget_sample(
         # branch's join-inferred isnotnull filters match this branch
         # verbatim and the two consumers' exchanges stay canonically
         # EQUAL — the precondition for ReuseExchange below
-        F.col(strata_col).isNotNull() & F.col("_shard").isNotNull()
+        F.col("_skey").isNotNull() & F.col("_shard").isNotNull()
     )
     # ONE exchange + ONE local-window pass feeds both consumers: the
     # shard total is max(local running sum), so the offsets branch and
@@ -790,33 +805,35 @@ def token_budget_sample(
     # shuffles the token-count projection ONCE; the offsets branch then
     # only re-reads narrow shuffle files, never re-tokenizes text.
     w_local = (
-        Window.partitionBy(strata_col, "_shard")
+        Window.partitionBy("_skey", "_shard")
         .orderBy("_addr", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = narrow.repartition(strata_col, "_shard").withColumn(
+    local = narrow.repartition("_skey", "_shard").withColumn(
         "_local", F.sum("_n_tok").over(w_local)
     )
     w_off = (
-        Window.partitionBy(strata_col)
+        Window.partitionBy("_skey")
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = (
-        local.groupBy(strata_col, "_shard")
+        local.groupBy("_skey", "_shard")
         .agg(F.max("_local").alias("_tot"))
         # window over <= n_strata x n_shards rows — bounded by
         # construction, not by the corpus (the plan pin in
         # test_plan_lint distinguishes this from the corpus-side window
         # by its aggregate child)
         .withColumn("_off", F.sum("_tot").over(w_off) - F.col("_tot"))
-        .select(strata_col, "_shard", "_off")
+        .select("_skey", "_shard", "_off")
     )
     budget: Column = F.lit(default_budget)
     for stratum, b in sorted(budgets.items()):
-        budget = F.when(F.col(strata_col) == stratum, F.lit(b)).otherwise(budget)
+        budget = F.when(
+            F.col("_skey") == F.lit(stratum).cast("string"), F.lit(b)
+        ).otherwise(budget)
     kept = (
-        local.join(F.broadcast(offsets), [strata_col, "_shard"])
+        local.join(F.broadcast(offsets), ["_skey", "_shard"])
         .filter((F.col("_local") + F.col("_off")) <= budget)
         .select(id_col)
     )

@@ -422,6 +422,45 @@ SELECT doc_id FROM c WHERE cum <= budget
         with pytest.raises(ValueError, match="n_shards"):
             token_budget_sample(df, "domain", {}, 30, n_shards=0)
 
+    def test_null_stratum_sampled_under_default_budget(self, spark):
+        """A NULL stratum is a real partition (SQL PARTITION BY groups
+        NULLs; the pre-r12 single window did too) sampled at the
+        default budget — the two-level reshard must not silently drop
+        it through an inner join on a NULL key (r12 self-review: the
+        sentinel key exists for exactly this)."""
+        import duckdb
+
+        from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+        rows = [(i, None if i % 3 == 0 else "web", "w " * (i % 7 + 1))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+        out = token_budget_sample(df, "domain", {"web": 25}, default_budget=18)
+        got = {(r["doc_id"], r["domain"]) for r in out.collect()}
+        assert any(d is None for _, d in got), "null stratum was dropped"
+
+        con = duckdb.connect()
+        try:
+            con.register("docs", df.toPandas())
+            want = {r[0] for r in con.execute("""
+WITH t AS (
+  SELECT doc_id, domain,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS addr,
+         CASE domain WHEN 'web' THEN 25 ELSE 18 END AS budget
+  FROM docs
+), c AS (
+  SELECT *, sum(n_tok) OVER (
+    PARTITION BY domain ORDER BY addr, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id FROM c WHERE cum <= budget
+            """).fetchall()}
+        finally:
+            con.close()
+        assert {i for i, _ in got} == want
+
 
 def test_boilerplate_cut_docs_converges_in_two_passes(spark, sf_correct):
     """The boilerplate_cut_docs oracle unrolls the fixpoint as exactly

@@ -1187,6 +1187,20 @@ def test_jpegref_codec_roundtrip():
     out = decode_baseline_jpeg(encode_baseline_jpeg(gray, q=8))
     assert out.shape == gray.shape
 
+    # odd dims + 4:2:0: the chroma-pad/crop path (MCU = 16x16 over a
+    # 13x21 raster)
+    odd = np.stack(
+        [
+            np.tile(np.linspace(0, 255, 21), (13, 1)),
+            np.tile(np.linspace(255, 0, 21), (13, 1)),
+            np.full((13, 21), 42.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(odd, q=1, subsampling="420"))
+    assert out.shape == odd.shape
+    assert np.abs(out.astype(int) - odd.astype(int)).max() <= 12
+
     with _pytest.raises(ValueError):
         decode_baseline_jpeg(b"\x89PNG not a jpeg")
     # progressive (SOF2) is outside the envelope: splice the marker
@@ -1194,6 +1208,15 @@ def test_jpegref_codec_roundtrip():
     good[good.index(b"\xff\xc0")+1] = 0xC2
     with _pytest.raises(ValueError, match="baseline"):
         decode_baseline_jpeg(bytes(good))
+    # nonzero restart interval: splice a DRI segment before SOS — the
+    # envelope raises (could-not-decode at the seam), never misparses
+    import struct as _struct
+
+    g = bytes(encode_baseline_jpeg(gray, q=1))
+    i = g.index(b"\xff\xda")
+    dri = _struct.pack(">HH", 0xFFDD, 4) + _struct.pack(">H", 4)
+    with _pytest.raises(ValueError, match="restart"):
+        decode_baseline_jpeg(g[:i] + dri + g[i:])
 
 
 def test_real_jpeg_decodes_through_adapter_registry(spark):
