@@ -3304,13 +3304,25 @@ def q_pipeline_curate_docs(spark, sf_dir):
             _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
         ),
     )
-    # the fixpoint's return frame is already persisted+materialized by
-    # exact_substr_cut (its convergence PROBE windows it — r12: the
-    # probe checks effective-cut-span existence over the duplicate
-    # flags, so the converged round never rebuilds or re-compares the
-    # corpus text), so the bench and train splits below read the cache,
-    # not a recomputed chain
-    cut = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=3)
+    # pass-1 window hashes ride the session cache too (the Engine
+    # substr_dedup_cut precedent): the keeper aggregate and the flag
+    # join both read the frame inside _cut_once, and unpersisted each
+    # would re-hash the stripped corpus. The fixpoint's return frame is
+    # already persisted+materialized by exact_substr_cut (its
+    # convergence PROBE windows it — r12: the probe checks
+    # effective-cut-span existence over the duplicate flags, so the
+    # converged round never rebuilds or re-compares the corpus text),
+    # so the bench and train splits below read the cache, not a
+    # recomputed chain
+    windows = _dedup_cached(
+        spark,
+        "curate_windows",
+        sf_dir,
+        lambda: SUB.window_hashes(stripped, L=_SUBSTR_L),
+    )
+    cut = SUB.exact_substr_cut(
+        stripped, L=_SUBSTR_L, iterate=3, windows=windows
+    )
     bench = cut.filter(F.col("doc_id") % 97 == 0)
     train = cut.filter(F.col("doc_id") % 97 != 0)
     # persist the decontaminated corpus: three downstream consumers
