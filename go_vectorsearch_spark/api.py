@@ -2498,6 +2498,7 @@ class Engine:
             strip_boilerplate_fixpoint,
         )
         from go_vectorsearch_spark.operators.documents import (
+            EMPTY_DOC_MARKER,
             format_multiline_text,
         )
 
@@ -2522,6 +2523,10 @@ class Engine:
                 min_df=min_df,
                 iterate=iterate,
                 normalize=format_multiline_text,
+                # the shared storage constant — saves the fixpoint's
+                # marker-resolution driver action, and this filter and
+                # boilerplate_report's already use it (can't desync)
+                marker=EMPTY_DOC_MARKER,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

@@ -201,6 +201,48 @@ def strip_boilerplate_lines(
     )
 
 
+def _strip_pass(
+    df: DataFrame, id_col: str, text_col: str, min_df: int
+) -> DataFrame:
+    """One FUSED fit+strip pass for the fixpoint: the hot-line aggregate
+    of :func:`boilerplate_lines` is an unshared subtree of the strip
+    plan, and the rebuild's left join from the full document list also
+    carries the input text through — so a pass returns
+    ``(_id, __prev, text)`` (text = rebuilt clean, pre-normalize) from
+    ONE job, and the changed/emptied decisions downstream are column
+    compares over this frame, never a second corpus pass (r13: the old
+    shape ran the fit as its own persisted+counted action per pass plus
+    a separate prev join — three corpus-plan actions where one
+    suffices)."""
+    hot = boilerplate_lines(df, id_col, text_col, min_df)
+    with_ix = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("_ix", "_line"),
+    )
+    tagged = with_ix.withColumn("_lh", F.md5(F.lower(F.trim("_line"))))
+    kept = tagged.join(
+        hot.select("_lh", F.lit(True).alias("_hot")), "_lh", "left"
+    ).filter(F.col("_hot").isNull())
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ix", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("__prev")
+        )
+        .join(rebuilt, "_id", "left")
+        .select("_id", "__prev", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
 def strip_boilerplate_fixpoint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -208,6 +250,7 @@ def strip_boilerplate_fixpoint(
     min_df: int = 10,
     iterate: int = 3,
     normalize=None,
+    marker: str | None = None,
 ) -> DataFrame:
     """Repeat hot-fit → :func:`strip_boilerplate_lines` until NO line
     crosses ``min_df`` (or ``iterate`` passes) — the line-level analog
@@ -241,24 +284,42 @@ def strip_boilerplate_fixpoint(
     the moment ``min_df`` documents empty, and cutting it cycles
     ``'.' → '' → '.'`` forever), and rejoins the output unchanged.
 
+    ``marker`` — the pre-resolved value of ``normalize('')`` (the
+    empty-document marker). Callers that already own the storage
+    convention pass their shared constant
+    (``documents.EMPTY_DOC_MARKER``) so the fixpoint never spends a
+    driver action resolving it; left ``None``, one 1-row local query
+    resolves it from the ``normalize`` hook. Ignored when ``normalize``
+    is ``None``. A caller-supplied marker MUST equal what ``normalize``
+    makes of ``''`` — the freeze semantics above assume it.
+
     Termination: every pass with a non-empty hot set removes at least
     one line from every still-active document carrying one, and a
     document leaves the loop when it empties, so per-document passes
     are bounded by its line count; ``iterate`` bounds the loop like the
-    substring cut's. Each pass costs one hot-set aggregate (a driver
-    ``isEmpty`` on the tiny hot frame — the k-means loop's
-    bounded-driver-check shape) plus one strip; intermediates persist
-    for their pass and release AS SUPERSEDED — the moment a pass's
-    result frames are materialized, the previous pass's cached
-    intermediates unpersist (r11 advice: the old accumulate-until-return
-    shape held ~3 corpus-sized cached frames per pass concurrently at
-    iterate=3), so the cache footprint is bounded by one pass's working
-    set regardless of ``iterate``. A converged result
-    re-fit yields an EMPTY hot set over the still-active documents:
-    stripped lines reach document frequency zero, survivors kept their
-    sub-threshold frequencies, and normalization-migrated forms were
-    re-checked by the next pass — only the frozen empty-document
-    markers (reported but irremovable) can remain frequent."""
+    substring cut's. Each pass is ONE action (r13 — the per-pass count
+    was 3): the fused fit+strip (:func:`_strip_pass`) persists, and the
+    materializing count runs over its changed-rows filter, so the same
+    action that fills the cache IS the convergence decision — a pass
+    changed zero documents iff the hot fit was empty (a hot line
+    appears in ≥ ``min_df`` documents and stripping one always changes
+    the text; an empty hot set makes the split/rebuild a byte-exact
+    round-trip), exactly the substring cut's probe-not-compare
+    discipline (substr.py) one level cheaper. Emptied documents all
+    carry the SAME text — the irremovable marker — so no per-pass done
+    frame is held either: the final union reconstructs them as
+    ``(id, marker)`` from one id-only anti-join against the survivors.
+    Intermediates persist for their pass and release AS SUPERSEDED, so
+    the cache footprint is bounded by one pass's working set regardless
+    of ``iterate``, and the RESULT always comes back persisted+
+    materialized (the caller releases it — previously a first-pass
+    convergence returned the raw source plan, r12 advice). A converged
+    result re-fit yields an EMPTY hot set over the still-active
+    documents: stripped lines reach document frequency zero, survivors
+    kept their sub-threshold frequencies, and normalization-migrated
+    forms were re-checked by the next pass — only the frozen
+    empty-document markers (reported but irremovable) can remain
+    frequent."""
     from pyspark import StorageLevel
 
     if iterate < 1:
@@ -272,18 +333,6 @@ def strip_boilerplate_fixpoint(
         return frame
 
     cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
-    done: DataFrame | None = None
-    # pre-existing marker docs split off LAZILY and rejoin at the FINAL
-    # union (r12): they were unioned into ``done`` inside the loop, so
-    # every pass's done materialization re-scanned the SOURCE for the
-    # marker filter — deferring it folds that one scan into the final
-    # hold
-    pre_done: DataFrame | None = None
-    # frames backing the CURRENT ``cur``'s plan (this pass's fused
-    # strip+normalize rebuild): the only intermediate that must stay
-    # cached across the pass boundary — everything older is released
-    # the moment the next pass's frames materialize
-    live: list[DataFrame] = []
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just
         # the ones a pass creates: without this, a category that was
@@ -291,92 +340,82 @@ def strip_boilerplate_fixpoint(
         # '.' docs, the marker line reads as hot, and OTHER documents'
         # legitimate marker-form lines get stripped — behavior that
         # would differ between a first and a second invocation (r11
-        # review). One 1-row driver query resolves the marker from the
-        # normalize hook itself.
-        marker = (
-            df.sparkSession.range(1)
-            .select(normalize(F.lit("")).alias("m"))
-            .head()[0]
-        )
-        pre_done = cur.filter(F.col("text") == F.lit(marker))
+        # review). They rejoin via the final anti-join below.
+        if marker is None:
+            marker = (
+                df.sparkSession.range(1)
+                .select(normalize(F.lit("")).alias("m"))
+                .head()[0]
+            )
         cur = cur.filter(F.col("text") != F.lit(marker))
+    # frames backing the CURRENT ``cur``'s plan (this pass's fused
+    # fit+strip+normalize rebuild): the only intermediate that must stay
+    # cached across the pass boundary — everything older is released
+    # the moment the next pass's frame materializes
+    live: list[DataFrame] = []
     for _ in range(iterate):
-        # hold the tiny hot frame: the count below (which IS the
-        # convergence decision — one action, not persist-count-then-
-        # isEmpty, r12) and the strip's join both read it — unpersisted,
-        # the corpus-wide fit aggregate ran twice per pass (r11 review)
-        hot = boilerplate_lines(cur, id_col, "text", min_df).persist(
-            StorageLevel.MEMORY_AND_DISK_DESER
-        )
-        if hot.count() == 0:
-            hot.unpersist()
-            break
-        stripped = strip_boilerplate_lines(
-            cur, id_col, "text", min_df, hot=hot
-        )
+        raw = _strip_pass(cur, id_col, "text", min_df)
+        changed = F.col("text") != F.col("__prev")
         if normalize is None:
             # no storage convention in play: '' documents stay '' and
             # contribute no countable lines — no freeze needed
-            nxt = _hold(stripped)
-            hot.unpersist()  # strip materialized; the fit is consumed
-            for frame in live:
-                frame.unpersist()
-            live = [nxt]
-            cur = nxt
-            continue
-        # ONE materialization per pass (r12 — the strip result, the
-        # normalize join and the emptied flag used to be two held
-        # frames and four actions): the fused projection carries the
-        # normalized text AND a pre-normalize emptiness marker, so the
-        # freeze split below is two filters over one cached frame
-        prev = cur.select(F.col(id_col), F.col("text").alias("__prev"))
-        staged = _hold(
-            stripped.join(prev, id_col).select(
-                F.col(id_col),
-                F.when(
-                    F.col("text") != F.col("__prev"),
-                    normalize(F.col("text")),
-                )
+            staged = raw.select(
+                F.col("_id").alias(id_col),
+                F.col("text"),
+                changed.alias("__changed"),
+            )
+        else:
+            staged = raw.select(
+                F.col("_id").alias(id_col),
+                F.when(changed, normalize(F.col("text")))
                 .otherwise(F.col("text"))
                 .alias("text"),
-                (F.col("text") == "").alias("__emptied"),
+                changed.alias("__changed"),
+                # only a CHANGED empty freezes (becomes the marker): an
+                # input-'' document is unchanged forever, contributes no
+                # countable lines, and must emerge as '' verbatim — it
+                # circulates harmlessly instead of being misfiled as a
+                # marker
+                (changed & (F.col("text") == "")).alias("__frozen"),
             )
-        )
-        hot.unpersist()  # strip materialized; the fit is consumed
-        pass_done = staged.filter(F.col("__emptied")).select(id_col, "text")
-        if done is not None:
-            old_done = done
-            done = _hold(done.unionByName(pass_done))
-            old_done.unpersist()
-        else:
-            done = _hold(pass_done)
-        # this pass's result frames are materialized — the PREVIOUS
-        # pass's staged cache is superseded (r11 advice: they used to
-        # accumulate until return). The new ``cur`` plan below is a
-        # filter-projection over this pass's cached frame.
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        # ONE action: materializes the pass's cache AND returns the
+        # convergence decision (changed-count ≡ hot-fit emptiness, both
+        # directions — see the docstring)
+        if staged.filter(F.col("__changed")).count() == 0:
+            staged.unpersist()
+            break
         for frame in live:
             frame.unpersist()
         live = [staged]
-        cur = staged.filter(~F.col("__emptied")).select(id_col, "text")
-    out = cur if done is None else cur.unionByName(done)
-    if pre_done is not None:
-        out = out.unionByName(pre_done)
-    if live or done is not None or pre_done is not None:
-        # persist + materialize the RESULT itself, then release the
-        # final pass's intermediates (their rows now live in out's
-        # cache) — the caller releases out (the substr fixpoint's
-        # contract: _rewrite_category_texts unpersists the cut frame it
-        # was given). When out IS the last pass frame (the
-        # normalize-free branch), re-holding is a no-op and it must NOT
-        # be released with the intermediates (r11 review: the returned
-        # frame came back unpersisted, re-running every pass per
-        # downstream action)
-        out = _hold(out)
-        for frame in live:
-            if frame is not out:
-                frame.unpersist()
-        if done is not None and done is not out:
-            done.unpersist()
+        cur = staged.select(id_col, "text") if normalize is None else (
+            staged.filter(~F.col("__frozen")).select(id_col, "text")
+        )
+    out = cur
+    if normalize is not None:
+        # every document missing from the survivors is a marker — a
+        # pass-frozen doc normalized to exactly ``marker``, a
+        # pre-existing marker doc stored exactly ``marker`` — so ONE
+        # id-only anti-join against the source reconstructs them all
+        # (NULL-text source rows never entered the loop and stay out,
+        # matching the marker-filter semantics)
+        missing = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col))
+            .join(cur.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.lit(marker).alias("text"))
+        )
+        out = cur.unionByName(missing)
+    # persist + materialize the RESULT itself, unconditionally (r12
+    # advice: a first-pass convergence used to return the raw source
+    # plan), then release the final pass's intermediates (their rows
+    # now live in out's cache) — the caller releases out (the substr
+    # fixpoint's contract: _rewrite_category_texts unpersists the cut
+    # frame it was given)
+    out = _hold(out)
+    for frame in live:
+        if frame is not out:
+            frame.unpersist()
     return out
 
 
@@ -828,9 +867,18 @@ def token_budget_sample(
         .select("_skey", "_shard", "_off")
     )
     budget: Column = F.lit(default_budget)
+    # budget keys match with NATIVE-equality semantics: the key literal
+    # round-trips through the strata column's own dtype before the
+    # string render, so a double column's 5.0 matches a budget keyed 5
+    # (both render '5.0') exactly like the pre-sentinel `col == lit(key)`
+    # compare did — a bare str(key) cast silently fell back to
+    # default_budget for every non-string stratum (r12 advice)
+    strata_dt = df.schema[strata_col].dataType
     for stratum, b in sorted(budgets.items()):
         budget = F.when(
-            F.col("_skey") == F.lit(stratum).cast("string"), F.lit(b)
+            F.col("_skey")
+            == F.lit(stratum).cast(strata_dt).cast("string"),
+            F.lit(b),
         ).otherwise(budget)
     kept = (
         local.join(F.broadcast(offsets), ["_skey", "_shard"])

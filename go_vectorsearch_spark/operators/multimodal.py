@@ -742,12 +742,17 @@ def _sniff_mp4(p: bytes):
                 ver = p[b2]
                 if ver == 0 and b2 + 20 <= e2:
                     ts, dur = struct.unpack_from(">II", p, b2 + 12)
+                    unknown = dur == 0xFFFFFFFF
                 elif ver == 1 and b2 + 32 <= e2:
                     (ts,) = struct.unpack_from(">I", p, b2 + 20)
                     (dur,) = struct.unpack_from(">Q", p, b2 + 24)
+                    unknown = dur == 0xFFFFFFFFFFFFFFFF
                 else:
                     continue
-                if ts > 0:
+                # ISO 14496-12: an all-ones duration means "unknown"
+                # (live/fragmented capture) — report NULL, not a
+                # multi-decade figure a max-duration filter would act on
+                if ts > 0 and not unknown:
                     dur_ms = int(dur * 1000 / ts)
             elif t2 == b"trak" and width is None:
                 for t3, b3, e3 in boxes(b2, e2):
@@ -788,7 +793,10 @@ def _sniff_ogg(p: bytes):
         ch = payload[11]
         (sr,) = struct.unpack_from("<I", payload, 12)
         granule_rate = sr  # granules are PCM samples at sr
-    elif payload[:8] == b"OpusHead" and len(payload) >= 13:
+    elif payload[:8] == b"OpusHead" and len(payload) >= 16:
+        # >= 16 so the 4-byte input-rate read below is in-bounds (a
+        # spec-valid OpusHead is >= 19 bytes; a 13-15 byte fragment
+        # previously raised struct.error and degraded the row to opaque)
         ch = payload[9]
         (sr,) = struct.unpack_from("<I", payload, 12)  # input rate
         granule_rate = 48000  # Opus granules are always 48 kHz
@@ -798,11 +806,19 @@ def _sniff_ogg(p: bytes):
         return None
     dur_ms = None
     tail = p[max(0, len(p) - 65536) :]
+    # 'OggS' can occur inside compressed packet bytes, so a bare rfind
+    # hit may not be a page header — validate the capture-pattern hit
+    # (version byte 0 per RFC 3533 §6, full 27-byte header in bounds)
+    # and scan backwards past false positives before trusting the
+    # granule. Bounded: each miss shrinks the search window.
     last = tail.rfind(b"OggS")
-    if last >= 0 and last + 14 <= len(tail):
-        (granule,) = struct.unpack_from("<q", tail, last + 6)
-        if granule > 0:
-            dur_ms = int(granule * 1000 / granule_rate)
+    while last >= 0:
+        if last + 27 <= len(tail) and tail[last + 4] == 0:
+            (granule,) = struct.unpack_from("<q", tail, last + 6)
+            if granule > 0:
+                dur_ms = int(granule * 1000 / granule_rate)
+            break
+        last = tail.rfind(b"OggS", 0, last)
     return (sr, ch, dur_ms)
 
 

@@ -2543,21 +2543,23 @@ def q_boilerplate_cut_docs(spark, sf_dir):
     Output is scalar-only (doc_id, md5 of final text) like the other
     cut twins."""
     from go_vectorsearch_spark.operators.documents import (
+        EMPTY_DOC_MARKER,
         format_multiline_text,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # the derived corpus is read ~3x inside the fixpoint's first pass
-    # (hot fit, strip subtree, normalize-join prev subtree) — session-
-    # cache it so the md5 derivation and parquet scan run once (the
-    # curate entry's stripped-frame precedent); the Engine path gets
-    # the same effect from boilerplate_cut's persisted texts frame
+    # the derived corpus is read ~2x inside each fused pass (hot-fit
+    # subtree, strip/prev subtree) — session-cache it so the md5
+    # derivation and parquet scan run once (the curate entry's
+    # stripped-frame precedent); the Engine path gets the same effect
+    # from boilerplate_cut's persisted texts frame
     corpus = _dedup_cached(spark, "bp_corpus", sf_dir, lambda: _bp_corpus(docs))
     out = CUR.strip_boilerplate_fixpoint(
         corpus,
         min_df=_BP_MIN_DF,
         iterate=3,
         normalize=format_multiline_text,
+        marker=EMPTY_DOC_MARKER,
     )
     res = out.select("doc_id", F.md5("text").alias("clean_md5"))
     # the fixpoint returns its result persisted (callers own the

@@ -461,6 +461,31 @@ SELECT doc_id FROM c WHERE cum <= budget
             con.close()
         assert {i for i, _ in got} == want
 
+    def test_non_string_strata_budget_keys_match_natively(self, spark):
+        """Budget keys match with NATIVE-equality semantics on a
+        non-string strata column (r12 advice): an int key 5 must hit a
+        DOUBLE stratum 5.0 exactly like the pre-sentinel
+        ``col == lit(key)`` compare did — a bare str(key) render
+        ('5' vs the column's '5.0') silently sampled every non-string
+        stratum at default_budget."""
+        from go_vectorsearch_spark.operators.curation import token_budget_sample
+
+        rows = [(i, float(i % 2) + 4.0, "w " * 5) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, bucket double, text string"
+        )
+        out = token_budget_sample(
+            df, "bucket", {5: 10}, default_budget=10_000
+        )
+        per = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert per.get(4.0) == 20  # default budget keeps the whole stratum
+        # the 10-token budget keyed 5 must BIND to stratum 5.0: a
+        # 2-document prefix (5 tokens each), not all 20
+        assert per.get(5.0) == 2
+
 
 def test_boilerplate_cut_docs_converges_in_two_passes(spark, sf_correct):
     """The boilerplate_cut_docs oracle unrolls the fixpoint as exactly

@@ -1327,3 +1327,87 @@ def test_sniff_bmp_palette_reports_decode_channels(spark):
     )
     got = sniff_media_meta(media).collect()[0]
     assert (got["fmt"], got["n_channels"]) == ("bmp", 3)
+
+
+def test_sniff_mp4_unknown_duration_sentinel():
+    """ISO 14496-12 marks an UNKNOWN movie duration as all-ones
+    (0xFFFFFFFF in a v0 mvhd, 2^64-1 in v1 — live/fragmented capture);
+    the sniff must report NULL, not the multi-decade figure a
+    max-duration ingest filter would silently drop (r12 advice)."""
+    import struct as _struct
+
+    from go_vectorsearch_spark.operators.multimodal import _sniff_mp4
+
+    def box(tag, body):
+        return _struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"iso2mp41")
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + _struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + bytes(8) + bytes(8) + bytes(36)
+        + _struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    for mvhd in (
+        box(  # v0 sentinel
+            b"mvhd",
+            bytes(4) + _struct.pack(">IIII", 0, 0, 1000, 0xFFFFFFFF)
+            + bytes(80),
+        ),
+        box(  # v1 sentinel
+            b"mvhd",
+            bytes([1]) + bytes(3)
+            + _struct.pack(">QQIQ", 0, 0, 1000, (1 << 64) - 1)
+            + bytes(80),
+        ),
+    ):
+        got = _sniff_mp4(ftyp + box(b"moov", mvhd + box(b"trak", tkhd)))
+        assert got == (640, 360, None), got
+
+
+def test_sniff_ogg_short_opushead_degrades_not_raises():
+    """A truncated 13-15 byte OpusHead first-page payload is too short
+    for the 4-byte input-rate field — the sniff must return None (the
+    bounded-parse degrade), never raise struct.error out of the walk
+    (r12 advice: the old >= 13 guard under-covered the offset-12
+    read)."""
+    import struct as _struct
+
+    from go_vectorsearch_spark.operators.multimodal import _sniff_ogg
+
+    def ogg_page(payload, granule=0, htype=2):
+        seg = bytes([len(payload)])
+        return (
+            b"OggS\x00" + bytes([htype]) + _struct.pack("<q", granule)
+            + _struct.pack("<III", 1, 0, 0) + bytes([1]) + seg + payload
+        )
+
+    for n in (13, 14, 15):
+        assert _sniff_ogg(ogg_page(b"OpusHead" + bytes(n - 8))) is None
+
+
+def test_sniff_ogg_false_capture_pattern_in_tail():
+    """'OggS' occurring inside compressed packet bytes is not a page
+    header: the duration scan must validate the candidate (version byte
+    0, full header in bounds) and fall back to the previous hit instead
+    of reading a garbage granule (r12 advice)."""
+    import struct as _struct
+
+    from go_vectorsearch_spark.operators.multimodal import _sniff_ogg
+
+    def ogg_page(payload, granule=0, htype=2):
+        seg = bytes([len(payload)])
+        return (
+            b"OggS\x00" + bytes([htype]) + _struct.pack("<q", granule)
+            + _struct.pack("<III", 1, 0, 0) + bytes([1]) + seg + payload
+        )
+
+    vorbis_id = (
+        b"\x01vorbis" + _struct.pack("<I", 0) + bytes([2])
+        + _struct.pack("<I", 44100) + bytes(13)
+    )
+    # the LAST page's payload embeds a false 'OggS' whose would-be
+    # granule bytes are 0xFF.. (a huge bogus duration with the old code)
+    last = ogg_page(b"xxOggS" + b"\xff" * 12, granule=441000, htype=4)
+    got = _sniff_ogg(ogg_page(vorbis_id) + last)
+    assert got == (44100, 2, 10000), got
