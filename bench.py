@@ -237,6 +237,7 @@ def main() -> None:
     # measures the weather, not the engine. Running both sides back to
     # back makes spark_vs_duckdb_oracle_ratio box-independent.
     duckdb_total = None
+    duckdb_timings: dict[str, float] = {}
     try:
         import duckdb
 
@@ -249,12 +250,18 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')"
                 )
-            t0 = time.perf_counter()
             name = None
             try:
+                # per-statement twin timings (r12 verdict task 6): a
+                # ratio excursion decomposes standalone into rotation
+                # delta vs weather delta vs engine delta — previously
+                # only the DuckDB TOTAL was recorded, so every
+                # excursion needed BASELINE.md archaeology
                 for name in sorted(oracle_names):
+                    t0 = time.perf_counter()
                     con.execute(registry.REGISTRY[name].oracle).arrow()
-                duckdb_total = round(time.perf_counter() - t0, 3)
+                    duckdb_timings[name] = round(time.perf_counter() - t0, 3)
+                duckdb_total = round(sum(duckdb_timings.values()), 3)
             except Exception as e:
                 # context only — the bench metric never depends on it —
                 # but a silent null would hide WHICH statement broke
@@ -288,6 +295,9 @@ def main() -> None:
             round(oracle_total / duckdb_total, 3) if duckdb_total else None
         ),
         "queries": timings,
+        # per-oracle twin walls, same keys as the oracle subset of
+        # "queries": {name: spark "queries"[name] vs duckdb_queries[name]}
+        "duckdb_queries": duckdb_timings,
         "sf": sf,
     }
     # full record: one JSON line (the original contract) + a disk copy
@@ -305,7 +315,10 @@ def main() -> None:
     # that a tail-limited capture still holds one complete parseable
     # JSON object (BENCH_r04 recorded only the tail of the full line,
     # losing every summary field — the driver's parse came back null)
-    summary = {k: v for k, v in record.items() if k != "queries"}
+    summary = {
+        k: v for k, v in record.items()
+        if k not in ("queries", "duckdb_queries")
+    }
     summary["queries_in"] = "BENCH.json"
     print(json.dumps(summary))
 

@@ -125,22 +125,25 @@ def boilerplate_lines(
     granularity (headers, footers, cookie banners, nav chrome: the text
     that repeats across pages because of the SITE, not the content).
     Normalized-empty lines never count (they are structure, not
-    boilerplate). Plan shape: explode → distinct (doc, 16-byte hash)
-    pairs → one hash groupBy; raw line text never shuffles here."""
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
-        ).alias("_line"),
-    )
-    per_doc = (
-        lines.select("_id", F.lower(F.trim("_line")).alias("_n"))
-        .filter(F.length("_n") > 0)
-        .select("_id", F.md5("_n").alias("_lh"))
-        .distinct()
+    boilerplate). Plan shape (r13): the per-document form dedup runs
+    MAP-SIDE as ``array_distinct`` over the normalized line array —
+    each exploded row is already a distinct (doc, form) pair — so the
+    whole fit is ONE exchange (the hash groupBy); the old
+    explode→``distinct()`` shape shuffled the corpus's line set twice.
+    Raw line text never shuffles here."""
+    forms = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1),
+                lambda l: F.lower(F.trim(l)),
+            ),
+            lambda n: F.length(n) > 0,
+        )
     )
     return (
-        per_doc.groupBy("_lh")
+        df.select(F.explode(forms).alias("_n"))
+        .select(F.md5("_n").alias("_lh"))
+        .groupBy("_lh")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_df)
     )
@@ -167,7 +170,31 @@ def strip_boilerplate_lines(
     FRAME on the 16-byte line hash — never a collected literal — so a
     corpus with a million boilerplate lines costs one (auto-broadcast
     when small) join, and the only text-bearing shuffle is the final
-    per-document regroup."""
+    per-document regroup. That regroup covers EVERY document (r13):
+    hot lines are dropped by a conditional ``collect_list`` inside the
+    aggregate rather than a pre-filter, so an all-boilerplate document
+    aggregates to '' directly and the old rebuild-then-left-join-back
+    pass over the document list is gone."""
+    return _strip_rebuild(df, id_col, text_col, min_df, hot).select(
+        F.col("_id").alias(id_col), "text"
+    )
+
+
+def _strip_rebuild(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int,
+    hot: DataFrame | None,
+) -> DataFrame:
+    """The one fit+strip plan behind :func:`strip_boilerplate_lines`
+    and the fixpoint's :func:`_strip_pass`: posexplode lines, left-join
+    the hot frame on the 16-byte hash, and rebuild per document with a
+    single conditional aggregate — ``(_id, text, __changed)`` where
+    ``text`` is the hot-stripped rejoin (byte-exact round-trip for
+    untouched documents, '' when every line was hot) and ``__changed``
+    is whether ANY line was dropped (``bool_or`` of the hot flag, so no
+    previous-text frame ever joins back just to detect change)."""
     if hot is None:
         hot = boilerplate_lines(df, id_col, text_col, min_df)
     with_ix = df.select(
@@ -177,69 +204,28 @@ def strip_boilerplate_lines(
         ).alias("_ix", "_line"),
     )
     tagged = with_ix.withColumn("_lh", F.md5(F.lower(F.trim("_line"))))
-    kept = tagged.join(
+    flagged = tagged.join(
         hot.select("_lh", F.lit(True).alias("_hot")), "_lh", "left"
-    ).filter(F.col("_hot").isNull())
-    rebuilt = kept.groupBy("_id").agg(
+    )
+    # every document has >= 1 exploded row (split of '' is ['']), so
+    # one groupBy covers the full document list — including docs whose
+    # every line was hot (empty kept array -> concat_ws -> '')
+    return flagged.groupBy("_id").agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_ix", "_line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_hot").isNull(),
+                            F.struct("_ix", "_line"),
+                        )
+                    )
+                ),
                 lambda s: s["_line"],
             ),
-        ).alias("text")
-    )
-    # left join from the full document list: an all-boilerplate doc has
-    # zero kept lines and must still appear, as ''
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-        )
-    )
-
-
-def _strip_pass(
-    df: DataFrame, id_col: str, text_col: str, min_df: int
-) -> DataFrame:
-    """One FUSED fit+strip pass for the fixpoint: the hot-line aggregate
-    of :func:`boilerplate_lines` is an unshared subtree of the strip
-    plan, and the rebuild's left join from the full document list also
-    carries the input text through — so a pass returns
-    ``(_id, __prev, text)`` (text = rebuilt clean, pre-normalize) from
-    ONE job, and the changed/emptied decisions downstream are column
-    compares over this frame, never a second corpus pass (r13: the old
-    shape ran the fit as its own persisted+counted action per pass plus
-    a separate prev join — three corpus-plan actions where one
-    suffices)."""
-    hot = boilerplate_lines(df, id_col, text_col, min_df)
-    with_ix = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
-        ).alias("_ix", "_line"),
-    )
-    tagged = with_ix.withColumn("_lh", F.md5(F.lower(F.trim("_line"))))
-    kept = tagged.join(
-        hot.select("_lh", F.lit(True).alias("_hot")), "_lh", "left"
-    ).filter(F.col("_hot").isNull())
-    rebuilt = kept.groupBy("_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_ix", "_line"))),
-                lambda s: s["_line"],
-            ),
-        ).alias("text")
-    )
-    return (
-        df.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("__prev")
-        )
-        .join(rebuilt, "_id", "left")
-        .select("_id", "__prev", F.coalesce("text", F.lit("")).alias("text"))
+        ).alias("text"),
+        F.max(F.coalesce(F.col("_hot"), F.lit(False))).alias("__changed"),
     )
 
 
@@ -295,31 +281,35 @@ def strip_boilerplate_fixpoint(
 
     Termination: every pass with a non-empty hot set removes at least
     one line from every still-active document carrying one, and a
-    document leaves the loop when it empties, so per-document passes
+    document leaves the fit when it empties, so per-document passes
     are bounded by its line count; ``iterate`` bounds the loop like the
-    substring cut's. Each pass is ONE action (r13 — the per-pass count
-    was 3): the fused fit+strip (:func:`_strip_pass`) persists, and the
-    materializing count runs over its changed-rows filter, so the same
-    action that fills the cache IS the convergence decision — a pass
-    changed zero documents iff the hot fit was empty (a hot line
-    appears in ≥ ``min_df`` documents and stripping one always changes
-    the text; an empty hot set makes the split/rebuild a byte-exact
-    round-trip), exactly the substring cut's probe-not-compare
-    discipline (substr.py) one level cheaper. Emptied documents all
-    carry the SAME text — the irremovable marker — so no per-pass done
-    frame is held either: the final union reconstructs them as
-    ``(id, marker)`` from one id-only anti-join against the survivors.
-    Intermediates persist for their pass and release AS SUPERSEDED, so
-    the cache footprint is bounded by one pass's working set regardless
-    of ``iterate``, and the RESULT always comes back persisted+
-    materialized (the caller releases it — previously a first-pass
-    convergence returned the raw source plan, r12 advice). A converged
-    result re-fit yields an EMPTY hot set over the still-active
-    documents: stripped lines reach document frequency zero, survivors
-    kept their sub-threshold frequencies, and normalization-migrated
-    forms were re-checked by the next pass — only the frozen
-    empty-document markers (reported but irremovable) can remain
-    frequent."""
+    substring cut's. Each pass is ONE action over ~two exchanges (r13 —
+    the per-pass count was three actions over ~five exchanges): the
+    fused fit+strip (:func:`_strip_rebuild` — map-side-distinct fit,
+    conditional-aggregate rebuild carrying a ``bool_or`` changed flag,
+    so neither the document list nor the previous text ever joins back)
+    persists, and the materializing count runs over its changed-rows
+    filter, so the same action that fills the cache IS the convergence
+    decision — a pass changed zero documents iff the hot fit was empty
+    (a hot line appears in ≥ ``min_df`` documents and stripping one
+    always changes the text; an empty hot set makes the split/rebuild a
+    byte-exact round-trip), exactly the substring cut's
+    probe-not-compare discipline (substr.py) one level cheaper. Frozen
+    documents (pre-existing markers and pass-emptied ones) FLOW through
+    the loop as a marked passthrough leg instead of splitting into held
+    side frames: they are excluded from the fit and the strip, rejoin
+    each pass's one cached frame, and the result needs no final
+    reconstruction join. Intermediates persist for their pass and
+    release AS SUPERSEDED, so the cache footprint is bounded by one
+    pass's working set regardless of ``iterate``, and the RESULT always
+    comes back persisted+materialized (the caller releases it —
+    previously a first-pass convergence returned the raw source plan,
+    r12 advice). A converged result re-fit yields an EMPTY hot set over
+    the still-active documents: stripped lines reach document frequency
+    zero, survivors kept their sub-threshold frequencies, and
+    normalization-migrated forms were re-checked by the next pass —
+    only the frozen empty-document markers (reported but irremovable)
+    can remain frequent."""
     from pyspark import StorageLevel
 
     if iterate < 1:
@@ -332,7 +322,6 @@ def strip_boilerplate_fixpoint(
         frame.count()
         return frame
 
-    cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just
         # the ones a pass creates: without this, a category that was
@@ -340,31 +329,37 @@ def strip_boilerplate_fixpoint(
         # '.' docs, the marker line reads as hot, and OTHER documents'
         # legitimate marker-form lines get stripped — behavior that
         # would differ between a first and a second invocation (r11
-        # review). They rejoin via the final anti-join below.
+        # review). NULL-text rows drop here like the old marker filter
+        # dropped them.
         if marker is None:
             marker = (
                 df.sparkSession.range(1)
                 .select(normalize(F.lit("")).alias("m"))
                 .head()[0]
             )
-        cur = cur.filter(F.col("text") != F.lit(marker))
-    # frames backing the CURRENT ``cur``'s plan (this pass's fused
+        cur = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.col(text_col).alias("text"),
+            (F.col(text_col) == F.lit(marker)).alias("__frozen"),
+        )
+    else:
+        cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    # the frame backing the CURRENT ``cur``'s plan (this pass's fused
     # fit+strip+normalize rebuild): the only intermediate that must stay
     # cached across the pass boundary — everything older is released
     # the moment the next pass's frame materializes
     live: list[DataFrame] = []
     for _ in range(iterate):
-        raw = _strip_pass(cur, id_col, "text", min_df)
-        changed = F.col("text") != F.col("__prev")
         if normalize is None:
             # no storage convention in play: '' documents stay '' and
             # contribute no countable lines — no freeze needed
-            staged = raw.select(
-                F.col("_id").alias(id_col),
-                F.col("text"),
-                changed.alias("__changed"),
+            staged = _strip_rebuild(cur, id_col, "text", min_df, None).select(
+                F.col("_id").alias(id_col), "text", "__changed"
             )
         else:
+            active = cur.filter(~F.col("__frozen"))
+            raw = _strip_rebuild(active, id_col, "text", min_df, None)
+            changed = F.col("__changed")
             staged = raw.select(
                 F.col("_id").alias(id_col),
                 F.when(changed, normalize(F.col("text")))
@@ -377,6 +372,15 @@ def strip_boilerplate_fixpoint(
                 # circulates harmlessly instead of being misfiled as a
                 # marker
                 (changed & (F.col("text") == "")).alias("__frozen"),
+            ).unionByName(
+                # frozen docs ride along untouched — same cached frame,
+                # no held side frame, no reconstruction join at the end
+                cur.filter(F.col("__frozen")).select(
+                    F.col(id_col),
+                    "text",
+                    F.lit(False).alias("__changed"),
+                    F.lit(True).alias("__frozen"),
+                )
             )
         staged = staged.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         # ONE action: materializes the pass's cache AND returns the
@@ -388,34 +392,16 @@ def strip_boilerplate_fixpoint(
         for frame in live:
             frame.unpersist()
         live = [staged]
-        cur = staged.select(id_col, "text") if normalize is None else (
-            staged.filter(~F.col("__frozen")).select(id_col, "text")
-        )
-    out = cur
-    if normalize is not None:
-        # every document missing from the survivors is a marker — a
-        # pass-frozen doc normalized to exactly ``marker``, a
-        # pre-existing marker doc stored exactly ``marker`` — so ONE
-        # id-only anti-join against the source reconstructs them all
-        # (NULL-text source rows never entered the loop and stay out,
-        # matching the marker-filter semantics)
-        missing = (
-            df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col))
-            .join(cur.select(id_col), id_col, "left_anti")
-            .select(F.col(id_col), F.lit(marker).alias("text"))
-        )
-        out = cur.unionByName(missing)
+        cur = staged
     # persist + materialize the RESULT itself, unconditionally (r12
     # advice: a first-pass convergence used to return the raw source
-    # plan), then release the final pass's intermediates (their rows
-    # now live in out's cache) — the caller releases out (the substr
+    # plan), then release the final pass's intermediate (its rows now
+    # live in out's cache) — the caller releases out (the substr
     # fixpoint's contract: _rewrite_category_texts unpersists the cut
     # frame it was given)
-    out = _hold(out)
+    out = _hold(cur.select(id_col, "text"))
     for frame in live:
-        if frame is not out:
-            frame.unpersist()
+        frame.unpersist()
     return out
 
 
