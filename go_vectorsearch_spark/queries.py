@@ -355,16 +355,19 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
-@register(
-    "topk_dedup_customer",
-    oracle="""
+# T2/D1 deduped top-k: best order per customer, then global top-10
+# (reference: server/search.go:234-273 dedup-by-document top-k).
+# Demoted out of the 50-entry driver window r13 after 12 green rounds
+# (slot ceded to the dedup_semantic greedy-elimination oracle); the
+# identical parity bar lives in tests/test_demoted_parity.py, and T2
+# deduped-top-k stays driver-proved via the in-window cosine_topk.
+TOPK_DEDUP_CUSTOMER_ORACLE = """
 SELECT o_custkey, round(max(o_totalprice), 2) AS best_price
 FROM orders GROUP BY o_custkey
 ORDER BY best_price DESC, o_custkey ASC LIMIT 10
-""",
-    doc="T2/D1 deduped top-k: best order per customer, then global top-10 "
-    "(reference: server/search.go:234-273 dedup-by-document top-k)",
-)
+"""
+
+
 def q_topk_dedup_customer(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     best = dedup_best_by_key(orders, "o_custkey", "o_totalprice")
@@ -3862,20 +3865,117 @@ def q_ivf_batch_probe_all(spark, sf_dir):
     return res.select("q_id", "vec_id", F.round("score", 6).alias("score"))
 
 
+# dedup_semantic's DuckDB twin (rotated INTO the window r13 — the last
+# LLM-pipeline family member without a driver-proved row; slot ceded by
+# topk_dedup_customer). The greedy min-id elimination is inherently
+# sequential per cluster, so the twin carries the kept set as a LIST
+# column through a recursive CTE — one state row per (cluster, step) —
+# against neighbor lists prebuilt OUTSIDE the recursion:
+#   * e: L2-normalized vectors + a deterministic derived cluster
+#     (vec_id % 8) both engines compute identically — the clustering is
+#     an INPUT of the operator (the Engine composes it with the IVF
+#     assignment; an iterative k-means is not SQL-re-derivable, the
+#     _bp_corpus derived-fixture precedent applies);
+#   * nbrs: per row, its SMALLER-id qualifying neighbors (cos >=
+#     threshold) sorted by (cos DESC, id ASC) — the greedy only ever
+#     reads the best QUALIFYING kept similarity, so sub-threshold pairs
+#     never enter the recursion (output-bounded, the hot-cap
+#     discipline);
+#   * greedy: step k decides each cluster's (k+1)-th row purely with
+#     list expressions (list_filter against the kept set, element 1 =
+#     the argmax by the prebuilt sort) — NO LATERAL/aggregate inside
+#     the recursive term (DuckDB 1.0 computes a LATERAL-in-recursion
+#     nondeterministically under multithreading; found while building
+#     this twin, pinned by tests/test_parity.py).
+_SEM_NORM = (
+    "list_transform(embedding::DOUBLE[], x -> x / "
+    "CASE WHEN sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))) = 0 "
+    "THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))) END)"
+)
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id AS id, vec_id % 8 AS cl, {_SEM_NORM} AS v,
+         row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+nbrs AS MATERIALIZED (
+  SELECT id_i, list(struct_pack(j := id_j, c := c) ORDER BY c DESC, id_j ASC) AS nb
+  FROM (
+    SELECT a.id AS id_i, b.id AS id_j,
+           list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS c
+    FROM e a JOIN e b ON a.cl = b.cl AND b.rn < a.rn
+  ) WHERE c >= 0.4
+  GROUP BY id_i
+),
+en AS MATERIALIZED (
+  SELECT e.id, e.cl, e.rn, coalesce(n.nb, []) AS nb
+  FROM e LEFT JOIN nbrs n ON n.id_i = e.id
+),
+greedy AS (
+  SELECT cl, rn, id,
+         TRUE AS keep, NULL::BIGINT AS dup_of, NULL::DOUBLE AS sim,
+         [id] AS kept_ids
+  FROM en WHERE rn = 1
+  UNION ALL
+  SELECT cl, rn, id,
+         best IS NULL, best.j, best.c,
+         CASE WHEN best IS NULL THEN list_append(kept_ids, id) ELSE kept_ids END
+  FROM (
+    SELECT en.cl, en.rn, en.id, g.kept_ids,
+           list_filter(en.nb, x -> list_contains(g.kept_ids, x.j))[1] AS best
+    FROM greedy g JOIN en ON en.cl = g.cl AND en.rn = g.rn + 1
+  )
+)
+SELECT id AS vec_id, cl AS centroid_id, keep, dup_of,
+       round(sim, 6) AS max_kept_sim
+FROM greedy
+"""
+
+
 @register(
     "dedup_semantic",
-    oracle=None,  # k-means-cluster dependent: rows-only check; the
-    # greedy semantics are pinned by tests/test_dedup_text.py against an
-    # independent pure-Python reference plus invariant checks.
-    # Registered in the no-oracle TAIL: the driver's correctness window
-    # covers the first 50 entries, which must stay the 50 oracle ones.
-    doc="SemDeDup-style semantic dedup: greedy min-id near-dup removal "
-    "within each IVF cluster, reusing the index build's k-means "
-    "assignment (operators/dedup.semantic_dedup; Abbas et al. 2023, "
-    "arXiv:2303.09540). Survivors are pairwise < threshold per cluster; "
-    "each duplicate records its kept dup_of and similarity",
+    oracle=DEDUP_SEMANTIC_ORACLE,
+    doc="SemDeDup-style semantic dedup (operators/dedup.semantic_dedup; "
+    "Abbas et al. 2023, arXiv:2303.09540): greedy min-id near-dup "
+    "removal within each cluster — survivors pairwise < threshold, each "
+    "duplicate records its kept dup_of and similarity. Windowed over a "
+    "deterministic derived cluster column (the clustering is the "
+    "operator's input contract; dedup_semantic_ivf drives the "
+    "IVF-assignment composition); DuckDB twin replays the greedy "
+    "sequence with a recursive CTE carrying the kept set as a list",
 )
 def q_dedup_semantic(spark, sf_dir):
+    from go_vectorsearch_spark.operators import dedup as _DD
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 8).alias("centroid_id")
+    )
+    out = _DD.semantic_dedup(emb, threshold=0.4)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        "keep",
+        "dup_of",
+        F.round("max_kept_sim", 6).alias("max_kept_sim"),
+    )
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=None,  # k-means-cluster dependent: rows-only check; the
+    # greedy semantics are driver-proved by dedup_semantic above, and
+    # this composition (cluster = the ANN index's own assignment, so
+    # the clustering cost is shared) is pinned by
+    # tests/test_dedup_text.py invariants. Registered in the no-oracle
+    # TAIL: the driver's correctness window covers the first 50
+    # entries, which must stay the 50 oracle ones.
+    doc="SemDeDup over the IVF build's k-means assignment "
+    "(operators/dedup.semantic_dedup composed with plans/ivf."
+    "build_index — the paper's cluster-then-dedup recipe with the "
+    "clustering cost shared with the ANN index)",
+)
+def q_dedup_semantic_ivf(spark, sf_dir):
     from go_vectorsearch_spark.operators import dedup as _DD
 
     index = _ivf_index(spark, sf_dir)

@@ -86,6 +86,11 @@ DEMOTED = [
     # line-dedup family's fixpoint oracle); S3 point lookup has been
     # green since round 1 and keeps the identical bar here
     (Q.q_point_lookup, Q.POINT_LOOKUP_ORACLE),
+    # r13 demotion — ceded its window slot to dedup_semantic (the last
+    # LLM-pipeline family member without a driver-proved row); T2/D1
+    # deduped top-k has been green since round 1, keeps the identical
+    # bar here, and T2 stays driver-proved via the in-window cosine_topk
+    (Q.q_topk_dedup_customer, Q.TOPK_DEDUP_CUSTOMER_ORACLE),
 ]
 
 

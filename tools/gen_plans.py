@@ -40,9 +40,12 @@ PICKS = [
      "nested fold over a flat plane Literal inside a single projection (no per-bit "
      "subtrees); the histogram is a partial+final hash aggregate over the narrow bucket "
      "column."),
-    ("dedup_semantic", "Semantic dedup (SemDeDup): one hash-partition exchange on the IVF "
+    ("dedup_semantic", "Semantic dedup (SemDeDup): one hash-partition exchange on the "
      "cluster id feeding FlatMapGroupsInPandas — per-cluster chunked GEMM with task memory "
-     "bounded by max_leaf; no corpus-squared similarity buffer anywhere."),
+     "bounded by max_leaf; no corpus-squared similarity buffer anywhere. The windowed "
+     "entry derives its cluster column (vec_id-hash bucket) so the DuckDB twin replays "
+     "the greedy sequence; dedup_semantic_ivf composes the same operator with the IVF "
+     "assignment (identical plan shape above the exchange)."),
     ("fulltext_bm25_stored", "BM25 probe over the stored term-hash-bucketed postings: the "
      "query terms' buckets arrive as PartitionFilters on _tb (constant-folded "
      "pmod(xxhash64(term)) literals — non-matching buckets never read, the inverted "
