@@ -1411,3 +1411,116 @@ def test_sniff_ogg_false_capture_pattern_in_tail():
     last = ogg_page(b"xxOggS" + b"\xff" * 12, granule=441000, htype=4)
     got = _sniff_ogg(ogg_page(vorbis_id) + last)
     assert got == (44100, 2, 10000), got
+
+
+def test_flacref_codec_roundtrip():
+    """tests/flacref.py self-consistency: the encoder produces a
+    spec-conformant fixed-blocksize FLAC stream (FIXED predictors +
+    Rice residuals — real compression, not a verbatim wrapper) that the
+    matching decoder reproduces bit-exactly, verifying CRC-8/CRC-16 and
+    the STREAMINFO sample-count/MD5 along the way; corruption and
+    truncation raise (the registry's could-not-decode contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.flacref import decode_flac, encode_flac
+
+    rng = np.random.default_rng(7)
+    t = np.arange(5000)
+    wave = (
+        3000 * np.sin(t / 20) + 500 * np.sin(t / 3)
+        + rng.integers(-50, 50, len(t))
+    ).astype(np.int16)
+    payload = encode_flac(wave, 22050, blocksize=512)
+    assert len(payload) < wave.nbytes * 0.7  # genuinely compressed
+    sr, got = decode_flac(payload)
+    assert sr == 22050 and np.array_equal(got, wave)
+    # constant blocks take the CONSTANT subframe path
+    const = np.full(1000, -123, dtype=np.int16)
+    sr, got = decode_flac(encode_flac(const, 8000, blocksize=256))
+    assert sr == 8000 and np.array_equal(got, const)
+    # multi-byte coded frame numbers (>=128 frames) and a short tail
+    w2 = np.linspace(-30000, 30000, 40000).astype(np.int16)
+    _, got = decode_flac(encode_flac(w2, 44100, blocksize=192))
+    assert np.array_equal(got, w2)
+    for cut in (5, 40, len(payload) // 2, len(payload) - 3):
+        with _pytest.raises(ValueError):
+            decode_flac(payload[:cut])
+    bad = bytearray(payload)
+    bad[60] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+
+
+def test_real_flac_decodes_through_adapter_registry(spark):
+    """The adapter seam proved against a genuine AUDIO codec (r12
+    verdict task 5 — the jpegref.py pattern, audio side): tests/flacref
+    manufactures REAL FLAC payloads, registered exactly like production
+    registers soundfile. End-to-end through the registry mapInPandas
+    path:
+
+    * sniff_media_meta's STREAMINFO sniff agrees with the encoder's
+      header (rate / channels / duration) before any decode;
+    * the built-ins refuse FLAC (fmt='opaque' unregistered; strict mode
+      raises at the documented boundary);
+    * with the adapter registered, a real FLAC decodes to true sample
+      rate, sample count and RMS through the registry path;
+    * a truncated body raises inside the adapter (CRC/short-stream) and
+      degrades to could-not-decode, never a job abort."""
+    import numpy as np
+    import pytest as _pytest
+
+    from go_vectorsearch_spark.operators import multimodal as MM
+    from tests.flacref import decode_flac, encode_flac
+
+    rng = np.random.default_rng(21)
+    t = np.arange(11025)
+    wave = (
+        9000 * np.sin(t / 17) + rng.integers(-800, 800, len(t))
+    ).astype(np.int16)
+    payload = encode_flac(wave, 11025, blocksize=1024)
+
+    def media(rows):
+        return spark.createDataFrame(
+            [(i, i, "audio", bytearray(p), None) for i, p in rows],
+            "media_id long, doc_id long, kind string, payload binary, "
+            "meta struct<width:int>",
+        )
+
+    sniffed = MM.sniff_media_meta(media([(1, payload)])).collect()[0]
+    assert (
+        sniffed["fmt"], sniffed["sample_rate"], sniffed["n_channels"],
+        sniffed["est_duration_ms"],
+    ) == ("flac", 11025, 1, 1000)
+
+    got = MM.decode_real_features(media([(1, payload)])).collect()[0]
+    assert got["fmt"] == "opaque"
+    with _pytest.raises(Exception, match="NotImplementedError|adapter"):
+        MM.decode_real_features(media([(1, payload)]), strict=True).collect()
+
+    def _claims(p: bytes) -> bool:
+        return p[:4] == b"fLaC"
+
+    def _decode(p: bytes):
+        sr, samples = decode_flac(p)
+        return ("flac", None, (sr, samples))
+
+    MM.register_decoder("flacref", _claims, _decode)
+    try:
+        rows = {
+            r["media_id"]: r
+            for r in MM.decode_real_features(
+                media([(1, payload), (2, payload[: len(payload) // 2])]),
+                strict=False,
+            ).collect()
+        }
+        ok = rows[1]
+        assert (ok["fmt"], ok["sample_rate"], ok["n_samples"]) == (
+            "flac", 11025, len(wave),
+        )
+        want_rms = float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
+        assert abs(ok["rms"] - want_rms) / want_rms < 1e-6
+        # truncated: adapter raises (CRC / short stream) -> opaque
+        assert rows[2]["fmt"] == "opaque"
+    finally:
+        MM.unregister_decoder("flacref")
