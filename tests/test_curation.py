@@ -963,3 +963,33 @@ def test_engine_boilerplate_marker_runbook_terminates(spark, tmp_path):
     # runbook terminates: report empty, second cut rewrites nothing
     assert e.boilerplate_report("o", "c", min_df=3).count() == 0
     assert e.boilerplate_cut("o", "c", min_df=3) == 0
+
+
+def test_strip_boilerplate_fixpoint_zero_cut_returns_persisted(spark):
+    """r12 advice: a first-pass convergence (nothing hot) must STILL
+    return a persisted+materialized frame — the documented contract
+    callers rely on (Engine.boilerplate_cut feeds the result to the
+    multi-action rewrite path; an unpersisted return re-ran the source
+    plan per downstream action). Checked for both the normalize and
+    plain branches, with the caller's release as the cleanup."""
+    from go_vectorsearch_spark.operators.curation import (
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        format_rejoined_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha."), (2, "beta."), (3, "gamma.")],
+        "doc_id long, text string",
+    )
+    for normalize in (None, format_rejoined_text):
+        out = strip_boilerplate_fixpoint(
+            df, min_df=3, iterate=3, normalize=normalize
+        )
+        assert out.storageLevel.useMemory or out.storageLevel.useDisk, (
+            "zero-cut fixpoint result came back unpersisted"
+        )
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got == {1: "alpha.", 2: "beta.", 3: "gamma."}
+        out.unpersist()

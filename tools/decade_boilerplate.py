@@ -67,8 +67,29 @@ def main() -> None:
     corpus(10, 32, f"{work}/x10")
     corpus(100, 64, f"{work}/x100")
 
-    print("\n| corpus | boilerplate_cut fixpoint wall | docs out | markers |")
-    print("|---|---|---|---|")
+    def duckdb_twin(d: str) -> float:
+        """The entry's own DuckDB twin (BOILERPLATE_CUT_ORACLE derives
+        the cascade corpus from the documents view itself) against the
+        SAME rung parquet — prices how the single-statement unroll
+        grows with the corpus next to the fixed-cost driver loop."""
+        import time as _time
+
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{work}/{d}/documents.parquet/*.parquet')"
+            )
+            t0 = _time.perf_counter()
+            con.execute(Q.BOILERPLATE_CUT_ORACLE).arrow()
+            return _time.perf_counter() - t0
+        finally:
+            con.close()
+
+    print("\n| corpus | boilerplate_cut fixpoint wall | DuckDB twin | docs out | markers |")
+    print("|---|---|---|---|---|")
     for label, d in (
         ("base (sf0.1, 5k)", "base"),
         ("10x (50k)", "x10"),
@@ -96,7 +117,8 @@ def main() -> None:
             return n
 
         w, n = _timed(run)
-        print(f"| {label} | {w:.2f} s | {n:,} | {markers[0]:,} |")
+        tw = duckdb_twin(d)
+        print(f"| {label} | {w:.2f} s | {tw:.2f} s | {n:,} | {markers[0]:,} |")
         derived.unpersist()
     shutil.rmtree(work, ignore_errors=True)
 
