@@ -364,6 +364,19 @@ def exact_substr_cut(
         cur_flags = duplicate_flags(w_cur).persist(
             StorageLevel.MEMORY_AND_DISK_DESER
         )
+        # fast converged path (r13): an EMPTY duplicate set trivially
+        # implies no effective cut span, and after a keeper cut it is
+        # the COMMON convergence shape (every duplicated family is down
+        # to its keeper copy, so the next round's duplicate set is
+        # empty unless keeper protection or cut-created adjacencies
+        # left real duplicates). Checking it first skips planning +
+        # compiling the island/subtraction probe below — whose codegen
+        # alone outweighs this isEmpty — in exactly the rounds where
+        # that probe would scan zero rows.
+        if cur_flags.isEmpty():
+            cur_flags.unpersist()
+            w_cur.unpersist()
+            break
         # effective-cut existence probe — the same island/subtraction
         # machinery the cut itself runs, WITHOUT touching text: rows
         # exist only for docs carrying duplicated windows, and a doc
