@@ -2499,6 +2499,7 @@ class Engine:
         )
         from go_vectorsearch_spark.operators.documents import (
             EMPTY_DOC_MARKER,
+            _format_string,
             format_multiline_text,
         )
 
@@ -2527,6 +2528,10 @@ class Engine:
                 # marker-resolution driver action, and this filter and
                 # boilerplate_report's already use it (can't desync)
                 marker=EMPTY_DOC_MARKER,
+                # the pinned Python twin of format_multiline_text —
+                # enables the fixpoint's adaptive driver-local path for
+                # driver-sized categories (the k-means build precedent)
+                normalize_py=_format_string,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

@@ -229,6 +229,83 @@ def _strip_rebuild(
     )
 
 
+def _bounded_local_rows(
+    df: DataFrame, id_col: str, text_col: str, max_docs: int, max_bytes: int
+):
+    """``[(id, text), ...]`` when the corpus fits the driver budget,
+    else ``None`` — the adaptive-gate probe (plans/ivf.build_index's
+    sample-doubles-as-counter discipline, text-shaped): both jobs are
+    ``limit(max_docs + 1)`` scans, so at 100 TB they read a bounded
+    row prefix and bail, never a corpus pass. The byte probe collects
+    lengths only; the data pull happens only once the corpus is KNOWN
+    driver-sized (a limit that returns <= max_docs rows returned the
+    whole corpus)."""
+    lens = (
+        df.select(F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("_n"))
+        .limit(max_docs + 1)
+        .collect()
+    )
+    if len(lens) > max_docs or sum(r["_n"] for r in lens) > max_bytes:
+        return None
+    return [
+        (r[0], r[1])
+        for r in df.select(F.col(id_col), F.col(text_col)).limit(max_docs + 1).collect()
+    ]
+
+
+def _fixpoint_local(
+    rows, min_df: int, iterate: int, normalize_py, marker
+) -> dict:
+    """Driver-local fixpoint — the EXACT scalar mirror of the
+    distributed loop below (same fit normalization: Spark ``trim``
+    removes ASCII space ONLY, so lines trim with ``.strip(' ')``, never
+    ``.strip()``; same changed/freeze/circulate semantics, same
+    NULL-text handling per branch). Returns {id: text}."""
+    frozen_out: dict = {}
+    texts: dict = {}
+    if normalize_py is not None:
+        for i, t in rows:
+            if t is None:
+                continue  # the marker filter drops NULLs distributed too
+            if t == marker:
+                frozen_out[i] = marker
+            else:
+                texts[i] = t
+    else:
+        texts = dict(rows)
+    for _ in range(iterate):
+        dfreq: dict = {}
+        for t in texts.values():
+            forms = {
+                ln.strip(" ").lower() for ln in ("" if t is None else t).split("\n")
+            }
+            forms.discard("")
+            for form in forms:
+                dfreq[form] = dfreq.get(form, 0) + 1
+        hot = {form for form, c in dfreq.items() if c >= min_df}
+        if not hot:
+            break
+        nxt: dict = {}
+        changed_any = False
+        for i, t in texts.items():
+            s = "" if t is None else t
+            kept = [ln for ln in s.split("\n") if ln.strip(" ").lower() not in hot]
+            clean = "\n".join(kept)
+            if clean != s:
+                changed_any = True
+                if normalize_py is not None:
+                    if clean == "":
+                        frozen_out[i] = marker  # changed-to-empty freezes
+                        continue
+                    clean = normalize_py(clean)
+            nxt[i] = clean
+        if not changed_any:
+            break  # mirror: the unmaterialized pass is discarded
+        texts = nxt
+    texts.update(frozen_out)
+    return texts
+
+
 def strip_boilerplate_fixpoint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -237,6 +314,10 @@ def strip_boilerplate_fixpoint(
     iterate: int = 3,
     normalize=None,
     marker: str | None = None,
+    normalize_py=None,
+    local_max_docs: int = 50_000,
+    local_max_bytes: int = 64 << 20,
+    _force_distributed: bool = False,
 ) -> DataFrame:
     """Repeat hot-fit → :func:`strip_boilerplate_lines` until NO line
     crosses ``min_df`` (or ``iterate`` passes) — the line-level analog
@@ -278,6 +359,26 @@ def strip_boilerplate_fixpoint(
     resolves it from the ``normalize`` hook. Ignored when ``normalize``
     is ``None``. A caller-supplied marker MUST equal what ``normalize``
     makes of ``''`` — the freeze semantics above assume it.
+
+    Adaptive small-corpus path (r13 — plans/ivf.build_index's
+    discipline, where the same call was accepted for the k-means build:
+    launching a cluster job per fixpoint pass for data the driver can
+    hold is pure scheduling overhead, and the reference's entire
+    engine is always in this situation): when the corpus fits the
+    driver budget (``local_max_docs`` docs AND ``local_max_bytes`` text
+    bytes — probed by two ``limit(max+1)`` jobs that read a BOUNDED row
+    prefix at any scale, never a corpus pass), the whole fixpoint runs
+    in :func:`_fixpoint_local`, the exact scalar mirror of the
+    distributed loop (same Spark-``trim``-is-ASCII-space-only fit
+    normalization, changed/freeze/circulate semantics, NULL handling),
+    output-equivalence pytest-pinned against the forced-distributed
+    path on randomized corpora. The local path needs the storage
+    normalization as a SCALAR (``normalize_py`` — the Engine passes
+    ``documents._format_string``, the pinned Python twin of
+    ``format_multiline_text``); with ``normalize`` set but no scalar
+    twin supplied, the operator stays distributed. The distributed path
+    is taken whenever the probe overflows — i.e. always at real scale —
+    and ``_force_distributed`` exists so tests can pin it at small SF.
 
     Termination: every pass with a non-empty hot set removes at least
     one line from every still-active document carrying one, and a
@@ -321,6 +422,33 @@ def strip_boilerplate_fixpoint(
         frame = frame.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         frame.count()
         return frame
+
+    if not _force_distributed and (normalize is None or normalize_py is not None):
+        rows = _bounded_local_rows(
+            df, id_col, text_col, local_max_docs, local_max_bytes
+        )
+        if rows is not None:
+            if normalize is not None and marker is None:
+                marker = normalize_py("")
+            result = _fixpoint_local(
+                rows,
+                min_df,
+                iterate,
+                normalize_py if normalize is not None else None,
+                marker,
+            )
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            out = df.sparkSession.createDataFrame(
+                list(result.items()),
+                schema=StructType(
+                    [
+                        StructField(id_col, df.schema[id_col].dataType),
+                        StructField("text", StringType()),
+                    ]
+                ),
+            )
+            return _hold(out)
 
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just

@@ -2547,6 +2547,7 @@ def q_boilerplate_cut_docs(spark, sf_dir):
     cut twins."""
     from go_vectorsearch_spark.operators.documents import (
         EMPTY_DOC_MARKER,
+        _format_string,
         format_multiline_text,
     )
 
@@ -2563,6 +2564,10 @@ def q_boilerplate_cut_docs(spark, sf_dir):
         iterate=3,
         normalize=format_multiline_text,
         marker=EMPTY_DOC_MARKER,
+        # pinned Python twin: at driver-checked scales the fixpoint
+        # takes its adaptive local path (the build_index discipline);
+        # the distributed loop is equivalence-pinned in pytest
+        normalize_py=_format_string,
     )
     res = out.select("doc_id", F.md5("text").alias("clean_md5"))
     # the fixpoint returns its result persisted (callers own the

@@ -845,10 +845,13 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
         for _ in range(iterate):
             df_count: dict = {}
             for t in cur.values():
+                # Spark `trim` removes ASCII space ONLY — .strip(" "),
+                # never .strip(), or the tabbed fixture line families
+                # would merge here and nowhere else (r13)
                 forms = {
-                    ln.strip().lower()
+                    ln.strip(" ").lower()
                     for ln in t.split("\n")
-                    if ln.strip().lower()
+                    if ln.strip(" ").lower()
                 }
                 for nn in forms:
                     df_count[nn] = df_count.get(nn, 0) + 1
@@ -860,7 +863,7 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
             for i, t in cur.items():
                 kept = [
                     ln for ln in t.split("\n")
-                    if ln.strip().lower() not in hot
+                    if ln.strip(" ").lower() not in hot
                 ]
                 new = "\n".join(kept)
                 if not normalize:
@@ -878,7 +881,17 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
         cur.update(done)
         return cur
 
-    lines = ["alpha beta", "Alpha Beta", "  spaced  ", "", "tail.", "x y z", "q"]
+    # "\ta tab\t" pins the fit normalization's trim semantics on BOTH
+    # paths: Spark `trim` removes ASCII space ONLY, so the tabbed form
+    # is its own line family (a local path using Python .strip() would
+    # merge it with "a tab" and diverge — r13, the adaptive-path risk)
+    lines = ["alpha beta", "Alpha Beta", "  spaced  ", "", "tail.",
+             "x y z", "q", "\ta tab\t", "a tab"]
+    rejoined_py = lambda s: s if s.endswith(".") else s + "."  # noqa: E731
+
+    def naive_fit_trim(ln: str) -> str:
+        return ln.strip(" ").lower()
+
     for seed in range(8):
         rng = random.Random(seed)
         docs = {
@@ -892,15 +905,27 @@ def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
         )
         for normalize in (False, True):
             want = naive(docs, min_df=2, iterate=4, normalize=normalize)
-            out = strip_boilerplate_fixpoint(
-                df,
-                min_df=2,
-                iterate=4,
-                normalize=format_rejoined_text if normalize else None,
-            )
-            got = {r["doc_id"]: r["text"] for r in out.collect()}
-            out.unpersist()
-            assert got == want, (seed, normalize, docs)
+            # three engine configurations, one truth: the distributed
+            # loop, the adaptive driver-local path (needs the scalar
+            # normalize twin), and the gate overflowing back to
+            # distributed at local_max_docs
+            variants = [
+                dict(_force_distributed=True),
+                dict(normalize_py=rejoined_py if normalize else None),
+                dict(normalize_py=rejoined_py if normalize else None,
+                     local_max_docs=3),
+            ]
+            for kw in variants:
+                out = strip_boilerplate_fixpoint(
+                    df,
+                    min_df=2,
+                    iterate=4,
+                    normalize=format_rejoined_text if normalize else None,
+                    **kw,
+                )
+                got = {r["doc_id"]: r["text"] for r in out.collect()}
+                out.unpersist()
+                assert got == want, (seed, normalize, kw, docs)
 
 
 def test_strip_boilerplate_fixpoint_marker_docs_invariant_across_calls(spark):
