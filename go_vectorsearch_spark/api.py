@@ -2005,6 +2005,7 @@ class Engine:
             texts, L=L, id_col="document_id", text_col="_text"
         ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
         from go_vectorsearch_spark.operators.documents import (
+            _format_rejoined_string,
             format_rejoined_text,
         )
 
@@ -2017,6 +2018,10 @@ class Engine:
                 iterate=iterate,
                 windows=windows,
                 normalize=format_rejoined_text,
+                # the pinned scalar twin — enables the fixpoint's
+                # adaptive driver-local path for driver-sized
+                # categories (the k-means build precedent)
+                normalize_py=_format_rejoined_string,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

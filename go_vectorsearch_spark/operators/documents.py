@@ -174,6 +174,14 @@ def format_rejoined_text(text: Column) -> Column:
     )
 
 
+def _format_rejoined_string(value: str) -> str:
+    """Scalar twin of :func:`format_rejoined_text` (period-append only,
+    including ``'' -> '.'``) — what the substring fixpoint's adaptive
+    driver-local path applies where the distributed loop applies the
+    expression form (the ``normalize_py`` contract)."""
+    return value if value.endswith(".") else value + "."
+
+
 #: What the storage normalization makes of an empty document —
 #: ``_format_string("") == "."`` — shared by every consumer that must
 #: recognize (and freeze / exclude) empty-document markers so the two

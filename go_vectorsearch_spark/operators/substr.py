@@ -269,6 +269,72 @@ def exact_substr_stats(
     ).select(F.col("_id").alias(id_col), "n_spans", "dup_tokens", "n_dup_windows")
 
 
+# Java-regex \s == Python re.ASCII \s ([ \t\n\r\f\v]) — the local cut
+# mirror tokenizes with exactly the expression path's character class
+_WS_RE = None
+
+
+def _ws_split(s: str) -> list[str]:
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    return _WS_RE.split(s)
+
+
+def _cut_local(rows, L: int, iterate: int, normalize_py) -> dict:
+    """Driver-local keeper-protected cut fixpoint — the EXACT scalar
+    mirror of the distributed pass (:func:`_cut_once`): same tokenizer
+    (Spark ``trim`` strips ASCII space only, then lower, then the
+    Java-``\\s+`` split whose leading/trailing empty tokens are kept),
+    same global-min keeper, same rm-minus-kp token coverage, verbatim
+    passthrough for documents with no EFFECTIVE cut, original-case
+    space-rejoin plus ``normalize_py`` for cut ones, NULL text passed
+    through untouched. Returns {id: text}. The token-coverage
+    formulation equals the distributed island/subtraction machinery
+    because merged islands cover exactly their windows' token union
+    (the tests' naive-reference argument, promoted to the production
+    local path)."""
+    texts = dict(rows)
+    for _ in range(iterate):
+        wins: dict = {}
+        for d in texts:
+            t = texts[d]
+            if t is None:
+                continue
+            lo = _ws_split(t.strip(" ").lower())
+            for i in range(len(lo) - L + 1):
+                wins.setdefault(tuple(lo[i : i + L]), []).append((d, i + 1))
+        rm: dict = {}
+        kp: dict = {}
+        for occ in wins.values():
+            if len(occ) < 2:
+                continue
+            keeper = min(occ)
+            for d, p in occ:
+                (kp if (d, p) == keeper else rm).setdefault(d, set()).update(
+                    range(p, p + L)
+                )
+        changed = False
+        nxt: dict = {}
+        for d, t in texts.items():
+            cut = rm.get(d, set()) - kp.get(d, set()) if t is not None else None
+            if not cut:
+                nxt[d] = t  # verbatim passthrough (incl. keeper-covered)
+                continue
+            orig = _ws_split(t.strip(" "))
+            new = " ".join(tok for i, tok in enumerate(orig, 1) if i not in cut)
+            if normalize_py is not None:
+                new = normalize_py(new)
+            nxt[d] = new
+            changed = True
+        texts = nxt
+        if not changed:
+            break
+    return texts
+
+
 def exact_substr_cut(
     df: DataFrame,
     L: int = DEFAULT_L,
@@ -278,6 +344,10 @@ def exact_substr_cut(
     windows: DataFrame | None = None,
     flags: DataFrame | None = None,
     normalize=None,
+    normalize_py=None,
+    local_max_docs: int = 50_000,
+    local_max_bytes: int = 64 << 20,
+    _force_distributed: bool = False,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
 
@@ -337,9 +407,57 @@ def exact_substr_cut(
     still carry one duplicated window that a report-after-cut flags —
     the r9 pre-normalization caveat, closed here. Registry oracles pass
     None: their DuckDB twins hash the raw rebuilt token stream.
+
+    ``normalize_py`` — the scalar twin of ``normalize`` (the Engine
+    passes ``documents._format_rejoined_string``), enabling the
+    adaptive driver-local path for driver-sized corpora (the k-means
+    build and line-dedup fixpoint discipline — see the gate comment in
+    the body); ``local_max_docs`` / ``local_max_bytes`` bound it and
+    ``_force_distributed`` pins the cluster path for tests.
     """
     if iterate < 1:
         raise ValueError(f"exact_substr_cut: iterate must be >= 1, got {iterate}")
+    if not _force_distributed and (normalize is None or normalize_py is not None):
+        # adaptive small-corpus path (r13 — the k-means build and line-
+        # dedup fixpoint discipline): when the corpus fits the driver
+        # budget (probed by bounded limit(max+1) jobs, never a corpus
+        # pass), the whole cut fixpoint runs as the scalar mirror
+        # (:func:`_cut_local`, equivalence-pinned against the forced-
+        # distributed path on randomized corpora). A ``normalize``
+        # expression without its scalar twin (``normalize_py``) keeps
+        # the operator distributed; prebuilt ``windows``/``flags``
+        # frames are shared-scan hints and carry no semantics, so the
+        # local path ignores them.
+        from go_vectorsearch_spark.operators.curation import (
+            _bounded_local_rows,
+        )
+
+        rows = _bounded_local_rows(
+            df, id_col, text_col, local_max_docs, local_max_bytes
+        )
+        if rows is not None:
+            result = _cut_local(
+                rows, L, iterate,
+                normalize_py if normalize is not None else None,
+            )
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            local_out = df.sparkSession.createDataFrame(
+                list(result.items()),
+                schema=StructType(
+                    [
+                        StructField(id_col, df.schema[id_col].dataType),
+                        StructField("text", StringType()),
+                    ]
+                ),
+            )
+            if iterate == 1:
+                return local_out  # the single-pass contract: lazy frame
+            from pyspark import StorageLevel as _SL
+
+            local_out = local_out.persist(_SL.MEMORY_AND_DISK_DESER)
+            local_out.count()
+            return local_out
     out = _cut_once(
         df, L, id_col, text_col, windows=windows, flags=flags, normalize=normalize
     )

@@ -261,22 +261,31 @@ def test_cut_matches_naive_on_random_corpora(spark):
             for d in range(1, 7)
         }
         df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
-        got1 = {
-            r["doc_id"]: r["text"]
-            for r in S.exact_substr_cut(df, L3).collect()
-        }
-        assert got1 == _naive_cut_once(docs, L3), f"seed {seed} single pass"
+        want1 = _naive_cut_once(docs, L3)
         naive_fix = docs
         for _ in range(10):
             nxt = _naive_cut_once(naive_fix, L3)
             if nxt == naive_fix:
                 break
             naive_fix = nxt
-        got_fix = {
-            r["doc_id"]: r["text"]
-            for r in S.exact_substr_cut(df, L3, iterate=10).collect()
-        }
-        assert got_fix == naive_fix, f"seed {seed} fixpoint"
+        # three engine configurations, one truth (r13): the distributed
+        # pass, the adaptive driver-local path, and the gate
+        # overflowing back to distributed at local_max_docs
+        for kw in (
+            dict(_force_distributed=True),
+            dict(),
+            dict(local_max_docs=3),
+        ):
+            got1 = {
+                r["doc_id"]: r["text"]
+                for r in S.exact_substr_cut(df, L3, **kw).collect()
+            }
+            assert got1 == want1, f"seed {seed} single pass {kw}"
+            got_fix = {
+                r["doc_id"]: r["text"]
+                for r in S.exact_substr_cut(df, L3, iterate=10, **kw).collect()
+            }
+            assert got_fix == naive_fix, f"seed {seed} fixpoint {kw}"
 
 
 def test_skewed_boilerplate_hot_key_bounded(spark):
