@@ -4,6 +4,14 @@ from contextlib import redirect_stdout
 from go_vectorsearch_spark import get_spark
 from go_vectorsearch_spark import queries as R
 
+# PLANS.md documents the DISTRIBUTED plans — the shapes a 100 TB corpus
+# runs. The two fixpoint entries would otherwise take their adaptive
+# driver-local path at this SF (r13), which has no plan to audit, so
+# the gate's corpus probe is disabled for this tool only.
+import go_vectorsearch_spark.operators.curation as _CUR
+
+_CUR._bounded_local_rows = lambda *a, **k: None
+
 sf = "/root/testdata/sf0.01"
 spark = get_spark("plans")
 
