@@ -311,3 +311,25 @@ def test_cut_operator_plans_have_no_scale_killers(spark, sf_smoke):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
+
+
+def test_fixpoint_entries_distributed_plans_have_no_scale_killers(
+    spark, sf_smoke, monkeypatch
+):
+    """The two fixpoint entries take their adaptive driver-local path at
+    lint scale (r13), so the registry sweep above sees a LocalTableScan
+    with nothing to lint. Their DISTRIBUTED shapes — what a 100 TB
+    corpus runs when the gate's bounded probe overflows — must keep the
+    same bar, so this builds them with the gate disabled (the
+    tools/gen_plans.py device) and lints the first distributed pass's
+    plan of each."""
+    from go_vectorsearch_spark.operators import curation as CUR
+
+    monkeypatch.setattr(CUR, "_bounded_local_rows", lambda *a, **k: None)
+    for name in ("boilerplate_cut_docs", "pipeline_curate_docs"):
+        df = R.REGISTRY[name].fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
+        assert "LocalTableScan" not in plan.split("\n")[0], (
+            f"{name}: gate still active — the distributed shape was not built"
+        )
