@@ -2504,7 +2504,7 @@ class Engine:
         )
         from go_vectorsearch_spark.operators.documents import (
             EMPTY_DOC_MARKER,
-            _format_string,
+            _format_multiline_string,
             format_multiline_text,
         )
 
@@ -2533,10 +2533,13 @@ class Engine:
                 # marker-resolution driver action, and this filter and
                 # boilerplate_report's already use it (can't desync)
                 marker=EMPTY_DOC_MARKER,
-                # the pinned Python twin of format_multiline_text —
-                # enables the fixpoint's adaptive driver-local path for
-                # driver-sized categories (the k-means build precedent)
-                normalize_py=_format_string,
+                # the pinned scalar twin of the format_multiline_text
+                # EXPRESSION (not _format_string: the storage UDF's
+                # Unicode .strip() would make the local path clean
+                # differently than the distributed loop on exotic
+                # whitespace edges) — enables the fixpoint's adaptive
+                # driver-local path for driver-sized categories
+                normalize_py=_format_multiline_string,
             )
             return self._rewrite_category_texts(
                 owner, category, cid, cut, re_embed=re_embed, texts=texts

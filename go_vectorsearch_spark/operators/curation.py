@@ -247,10 +247,36 @@ def _bounded_local_rows(
     )
     if len(lens) > max_docs or sum(r["_n"] for r in lens) > max_bytes:
         return None
-    return [
+    rows = [
         (r[0], r[1])
         for r in df.select(F.col(id_col), F.col(text_col)).limit(max_docs + 1).collect()
     ]
+    # a repeated id is invalid input either way, but the scalar mirrors
+    # key by id (dict) while the distributed plans process every row —
+    # the two paths would diverge in row counts and fit weights exactly
+    # where an upstream fan-out bug needs surfacing, so duplicate-id
+    # corpora stay on the distributed path (r13 self-review)
+    if len({i for i, _ in rows}) != len(rows):
+        return None
+    return rows
+
+
+def _local_result_frame(df: DataFrame, id_col: str, result: dict) -> DataFrame:
+    """``{id: text}`` -> a (id_col, text) frame with the id column's
+    ORIGINAL dtype — the one result-assembly shared by both adaptive
+    local paths (the substring cut's and the line fixpoint's); callers
+    own the persist policy."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return df.sparkSession.createDataFrame(
+        list(result.items()),
+        schema=StructType(
+            [
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
 
 
 def _fixpoint_local(
@@ -437,18 +463,7 @@ def strip_boilerplate_fixpoint(
                 normalize_py if normalize is not None else None,
                 marker,
             )
-            from pyspark.sql.types import StringType, StructField, StructType
-
-            out = df.sparkSession.createDataFrame(
-                list(result.items()),
-                schema=StructType(
-                    [
-                        StructField(id_col, df.schema[id_col].dataType),
-                        StructField("text", StringType()),
-                    ]
-                ),
-            )
-            return _hold(out)
+            return _hold(_local_result_frame(df, id_col, result))
 
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just

@@ -217,6 +217,24 @@ def format_multiline_text(text: Column) -> Column:
     return F.when(t.endswith("."), t).otherwise(F.concat(t, F.lit(".")))
 
 
+def _format_multiline_string(value: str) -> str:
+    """Scalar twin of :func:`format_multiline_text` — the EXPRESSION,
+    not of :func:`_format_string`: the expression's edge trim is
+    Java-``\\s`` (ASCII class), while ``_format_string``'s ``.strip()``
+    removes Unicode whitespace (NBSP etc.), so using the storage UDF as
+    the fixpoint's local-path normalize would make the same corpus
+    clean differently depending on whether it fit the driver budget
+    (r13 self-review). This is the ``normalize_py`` the Engine and the
+    registry entry pass; parity with the expression is pytest-pinned
+    including non-ASCII-whitespace edges."""
+    import re
+
+    value = value.replace("\r", "")
+    value = re.sub(r"\n\n+", "\n", value)
+    value = re.sub(r"^\s+|\s+$", "", value, flags=re.ASCII)
+    return value if value.endswith(".") else value + "."
+
+
 @F.pandas_udf(StringType())
 def json_string_udf(text: pd.Series) -> pd.Series:
     """Encode a plain-text column as its JSON string literal — the

@@ -346,7 +346,12 @@ def exact_substr_cut(
     normalize=None,
     normalize_py=None,
     local_max_docs: int = 50_000,
-    local_max_bytes: int = 64 << 20,
+    # tighter than the line fixpoint's 64 MiB: the local cut's window
+    # table keys L-token tuples per window, a ~30-50x expansion of the
+    # text bytes in driver heap — 16 MiB bounds the worst case under
+    # ~1 GB while still covering every driver-checked scale with
+    # multiples of headroom (r13 self-review)
+    local_max_bytes: int = 16 << 20,
     _force_distributed: bool = False,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated substring.
@@ -440,17 +445,11 @@ def exact_substr_cut(
                 rows, L, iterate,
                 normalize_py if normalize is not None else None,
             )
-            from pyspark.sql.types import StringType, StructField, StructType
-
-            local_out = df.sparkSession.createDataFrame(
-                list(result.items()),
-                schema=StructType(
-                    [
-                        StructField(id_col, df.schema[id_col].dataType),
-                        StructField("text", StringType()),
-                    ]
-                ),
+            from go_vectorsearch_spark.operators.curation import (
+                _local_result_frame,
             )
+
+            local_out = _local_result_frame(df, id_col, result)
             if iterate == 1:
                 return local_out  # the single-pass contract: lazy frame
             from pyspark import StorageLevel as _SL
@@ -458,12 +457,26 @@ def exact_substr_cut(
             local_out = local_out.persist(_SL.MEMORY_AND_DISK_DESER)
             local_out.count()
             return local_out
+    from pyspark import StorageLevel
+
+    # pass-1 window sharing lives IN the operator for the fixpoint case
+    # (r13 self-review): duplicate_flags reads its window frame twice,
+    # and callers used to pre-build a persisted windows hint that the
+    # adaptive gate then ignores — built here instead, it exists only
+    # on the distributed path that consumes it, and releases once the
+    # loop ends (single-pass callers still pass their own shared frame:
+    # a lazy return cannot own a persist lifecycle)
+    own_w = None
+    if iterate > 1 and windows is None and flags is None:
+        own_w = window_hashes(df, L, id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
+        windows = own_w
     out = _cut_once(
         df, L, id_col, text_col, windows=windows, flags=flags, normalize=normalize
     )
     if iterate == 1:
         return out
-    from pyspark import StorageLevel
 
     empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
     cur = out.persist(StorageLevel.MEMORY_AND_DISK_DESER)
@@ -538,6 +551,11 @@ def exact_substr_cut(
         w_cur.unpersist()
         cur.unpersist()
         cur = nxt
+    if own_w is not None:
+        # pass 1's windows were consumed by its cut; every later round
+        # hashed its own text (the loop body above), so the frame is
+        # dead the moment the loop ends
+        own_w.unpersist()
     return cur
 
 

@@ -2547,7 +2547,7 @@ def q_boilerplate_cut_docs(spark, sf_dir):
     cut twins."""
     from go_vectorsearch_spark.operators.documents import (
         EMPTY_DOC_MARKER,
-        _format_string,
+        _format_multiline_string,
         format_multiline_text,
     )
 
@@ -2564,10 +2564,11 @@ def q_boilerplate_cut_docs(spark, sf_dir):
         iterate=3,
         normalize=format_multiline_text,
         marker=EMPTY_DOC_MARKER,
-        # pinned Python twin: at driver-checked scales the fixpoint
-        # takes its adaptive local path (the build_index discipline);
-        # the distributed loop is equivalence-pinned in pytest
-        normalize_py=_format_string,
+        # pinned scalar twin of the EXPRESSION: at driver-checked
+        # scales the fixpoint takes its adaptive local path (the
+        # build_index discipline); the distributed loop is
+        # equivalence-pinned in pytest
+        normalize_py=_format_multiline_string,
     )
     res = out.select("doc_id", F.md5("text").alias("clean_md5"))
     # the fixpoint returns its result persisted (callers own the
@@ -3314,25 +3315,15 @@ def q_pipeline_curate_docs(spark, sf_dir):
             _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
         ),
     )
-    # pass-1 window hashes ride the session cache too (the Engine
-    # substr_dedup_cut precedent): the keeper aggregate and the flag
-    # join both read the frame inside _cut_once, and unpersisted each
-    # would re-hash the stripped corpus. The fixpoint's return frame is
-    # already persisted+materialized by exact_substr_cut (its
-    # convergence PROBE windows it — r12: the probe checks
-    # effective-cut-span existence over the duplicate flags, so the
-    # converged round never rebuilds or re-compares the corpus text),
-    # so the bench and train splits below read the cache, not a
-    # recomputed chain
-    windows = _dedup_cached(
-        spark,
-        "curate_windows",
-        sf_dir,
-        lambda: SUB.window_hashes(stripped, L=_SUBSTR_L),
-    )
-    cut = SUB.exact_substr_cut(
-        stripped, L=_SUBSTR_L, iterate=3, windows=windows
-    )
+    # pass-1 window sharing moved INTO exact_substr_cut (r13
+    # self-review): the old session-cached windows hint was built and
+    # materialized eagerly here, then IGNORED whenever the cut's
+    # adaptive gate took the corpus driver-local — the operator now
+    # builds (and releases) the pass-1 frame itself exactly when its
+    # distributed path runs. The fixpoint's return frame comes back
+    # persisted+materialized, so the bench and train splits below read
+    # cache, not a recomputed chain.
+    cut = SUB.exact_substr_cut(stripped, L=_SUBSTR_L, iterate=3)
     bench = cut.filter(F.col("doc_id") % 97 == 0)
     train = cut.filter(F.col("doc_id") % 97 != 0)
     # persist the decontaminated corpus: three downstream consumers

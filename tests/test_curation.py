@@ -1018,3 +1018,89 @@ def test_strip_boilerplate_fixpoint_zero_cut_returns_persisted(spark):
         got = {r["doc_id"]: r["text"] for r in out.collect()}
         assert got == {1: "alpha.", 2: "beta.", 3: "gamma."}
         out.unpersist()
+
+
+def test_format_multiline_scalar_twin_matches_expression(spark):
+    """_format_multiline_string is the scalar twin of the
+    format_multiline_text EXPRESSION — including where the expression
+    diverges from the storage UDF: Java \\s is the ASCII class, so an
+    NBSP edge survives the expression trim while _format_string's
+    Unicode .strip() removes it (the r13 self-review scenario: a
+    local-path fixpoint normalizing with the storage UDF would clean
+    the same corpus differently than the distributed loop)."""
+    from go_vectorsearch_spark.operators.documents import (
+        _format_multiline_string,
+        _format_string,
+        format_multiline_text,
+    )
+
+    cases = [
+        "", "x", "x.", "a\r\nb", "a\n\n\nb", "  edge  ", "\tedge\t",
+        "a.\n", "body ", " lead", "a b\n\nc",
+        "mix  \t \n tail",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "t string")
+    got = [
+        r["out"]
+        for r in df.select(format_multiline_text(F.col("t")).alias("out")).collect()
+    ]
+    assert got == [_format_multiline_string(s) for s in cases]
+    # ...and the divergence the twin exists for is REAL: the storage
+    # UDF strips the NBSP edge the expression keeps
+    assert _format_multiline_string("body ") == "body ."
+    assert _format_string("body ") == "body."
+
+
+def test_fixpoint_local_matches_distributed_on_unicode_whitespace(spark):
+    """The boilerplate entry configuration (normalize =
+    format_multiline_text + its scalar twin) must produce IDENTICAL
+    text on the adaptive local path and the distributed loop when a cut
+    leaves a non-ASCII-whitespace edge — the exact divergence passing
+    _format_string as the twin would introduce (r13 self-review)."""
+    from go_vectorsearch_spark.operators.curation import (
+        strip_boilerplate_fixpoint,
+    )
+    from go_vectorsearch_spark.operators.documents import (
+        _format_multiline_string,
+        format_multiline_text,
+    )
+
+    docs = [
+        (1, "one body \nhot footer"),
+        (2, "two body \nhot footer"),
+        (3, "three body \nhot footer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    outs = []
+    for kw in (dict(), dict(_force_distributed=True)):
+        out = strip_boilerplate_fixpoint(
+            df, min_df=3, iterate=3,
+            normalize=format_multiline_text,
+            normalize_py=_format_multiline_string,
+            **kw,
+        )
+        outs.append({r["doc_id"]: r["text"] for r in out.collect()})
+        out.unpersist()
+    assert outs[0] == outs[1]
+    # the NBSP edge survives normalization on BOTH paths (ASCII trim)
+    assert outs[0][1] == "one body ."
+
+
+def test_local_gate_rejects_duplicate_ids(spark):
+    """A repeated id is invalid input either way, but the scalar
+    mirrors key by id while the distributed plans process every row —
+    the gate keeps duplicate-id corpora on the distributed path so the
+    two paths can never report different row counts for the same bad
+    input (r13 self-review)."""
+    from go_vectorsearch_spark.operators.curation import (
+        _bounded_local_rows,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    assert _bounded_local_rows(dup, "doc_id", "text", 100, 1 << 20) is None
+    ok = spark.createDataFrame(
+        [(1, "a"), (2, "c")], "doc_id long, text string"
+    )
+    assert _bounded_local_rows(ok, "doc_id", "text", 100, 1 << 20) is not None

@@ -287,16 +287,21 @@ def test_demoted_plan_has_no_scale_killers(spark, sf_smoke, fn):
     assert not _lint(plan), f"{fn.__name__}: {_lint(plan)}\n{plan[:2000]}"
 
 
-def test_cut_operator_plans_have_no_scale_killers(spark, sf_smoke):
+def test_cut_operator_plans_have_no_scale_killers(spark, sf_smoke, monkeypatch):
     """The write-path operators (not registry entries, so the sweeps
     above never see them) meet the same plan bar: keeper-protected
     substring cut (single pass AND the fixpoint's inner pass) and the
-    benchmark decontamination cut."""
+    benchmark decontamination cut. The adaptive local gate is disabled
+    here — a LocalTableScan has nothing to lint, and the DISTRIBUTED
+    cut shape is exactly what this test exists to guard (r13
+    self-review: the gate silently vacated this lint)."""
     from pyspark.sql import functions as F
 
+    from go_vectorsearch_spark.operators import curation as CUR
     from go_vectorsearch_spark.operators import substr as SUB
     from go_vectorsearch_spark.sources.tables import load_table
 
+    monkeypatch.setattr(CUR, "_bounded_local_rows", lambda *a, **k: None)
     docs = load_table(spark, sf_smoke, "documents")
     for name, df in (
         ("exact_substr_cut", SUB.exact_substr_cut(docs, L=8)),
@@ -318,15 +323,16 @@ def test_fixpoint_entries_distributed_plans_have_no_scale_killers(
 ):
     """The two fixpoint entries take their adaptive driver-local path at
     lint scale (r13), so the registry sweep above sees a LocalTableScan
-    with nothing to lint. Their DISTRIBUTED shapes — what a 100 TB
-    corpus runs when the gate's bounded probe overflows — must keep the
-    same bar, so this builds them with the gate disabled (the
-    tools/gen_plans.py device) and lints the first distributed pass's
-    plan of each."""
+    with nothing to lint (substr_cut_docs, normalize-free, is gate-
+    eligible too). Their DISTRIBUTED shapes — what a 100 TB corpus runs
+    when the gate's bounded probe overflows — must keep the same bar,
+    so this builds them with the gate disabled (the tools/gen_plans.py
+    device) and lints the first distributed pass's plan of each."""
     from go_vectorsearch_spark.operators import curation as CUR
 
     monkeypatch.setattr(CUR, "_bounded_local_rows", lambda *a, **k: None)
-    for name in ("boilerplate_cut_docs", "pipeline_curate_docs"):
+    for name in ("boilerplate_cut_docs", "pipeline_curate_docs",
+                 "substr_cut_docs"):
         df = R.REGISTRY[name].fn(spark, sf_smoke)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert not _lint(plan), f"{name}: {_lint(plan)}\n{plan[:2000]}"
