@@ -1104,3 +1104,47 @@ def test_local_gate_rejects_duplicate_ids(spark):
         [(1, "a"), (2, "c")], "doc_id long, text string"
     )
     assert _bounded_local_rows(ok, "doc_id", "text", 100, 1 << 20) is not None
+
+
+def test_engine_boilerplate_cut_distributed_path_equivalent(
+    spark, tmp_path, monkeypatch
+):
+    """The Engine's small test categories take the fixpoint's adaptive
+    local path since r13, so the DISTRIBUTED-cut-fed rewrite machinery
+    (partition-scoped upsert driven by a cluster-computed cut frame)
+    would otherwise go untested at the Engine level. Run the same
+    corpus through both paths into two stores and require identical
+    stored texts and rewrite counts."""
+    import json as _json
+
+    from go_vectorsearch_spark.api import Engine
+    from go_vectorsearch_spark.operators import curation as CUR
+
+    footer = "shared footer line"
+    rows = [
+        {
+            "name": f"d{i}",
+            "external_id": str(i),
+            "document": _json.dumps([f"unique body {i}", footer]),
+        }
+        for i in range(4)
+    ]
+
+    results = {}
+    for mode in ("local", "distributed"):
+        e = Engine(spark, str(tmp_path / mode))
+        e.upload("o", "c", rows)
+        if mode == "distributed":
+            monkeypatch.setattr(
+                CUR, "_bounded_local_rows", lambda *a, **k: None
+            )
+        n = e.boilerplate_cut("o", "c", min_df=3)
+        cid = e._category_id("o", "c")
+        texts = {
+            r["document_id"]: r["_text"]
+            for r in e._category_doc_texts(cid).collect()
+        }
+        results[mode] = (n, texts)
+        monkeypatch.undo()
+    assert results["local"] == results["distributed"]
+    assert results["local"][0] == 4  # the cut really ran
