@@ -145,19 +145,25 @@ def cdc_dup_stats(
     dup_frac) where a chunk is DUP iff another document (lower id wins
     ownership, ties by chunk position) holds an identical-hash chunk.
 
-    Two shuffles of narrow rows: chunk_hash -> owner aggregation
-    (min_by, map-side partial), then doc_id -> stats. The raw text is
-    never involved; at 100 TB this is the md5-groupBy cost profile of
-    exact dedup, at chunk granularity. ``chunks`` feeds BOTH sides of
-    the owner join — pass a persisted/written frame (the registry
-    caches it) or the chunker runs once per consumer."""
-    owner = chunks.groupBy("chunk_hash").agg(
-        F.min(F.col(id_col)).alias("_owner"),
-        F.count("*").alias("_copies"),
-    )
-    tagged = chunks.join(owner, "chunk_hash").withColumn(
+    Two shuffles of narrow rows: chunk_hash -> ownership window
+    (whole-partition min/count — no ORDER BY, no join back), then
+    doc_id -> stats. The raw text is never involved; at 100 TB this is
+    the md5-groupBy cost profile of exact dedup, at chunk granularity.
+    ``chunks`` is consumed ONCE (r13: the former owner-aggregate +
+    tag-back join consumed it twice and shuffled both the aggregate
+    output and the chunk rows; the hash-partitioned window moves every
+    chunk row exactly once and computes ownership in place — one fewer
+    exchange and single-consumption, so callers no longer need to
+    persist the chunker output for this statistic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_hash")
+    tagged = chunks.withColumn(
         "_is_dup",
-        ((F.col("_copies") > 1) & (F.col(id_col) != F.col("_owner"))).cast("int"),
+        (
+            (F.count("*").over(w) > 1)
+            & (F.col(id_col) != F.min(F.col(id_col)).over(w))
+        ).cast("int"),
     )
     return (
         tagged.groupBy(id_col)

@@ -695,9 +695,17 @@ def neardup_components(
         labels = [(x, find(x)) for x in parent]
         id_type = dict(pairs.dtypes)[id_a]
         pairs.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            labels, f"doc_id {id_type}, component {id_type}"
-        )
+        schema = f"doc_id {id_type}, component {id_type}"
+        try:
+            # one Arrow batch instead of the pickle local-relation walk
+            # (guide §6: Arrow for driver transfers) — the label list is
+            # driver-sized by the collect_threshold gate above
+            import pandas as pd
+
+            pdf = pd.DataFrame(labels, columns=["doc_id", "component"])
+            return pairs.sparkSession.createDataFrame(pdf, schema=schema)
+        except Exception:
+            return pairs.sparkSession.createDataFrame(labels, schema)
 
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))

@@ -75,12 +75,22 @@ def train_ngram_lm(
     driver memory is O(order x max_entries) however large the corpus.
     Tokenization is the engine's BM25 tokenizer: training, scoring,
     search and BPE all see one view of the text."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
     from go_vectorsearch_spark.operators.fulltext import tokenize
 
-    toks = docs.select(tokenize(F.col(text_col)).alias("_t"))
-    counts: list[dict[tuple, int]] = []
-    total = 0
-    for n in range(1, order + 1):
+    # ONE tokenize pass: the per-order count jobs and the unigram-total
+    # agg all read the persisted token frame instead of re-running the
+    # raw-text scan + split per action (order+1 corpus scans → 1; at
+    # corpus scale the text scan dominates training). Scratch frame —
+    # released before returning.
+    toks = docs.select(tokenize(F.col(text_col)).alias("_t")).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+
+    def gram_table(n: int) -> dict[tuple, int]:
         if n == 1:
             grams = toks.select(F.explode("_t").alias("g"))
             g_col = F.array("g")
@@ -110,14 +120,25 @@ def train_ngram_lm(
             .limit(max_entries)
             .collect()
         )
-        table = {tuple(r["g"]): int(r["c"]) for r in rows}
-        if n == 1:
-            # unigram total over the WHOLE corpus (not just kept rows):
-            # one agg — keeps the order-1 ratio a true probability
-            total = int(
-                toks.agg(F.sum(F.size("_t")).alias("s")).head()["s"] or 0
-            )
-        counts.append(table)
+        return {tuple(r["g"]): int(r["c"]) for r in rows}
+
+    def corpus_total() -> int:
+        # unigram total over the WHOLE corpus (not just kept rows):
+        # one agg — keeps the order-1 ratio a true probability
+        return int(toks.agg(F.sum(F.size("_t")).alias("s")).head()["s"] or 0)
+
+    # the order+1 jobs are independent (each a TakeOrdered/agg over the
+    # cached frame), so submit them together and let later jobs
+    # back-fill the earlier jobs' straggler tails — results land by
+    # index, so completion order cannot reorder the model
+    try:
+        with ThreadPoolExecutor(max_workers=order + 1) as pool:
+            futs = [pool.submit(gram_table, n) for n in range(1, order + 1)]
+            tot_fut = pool.submit(corpus_total)
+            counts = [f.result() for f in futs]
+            total = tot_fut.result()
+    finally:
+        toks.unpersist()
     return NgramLM(order=order, counts=tuple(counts), total=total)
 
 

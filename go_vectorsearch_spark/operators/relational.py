@@ -69,6 +69,7 @@ def cascade_delete_survivors(
     child: DataFrame,
     fk: str,
     parent_key: str,
+    parent_key_unique: bool = False,
 ) -> DataFrame:
     """S8: cascade delete re-expressed as an anti-join (SURVEY.md §1.4).
 
@@ -80,8 +81,17 @@ def cascade_delete_survivors(
     whole region's customers here), so Catalyst/AQE picks broadcast
     only when the side is actually under threshold — a forced hint is
     the OOM-at-scale anti-pattern.
+
+    ``parent_key_unique=True`` skips the dedup exchange: an anti-join's
+    result is unaffected by duplicate keys on its right side, so the
+    ``distinct`` exists only to shrink a victim set whose keys repeat
+    (fan-out victim derivations). When the caller knows ``parent_key``
+    is a primary key, the distinct is a pure extra shuffle of data that
+    is already unique (guide-§2.4's textbook accidental exchange).
     """
-    victims = root_victims.select(F.col(parent_key).alias(fk)).distinct()
+    victims = root_victims.select(F.col(parent_key).alias(fk))
+    if not parent_key_unique:
+        victims = victims.distinct()
     return child.join(victims, fk, "left_anti")
 
 

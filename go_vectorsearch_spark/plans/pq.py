@@ -291,6 +291,52 @@ def _exact_rerank(
     )
 
 
+def pq_candidate_frame(
+    coded: DataFrame,
+    codebooks: PQCodebooks,
+    qvec,
+    cand_k: int,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """ADC top-``cand_k`` candidates carrying BOTH ranking keys — the
+    ADC inner product (``_adc``) and the exact-cosine round-6 rerank
+    key (``_exact_r6``, the same ``round(dot(l2_normalize(vec), q̂), 6)``
+    expression :func:`_exact_rerank` orders by) — in ONE corpus pass.
+
+    A rerank-depth sweep (``pq_search`` at rerank None/R1/R2 ≤ cand_k)
+    otherwise re-scans and re-scores the whole coded store once per
+    depth; every depth's result is a deterministic function of this
+    frame (the ADC order is total — id tie-break — so each depth's
+    candidate set is a prefix, and the rerank key is engine-computed
+    here, not recomputed downstream), so one TakeOrdered serves the
+    whole sweep. Rows come back in ADC order (desc, id asc)."""
+    from go_vectorsearch_spark.functions.vector import dot, l2_normalize
+
+    lut = query_lut(codebooks, qvec)
+    n_lit = sum(len(r) for r in lut)
+    if method == "auto":
+        method = "expr" if n_lit <= EXPR_LUT_LIMIT else "numpy"
+    if method == "expr":
+        scored = coded.withColumn("_adc", adc_score_expr(F.col(codes_col), lut))
+    else:
+        scored = _adc_score_numpy(coded, lut, codes_col)
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qlit = F.lit([float(x / qn if qn > 0 else x) for x in q])
+    return (
+        scored.select(
+            id_col,
+            "_adc",
+            F.round(dot(l2_normalize(F.col(vec_col)), qlit), 6).alias("_exact_r6"),
+        )
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(cand_k)
+    )
+
+
 def _adc_score_numpy(coded: DataFrame, lut: list, codes_col: str) -> DataFrame:
     """Arrow-batch ADC twin for LUTs too large to fold into codegen:
     per batch, numpy fancy-indexing gather + row sum."""

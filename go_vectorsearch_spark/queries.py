@@ -426,7 +426,11 @@ def q_cascade_delete_survivors(spark, sf_dir):
     victim_custs = cust.join(
         F.broadcast(victim_nations), cust.c_nationkey == victim_nations.n_nationkey, "left_semi"
     )
-    survivors = cascade_delete_survivors(victim_custs, orders, "o_custkey", "c_custkey")
+    # c_custkey is the customer PK — the victim set is already unique,
+    # so the operator's dedup exchange is skipped (r13, guide §2.4)
+    survivors = cascade_delete_survivors(
+        victim_custs, orders, "o_custkey", "c_custkey", parent_key_unique=True
+    )
     return survivors.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
 
 
@@ -4501,19 +4505,15 @@ FROM tagged GROUP BY doc_id
 def q_cdc_dup_stats(spark, sf_dir):
     from go_vectorsearch_spark.operators.cdc import cdc_chunks, cdc_dup_stats
 
-    # the chunk frame feeds BOTH sides of the stats aggregation (owner
-    # groupBy + the tag-back join) — persist it like the shingle frame
-    # so the Arrow chunker runs once, not once per consumer
-    chunks = _dedup_cached(
-        spark,
-        "cdc_chunks",
-        sf_dir,
-        lambda: cdc_chunks(
-            _t(spark, sf_dir, "documents"),
-            min_size=CDC_MIN,
-            avg_size=CDC_AVG,
-            max_size=CDC_MAX,
-        ),
+    # single consumption since the r13 ownership-window restage (the
+    # stats no longer join the chunk frame against its own aggregate),
+    # so the chunker streams straight into the window — no persist, no
+    # materialization job
+    chunks = cdc_chunks(
+        _t(spark, sf_dir, "documents"),
+        min_size=CDC_MIN,
+        avg_size=CDC_AVG,
+        max_size=CDC_MAX,
     )
     return cdc_dup_stats(chunks)
 
@@ -4838,7 +4838,6 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
     import numpy as np
 
     from go_vectorsearch_spark.operators.search import score_cosine
-    from go_vectorsearch_spark.plans.pq import pq_search
 
     bf = _bf_ids(spark, sf_dir, TOPK_K)
     qvec = _qvec(spark, sf_dir)
@@ -4883,17 +4882,28 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
         out.append(
             ("lsh_radius", str(radius), rec(v for _, v in cand[:TOPK_K]))
         )
-    # PQ rerank depth: pure ADC ordering, then exact re-rank of top-R
+    # PQ rerank depth — ONE job for all three depths (r13): the ADC
+    # top-50 candidates come back with both engine-computed ranking
+    # keys (ADC order + the exact-cosine round-6 rerank key), and each
+    # depth's top-k replays driver-side over its prefix of the SAME
+    # candidate list — identical ids to three pq_search calls, minus
+    # two full re-scans of the coded store (guide §1.2: don't compute
+    # things you throw away; §2.6-adjacent action-count trim)
+    from go_vectorsearch_spark.plans.pq import pq_candidate_frame
+
     books, coded = _pq_cached(spark, sf_dir)
-    for rr in (None, 25, 50):
-        got = pq_search(coded, books, qvec, k=TOPK_K, rerank=rr).collect()
-        out.append(
-            (
-                "pq_rerank",
-                "adc" if rr is None else str(rr),
-                rec(r["vec_id"] for r in got),
-            )
-        )
+    depths = (None, 25, 50)
+    cand_k = max(TOPK_K, *(d for d in depths if d is not None))
+    cands = pq_candidate_frame(coded, books, qvec, cand_k=cand_k).collect()
+    for rr in depths:
+        if rr is None:
+            ids = [r["vec_id"] for r in cands[:TOPK_K]]
+        else:
+            sub = sorted(
+                cands[:rr], key=lambda r: (-r["_exact_r6"], r["vec_id"])
+            )[:TOPK_K]
+            ids = [r["vec_id"] for r in sub]
+        out.append(("pq_rerank", "adc" if rr is None else str(rr), rec(ids)))
     # PCA k: reduced-space top-k per k, all ks in ONE unioned job over
     # slices of the same stored full-rotation projection
     model, proj = _pca_exact_cached(spark, sf_dir)
