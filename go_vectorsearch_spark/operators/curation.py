@@ -488,7 +488,13 @@ def strip_boilerplate_fixpoint(
                 normalize_py if normalize is not None else None,
                 marker,
             )
-            return _hold(_local_result_frame(df, id_col, result))
+            # persisted per the return contract; materialization is the
+            # first consumer's — the source is a driver-local Arrow
+            # relation, so recompute is a memory copy and the eager
+            # count was one pure-floor job per call (r13)
+            return _local_result_frame(df, id_col, result).persist(
+                StorageLevel.MEMORY_AND_DISK_DESER
+            )
 
     if normalize is not None:
         # freeze PRE-EXISTING empty-document markers up front, not just

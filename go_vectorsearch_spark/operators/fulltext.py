@@ -106,7 +106,11 @@ def build_bm25_index(
         .agg(F.count("*").alias("tf"))
     )
     if persist:
-        postings.persist().count()
+        # the stats aggregate below is itself the materializing action:
+        # it scans every posting partition, filling the cache while
+        # computing the corpus scalars — a separate eager count() was
+        # one extra pass over the postings (r13)
+        postings = postings.persist()
         row = (
             postings.select("doc_id", "dl")
             .distinct()

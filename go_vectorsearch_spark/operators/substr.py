@@ -466,9 +466,12 @@ def exact_substr_cut(
                 return local_out  # the single-pass contract: lazy frame
             from pyspark import StorageLevel as _SL
 
-            local_out = local_out.persist(_SL.MEMORY_AND_DISK_DESER)
-            local_out.count()
-            return local_out
+            # persisted per the fixpoint return contract (pinned by
+            # tests on the storage level); materialization is left to
+            # the first consumer — the source is a driver-local Arrow
+            # relation, so "recompute" is a memory copy, and the eager
+            # count here was one pure-floor job per fixpoint call (r13)
+            return local_out.persist(_SL.MEMORY_AND_DISK_DESER)
     from pyspark import StorageLevel
 
     # pass-1 window sharing lives IN the operator for the fixpoint case
@@ -544,12 +547,7 @@ def exact_substr_cut(
                     )
                 ).alias("_kp"),
             )
-            .filter(
-                F.size(
-                    _subtract_spans(F.col("_rm"), F.col("_kp"), empty)
-                )
-                > 0
-            )
+            .filter(F.size(_cuts_expr()) > 0)
         )
         if would_cut.isEmpty():
             cur_flags.unpersist()
@@ -609,12 +607,54 @@ def _cut_once(
     return _rebuild_without_spans(df, arrays, id_col, text_col, normalize=normalize)
 
 
+_COLUMN_MEMO: dict = {}
+
+
+def _memo_column(key: str, build) -> Column:
+    """Build-once cache for heavy UNRESOLVED Column trees.
+
+    A Column is an input-independent expression descriptor — the same
+    object can appear in any number of plans — but CONSTRUCTING one is
+    py4j-call-bound: every ``F.`` composition is a bridge round-trip,
+    and the span machinery below runs to thousands of calls (measured
+    ~0.5-2 s of pure driver latency per query that rebuilds it). The
+    trees here reference fixed internal column names (``_rm``/``_kp``/
+    ``_cuts``/``_orig``), so they are cacheable verbatim. Keyed by the
+    live py4j gateway: a restarted JVM must never be handed another
+    gateway's dead object handles (stale entries are dropped on the
+    first build against a new gateway)."""
+    from pyspark import SparkContext
+
+    gw_id = id(SparkContext._gateway)
+    k = (gw_id, key)
+    if k not in _COLUMN_MEMO:
+        for old in [x for x in _COLUMN_MEMO if x[0] != gw_id]:
+            del _COLUMN_MEMO[old]
+        _COLUMN_MEMO[k] = build()
+    return _COLUMN_MEMO[k]
+
+
 def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
     """Collapse a span frame to one (_id, array<struct<s_pos,e_pos>>)
     row per doc — the bounded per-document shape the token filter
     consumes (a document has at most |tokens|/L spans)."""
     return spans.groupBy("_id").agg(
         F.array_sort(F.collect_list(F.struct("s_pos", "e_pos"))).alias(out_col)
+    )
+
+
+def _cuts_expr() -> Column:
+    """``_rm ⊖ _kp`` over the fixed span column names — the effective
+    cut-span array every consumer (the rebuild and the fixpoint's
+    would-cut probe) filters or slices by. Memoized: the subtraction
+    tree alone is ~half the span machinery's plan-construction cost."""
+    return _memo_column(
+        "cuts_rm_minus_kp",
+        lambda: _subtract_spans(
+            F.col("_rm"),
+            F.col("_kp"),
+            F.array().cast("array<struct<s_pos:int,e_pos:int>>"),
+        ),
     )
 
 
@@ -779,27 +819,29 @@ def _rebuild_without_spans(
 
     # cuts inherits sorted+disjoint from _rm (subtraction only shrinks
     # spans in place; flatten preserves order)
-    with_cuts = joined.withColumn(
-        "_cuts", _subtract_spans(F.col("_rm"), F.col("_kp"), empty)
-    )
-    # kept tokens = the gaps BETWEEN cut spans, assembled by slice:
-    # gap 0 = [1, cuts[1].s_pos-1], gap i = [cuts[i].e_pos+1,
-    # cuts[i+1].s_pos-1], last gap runs to the end of the token array
-    n_cuts = F.size("_cuts")
-    n_toks = F.size("_orig")
+    with_cuts = joined.withColumn("_cuts", _cuts_expr())
 
-    def _gap_slice(i):
-        start = F.when(i == 0, F.lit(1)).otherwise(
-            F.element_at(F.col("_cuts"), i)["e_pos"] + 1
-        )
-        end = F.when(i == n_cuts, n_toks).otherwise(
-            F.element_at(F.col("_cuts"), i + 1)["s_pos"] - 1
-        )
-        return F.slice(F.col("_orig"), start, F.greatest(F.lit(0), end - start + 1))
+    def _build_kept_tokens() -> Column:
+        # kept tokens = the gaps BETWEEN cut spans, assembled by slice:
+        # gap 0 = [1, cuts[1].s_pos-1], gap i = [cuts[i].e_pos+1,
+        # cuts[i+1].s_pos-1], last gap runs to the end of the token array
+        n_cuts = F.size("_cuts")
+        n_toks = F.size("_orig")
 
-    kept_tokens = F.flatten(
-        F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice)
-    )
+        def _gap_slice(i):
+            start = F.when(i == 0, F.lit(1)).otherwise(
+                F.element_at(F.col("_cuts"), i)["e_pos"] + 1
+            )
+            end = F.when(i == n_cuts, n_toks).otherwise(
+                F.element_at(F.col("_cuts"), i + 1)["s_pos"] - 1
+            )
+            return F.slice(
+                F.col("_orig"), start, F.greatest(F.lit(0), end - start + 1)
+            )
+
+        return F.flatten(F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice))
+
+    kept_tokens = _memo_column("kept_gap_slices", _build_kept_tokens)
     rebuilt = F.concat_ws(" ", kept_tokens)
     # ``normalize`` applies to the REBUILT branch only — passthrough
     # documents keep verbatim bytes (see exact_substr_cut's contract)

@@ -541,9 +541,21 @@ def _build_index_local(
     out_schema = T.StructType(
         list(schema.fields) + [T.StructField("centroid_id", T.LongType())]
     )
-    assigned = spark.createDataFrame(
-        [tuple(r) + (int(c),) for r, c in zip(rows, assign)], out_schema
-    )
+    try:
+        # one Arrow batch instead of the pickle local-relation walk
+        # (guide §6: Arrow for driver transfers) — the rows are the
+        # driver-sized sample by construction
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {f.name: [r[f.name] for r in rows] for f in schema.fields}
+        )
+        pdf["centroid_id"] = [int(c) for c in assign]
+        assigned = spark.createDataFrame(pdf, out_schema)
+    except Exception:
+        assigned = spark.createDataFrame(
+            [tuple(r) + (int(c),) for r, c in zip(rows, assign)], out_schema
+        )
     return IVFIndex(
         centroids=_centroids_df(spark, qmat, [int(c) for c in present]),
         assigned=assigned,

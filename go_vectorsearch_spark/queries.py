@@ -1508,7 +1508,7 @@ _SQL_SHINGLES = (
 # across registry queries is exactly how a real cleaning job runs (one
 # pass, many consumers), and it removes the dominant repeated map-side
 # cost from the bench.
-def _dedup_cached(spark, key: str, sf_dir: str, build) -> DataFrame:
+def _dedup_cached(spark, key: str, sf_dir: str, build, eager: bool = True) -> DataFrame:
     # session-attached like _t's plan cache: persisted frames are bound
     # to their session, so a module-level dict would hand a later
     # session another session's dead frames
@@ -1524,7 +1524,16 @@ def _dedup_cached(spark, key: str, sf_dir: str, build) -> DataFrame:
         # (a deployment would write parquet), so trade memory for the
         # encode time.
         df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        df.count()  # materialize once, eagerly
+        if eager:
+            # shared builds materialize eagerly so bench.py bills the
+            # compute to the build entry, not to whichever query
+            # touches the frame first
+            df.count()
+        # eager=False: entry-internal frames (the curate chain's) skip
+        # the count — their first downstream job materializes the cache
+        # while doing real work, saving the count's own job rounds; the
+        # per-partition cache locks make the racing-consumer case
+        # compute-once either way
         cache[k] = df
     return cache[k]
 
@@ -3318,6 +3327,7 @@ def q_pipeline_curate_docs(spark, sf_dir):
         lambda: CUR.strip_boilerplate_lines(
             _lined_corpus(docs), min_df=_LINE_DEDUP_MIN_DF
         ),
+        eager=False,  # the cut's first job materializes it (r13)
     )
     # pass-1 window sharing moved INTO exact_substr_cut (r13
     # self-review): the old session-cached windows hint was built and
@@ -3347,6 +3357,7 @@ def q_pipeline_curate_docs(spark, sf_dir):
         "curate_decon",
         sf_dir,
         lambda: SUB.decontaminate_cut(train, bench, L=_DECON_L),
+        eager=False,  # the shingle pass materializes it (r13)
     )
     # uncapped jaccard = oracle-parity mode (see _jaccard_pairs_cached);
     # a production run passes the default hot-shingle cap
