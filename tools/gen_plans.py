@@ -78,12 +78,13 @@ PICKS = [
      "(it would fail fast on the single-row aggregate); the fused groupBy shuffles at "
      "most 2n (id, rrf) rows."),
     ("cdc_dup_stats", "Content-defined chunking + dup stats: the chunker is a narrow "
-     "Arrow-batched mapInPandas (no Exchange — text never shuffles) whose output is "
-     "PERSISTED (InMemoryTableScan on both consumers: the owner groupBy side and the "
-     "tag-back join side — the chunker runs once, not once per consumer); the only "
-     "exchanges are the chunk_hash owner groupBy and the doc_id stats groupBy, both "
-     "over narrow (id, ix, len, md5) rows — exact-dedup's cost profile at chunk "
-     "granularity."),
+     "Arrow-batched mapInPandas (no Exchange — text never shuffles) streaming straight "
+     "into a chunk_hash-partitioned ownership WINDOW (whole-partition min/count, no "
+     "ORDER BY — r13: the former owner-aggregate + tag-back join consumed the chunk "
+     "frame twice and shuffled both the aggregate output and the chunk rows); the only "
+     "exchanges are the window's chunk_hash partitioning and the doc_id stats groupBy, "
+     "both over narrow (id, ix, len, md5) rows — exact-dedup's cost profile at chunk "
+     "granularity, every chunk row moved exactly once."),
     ("bpe_encode_docs", "BPE encode with the learned merge table in the UDF closure: ONE "
      "narrow mapInPandas over the documents scan — zero exchanges; tokenizer training "
      "(histogram + driver merge loop) is the amortized build billed separately."),
