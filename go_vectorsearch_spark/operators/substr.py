@@ -111,9 +111,15 @@ def window_hashes(
         if tokenized is not None
         else tokenized_docs(df, id_col, text_col)
     )
-    return toked.select(
-        "_id", F.explode(_window_structs(F.col("_toks"), L)).alias("_z")
-    ).select("_id", F.col("_z.pos").alias("pos"), F.col("_z.wh").alias("_wh"))
+    # the window-struct tree is built over the fixed "_toks" name, so it
+    # memoizes per (gateway, L) like the span machinery below — every
+    # decontamination/cut/fixpoint pass re-derives this frame
+    win = _memo_column(
+        f"window_structs_L{L}", lambda: _window_structs(F.col("_toks"), L)
+    )
+    return toked.select("_id", F.explode(win).alias("_z")).select(
+        "_id", F.col("_z.pos").alias("pos"), F.col("_z.wh").alias("_wh")
+    )
 
 
 def duplicated_windows(windows: DataFrame) -> DataFrame:
