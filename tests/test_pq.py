@@ -115,6 +115,32 @@ def test_rerank_self_hit(emb, coded, books):
     assert abs(top[0]["score"] - 1.0) < 1e-6
 
 
+def test_candidate_frame_replays_every_rerank_depth(emb, coded, books):
+    """pq_candidate_frame (r13 — the sweep's one-ADC-pass trim) must
+    reproduce pq_search's ids EXACTLY at every depth it serves: the
+    frame's ADC order is the same total order (id tie-break), and its
+    engine-computed round-6 rerank key replays _exact_rerank's ordering
+    over each depth's prefix driver-side."""
+    from go_vectorsearch_spark.plans.pq import pq_candidate_frame
+
+    q = _qvec(emb)
+    depths = (None, 25, 50)
+    cands = pq_candidate_frame(coded, books, q, cand_k=50).collect()
+    for rr in depths:
+        want = [
+            r["vec_id"]
+            for r in pq_search(coded, books, q, k=10, rerank=rr).collect()
+        ]
+        if rr is None:
+            got = [r["vec_id"] for r in cands[:10]]
+        else:
+            sub = sorted(
+                cands[:rr], key=lambda r: (-r["_exact_r6"], r["vec_id"])
+            )[:10]
+            got = [r["vec_id"] for r in sub]
+        assert got == want, f"depth {rr}: {got} != {want}"
+
+
 def test_search_plan_is_take_ordered(emb, coded, books):
     """The expr path must stay a JVM-side scan + TakeOrderedAndProject:
     no shuffle, no Python eval in the scoring plan."""
