@@ -154,7 +154,16 @@ def cdc_dup_stats(
     output and the chunk rows; the hash-partitioned window moves every
     chunk row exactly once and computes ownership in place — one fewer
     exchange and single-consumption, so callers no longer need to
-    persist the chunker output for this statistic)."""
+    persist the chunker output for this statistic).
+
+    NULL-hash invariant (r13 advice): ``cdc_chunks`` hashes every
+    emitted piece unconditionally (md5 of non-null bytes — a NULL/empty
+    document emits no rows at all), so ``chunk_hash`` is never NULL
+    here. That matters for the window rewrite's equivalence with the
+    r12 join formulation: an inner join on chunk_hash silently DROPPED
+    NULL keys, while Window.partitionBy groups all NULLs into one
+    partition and would count them as mutual duplicates — the behaviors
+    only coincide because the input can't produce a NULL hash."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("chunk_hash")

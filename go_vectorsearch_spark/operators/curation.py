@@ -454,9 +454,12 @@ def strip_boilerplate_fixpoint(
     reconstruction join. Intermediates persist for their pass and
     release AS SUPERSEDED, so the cache footprint is bounded by one
     pass's working set regardless of ``iterate``, and the RESULT always
-    comes back persisted+materialized (the caller releases it —
-    previously a first-pass convergence returned the raw source plan,
-    r12 advice). A converged result re-fit yields an EMPTY hot set over
+    comes back persisted — materialized on the distributed path; the
+    driver-local path leaves materialization to the first consumer,
+    whose "recompute" is a memory copy of a local Arrow relation (the
+    eager count there was one pure-floor job per call, r13) — and the
+    caller releases it (previously a first-pass convergence returned
+    the raw source plan, r12 advice). A converged result re-fit yields an EMPTY hot set over
     the still-active documents: stripped lines reach document frequency
     zero, survivors kept their sub-threshold frequencies, and
     normalization-migrated forms were re-checked by the next pass —

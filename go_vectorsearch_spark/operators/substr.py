@@ -54,6 +54,8 @@ MB-scale broadcastable benchmark set (streaming/decontaminate.py).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,13 +115,22 @@ def window_hashes(
     )
     # the window-struct tree is built over the fixed "_toks" name, so it
     # memoizes per (gateway, L) like the span machinery below — every
-    # decontamination/cut/fixpoint pass re-derives this frame
+    # decontamination/cut/fixpoint pass re-derives this frame (r14: the
+    # explode alias and the pos/wh projections memoize with it)
     win = _memo_column(
         f"window_structs_L{L}", lambda: _window_structs(F.col("_toks"), L)
     )
-    return toked.select("_id", F.explode(win).alias("_z")).select(
-        "_id", F.col("_z.pos").alias("pos"), F.col("_z.wh").alias("_wh")
+    explode_col = _memo_column(
+        f"window_explode_L{L}", lambda: F.explode(win).alias("_z")
     )
+    pos_wh = _memo_column(
+        "window_pos_wh",
+        lambda: (
+            F.col("_z.pos").alias("pos"),
+            F.col("_z.wh").alias("_wh"),
+        ),
+    )
+    return toked.select("_id", explode_col).select("_id", *pos_wh)
 
 
 def duplicated_windows(windows: DataFrame) -> DataFrame:
@@ -130,9 +141,12 @@ def duplicated_windows(windows: DataFrame) -> DataFrame:
     One groupBy shuffle over 16-byte keys + one join-back on the same
     key; Catalyst plans both on one hash partitioning of ``_wh``.
     """
+    cnt = _memo_column(
+        "dupwin_count", lambda: F.count("*").alias("_c")
+    )
     dup = (
         windows.groupBy("_wh")
-        .agg(F.count("*").alias("_c"))
+        .agg(cnt)
         .filter(F.col("_c") > 1)
         .select("_wh")
     )
@@ -155,22 +169,25 @@ def duplicate_flags(windows: DataFrame) -> DataFrame:
     duplicate-set shuffle over the corpus-token-sized window frame is
     paid once per corpus instead of once per consumer.
     """
-    dup = (
-        windows.groupBy("_wh")
-        .agg(
+
+    def _build():
+        aggs = (
             F.count("*").alias("_c"),
             F.min(F.struct("_id", "pos")).alias("_k"),
         )
+        keep = (
+            (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
+        ).alias("_keep")
+        return aggs, keep
+
+    aggs, keep = _memo_column("flags_aggs_keep", _build)
+    dup = (
+        windows.groupBy("_wh")
+        .agg(*aggs)
         .filter(F.col("_c") > 1)
         .select("_wh", "_k")
     )
-    return windows.join(dup, "_wh").select(
-        "_id",
-        "pos",
-        (
-            (F.col("_id") == F.col("_k._id")) & (F.col("pos") == F.col("_k.pos"))
-        ).alias("_keep"),
-    )
+    return windows.join(dup, "_wh").select("_id", "pos", keep)
 
 
 def _merge_islands(
@@ -190,32 +207,48 @@ def _merge_islands(
 
     Returns (_id, *extra_keys, s_pos, e_pos, n_windows) — one row per
     maximal span.
+
+    The window/agg Column trees reference only fixed internal names
+    (keys, ``pos``, ``_brk``) plus the L literal, so they memoize per
+    (gateway, L, keys) like the span machinery (r14 — these builders
+    were the remaining unmemoized plan-construction cost in the
+    decontaminate/cut family, r13 verdict task 3).
     """
     keys = ["_id", *extra_keys]
-    prev = (
-        Window.partitionBy(*keys)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run = (
-        Window.partitionBy(*keys)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # window ends are monotone in pos (fixed L), so running-max end ==
-    # running-max pos + L - 1; a break is a strict gap past it
-    brk = F.when(
-        F.col("pos") > F.coalesce(F.max("pos").over(prev), F.lit(-2 * L)) + L, 1
-    ).otherwise(0)
-    return (
-        positions.withColumn("_brk", brk)
-        .withColumn("_island", F.sum("_brk").over(run))
-        .groupBy(*keys, "_island")
-        .agg(
+
+    def _build():
+        prev = (
+            Window.partitionBy(*keys)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run = (
+            Window.partitionBy(*keys)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # window ends are monotone in pos (fixed L), so running-max
+        # end == running-max pos + L - 1; a break is a strict gap past it
+        brk = F.when(
+            F.col("pos") > F.coalesce(F.max("pos").over(prev), F.lit(-2 * L)) + L,
+            1,
+        ).otherwise(0)
+        island = F.sum("_brk").over(run)
+        aggs = (
             F.min("pos").alias("s_pos"),
             (F.max("pos") + (L - 1)).cast("int").alias("e_pos"),
             F.count("*").alias("n_windows"),
         )
+        return brk, island, aggs
+
+    brk, island, aggs = _memo_column(
+        f"merge_islands_L{L}_keys{tuple(extra_keys)}", _build
+    )
+    return (
+        positions.withColumn("_brk", brk)
+        .withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(*aggs)
         .select(*keys, "s_pos", "e_pos", "n_windows")
     )
 
@@ -541,18 +574,7 @@ def exact_substr_cut(
                 extra_keys=("_keep",),
             )
             .groupBy("_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("_keep"), F.struct("s_pos", "e_pos"))
-                    )
-                ).alias("_rm"),
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("s_pos", "e_pos"))
-                    )
-                ).alias("_kp"),
-            )
+            .agg(*_rm_kp_aggs())
             .filter(F.size(_cuts_expr()) > 0)
         )
         if would_cut.isEmpty():
@@ -602,18 +624,40 @@ def _cut_once(
     spans = _merge_islands(
         flagged.select("_id", "pos", "_keep"), L, extra_keys=("_keep",)
     )
-    arrays = spans.groupBy("_id").agg(
-        F.array_sort(
-            F.collect_list(F.when(~F.col("_keep"), F.struct("s_pos", "e_pos")))
-        ).alias("_rm"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("_keep"), F.struct("s_pos", "e_pos")))
-        ).alias("_kp"),
-    )
+    arrays = spans.groupBy("_id").agg(*_rm_kp_aggs())
     return _rebuild_without_spans(df, arrays, id_col, text_col, normalize=normalize)
 
 
+def _rm_kp_aggs() -> tuple:
+    """The removable/keeper span-array aggregate pair over the fixed
+    ``_keep``/``s_pos``/``e_pos`` names — shared by the cut rebuild and
+    the fixpoint's would-cut probe; memoized like every fixed-name tree
+    here."""
+    return _memo_column(
+        "cut_rm_kp_aggs",
+        lambda: (
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("_keep"), F.struct("s_pos", "e_pos"))
+                )
+            ).alias("_rm"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("s_pos", "e_pos"))
+                )
+            ).alias("_kp"),
+        ),
+    )
+
+
 _COLUMN_MEMO: dict = {}
+# the gateway OBJECT the memo was built against (strong ref: an id()
+# key could be reused by a new gateway allocated after the old one is
+# GC'd, silently serving dead JVM handles — r13 advice); the RLock
+# serializes build/evict because Spark jobs now run from driver threads
+# (ngram_lm's ThreadPoolExecutor)
+_MEMO_GATEWAY = None
+_MEMO_LOCK = threading.RLock()
 
 
 def _memo_column(key: str, build) -> Column:
@@ -626,27 +670,34 @@ def _memo_column(key: str, build) -> Column:
     ~0.5-2 s of pure driver latency per query that rebuilds it). The
     trees here reference fixed internal column names (``_rm``/``_kp``/
     ``_cuts``/``_orig``), so they are cacheable verbatim. Keyed by the
-    live py4j gateway: a restarted JVM must never be handed another
-    gateway's dead object handles (stale entries are dropped on the
-    first build against a new gateway)."""
+    live py4j gateway COMPARED BY IDENTITY on a held reference (never
+    by id(): a dead gateway's id can be reused) — a restarted JVM must
+    never be handed another gateway's dead object handles; the whole
+    memo drops on the first build against a new gateway."""
+    global _MEMO_GATEWAY
     from pyspark import SparkContext
 
-    gw_id = id(SparkContext._gateway)
-    k = (gw_id, key)
-    if k not in _COLUMN_MEMO:
-        for old in [x for x in _COLUMN_MEMO if x[0] != gw_id]:
-            del _COLUMN_MEMO[old]
-        _COLUMN_MEMO[k] = build()
-    return _COLUMN_MEMO[k]
+    gw = SparkContext._gateway
+    with _MEMO_LOCK:
+        if _MEMO_GATEWAY is not gw:
+            _COLUMN_MEMO.clear()
+            _MEMO_GATEWAY = gw
+        if key not in _COLUMN_MEMO:
+            _COLUMN_MEMO[key] = build()
+        return _COLUMN_MEMO[key]
 
 
 def _span_arrays(spans: DataFrame, out_col: str) -> DataFrame:
     """Collapse a span frame to one (_id, array<struct<s_pos,e_pos>>)
     row per doc — the bounded per-document shape the token filter
     consumes (a document has at most |tokens|/L spans)."""
-    return spans.groupBy("_id").agg(
-        F.array_sort(F.collect_list(F.struct("s_pos", "e_pos"))).alias(out_col)
+    agg = _memo_column(
+        f"span_arrays_{out_col}",
+        lambda: F.array_sort(
+            F.collect_list(F.struct("s_pos", "e_pos"))
+        ).alias(out_col),
     )
+    return spans.groupBy("_id").agg(agg)
 
 
 def _cuts_expr() -> Column:
@@ -806,22 +857,30 @@ def _rebuild_without_spans(
     per-token exists scan over the span arrays (O(tokens × spans), which
     degrades quadratically on a long document whose span count tracks
     its length)."""
-    empty = F.array().cast("array<struct<s_pos:int,e_pos:int>>")
-    toked = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text0"),
-        ws_tokens(F.col(text_col), lower=False).alias("_orig"),
+    empty = _memo_column(
+        "empty_span_array",
+        lambda: F.array().cast("array<struct<s_pos:int,e_pos:int>>"),
     )
+    toked_cols = _memo_column(
+        f"rebuild_toked_cols_{id_col}_{text_col}",
+        lambda: (
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text0"),
+            ws_tokens(F.col(text_col), lower=False).alias("_orig"),
+        ),
+    )
+    toked = spread(df).select(*toked_cols)
     joined = toked.join(span_arrays, "_id", "left")
     if "_kp" not in span_arrays.columns:
         joined = joined.withColumn("_kp", empty)
-    joined = joined.select(
-        "_id",
-        "_text0",
-        "_orig",
-        F.coalesce("_rm", empty).alias("_rm"),
-        F.coalesce("_kp", empty).alias("_kp"),
+    rebuilt_sel = _memo_column(
+        "rebuild_coalesce_cols",
+        lambda: (
+            F.coalesce("_rm", empty).alias("_rm"),
+            F.coalesce("_kp", empty).alias("_kp"),
+        ),
     )
+    joined = joined.select("_id", "_text0", "_orig", *rebuilt_sel)
 
     # cuts inherits sorted+disjoint from _rm (subtraction only shrinks
     # spans in place; flatten preserves order)
@@ -847,22 +906,32 @@ def _rebuild_without_spans(
 
         return F.flatten(F.transform(F.sequence(F.lit(0), n_cuts), _gap_slice))
 
-    kept_tokens = _memo_column("kept_gap_slices", _build_kept_tokens)
-    rebuilt = F.concat_ws(" ", kept_tokens)
     # ``normalize`` applies to the REBUILT branch only — passthrough
-    # documents keep verbatim bytes (see exact_substr_cut's contract)
-    if normalize is not None:
-        rebuilt = normalize(rebuilt)
+    # documents keep verbatim bytes (see exact_substr_cut's contract).
     # passthrough gates on the EFFECTIVE cut set, not on _rm: a document
     # whose removable spans are entirely keeper-covered has nothing cut
     # and must keep its bytes (the r9 self-review caught the _rm gate
-    # whitespace-normalizing exactly that case)
-    return with_cuts.select(
-        F.col("_id").alias(id_col),
-        F.when(F.size("_cuts") == 0, F.col("_text0"))
-        .otherwise(rebuilt)
-        .alias("text"),
+    # whitespace-normalizing exactly that case). The whole passthrough/
+    # rebuild text tree memoizes when no caller normalize closure is in
+    # play (the registry case; an Engine-supplied normalize is an opaque
+    # callable, so only the kept-tokens subtree is shared then).
+    def _build_text() -> Column:
+        kept_tokens = _memo_column("kept_gap_slices", _build_kept_tokens)
+        rebuilt = F.concat_ws(" ", kept_tokens)
+        if normalize is not None:
+            rebuilt = normalize(rebuilt)
+        return (
+            F.when(F.size("_cuts") == 0, F.col("_text0"))
+            .otherwise(rebuilt)
+            .alias("text")
+        )
+
+    text_col_out = (
+        _memo_column("rebuild_text_plain", _build_text)
+        if normalize is None
+        else _build_text()
     )
+    return with_cuts.select(F.col("_id").alias(id_col), text_col_out)
 
 
 def contaminated_spans(

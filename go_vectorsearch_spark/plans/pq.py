@@ -311,8 +311,17 @@ def pq_candidate_frame(
     depth; every depth's result is a deterministic function of this
     frame (the ADC order is total — id tie-break — so each depth's
     candidate set is a prefix, and the rerank key is engine-computed
-    here, not recomputed downstream), so one TakeOrdered serves the
-    whole sweep. Rows come back in ADC order (desc, id asc)."""
+    here, not recomputed downstream). Rows come back in ADC order
+    (desc, id asc).
+
+    Two stages (r13 advice): the corpus-wide TakeOrdered ranks on
+    ``_adc`` over (id, codes) ONLY — the narrow columns PQ's bandwidth
+    story depends on — and the exact-cosine key is computed afterwards
+    for just the cand_k survivors (a broadcast of the tiny candidate
+    set back onto the store). Computing ``_exact_r6`` below the
+    TakeOrdered would read the full embedding column and pay a
+    full-width dot for EVERY corpus row, costing more at scale than
+    the per-depth narrow scans the one-pass frame replaces."""
     from go_vectorsearch_spark.functions.vector import dot, l2_normalize
 
     lut = query_lut(codebooks, qvec)
@@ -323,11 +332,21 @@ def pq_candidate_frame(
         scored = coded.withColumn("_adc", adc_score_expr(F.col(codes_col), lut))
     else:
         scored = _adc_score_numpy(coded, lut, codes_col)
+    cands = (
+        scored.select(id_col, "_adc")
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(cand_k)
+    )
     q = np.asarray(qvec, dtype=np.float64)
     qn = np.linalg.norm(q)
     qlit = F.lit([float(x / qn if qn > 0 else x) for x in q])
+    # id is unique, so the inner join keeps exactly the cand_k survivors;
+    # the exact dot runs on those rows alone and the final TakeOrdered
+    # re-establishes ADC order over cand_k rows (driver-cheap)
     return (
-        scored.select(
+        coded.select(id_col, vec_col)
+        .join(F.broadcast(cands), id_col)
+        .select(
             id_col,
             "_adc",
             F.round(dot(l2_normalize(F.col(vec_col)), qlit), 6).alias("_exact_r6"),

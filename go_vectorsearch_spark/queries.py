@@ -178,7 +178,13 @@ LIMIT {TOPK_K}
     doc="J4/T2 brute-force cosine top-k (reference server/search.go:234-273)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    from go_vectorsearch_spark.sources.tables import spread
+
+    # spread (r14): the sf parquet is one split, so the interpreted-HOF
+    # scoring fold ran on ONE core at any $SPARK_GRAFT_CPUS; per-row
+    # results are partitioning-independent and the top-k total order
+    # (round-6 desc, id asc) pins the output — no-op at real scale
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     qvec = _qvec(spark, sf_dir)
     topk = brute_force_topk(emb, qvec, TOPK_K, id_col="vec_id", vec_col="embedding")
     return topk.select("vec_id", F.round("score", 6).alias("score"))
@@ -1141,8 +1147,11 @@ FROM embeddings
 )
 def q_normalize_norms(spark, sf_dir):
     from go_vectorsearch_spark.functions.vector import l2_norm, l2_normalize
+    from go_vectorsearch_spark.sources.tables import spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread: single-split input serialized the per-row HOF norm fold
+    # on one core (see q_cosine_topk) — row-level math is unchanged
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
@@ -1178,8 +1187,11 @@ FROM q
 )
 def q_quantize_roundtrip(spark, sf_dir):
     from go_vectorsearch_spark.functions.vector import dequantize, quantize, vector_range
+    from go_vectorsearch_spark.sources.tables import spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread: quantize+dequantize+fold per row on a one-split scan (see
+    # q_cosine_topk) — per-row math unchanged
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     lo, hi = vector_range(F.col("embedding"))
     withq = emb.withColumn("lo", lo).withColumn("hi", hi).withColumn(
         "codes", quantize(F.col("embedding"), F.col("lo"), F.col("hi"), "float64")
@@ -2783,12 +2795,17 @@ def _lsh_bucketed_cached(spark, sf_dir):
     (at scale ``_bucket`` is a stored column, never recomputed); cached
     once per corpus like the shingle frame, and billed to its own bench
     entry instead of whichever consumer runs first."""
+    from go_vectorsearch_spark.sources.tables import spread
+
     emb = _t(spark, sf_dir, "embeddings")
+    # spread: the bucket fold is expression-heavy per row and the
+    # single-split sf parquet would otherwise persist (and serve every
+    # LSH consumer) as ONE partition — no-op at real scale (_pq_cached)
     return _dedup_cached(
         spark,
         "lsh_bucketed_small",
         sf_dir,
-        lambda: emb.withColumn(
+        lambda: spread(emb).withColumn(
             "_bucket", LSH.lsh_bucket(F.col("embedding"), _LSH_PLANES_SMALL)
         ),
     )
@@ -2992,7 +3009,12 @@ def q_batch_search_topk(spark, sf_dir):
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    scored = emb.crossJoin(F.broadcast(qdf)).withColumn(
+    from go_vectorsearch_spark.sources.tables import spread
+
+    # spread the corpus side only (the broadcast query side must stay a
+    # tiny unshuffled scan): Q interpreted-HOF cosines per row on a
+    # one-split scan ran single-task (see q_cosine_topk)
+    scored = spread(emb).crossJoin(F.broadcast(qdf)).withColumn(
         "sim", cosine_similarity(F.col("embedding"), F.col("qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -3714,8 +3736,16 @@ def _pq_cached(spark, sf_dir):
         assign = _ivf_index(spark, sf_dir).assigned.select(
             "vec_id", "centroid_id"
         )
+        from go_vectorsearch_spark.sources.tables import spread
+
+        # spread BEFORE the encode (r14): the sf parquet is one split,
+        # so the un-spread store persisted as ONE partition and every
+        # consumer (ADC scans, the rerank="all" exactness anchor) ran
+        # single-task regardless of core count — the r13 verdict's
+        # "prove it parallelizes" ask. At real scale the input has
+        # thousands of splits and spread() is a plan-inspection no-op.
         coded = (
-            encode_pq(emb, books)
+            encode_pq(spread(emb), books)
             .join(assign, "vec_id")
             .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
@@ -3754,13 +3784,18 @@ def _pca_cached(spark, sf_dir):
 
         from go_vectorsearch_spark.plans.pca import fit_pca, project_pca
 
+        from go_vectorsearch_spark.sources.tables import spread
+
         emb = _t(spark, sf_dir, "embeddings")
         # center=False: the reduced vectors feed cosine scoring (see
         # plans/pca.py — uncentered projection preserves inner products
-        # exactly at k = d); k = 16 of 64 dims, the 4x scan-width win
+        # exactly at k = d); k = 16 of 64 dims, the 4x scan-width win.
+        # spread: the single-split sf parquet otherwise persists the
+        # projection as ONE partition and every search runs single-task
+        # (no-op at real scale — see _pq_cached)
         model = fit_pca(emb, k=16, center=False)
         proj = (
-            project_pca(emb.select("vec_id", "embedding"), model)
+            project_pca(spread(emb.select("vec_id", "embedding")), model)
             .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
         proj.count()
@@ -3800,11 +3835,15 @@ def _pca_exact_cached(spark, sf_dir):
 
         from go_vectorsearch_spark.plans.pca import fit_pca, project_pca
 
+        from go_vectorsearch_spark.sources.tables import spread
+
         emb = _t(spark, sf_dir, "embeddings")
         d = len(_qvec(spark, sf_dir))
         model = fit_pca(emb, k=d, center=False)
+        # spread as in _pca_cached: one-split input would pin the k=d
+        # exactness anchor to a single task at any core count
         proj = (
-            project_pca(emb.select("vec_id", "embedding"), model)
+            project_pca(spread(emb.select("vec_id", "embedding")), model)
             .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
         proj.count()
@@ -4232,8 +4271,11 @@ LIMIT 10
 )
 def q_fulltext_maxsim(spark, sf_dir):
     from go_vectorsearch_spark.operators.search import maxsim_topk
+    from go_vectorsearch_spark.sources.tables import spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread: three per-row cosine folds on a one-split scan (see
+    # q_cosine_topk); the per-doc max aggregate is order-insensitive
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     res = maxsim_topk(emb, _qvecs(spark, sf_dir), k=10, doc_col="label")
     return res.select("label", F.round("score", 6).alias("score"))
 
@@ -4313,9 +4355,12 @@ def q_fulltext_hybrid_rrf(spark, sf_dir):
     from go_vectorsearch_spark.operators.fulltext import bm25_search, rrf_fuse
     from go_vectorsearch_spark.operators.search import brute_force_topk
 
+    from go_vectorsearch_spark.sources.tables import spread
+
     index = _bm25_cached(spark, sf_dir)
     lexical = bm25_search(index, _BM25_QUERY, k=20)
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread the semantic leg's scoring scan (see q_cosine_topk)
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     semantic = brute_force_topk(emb, _qvec(spark, sf_dir), 20).select(
         F.col("vec_id").alias("doc_id"), "score"
     )

@@ -82,6 +82,7 @@ def test_refresh_index_reassigns(engine):
     assert eng.search("acme", "wiki", "plans", nprobe=-1).count() >= 1
 
 
+@pytest.mark.slow
 def test_refresh_all_sweeps_every_category(spark, tmp_path):
     """server/centroids.go:17-83: the boot-time sweep rebuilds the index
     of every (owner, category); each is then searchable with
@@ -581,6 +582,7 @@ def test_engine_table_changes_after_delete(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_delete_documents_bulk_single_rewrite(spark, tmp_path):
     """Bulk delete: every touched partition rewritten ONCE for the
     whole batch (per-id deletes would rewrite shared buckets N times),
@@ -676,6 +678,7 @@ def test_search_where_prefilters_probed_scan(spark, tmp_path):
                       where=F.col("name") == "nope").collect() == []
 
 
+@pytest.mark.slow
 def test_search_where_adaptive_probe_widening(spark, tmp_path):
     """With a predicate and a thin initial probe set, the engine widens
     nprobe (doubling, ivf_search_adaptive contract) until the page
@@ -718,6 +721,7 @@ def test_search_where_adaptive_probe_widening(spark, tmp_path):
     assert h1 == hall and set(h1) == keep
 
 
+@pytest.mark.slow
 def test_search_many_matches_per_query_search(spark, tmp_path):
     """Batched search: each query's page in search_many equals the
     per-query Engine.search result exactly (same probe ranking, dedup,
@@ -786,6 +790,7 @@ def test_search_many_where_prefilters(spark, tmp_path):
         assert set(by_q.get(ix, [])) <= keep
 
 
+@pytest.mark.slow
 def test_search_many_where_adaptive_probe_widening(spark, tmp_path):
     """The batch form widens probes per underfilled query exactly like
     the single form: filtered search_many at nprobe=1 returns the SAME
@@ -822,6 +827,7 @@ def test_search_many_where_adaptive_probe_widening(spark, tmp_path):
         assert set(by_q.get(ix, [])) == keep  # every existing match found
 
 
+@pytest.mark.slow
 def test_refresh_index_incremental(spark, tmp_path):
     """Incremental IVF maintenance touches only the changed centroids:
 
@@ -949,6 +955,7 @@ def test_refresh_index_incremental(spark, tmp_path):
         assert abs(s - m) < 1e-4
 
 
+@pytest.mark.slow
 def test_refresh_index_incremental_self_heals_crash_windows(spark, tmp_path):
     """The incremental refresh's commit order (append new centroids ->
     move embeddings -> final centroids rewrite) promises every crash
@@ -1001,6 +1008,7 @@ def test_refresh_index_incremental_self_heals_crash_windows(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_search_many_offset_pagination(spark, tmp_path):
     """search_many(offset=) pages exactly like consecutive search()
     pages: page-2 of the batch equals page-2 of each single query, and

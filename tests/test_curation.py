@@ -820,6 +820,7 @@ def test_strip_boilerplate_fixpoint_no_phantom_period_line(spark):
     out.unpersist()
 
 
+@pytest.mark.slow
 def test_strip_boilerplate_fixpoint_matches_naive_reference(spark):
     """Distributed fixpoint ≡ an independent driver-side reference
     (hot-fit → strip → normalize-changed → freeze-emptied, looped) over

@@ -174,6 +174,7 @@ def test_embed_chunks_seam_http(spark, stub_server):
     assert len(out) == 4 and len(srv.requests) == 2
 
 
+@pytest.mark.slow
 def test_engine_with_http_provider(spark, stub_server, tmp_path):
     """Engine configured with api_bases embeds uploads AND queries over
     HTTP (the reference server's live-provider deployment shape), stores

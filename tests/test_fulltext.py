@@ -355,6 +355,7 @@ def test_append_postings_equals_rebuild(spark, sf_correct, tmp_path):
         assert g == w, f"append/rebuild divergence for {q!r}"
 
 
+@pytest.mark.slow
 def test_engine_append_text_index(spark, tmp_path):
     """Engine path: upload → build → upload more; the second upload
     AUTO-appends its postings (no manual maintenance call), and hybrid

@@ -173,6 +173,7 @@ def test_rebuilds_reclaim_old_batches(spark, tmp_path):
     assert eng.search_hybrid("o", "c", "alpha", count=1).count() == 1
 
 
+@pytest.mark.slow
 def test_delete_document_maintains_text_index(spark, tmp_path):
     """The round-4 gap: deletes must maintain the BM25 store. After a
     document delete, (a) the lexical ranking contains no dead ids,
@@ -221,6 +222,7 @@ def test_delete_document_maintains_text_index(spark, tmp_path):
     assert read_postings(spark, eng._text_index_path(cid))[0].n_docs == before
 
 
+@pytest.mark.slow
 def test_delete_category_and_owner_remove_text_index_dirs(spark, tmp_path):
     """Cascade deletes reclaim the category's postings store directory
     (it was orphaned on disk forever before r5)."""
@@ -302,6 +304,7 @@ def test_hybrid_filtered_where_prefilters_both_legs(spark, tmp_path):
     assert none == []
 
 
+@pytest.mark.slow
 def test_search_many_hybrid_matches_per_query_hybrid(spark, tmp_path):
     """Batched hybrid: each query's fused page equals the single-query
     search_hybrid result exactly — same BM25 stats, probe ranking, RRF

@@ -124,6 +124,7 @@ def test_append_carries_existing_files(eng):
     assert new_rows.count() == 4  # LSH_BANDS rows per doc
 
 
+@pytest.mark.slow
 def test_upload_skip_drops_duplicates(spark, tmp_path):
     e = Engine(spark, str(tmp_path))
     ids = e.upload("o", "c", [_doc("base", BASE), _doc("other", OTHER)])
@@ -192,6 +193,7 @@ def test_upload_skip_rejection_is_side_effect_free(spark, tmp_path):
     assert e._category_id("nobody", "nocat") is None
 
 
+@pytest.mark.slow
 def test_deleted_doc_self_heals(spark, tmp_path):
     e = Engine(spark, str(tmp_path))
     (bid, oid) = e.upload("o", "c", [_doc("base", BASE), _doc("other", OTHER)])
@@ -231,6 +233,7 @@ def test_status_reports_neardup_index(eng):
     assert cats[("acme", "noindex")]["neardup_index"] is False
 
 
+@pytest.mark.slow
 def test_compact_drops_dead_band_rows(spark, tmp_path):
     e = Engine(spark, str(tmp_path))
     (bid, oid) = e.upload("o", "c", [_doc("base", BASE), _doc("other", OTHER)])

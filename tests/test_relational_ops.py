@@ -3,6 +3,7 @@ oracle-parity suite (write/skew paths)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_vectorsearch_spark.operators.relational import salted_join
@@ -199,6 +200,7 @@ def test_asof_same_source_equals_two_frame(spark, sf_correct):
     assert rows_one == rows_two
 
 
+@pytest.mark.slow
 def test_range_join_point_shape_and_equivalence(spark):
     """range_join_point must equal the naive BETWEEN join row-for-row
     while planning an equi-hash join (no BroadcastNestedLoop/cartesian

@@ -100,6 +100,7 @@ def test_upload_search_roundtrip_matches_engine(served):
     assert [d["document_similarity"] for d in docs] == pytest.approx([r["score"] for r in direct])
 
 
+@pytest.mark.slow
 def test_categories_and_deletes(served):
     eng, port, _ = served
     _call(port, "/api/upload", {"owner": "acme", "category": "blog", "documents": [DOCS[0]]})
@@ -367,6 +368,7 @@ def test_search_mmr_field(served):
         assert resp.status == 400, f"mmr={bad!r} should be a 400"
 
 
+@pytest.mark.slow
 def test_admin_neardup_route(served):
     """/api/admin/neardup builds the band index and checks candidate
     texts; /api/upload honors neardup='skip' against it."""
@@ -606,6 +608,7 @@ def test_chat_accepts_zstd_request_body(served):
     assert data.decode() == "Hello (1 msgs)"
 
 
+@pytest.mark.slow
 def test_hybrid_route_and_admin_refresh(served):
     """Extension routes: /api/admin/refresh (re)builds indexes for the
     category, /api/search_hybrid then serves the fused ranking with the
@@ -655,6 +658,7 @@ def test_admin_stats_route(served):
     )
 
 
+@pytest.mark.slow
 def test_hybrid_searches_survive_concurrent_rebuild(served):
     """Snapshot isolation end-to-end: lock-free /api/search_hybrid
     requests racing an /api/admin/refresh (which rebuilds the text

@@ -6,6 +6,7 @@ frame join; stateless across batches by construction."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_vectorsearch_spark.operators.curation import (
@@ -70,6 +71,7 @@ def test_stream_equals_batch_operator(spark, tmp_path):
     assert got[4] == "second batch body"
 
 
+@pytest.mark.slow
 def test_stream_is_stateless_across_batches(spark, tmp_path):
     """Doc 4's strip result must not depend on batch 1 having been seen
     (no cross-batch DF accumulation): a one-batch stream over batch 2

@@ -52,6 +52,7 @@ def _run(spark, tmp, mode):
     return {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
 
 
+@pytest.mark.slow
 def test_cut_mode_trims_quotes_keeps_documents(spark, tmp_path, monkeypatch):
     # spy isEmpty: the sink must execute the cut plan ONCE per
     # micro-batch — an isEmpty() pre-check on the cut output would run

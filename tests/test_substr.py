@@ -245,6 +245,7 @@ def _naive_cut_once(docs: dict[int, str], L: int) -> dict[int, str]:
     return out
 
 
+@pytest.mark.slow
 def test_cut_matches_naive_on_random_corpora(spark):
     """exact_substr_cut == the naive reference on random tiny-vocab
     corpora (dense duplicate structure, chains included), for both the
@@ -518,6 +519,7 @@ def test_engine_reports(spark, tmp_path):
         e.substr_dedup_report("o", "nope")
 
 
+@pytest.mark.slow
 def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
     """substr_dedup_cut rewrites ONLY the changed documents (via the
     partition-scoped upsert), removes chained duplicates at fixpoint,
@@ -587,6 +589,7 @@ def test_engine_substr_dedup_cut_roundtrip(spark, tmp_path):
         e.substr_dedup_cut("o", "nope")
 
 
+@pytest.mark.slow
 def test_engine_cut_final_token_renormalization_converges(spark, tmp_path):
     """The r9 verdict's done-criterion for the fixpoint gap: a cut that
     removes a document's final period-bearing token must leave a corpus
@@ -624,6 +627,7 @@ def test_engine_cut_final_token_renormalization_converges(spark, tmp_path):
     assert e.substr_dedup_report("o", "c", L=4).count() == 0
 
 
+@pytest.mark.slow
 def test_engine_substr_cut_re_embed(spark, tmp_path):
     """re_embed=True swaps the cut document's embedding rows for fresh
     ones derived from the cleaned text in one commit; untouched
@@ -672,6 +676,7 @@ def test_engine_substr_cut_re_embed(spark, tmp_path):
     assert aid in {r["document_id"] for r in hits}
 
 
+@pytest.mark.slow
 def test_engine_bulk_cut_frame_shaped(spark, tmp_path, monkeypatch):
     """Above BULK_REWRITE_CAP the span-cut commit path stays
     frame-shaped end-to-end: a cut that changes 150 of 154 documents
@@ -781,6 +786,7 @@ def test_engine_bulk_cut_frame_shaped(spark, tmp_path, monkeypatch):
     assert state(e_point) == state(e_bulk)
 
 
+@pytest.mark.slow
 def test_engine_decontaminate_cut(spark, tmp_path):
     """decontaminate_cut removes the quoted benchmark passage from
     stored documents (no keeper protection) through the same rewrite
