@@ -4901,10 +4901,20 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
     def rec(ids) -> float:
         return float(round(len(bf & set(ids)) / len(bf), 4))
 
-    out: list[tuple[str, str, float]] = []
-    # IVF nprobe — the existing one-job prefix-union sweep
-    for r in q_ivf_recall_sweep(spark, sf_dir).collect():
-        out.append(("ivf_nprobe", str(r["nprobe"]), float(r["recall_at_10"])))
+    # ---- the four family legs, each a deterministic function of its
+    # own prebuilt store. Every leg builds its frame lazily and runs
+    # ONE collect; the collects are independent, so they submit from a
+    # thread pool (guide §2.6 — later legs back-fill the earlier legs'
+    # straggler tails) and their rows land by leg, keeping the output
+    # order and values identical to the sequential run.
+
+    def _ivf_leg():
+        # the existing one-job prefix-union sweep
+        return [
+            ("ivf_nprobe", str(r["nprobe"]), float(r["recall_at_10"]))
+            for r in q_ivf_recall_sweep(spark, sf_dir).collect()
+        ]
+
     # LSH probe radius 0/1/2 — one job, rows tiered by bucket ring
     # (ring 2 at 6 bits = 15 buckets: a tiny isin, lint-safe)
     bucketed = _lsh_bucketed_cached(spark, sf_dir)
@@ -4916,73 +4926,100 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
         for b in LSH._hamming_neighbors(qb, n_bits, 2)
         if b != qb and b not in set(ring1)
     ]
-    # unlike q_ann_lsh_recall (whose widest tier IS the brute-force
-    # ground truth), radius 2 is this sweep's widest consumer — rows
-    # beyond ring 2 were only ever tiered to be discarded, so filter
-    # them BEFORE the top-k instead of sorting the whole non-candidate
-    # corpus into a never-read tier (the r10 verdict's weak spot)
-    tiered = (
-        score_cosine(bucketed, qvec, "embedding")
-        .withColumn(
-            "_tier",
-            F.when(F.col("_bucket") == qb, F.lit(0))
-            .when(F.col("_bucket").isin(ring1), F.lit(1))
-            .when(F.col("_bucket").isin(ring2), F.lit(2)),
+
+    def _lsh_leg():
+        # unlike q_ann_lsh_recall (whose widest tier IS the brute-force
+        # ground truth), radius 2 is this sweep's widest consumer — rows
+        # beyond ring 2 were only ever tiered to be discarded, so filter
+        # them BEFORE the top-k instead of sorting the whole
+        # non-candidate corpus into a never-read tier (the r10 verdict's
+        # weak spot)
+        tiered = (
+            score_cosine(bucketed, qvec, "embedding")
+            .withColumn(
+                "_tier",
+                F.when(F.col("_bucket") == qb, F.lit(0))
+                .when(F.col("_bucket").isin(ring1), F.lit(1))
+                .when(F.col("_bucket").isin(ring2), F.lit(2)),
+            )
+            .filter(F.col("_tier").isNotNull())
         )
-        .filter(F.col("_tier").isNotNull())
-    )
-    rows = _per_tier_topk(tiered, "_tier", TOPK_K).collect()
-    for radius in (0, 1, 2):
-        cand = [(r["score"], r["vec_id"]) for r in rows if r["_tier"] <= radius]
-        cand.sort(key=lambda t: (-t[0], t[1]))
-        out.append(
-            ("lsh_radius", str(radius), rec(v for _, v in cand[:TOPK_K]))
-        )
-    # PQ rerank depth — ONE job for all three depths (r13): the ADC
-    # top-50 candidates come back with both engine-computed ranking
-    # keys (ADC order + the exact-cosine round-6 rerank key), and each
-    # depth's top-k replays driver-side over its prefix of the SAME
-    # candidate list — identical ids to three pq_search calls, minus
-    # two full re-scans of the coded store (guide §1.2: don't compute
-    # things you throw away; §2.6-adjacent action-count trim)
+        rows = _per_tier_topk(tiered, "_tier", TOPK_K).collect()
+        out = []
+        for radius in (0, 1, 2):
+            cand = [
+                (r["score"], r["vec_id"]) for r in rows if r["_tier"] <= radius
+            ]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            out.append(
+                ("lsh_radius", str(radius), rec(v for _, v in cand[:TOPK_K]))
+            )
+        return out
+
+    # PQ rerank depth — one candidate pass for all three depths (r13):
+    # the ADC top-50 candidates come back with both engine-computed
+    # ranking keys (ADC order + the exact-cosine round-6 rerank key),
+    # and each depth's top-k replays driver-side over its prefix of the
+    # SAME candidate list — identical ids to three pq_search calls,
+    # minus two full re-scans of the coded store (guide §1.2: don't
+    # compute things you throw away)
     from go_vectorsearch_spark.plans.pq import pq_candidate_frame
 
     books, coded = _pq_cached(spark, sf_dir)
     depths = (None, 25, 50)
     cand_k = max(TOPK_K, *(d for d in depths if d is not None))
-    cands = pq_candidate_frame(coded, books, qvec, cand_k=cand_k).collect()
-    for rr in depths:
-        if rr is None:
-            ids = [r["vec_id"] for r in cands[:TOPK_K]]
-        else:
-            sub = sorted(
-                cands[:rr], key=lambda r: (-r["_exact_r6"], r["vec_id"])
-            )[:TOPK_K]
-            ids = [r["vec_id"] for r in sub]
-        out.append(("pq_rerank", "adc" if rr is None else str(rr), rec(ids)))
+
+    def _pq_leg():
+        cands = pq_candidate_frame(coded, books, qvec, cand_k=cand_k).collect()
+        out = []
+        for rr in depths:
+            if rr is None:
+                ids = [r["vec_id"] for r in cands[:TOPK_K]]
+            else:
+                sub = sorted(
+                    cands[:rr], key=lambda r: (-r["_exact_r6"], r["vec_id"])
+                )[:TOPK_K]
+                ids = [r["vec_id"] for r in sub]
+            out.append(
+                ("pq_rerank", "adc" if rr is None else str(rr), rec(ids))
+            )
+        return out
+
     # PCA k: reduced-space top-k per k, all ks in ONE unioned job over
     # slices of the same stored full-rotation projection
     model, proj = _pca_exact_cached(spark, sf_dir)
     ks = sorted({8, 16, 32, model.k})
     q = np.asarray(list(qvec), dtype=np.float64)
-    legs = []
-    for kk in ks:
-        qk = [float(x) for x in (model.components[:kk] @ q)]
-        legs.append(
-            score_cosine(
-                proj.select("vec_id", F.slice("pca", 1, kk).alias("_pk")),
-                qk,
-                "_pk",
-            ).select(F.lit(kk).alias("_k"), "vec_id", "score")
-        )
-    from functools import reduce as _reduce
 
-    u = _reduce(lambda a, b: a.unionByName(b), legs)
-    krows = _per_tier_topk(u, "_k", TOPK_K).select("_k", "vec_id").collect()
-    for kk in ks:
-        out.append(
-            ("pca_k", str(kk), rec(r["vec_id"] for r in krows if r["_k"] == kk))
-        )
+    def _pca_leg():
+        legs = []
+        for kk in ks:
+            qk = [float(x) for x in (model.components[:kk] @ q)]
+            legs.append(
+                score_cosine(
+                    proj.select("vec_id", F.slice("pca", 1, kk).alias("_pk")),
+                    qk,
+                    "_pk",
+                ).select(F.lit(kk).alias("_k"), "vec_id", "score")
+            )
+        from functools import reduce as _reduce
+
+        u = _reduce(lambda a, b: a.unionByName(b), legs)
+        krows = _per_tier_topk(u, "_k", TOPK_K).select("_k", "vec_id").collect()
+        return [
+            (
+                "pca_k",
+                str(kk),
+                rec(r["vec_id"] for r in krows if r["_k"] == kk),
+            )
+            for kk in ks
+        ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(f) for f in (_ivf_leg, _lsh_leg, _pq_leg, _pca_leg)]
+        out = [row for fut in futs for row in fut.result()]
     return spark.createDataFrame(
         out, "family string, param string, recall_at_10 double"
     )
