@@ -178,13 +178,12 @@ LIMIT {TOPK_K}
     doc="J4/T2 brute-force cosine top-k (reference server/search.go:234-273)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_vectorsearch_spark.sources.tables import spread
-
-    # spread (r14): the sf parquet is one split, so the interpreted-HOF
-    # scoring fold ran on ONE core at any $SPARK_GRAFT_CPUS; per-row
-    # results are partitioning-independent and the top-k total order
-    # (round-6 desc, id asc) pins the output — no-op at real scale
-    emb = spread(_t(spark, sf_dir, "embeddings"))
+    # NO spread here (r14, measured): the single scoring fold feeds a
+    # map-side-pruning top-k, so at this SF the round-robin exchange
+    # costs more than the 1-task fold it parallelizes (min-of-3 A/B:
+    # 0.68 vs 0.49 s), and at real scale the scan has thousands of
+    # splits and spread() is a no-op — no winner at any scale
+    emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir)
     topk = brute_force_topk(emb, qvec, TOPK_K, id_col="vec_id", vec_col="embedding")
     return topk.select("vec_id", F.round("score", 6).alias("score"))
@@ -4271,11 +4270,13 @@ LIMIT 10
 )
 def q_fulltext_maxsim(spark, sf_dir):
     from go_vectorsearch_spark.operators.search import maxsim_topk
-    from go_vectorsearch_spark.sources.tables import spread
 
-    # spread: three per-row cosine folds on a one-split scan (see
-    # q_cosine_topk); the per-doc max aggregate is order-insensitive
-    emb = spread(_t(spark, sf_dir, "embeddings"))
+    # NO spread (r14, measured): the per-doc max is a map-side partial
+    # aggregate computed inside the scan stage, so the exchange a
+    # spread adds costs more than the fold it parallelizes at this SF
+    # (min-of-3 A/B: 0.73 vs 0.62 s) and is a no-op at real scale —
+    # see q_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
     res = maxsim_topk(emb, _qvecs(spark, sf_dir), k=10, doc_col="label")
     return res.select("label", F.round("score", 6).alias("score"))
 
@@ -4355,12 +4356,11 @@ def q_fulltext_hybrid_rrf(spark, sf_dir):
     from go_vectorsearch_spark.operators.fulltext import bm25_search, rrf_fuse
     from go_vectorsearch_spark.operators.search import brute_force_topk
 
-    from go_vectorsearch_spark.sources.tables import spread
-
     index = _bm25_cached(spark, sf_dir)
     lexical = bm25_search(index, _BM25_QUERY, k=20)
-    # spread the semantic leg's scoring scan (see q_cosine_topk)
-    emb = spread(_t(spark, sf_dir, "embeddings"))
+    # NO spread on the semantic leg (r14, measured): same trade as
+    # q_cosine_topk — the leg is a map-side-pruned top-20
+    emb = _t(spark, sf_dir, "embeddings")
     semantic = brute_force_topk(emb, _qvec(spark, sf_dir), 20).select(
         F.col("vec_id").alias("doc_id"), "score"
     )
