@@ -667,8 +667,18 @@ def neardup_components(
     if collect_threshold is None:
         collect_threshold = _driver_collect_threshold(pairs.sparkSession)
     # persist before branching: count() then collect()/loop would
-    # otherwise recompute the whole upstream pair pipeline twice
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # otherwise recompute the whole upstream pair pipeline twice.
+    # OWNERSHIP (r14): only a persist THIS function adds may be
+    # released here — an unconditional unpersist on a caller-persisted
+    # frame (the registry's session-cached jaccard pairs) silently
+    # evicted the shared cache, and every later consumer recomputed the
+    # whole pair pipeline per action while the cache dict still claimed
+    # it was materialized.
+    owned = not (
+        pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    )
+    if owned:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     n_edges = pairs.count()
     if n_edges <= collect_threshold:
         rows = pairs.select(id_a, id_b).collect()
@@ -694,7 +704,8 @@ def neardup_components(
                 parent[hi] = lo
         labels = [(x, find(x)) for x in parent]
         id_type = dict(pairs.dtypes)[id_a]
-        pairs.unpersist()
+        if owned:
+            pairs.unpersist()
         schema = f"doc_id {id_type}, component {id_type}"
         try:
             # one Arrow batch instead of the pickle local-relation walk
@@ -746,7 +757,8 @@ def neardup_components(
         if changed == 0:
             break
     edges.unpersist()
-    pairs.unpersist()
+    if owned:
+        pairs.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"neardup_components did not converge in {max_rounds} rounds "

@@ -5017,8 +5017,18 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target propagates the caller's JVM-thread-local
+    # properties (job group/description) into the pool threads — the
+    # documented way to run driver threads (guide §2.6), and it keeps
+    # the legs' jobs attributed to this entry for the UI and the
+    # job-count instrumentation
     with ThreadPoolExecutor(max_workers=4) as pool:
-        futs = [pool.submit(f) for f in (_ivf_leg, _lsh_leg, _pq_leg, _pca_leg)]
+        futs = [
+            pool.submit(inheritable_thread_target(f))
+            for f in (_ivf_leg, _lsh_leg, _pq_leg, _pca_leg)
+        ]
         out = [row for fut in futs for row in fut.result()]
     return spark.createDataFrame(
         out, "family string, param string, recall_at_10 double"

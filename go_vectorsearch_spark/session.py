@@ -36,6 +36,19 @@ def get_spark(app_name: str = "spark-vectorsearch") -> SparkSession:
         # right behavior at every scale, not a small-data hack
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite a sort-merge join to shuffled-hash AT RUNTIME
+        # when every post-shuffle partition of the build side is under
+        # 64 MB (default 0 = never). Size-gated per partition, so it is
+        # scale-safe by construction: a big join's partitions exceed the
+        # bound and stay sort-merge, a small one skips both sorts. A/B
+        # on the join family (r14, interleaved min-of-3): jaccard pair
+        # join −0.5 s, duplicate-flags join-back −0.18 s, span
+        # duplicate-set −0.12 s, no entry slower. AQE skew-splitting
+        # applies to shuffled-hash joins too.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode = one JVM holds executors AND caches; a small heap

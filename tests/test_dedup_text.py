@@ -164,6 +164,34 @@ def test_neardup_components_and_dedup(spark):
     assert kept == [1, 5, 7]  # min id per cluster + untouched rows
 
 
+def test_neardup_components_persist_ownership(spark):
+    """neardup_components must release ONLY a persist it added (r14):
+    it unconditionally unpersisted the caller's pairs frame, silently
+    evicting the registry's session-cached jaccard frame — every later
+    consumer then recomputed the whole pair pipeline per action while
+    the cache dict still claimed a materialized frame."""
+    from pyspark import StorageLevel
+
+    from go_vectorsearch_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+
+    # caller-persisted frame survives the call (both code paths)
+    mine = pairs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    mine.count()
+    neardup_components(mine).collect()
+    assert mine.storageLevel.useMemory, "caller persist evicted (driver path)"
+    neardup_components(mine, collect_threshold=0).collect()
+    assert mine.storageLevel.useMemory, "caller persist evicted (dist path)"
+    mine.unpersist()
+
+    # an unpersisted input comes back unpersisted (the function's own
+    # scratch persist is released)
+    lazy = pairs.select("id_a", "id_b")
+    neardup_components(lazy).collect()
+    assert not (lazy.storageLevel.useMemory or lazy.storageLevel.useDisk)
+
+
 def test_neardup_dedup_end_to_end(spark, docs):
     """Full pipeline: jaccard pairs over the planted fixture -> dedup
     keeps doc 1 (min of the {1,2,3} near-dup cluster) and doc 4."""
