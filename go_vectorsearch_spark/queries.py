@@ -5023,10 +5023,12 @@ def q_ann_tradeoff_sweep(spark, sf_dir):
     # properties (job group/description) into the pool threads — the
     # documented way to run driver threads (guide §2.6), and it keeps
     # the legs' jobs attributed to this entry for the UI and the
-    # job-count instrumentation
+    # job-count instrumentation. The session-parameterized form also
+    # inherits session tags (the bare form warns and skips them).
+    wrap = inheritable_thread_target(spark)
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(f))
+            pool.submit(wrap(f))
             for f in (_ivf_leg, _lsh_leg, _pq_leg, _pca_leg)
         ]
         out = [row for fut in futs for row in fut.result()]
